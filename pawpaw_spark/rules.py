@@ -1,0 +1,141 @@
+"""Declarative segmentation rules.
+
+A ``RuleSet`` is the Spark-first replacement for pawpaw's arborform
+pipeline graph (reference: ``pawpaw/arborform/itorator/*.py``): instead
+of an object graph of Itorators wired by Connectors, rules are plain,
+picklable data rows. The whole rule set is captured once into the
+segmentation UDF closure (broadcast to executors with the task) and
+interpreted per document by :mod:`pawpaw_spark.kernel`.
+
+Semantics parity map (reference file:line cites are behavior specs, not
+copied code):
+
+* ``extract``  ~ ``Extract`` itorator (``arborform/itorator/extract.py:11-35``):
+  regex ``finditer`` over a target segment; each match becomes a tree of
+  named-capture-group segments nested by span containment
+  (``ito.py:98-129`` sort by ``(start, -stop)`` + containment stack).
+* ``split``    ~ ``Split`` itorator (``arborform/itorator/split.py:105-156``)
+  with P-O-O-S boundary retention (NONE/LEADING/TRAILING/ALL) and
+  ``return_zero_split``.
+* ``gaps``     ~ ``Invert`` itorator / ``Ito.from_gaps`` (``ito.py:196-269``):
+  complement spans of the pattern's matches.
+* ``literal``  ~ ``Ito.from_substrings`` (``ito.py:271-314``).
+
+``on`` selects the target segments a rule applies to, mirroring
+connector predicates (``arborform/itorator/itorator.py:11-24``):
+``ROOT`` (the whole document), a desc string, a tuple of descs, or
+``"*"`` for every segment present when the rule runs. Children produced
+by a rule attach under the target segment (``Connectors.Children.Add``
+semantics, ``itorator.py:49-70``).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+ROOT = "$doc"  # desc of the implicit per-document root segment
+
+
+class BoundaryRetention(enum.Enum):
+    # P-O-O-S semantics, reference split.py:14-18 & docstring
+    NONE = "none"
+    LEADING = "leading"
+    TRAILING = "trailing"
+    ALL = "all"
+
+
+@dataclass(frozen=True)
+class Rule:
+    kind: str                       # 'extract' | 'split' | 'gaps' | 'literal'
+    tag: str                        # rule_tag stamped on emitted segments
+    pattern: str                    # regex source (or substring for 'literal')
+    on: str | tuple[str, ...] = ROOT
+    desc: str | None = None         # fixed desc; None => group key (extract) / None (split parts keep desc param)
+    group_filter: tuple[str, ...] | None = None  # extract: named groups to keep; None => all named groups ('0' excluded)
+    limit: int | None = None
+    retention: BoundaryRetention = BoundaryRetention.NONE
+    return_zero_split: bool = True
+    return_zero_widths: bool = False  # gaps: emit zero-width segments between adjacent matches
+    flags: int = 0                  # extra regex flags OR'd at compile time
+
+    def targets(self, desc: str | None) -> bool:
+        if self.on == "*":
+            return True
+        if isinstance(self.on, tuple):
+            return desc in self.on
+        return desc == self.on
+
+
+def extract(
+    pattern: str,
+    on: str | tuple[str, ...] = ROOT,
+    group_filter: tuple[str, ...] | None = None,
+    desc: str | None = None,
+    limit: int | None = None,
+    tag: str | None = None,
+    flags: int = 0,
+) -> Rule:
+    return Rule(
+        kind="extract", tag=tag or f"extract:{pattern[:24]}", pattern=pattern, on=on,
+        desc=desc, group_filter=group_filter, limit=limit, flags=flags,
+    )
+
+
+def split(
+    pattern: str,
+    on: str | tuple[str, ...] = ROOT,
+    desc: str | None = None,
+    retention: BoundaryRetention = BoundaryRetention.NONE,
+    limit: int | None = None,
+    return_zero_split: bool = True,
+    tag: str | None = None,
+    flags: int = 0,
+) -> Rule:
+    return Rule(
+        kind="split", tag=tag or f"split:{pattern[:24]}", pattern=pattern, on=on,
+        desc=desc, limit=limit, retention=retention,
+        return_zero_split=return_zero_split, flags=flags,
+    )
+
+
+def gaps(
+    pattern: str,
+    on: str | tuple[str, ...] = ROOT,
+    desc: str | None = None,
+    return_zero_widths: bool = False,
+    tag: str | None = None,
+    flags: int = 0,
+) -> Rule:
+    return Rule(
+        kind="gaps", tag=tag or f"gaps:{pattern[:24]}", pattern=pattern, on=on,
+        desc=desc, return_zero_widths=return_zero_widths, flags=flags,
+    )
+
+
+def literal(
+    substring: str,
+    on: str | tuple[str, ...] = ROOT,
+    desc: str | None = None,
+    tag: str | None = None,
+) -> Rule:
+    return Rule(kind="literal", tag=tag or f"literal:{substring[:24]}", pattern=substring, on=on, desc=desc)
+
+
+@dataclass(frozen=True)
+class RuleSet:
+    """An ordered rule program. Rules run in order; each applies to the
+    segments present at that point whose desc matches ``on``."""
+
+    rules: tuple[Rule, ...] = field(default_factory=tuple)
+    name: str = "ruleset"
+
+    def __iter__(self):
+        return iter(self.rules)
+
+    def then(self, *rules: Rule) -> "RuleSet":
+        return RuleSet(self.rules + tuple(rules), self.name)
+
+    @staticmethod
+    def of(*rules: Rule, name: str = "ruleset") -> "RuleSet":
+        return RuleSet(tuple(rules), name)
