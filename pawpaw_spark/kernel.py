@@ -242,8 +242,14 @@ def segment_text(text: str, rules: RuleSet | Iterable[Rule]) -> list[SegRecord]:
 
 
 def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool = False):
-    """Flat dict-rows for one doc — the exploded relational form."""
+    """Flat dict-rows for one doc — the exploded relational form.
+
+    ``value`` is materialized only for descs named in some rule's
+    ``value_for`` (the ``value_func`` equivalent) — everything else
+    stays offsets-only (zero-copy at rest).
+    """
     segs = segment_text(text, rules)
+    value_descs = {d for r in rules for d in r.value_for}
     rows = []
     for seg_id, (start, stop, desc, parent_idx, depth, rule_tag) in enumerate(segs):
         if seg_id == 0 and not include_root:
@@ -258,6 +264,7 @@ def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool =
                 "desc": desc,
                 "depth": depth,
                 "rule_tag": rule_tag,
+                "value": text[start:stop] if desc in value_descs else None,
             }
         )
     return rows

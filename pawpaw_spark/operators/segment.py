@@ -28,7 +28,7 @@ from pawpaw_spark.kernel import segment_records
 from pawpaw_spark.rules import RuleSet
 from pawpaw_spark.schemas import SEGMENT_DDL
 
-_SEG_COLS = ["doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth", "rule_tag"]
+_SEG_COLS = ["doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth", "rule_tag", "value"]
 
 
 def doc_id_col(df: DataFrame) -> Column:

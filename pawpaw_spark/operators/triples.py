@@ -1,0 +1,171 @@
+"""Segments -> (subj, pred, obj) triples + node table.
+
+Triple vocabulary (BASELINE.json north_star):
+  (repo,            CONTAINS,    file)      one per source row
+  (file,            HAS_SEGMENT, span)      one per labeled segment
+  (file,            DEFINES,     symbol)    def/class names
+  (file,            REFERENCES,  symbol)    imports
+  (symbol,          REFERENCES,  symbol)    call sites inside def bodies
+
+Node id scheme: file = doc_id; symbol = "sym:" + name;
+span = doc_id + "#" + start + "-" + stop.
+
+All derivations are per-doc equi-joins on (doc_id, parent_id) — with the
+segments table hash-partitioned by doc_id these are co-partitioned and
+shuffle once, not per-join. The python mirror of this derivation (the
+oracle spec) lives in :mod:`pawpaw_spark.oracle`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pawpaw_spark.operators.segment import doc_id_col, segment
+from pawpaw_spark.rulesets import LANG_RULES, TEXT_RULES
+
+DEFINE_DESCS = ("def_name", "class_name")
+
+_EDGE_COLS = ["subj", "pred", "obj", "doc_id", "start", "stop"]
+
+
+def segment_by_lang(source: DataFrame, lang_rules=None) -> DataFrame:
+    """Per-language rule dispatch: one segmentation pass per distinct
+    rule program, unioned. Each pass scans only its language partition
+    (predicate pushed to the source scan)."""
+    lang_rules = lang_rules or LANG_RULES
+    by_ruleset: dict[str, tuple[object, list[str]]] = {}
+    for lang, rules in lang_rules.items():
+        by_ruleset.setdefault(rules.name, (rules, []))[1].append(lang)
+    known = [lang for _, (_, langs) in by_ruleset.items() for lang in langs]
+
+    parts = []
+    for rules, langs in by_ruleset.values():
+        parts.append(segment(source.filter(F.col("lang").isin(langs)), rules))
+    rest = source.filter(~F.col("lang").isin(known) | F.col("lang").isNull())
+    parts.append(segment(rest, TEXT_RULES))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def contains_edges(source: DataFrame) -> DataFrame:
+    return source.select(
+        F.col("repo").alias("subj"),
+        F.lit("CONTAINS").alias("pred"),
+        doc_id_col(source).alias("obj"),
+        doc_id_col(source).alias("doc_id"),
+        F.lit(None).cast("int").alias("start"),
+        F.lit(None).cast("int").alias("stop"),
+    )
+
+
+def has_segment_edges(segments: DataFrame) -> DataFrame:
+    return segments.filter(F.col("desc").isNotNull()).select(
+        F.col("doc_id").alias("subj"),
+        F.lit("HAS_SEGMENT").alias("pred"),
+        F.concat(
+            F.col("doc_id"), F.lit("#"), F.col("start"), F.lit("-"), F.col("stop"),
+            F.lit(":"), F.col("desc"),
+        ).alias("obj"),
+        "doc_id",
+        "start",
+        "stop",
+    )
+
+
+def defines_edges(segments: DataFrame) -> DataFrame:
+    return segments.filter(
+        F.col("desc").isin(*DEFINE_DESCS) & F.col("value").isNotNull()
+    ).select(
+        F.col("doc_id").alias("subj"),
+        F.lit("DEFINES").alias("pred"),
+        F.concat(F.lit("sym:"), F.col("value")).alias("obj"),
+        "doc_id",
+        "start",
+        "stop",
+    )
+
+
+def import_reference_edges(segments: DataFrame) -> DataFrame:
+    return segments.filter(
+        (F.col("desc") == "import_name") & F.col("value").isNotNull()
+    ).select(
+        F.col("doc_id").alias("subj"),
+        F.lit("REFERENCES").alias("pred"),
+        F.concat(F.lit("sym:"), F.col("value")).alias("obj"),
+        "doc_id",
+        "start",
+        "stop",
+    )
+
+
+def call_reference_edges(segments: DataFrame) -> DataFrame:
+    """(enclosing def symbol) REFERENCES (called symbol).
+
+    calls.parent = def_body; def_name shares the def_body's parent
+    (the def_block) — two co-partitioned self-joins on (doc_id, id).
+    """
+    calls = segments.filter((F.col("desc") == "call_name") & F.col("value").isNotNull())
+    bodies = segments.filter(F.col("desc") == "def_body").select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("seg_id").alias("b_id"),
+        F.col("parent_id").alias("b_parent"),
+    )
+    names = segments.filter(
+        (F.col("desc") == "def_name") & F.col("value").isNotNull()
+    ).select(
+        F.col("doc_id").alias("n_doc"),
+        F.col("parent_id").alias("n_parent"),
+        F.col("value").alias("def_value"),
+    )
+    return (
+        calls.join(
+            bodies,
+            (calls["doc_id"] == bodies["b_doc"]) & (calls["parent_id"] == bodies["b_id"]),
+        )
+        .join(
+            names,
+            (F.col("b_doc") == names["n_doc"]) & (F.col("b_parent") == names["n_parent"]),
+        )
+        .select(
+            F.concat(F.lit("sym:"), F.col("def_value")).alias("subj"),
+            F.lit("REFERENCES").alias("pred"),
+            F.concat(F.lit("sym:"), F.col("value")).alias("obj"),
+            "doc_id",
+            "start",
+            "stop",
+        )
+    )
+
+
+def build_edges(source: DataFrame, segments: DataFrame | None = None) -> DataFrame:
+    if segments is None:
+        segments = segment_by_lang(source)
+    return (
+        contains_edges(source)
+        .unionByName(has_segment_edges(segments))
+        .unionByName(defines_edges(segments))
+        .unionByName(import_reference_edges(segments))
+        .unionByName(call_reference_edges(segments))
+    )
+
+
+def build_nodes(edges: DataFrame, source: DataFrame | None = None) -> DataFrame:
+    """Distinct node table from edge endpoints; kind by id scheme."""
+    endpoints = edges.select(F.col("subj").alias("node_id"), F.col("pred")).unionByName(
+        edges.select(F.col("obj").alias("node_id"), F.lit(None).alias("pred"))
+    )
+    kind = (
+        F.when(F.col("node_id").startswith("sym:"), "symbol")
+        .when(F.col("node_id").contains("#"), "span")
+        .when(F.col("node_id").contains("@"), "file")
+        .otherwise("repo")
+    )
+    return (
+        endpoints.select("node_id")
+        .distinct()
+        .withColumn("kind", kind)
+        .withColumn("canon_id", F.col("node_id"))
+    )

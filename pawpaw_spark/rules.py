@@ -58,6 +58,11 @@ class Rule:
     return_zero_split: bool = True
     return_zero_widths: bool = False  # gaps: emit zero-width segments between adjacent matches
     flags: int = 0                  # extra regex flags OR'd at compile time
+    # descs for which the segment's text is materialized into the `value`
+    # column at emit time — the `value_func` equivalent (``ito.py:383-399``).
+    # Saves a segments⋈source content re-join downstream; use for short
+    # segments only (symbol names, not blocks).
+    value_for: tuple[str, ...] = ()
 
     def targets(self, desc: str | None) -> bool:
         if self.on == "*":
@@ -75,10 +80,11 @@ def extract(
     limit: int | None = None,
     tag: str | None = None,
     flags: int = 0,
+    value_for: tuple[str, ...] = (),
 ) -> Rule:
     return Rule(
         kind="extract", tag=tag or f"extract:{pattern[:24]}", pattern=pattern, on=on,
-        desc=desc, group_filter=group_filter, limit=limit, flags=flags,
+        desc=desc, group_filter=group_filter, limit=limit, flags=flags, value_for=value_for,
     )
 
 

@@ -25,12 +25,13 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("desc", T.StringType(), True),
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("rule_tag", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
     ]
 )
 
 SEGMENT_DDL = (
     "doc_id string, seg_id long, parent_id long, start int, stop int, "
-    "desc string, depth int, rule_tag string"
+    "desc string, depth int, rule_tag string, value string"
 )
 
 EDGE_SCHEMA = T.StructType(

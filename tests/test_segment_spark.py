@@ -22,7 +22,7 @@ def test_segment_emits_rows(spark, src):
     segs = segment(src, RULES)
     assert segs.count() > 0
     assert set(segs.columns) == {
-        "doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth", "rule_tag",
+        "doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth", "rule_tag", "value",
     }
 
 

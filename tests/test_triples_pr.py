@@ -1,0 +1,74 @@
+"""The north-star gate: triples P/R >= 0.95 vs reference-derived triples.
+
+The reference (pawpaw) is run in-process per document with equivalent
+arborform pipelines; its segment trees are fed through the same triple
+derivation spec (pawpaw_spark.oracle.derive_triples). The Spark
+pipeline must reproduce that triple set.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pawpaw_spark.corpus import source_df
+from pawpaw_spark.operators.segment import doc_id_col
+from pawpaw_spark.operators.triples import build_edges, build_nodes
+from pawpaw_spark.oracle import derive_triples, pawpaw_segments, precision_recall
+from pawpaw_spark.rulesets import rules_for_lang
+
+N_FILES = 80
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return source_df(spark, n_files=N_FILES, seed=7).cache()
+
+
+@pytest.fixture(scope="module")
+def spark_triples(spark, src):
+    edges = build_edges(src)
+    return {(r.subj, r.pred, r.obj) for r in edges.select("subj", "pred", "obj").collect()}
+
+
+@pytest.fixture(scope="module")
+def reference_triples(pawpaw_ref, spark, src):
+    rows = src.select("repo", "path", "commit", "lang", "content").collect()
+    expected = set()
+    for r in rows:
+        doc_id = f"{r.repo}/{r.path}@{r.commit}"
+        records = pawpaw_segments(pawpaw_ref, r.content, rules_for_lang(r.lang))
+        expected |= derive_triples(doc_id, r.repo, records)
+    return expected
+
+
+def test_triple_precision_recall_gate(spark_triples, reference_triples):
+    p, r = precision_recall(spark_triples, reference_triples)
+    assert p >= 0.95, f"precision {p:.4f} < 0.95"
+    assert r >= 0.95, f"recall {r:.4f} < 0.95"
+
+
+def test_triples_exact_at_small_scale(spark_triples, reference_triples):
+    # at this scale we expect perfect parity, not just the 0.95 gate
+    missing = reference_triples - spark_triples
+    extra = spark_triples - reference_triples
+    assert not missing, f"missing {len(missing)}: {sorted(missing)[:5]}"
+    assert not extra, f"extra {len(extra)}: {sorted(extra)[:5]}"
+
+
+def test_every_pred_present(spark_triples):
+    preds = {p for _, p, _ in spark_triples}
+    assert {"CONTAINS", "HAS_SEGMENT", "DEFINES", "REFERENCES"} <= preds
+
+
+def test_nodes_cover_edge_endpoints(spark, src):
+    edges = build_edges(src).cache()
+    nodes = build_nodes(edges)
+    n_nodes = nodes.count()
+    endpoints = (
+        edges.select(F.col("subj").alias("node_id"))
+        .union(edges.select("obj"))
+        .distinct()
+        .count()
+    )
+    assert n_nodes == endpoints
+    kinds = {r.kind for r in nodes.select("kind").distinct().collect()}
+    assert {"repo", "file", "symbol", "span"} <= kinds
