@@ -241,6 +241,43 @@ def segment_text(text: str, rules: RuleSet | Iterable[Rule]) -> list[SegRecord]:
     return out
 
 
+def tree_indexes(segs: list[SegRecord]):
+    """Navigation indexes computed from the in-UDF tree, so no shuffle
+    is ever needed to answer ancestor/descendant/sibling queries:
+
+    * ``path``        — ancestor seg_ids, root→parent (O(1) ancestor axis;
+                        exploded once for the descendant equi-join)
+    * ``n_children``  — leaf test for the ``***`` axis
+    * ``sibling_idx`` — rank among siblings by (start, -stop)
+    * ``dfs_idx``     — pre-order DFS position == document order
+    """
+    n = len(segs)
+    children: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        p = segs[i][3]
+        if p >= 0:
+            children[p].append(i)
+    paths: list[list[int]] = [[] for _ in range(n)]
+    sibling_idx = [0] * n
+    dfs_idx = [0] * n
+    order = 0
+    stack = [0]
+    # iterative pre-order; children in (start, -stop) order
+    for p in range(n):
+        children[p].sort(key=lambda i: (segs[i][0], -segs[i][1]))
+        for rank, c in enumerate(children[p]):
+            sibling_idx[c] = rank
+    while stack:
+        cur = stack.pop()
+        dfs_idx[cur] = order
+        order += 1
+        for c in reversed(children[cur]):
+            paths[c] = paths[cur] + [cur]
+            stack.append(c)
+    n_children = [len(c) for c in children]
+    return paths, n_children, sibling_idx, dfs_idx
+
+
 def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool = False):
     """Flat dict-rows for one doc — the exploded relational form.
 
@@ -250,6 +287,7 @@ def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool =
     """
     segs = segment_text(text, rules)
     value_descs = {d for r in rules for d in r.value_for}
+    paths, n_children, sibling_idx, dfs_idx = tree_indexes(segs)
     rows = []
     for seg_id, (start, stop, desc, parent_idx, depth, rule_tag) in enumerate(segs):
         if seg_id == 0 and not include_root:
@@ -265,6 +303,10 @@ def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool =
                 "depth": depth,
                 "rule_tag": rule_tag,
                 "value": text[start:stop] if desc in value_descs else None,
+                "path": paths[seg_id],
+                "n_children": n_children[seg_id],
+                "sibling_idx": sibling_idx[seg_id],
+                "dfs_idx": dfs_idx[seg_id],
             }
         )
     return rows

@@ -1,0 +1,324 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+Five strategies, cheapest-first; all pure DataFrame except the MinHash
+signature kernel (Arrow-batched numpy):
+
+* exact            — hash-groupBy on content digest (one shuffle)
+* ngram-Jaccard    — explode k-grams, equi-join on gram, count-ratio
+* MinHash + LSH    — signature kernel -> band explode -> bucket equi-join
+* SimHash          — 64-bit fingerprint, banded by 16-bit chunks
+* embedding cosine — blocked pair join + JVM-side dot product
+
+Scale notes: every strategy blocks before it pairs — no O(n^2) join
+ever; bucket joins are equi-joins Catalyst can plan as sort-merge with
+AQE skew splitting. Hot shingles (boilerplate) are the classic skew
+source: `lsh_candidate_pairs` caps bucket width with a window filter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct content digest."""
+    digest = F.sha2(F.col(text_col).cast("binary"), 256)
+    w = W.partitionBy(digest).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(digest, n_dupes, keeper_id) for groups with >1 member."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("digest"))
+        .agg(F.count(F.lit(1)).alias("n_dupes"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (token shingles, exact similarity on blocked pairs)
+# ---------------------------------------------------------------------------
+
+
+def _gram_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_freq: int = 1000,
+) -> DataFrame:
+    """Pairs with k-token-shingle Jaccard >= threshold.
+
+    Grams occurring in > max_gram_freq docs are dropped before the
+    self-join (boilerplate skew guard; at 100 TB a hot shingle would
+    otherwise create a quadratic bucket)."""
+    grams = _gram_table(df, text_col, id_col, k)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    freq_ok = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__f")).filter(
+        F.col("__f") <= max_gram_freq
+    )
+    grams = grams.join(F.broadcast(freq_ok.select("gram")), "gram")
+    a = grams.select(F.col("id").alias("a"), "gram")
+    b = grams.select(F.col("id").alias("b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(set(shingles)), dtype=np.uint64)
+    for i, s in enumerate(set(shingles)):
+        out[i] = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — Arrow-batched numpy kernel; the
+    (a*x+b) mod p permutation family is broadcast in the closure."""
+    a, b = _perm_params(n_hashes, seed)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf["__id"].values, pdf["__text"].values):
+                if text is None:
+                    continue
+                x = _shingle_hashes(str(text), shingle_k)
+                # sig_j = min_i (a_j * x_i + b_j mod p), vectorized (n_sh, n_hash)
+                vals = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs.append(vals.min(axis=0).astype(np.int64))
+                ids.append(did)
+            if ids:
+                yield pd.DataFrame({"id": ids, "sig": [s.tolist() for s in sigs]})
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    return src.mapInPandas(kernel, schema="id string, sig array<long>")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate pairs once.
+
+    max_bucket caps pathological buckets (identical boilerplate docs):
+    a bucket of m rows yields m^2/2 pairs — at web scale one viral
+    page would otherwise dominate the shuffle."""
+    n_hashes = len(signatures.select("sig").first()["sig"])
+    rows_per_band = n_hashes // bands
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    w = W.partitionBy("band", "bucket").orderBy("id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+    a = banded.select(F.col("id").alias("a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidates via LSH, verified by signature-agreement estimate."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(len(sigs.select("sig").first()["sig"])))
+    )
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Arrow-batched numpy)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitcols = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf["__id"].values, pdf["__text"].values):
+                if text is None:
+                    continue
+                toks = str(text).lower().split()
+                if not toks:
+                    ids.append(did)
+                    fps.append(0)
+                    continue
+                hs = np.array(
+                    [
+                        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)  # (n_tok, 64)
+                votes = bits.sum(axis=0) * 2 - len(toks)
+                fp = int(((votes > 0).astype(np.uint64) << bitcols).sum(dtype=np.uint64))
+                ids.append(did)
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # store as signed
+            if ids:
+                yield pd.DataFrame({"id": ids, "fingerprint": pd.array(fps, dtype="int64")})
+
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    return src.mapInPandas(kernel, schema="id string, fingerprint long")
+
+
+def simhash_neardup_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance k, blocked on 16-bit chunks (a pair
+    within distance 3 shares at least one of the four chunks exactly)."""
+    chunks = fps.select(
+        "id",
+        "fingerprint",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("fingerprint", i * 16).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_id", "chunk"),
+    )
+    a = chunks.select(F.col("id").alias("a"), F.col("fingerprint").alias("fa"), "chunk_id", "chunk")
+    b = chunks.select(F.col("id").alias("b"), F.col("fingerprint").alias("fb"), "chunk_id", "chunk")
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b, ["chunk_id", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine >= threshold. With a block column the join is
+    an equi-join per block; without one, falls back to a cross join —
+    only acceptable for small n (tests)."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm.alias("nrm"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a = e.select(F.col("id").alias("a"), F.col("vec").alias("va"), F.col("nrm").alias("na"),
+                 *([F.col("blk")] if block_col else []))
+    b = e.select(F.col("id").alias("b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"),
+                 *([F.col("blk")] if block_col else []))
+    joined = a.join(b, ["blk"] if block_col else []) if block_col else a.crossJoin(b)
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        joined.filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -28,7 +28,10 @@ from pawpaw_spark.kernel import segment_records
 from pawpaw_spark.rules import RuleSet
 from pawpaw_spark.schemas import SEGMENT_DDL
 
-_SEG_COLS = ["doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth", "rule_tag", "value"]
+_SEG_COLS = [
+    "doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth",
+    "rule_tag", "value", "path", "n_children", "sibling_idx", "dfs_idx",
+]
 
 
 def doc_id_col(df: DataFrame) -> Column:
@@ -66,8 +69,6 @@ def segment(
                 rows.extend(segment_records(str(did), str(text), rules, include_root))
             if rows:
                 yield pd.DataFrame(rows, columns=_SEG_COLS)
-            else:
-                yield pd.DataFrame({c: pd.Series(dtype="object") for c in _SEG_COLS})
 
     return src.mapInPandas(run, schema=SEGMENT_DDL)
 

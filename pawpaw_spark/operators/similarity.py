@@ -1,0 +1,101 @@
+"""Similarity search over embedding columns.
+
+* ``cosine_topk``      — brute-force exact top-k: one scan, JVM-side
+  dot product (zip_with/aggregate), no shuffle until the final top-k.
+* ``lsh_topk``         — random-hyperplane LSH bucketing: candidates
+  share a sign-pattern bucket (with multi-probe on query side), exact
+  re-rank inside buckets. The 100-TB path: the scan prunes to matching
+  buckets instead of reading every vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector (broadcast as a
+    literal array — evaluated inside whole-stage codegen)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float)
+
+
+def with_lsh_bucket(
+    emb: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-pattern bucket id from the fixed hyperplane family — a pure
+    column expression (sum of bit-shifted signs of dot products)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return emb.withColumn(out_col, bucket)
+
+
+def lsh_topk(
+    emb_with_bucket: DataFrame,
+    query_vec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket plus its n_probe nearest
+    single-bit-flip neighbors (flipping the planes with the smallest
+    |margin|), exact cosine re-rank inside the probed buckets."""
+    q = np.asarray(query_vec, dtype=float)
+    margins = planes @ q
+    base = sum((1 << i) for i, m in enumerate(margins) if m >= 0)
+    flips = np.argsort(np.abs(margins))[:n_probe]
+    probe_buckets = [base] + [base ^ (1 << int(i)) for i in flips]
+
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    qn = float(np.sqrt(q @ q))
+    cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        emb_with_bucket.filter(F.col("bucket").isin(probe_buckets))
+        .select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def topk_per_group(
+    df: DataFrame, group_col: str, order_col: str, k: int, ascending: bool = False
+) -> DataFrame:
+    """Generic top-k per group (window + row_number — the canonical
+    Spark shape; no driver collect)."""
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = W.partitionBy(group_col).orderBy(oc)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,85 @@
+"""Text analysis for training-data pipelines — all JVM-side column
+expressions (no Python in the hot path): language ID, quality scoring,
+token counting, fingerprinting.
+
+Each function returns the input DataFrame with added columns, so they
+compose into one whole-stage-codegen'd projection over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small, deterministic stopword lists (same lists are inlined into the
+# DuckDB oracle SQL — keep in sync with __spark_entry__.py)
+STOPWORDS = {
+    "en": ["the", "and", "is", "of", "to", "a", "in", "that", "it", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "que", "por"],
+}
+
+TOKEN_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"  # BPE-ish word/number/punct pieces
+
+
+def _word_hits(text_col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), F.lit(0)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language heuristic over the fixed lexicons; ties and
+    zero-hit rows fall back to 'und' (undetermined)."""
+    text = F.col(text_col)
+    hit_cols = {lang: _word_hits(text, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hit_cols.values())
+    # deterministic tie-break: alphabetically-first max-hit lang wins
+    # (built in reverse so earlier langs wrap outermost)
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.withColumn(out_col, pred)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    text = F.col(text_col)
+    ws = F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0)))
+    return df.withColumn("n_ws_tokens", ws).withColumn("n_bpe_tokens", bpe)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length heuristics, folded
+    into a [0,1] quality score (weights arbitrary but fixed)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_words = F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+"), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\sA-Za-z\d]"), F.lit(0)))
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = _word_hits(text, all_stops)
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / F.greatest(n_words, F.lit(1))
+    )
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+        + F.least(stop_ratio * 3, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(F.abs(mean_word_len - 5) / 5, F.lit(1.0))) * 0.2
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality", score)
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace/case-normalized content fingerprint (md5 — stable
+    across engines, so the DuckDB oracle can reproduce it)."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(F.trim(normalized)))

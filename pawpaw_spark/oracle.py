@@ -42,25 +42,28 @@ def _ref_itorator(pawpaw_ref, rule: Rule):
     raise NotImplementedError(rule.kind)
 
 
-def pawpaw_segments(pawpaw_ref, text: str, rules: RuleSet):
-    """Run the reference over one doc with the same rule program.
-
-    Chained rules are wired as Children.Add connectors on the segments
-    whose desc matches ``on`` — exactly the arborform idiom the demos
-    use. Returns kernel-shaped records (start, stop, desc, parent_idx,
-    depth, value) with index 0 = the root.
-    """
+def pawpaw_tree(pawpaw_ref, text: str, rules: RuleSet):
+    """Run the reference over one doc with the same rule program and
+    return the root Ito. Chained rules are wired as Children.Add
+    connectors on the segments whose desc matches ``on`` — exactly the
+    arborform idiom the demos use."""
     root = pawpaw_ref.Ito(text, desc=ROOT)
-    value_descs = {d for r in rules for d in r.value_for}
-
     for rule in rules:
         itor = _ref_itorator(pawpaw_ref, rule)
         # snapshot targets before mutation (rule never applies to own output)
         targets = [i for i in _walk(root) if rule.targets(i.desc)]
         for t in targets:
             for produced in itor(t.clone(clone_children=False)):
-                # re-root produced tree under t (clone detaches span basis is same string)
+                # re-root produced tree under t (same span basis string)
                 _attach(t, produced)
+    return root
+
+
+def pawpaw_segments(pawpaw_ref, text: str, rules: RuleSet):
+    """Kernel-shaped records (start, stop, desc, parent_idx, value)
+    from a reference run; index 0 = the root."""
+    root = pawpaw_tree(pawpaw_ref, text, rules)
+    value_descs = {d for r in rules for d in r.value_for}
 
     records = []
     index_of = {}

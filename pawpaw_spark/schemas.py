@@ -26,12 +26,17 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("rule_tag", T.StringType(), True),
         T.StructField("value", T.StringType(), True),
+        T.StructField("path", T.ArrayType(T.LongType()), True),
+        T.StructField("n_children", T.IntegerType(), True),
+        T.StructField("sibling_idx", T.IntegerType(), True),
+        T.StructField("dfs_idx", T.IntegerType(), True),
     ]
 )
 
 SEGMENT_DDL = (
     "doc_id string, seg_id long, parent_id long, start int, stop int, "
-    "desc string, depth int, rule_tag string, value string"
+    "desc string, depth int, rule_tag string, value string, "
+    "path array<long>, n_children int, sibling_idx int, dfs_idx int"
 )
 
 EDGE_SCHEMA = T.StructType(

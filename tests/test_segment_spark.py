@@ -21,9 +21,8 @@ def src(spark):
 def test_segment_emits_rows(spark, src):
     segs = segment(src, RULES)
     assert segs.count() > 0
-    assert set(segs.columns) == {
-        "doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth", "rule_tag", "value",
-    }
+    assert {"doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth",
+            "rule_tag", "value", "path", "n_children", "sibling_idx", "dfs_idx"} == set(segs.columns)
 
 
 def test_span_invariants(spark, src):
