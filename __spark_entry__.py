@@ -1,38 +1,587 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG build over sf0.001 documents.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2
++ training-pipeline operators); each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible ones.
+
+Column names & types are aligned pairwise; money sums go through
+decimal before rounding so engine-order float reassociation can't flip
+a digit; cosine math is done in float64 on float32-rounded inputs in
+both engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+WORD_PAT = "[A-Za-z]+"
+NUM_PAT = r"\d+"
+TOKEN_PAT = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def documents_as_source(docs: DataFrame) -> DataFrame:
+    """documents -> the input_hint source shape (repo,path,commit,lang,content)."""
+    return docs.select(
+        F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries (operator -> testdata) — SQL-expressible ones have oracles below
+# ---------------------------------------------------------------------------
+
+
+def q_extract_token_counts(spark, sf_dir):
+    """Extract itorator mapping (SURVEY §2.3): regex group extraction, agg by desc."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(WORD_PAT), F.lit(0)))).alias("n_words"),
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(NUM_PAT), F.lit(0)))).alias("n_numbers"),
+        )
+        .select("lang", F.col("n_words").cast("long"), F.col("n_numbers").cast("long"))
+    )
+
+
+def q_split_parts(spark, sf_dir):
+    """Split itorator mapping (§2.3): boundary split, per-doc part stats."""
+    d = _docs(spark, sf_dir)
+    parts = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(parts).cast("long").alias("n_parts"),
+        F.array_max(F.transform(parts, lambda p: F.length(p))).cast("long").alias("max_part_len"),
+    )
+
+
+def q_gaps_stats(spark, sf_dir):
+    """from_gaps / Invert mapping (§2.1): true kernel gaps rule, per doc."""
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.rules import RuleSet, gaps
+
+    d = _docs(spark, sf_dir).withColumn("doc_id_s", F.col("doc_id").cast("string"))
+    segs = segment(
+        d.select(F.col("doc_id_s").alias("doc_id"), F.col("text").alias("content")),
+        RuleSet.of(gaps(r"\S+", desc="gap")),
+    )
+    counts = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("stop") - F.col("start")).alias("gap_chars"),
+    )
+    return (
+        d.join(counts, d["doc_id_s"] == counts["doc_id"], "left")
+        .select(
+            d["doc_id"],
+            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
+            F.coalesce("gap_chars", F.lit(0)).cast("long").alias("gap_chars"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """StackedReduce mapping (§2.5): sessionization, 30-min gap rule."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> UTC epoch (session TZ pinned)
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+
+
+def q_window_rolling(spark, sf_dir):
+    """WindowedJoin mapping (§2.4): k-consecutive sliding merge, max of 3-sums."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return (
+        e.withColumn("s3", F.sum("value").over(w))
+        .groupBy("user_id")
+        .agg(F.round(F.max("s3"), 4).alias("max_3sum"))
+    )
+
+
+def q_adopt_spans(spark, sf_dir):
+    """Ito.adopt/join mapping (§2.4): covering span = min/max agg per group."""
+    li = _lineitem(spark, sf_dir)
+    return li.groupBy("l_orderkey").agg(
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Aggregation pipeline (§2.5): grouped multi-agg; decimal-exact money sums."""
+    li = _lineitem(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(28,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).alias("__sq"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("__sb"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("__sd"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("__sq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("__sb").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.col("__sd").cast("double"), 2).alias("sum_disc_price"),
+            F.round((F.col("__sq") / F.col("n_rows")).cast("double"), 4).alias("avg_qty"),
+            "n_rows",
+        )
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """Sort/limit/top-k (§2.6): top-3 orders per market segment (broadcast join)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(F.col("c_mktsegment").alias("mktsegment"), "o_orderkey", "rank")
+    )
+
+
+def q_dedup_distinct_texts(spark, sf_dir):
+    """dedup axis >< (§2.6) / exact dedup: distinct contents per lang."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+    )
+
+
+def q_nuco(spark, sf_dir):
+    """Nuco null-coalesce routing (§2.2)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+    return c.groupBy(seg.alias("segment")).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def q_str_ops(spark, sf_dir):
+    """str-equivalence suite (§2.2): startswith/endswith/substring-count per lang."""
+    d = _docs(spark, sf_dir)
+    occ = (F.length("text") - F.length(F.regexp_replace("text", "data", ""))) / 4
+    return d.groupBy("lang").agg(
+        F.sum(F.when(F.col("text").startswith("t"), 1).otherwise(0)).cast("long").alias("n_sw_t"),
+        F.sum(F.when(F.col("text").endswith("n"), 1).otherwise(0)).cast("long").alias("n_ew_n"),
+        F.sum(occ).cast("long").alias("occ_data"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """language-ID heuristic (training-pipeline op): confusion counts."""
+    from pawpaw_spark.operators.text import with_lang_id
+
+    d = _docs(spark, sf_dir)
+    return (
+        with_lang_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """token counting (whitespace + BPE-ish regex)."""
+    from pawpaw_spark.operators.text import with_token_counts
+
+    d = _docs(spark, sf_dir)
+    return with_token_counts(d).groupBy("lang").agg(
+        F.sum("n_ws_tokens").cast("long").alias("ws_tokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    """quality scoring (length/punct/stopword ratios)."""
+    from pawpaw_spark.operators.text import with_quality_score
+
+    d = _docs(spark, sf_dir)
+    return with_quality_score(d).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("quality", 4).alias("quality_r"),
+    )
+
+
+def q_fingerprint_groups(spark, sf_dir):
+    """document fingerprinting: normalized-content duplicate groups."""
+    from pawpaw_spark.operators.text import with_fingerprint
+
+    d = _docs(spark, sf_dir)
+    return (
+        with_fingerprint(d)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _emb_double(emb):
+    return emb.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_ann_topk(spark, sf_dir):
+    """similarity search: brute-force cosine top-10 vs the vec_id=0 vector."""
+    emb = _emb_double(_emb(spark, sf_dir))
+    qv = emb.filter(F.col("vec_id") == 0).select("v").first()["v"]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qv))
+    cos = _dot(F.col("v"), q) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qn))
+    return (
+        emb.select("vec_id", F.round(cos, 6).alias("cosine_r"))
+        .orderBy(F.col("cosine_r").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """embedding-cosine near-dup pairs, blocked by label (equi-join)."""
+    emb = _emb_double(_emb(spark, sf_dir))
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("label").alias("blk"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("label").alias("blk"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine_r", F.round(cos, 6))
+        .filter(F.col("cosine_r") >= 0.9)
+        .select("a", "b", "cosine_r")
+    )
+
+
+def q_plumule_word_count(spark, sf_dir):
+    """plumule query engine (§2.7): '**[d:word]' hit count per doc."""
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.plans.plumule import PlumuleEngine
+    from pawpaw_spark.rulesets import TEXT_RULES
+
+    d = _docs(spark, sf_dir)
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    segs = segment(src, TEXT_RULES, include_root=True)
+    hits = PlumuleEngine(segs).find_all("**[d:word]")
+    counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_word_hits"))
+    return (
+        d.join(counts, d["doc_id"].cast("string") == counts["doc_id"], "left")
+        .select(d["doc_id"], F.coalesce("n_word_hits", F.lit(0)).cast("long").alias("n_word_hits"))
+    )
+
+
+def q_kg_triples_by_pred(spark, sf_dir):
+    """full KG pipeline on the documents table: triples per predicate."""
+    from pawpaw_spark.operators.triples import build_edges
+
+    src = documents_as_source(_docs(spark, sf_dir))
+    return (
+        build_edges(src)
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup (rows-only check): pair count at threshold."""
+    from pawpaw_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    pairs = minhash_dedup_pairs(d, threshold=0.5, n_hashes=64, bands=16)
+    return pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup (rows-only check): pair count at hamming<=3."""
+    from pawpaw_spark.operators.dedup import simhash, simhash_neardup_pairs
+
+    d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    return simhash_neardup_pairs(simhash(d), max_hamming=3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup (rows-only): pair count at 0.5."""
+    from pawpaw_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    return ngram_jaccard_pairs(d, threshold=0.5).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def q_media_frames(spark, sf_dir):
+    """multimodal plumbing: frame-sampling row counts per media id."""
+    from pawpaw_spark.operators.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return sample_frames(media, every_ms=1000, max_frames=8).groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triple build over the sf0.001 documents corpus."""
+    return q_kg_triples_by_pred(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_token_counts": q_extract_token_counts,
+        "split_parts": q_split_parts,
+        "gaps_stats": q_gaps_stats,
+        "sessionize": q_sessionize,
+        "window_rolling": q_window_rolling,
+        "adopt_spans": q_adopt_spans,
+        "tpch_q1": q_tpch_q1,
+        "topk_orders": q_topk_orders,
+        "dedup_distinct_texts": q_dedup_distinct_texts,
+        "nuco": q_nuco,
+        "str_ops": q_str_ops,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "fingerprint_groups": q_fingerprint_groups,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "plumule_word_count": q_plumule_word_count,
+        "kg_triples_by_pred": q_kg_triples_by_pred,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_neardup": q_simhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "media_frames": q_media_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB-side mirrors -------------------------------------------------------
+
+_STOP = {
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "ein", "nicht", "mit"],
+    "en": ["the", "and", "is", "of", "to", "a", "in", "that", "it", "was"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "que", "por"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "que", "pour"],
+}
+
+
+def _hits(lang):
+    pat = r"\b(" + "|".join(_STOP[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, len(__A__) + 1), i -> __A__[i] * __B__[i]))"
+)
+
+
+def _dot_sql(a, b):
+    return _DOT.replace("__A__", a).replace("__B__", b)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_best = "greatest(" + ", ".join(f"h_{l}" for l in sorted(_STOP)) + ")"
+    lang_pred_case = (
+        "case "
+        + " ".join(
+            f"when h_{l} = __best and __best > 0 then '{l}'" for l in sorted(_STOP)
+        )
+        + " else 'und' end"
+    ).replace("__best", lang_best)
+    hits_cols = ", ".join(f"{_hits(l)} as h_{l}" for l in sorted(_STOP))
+
+    all_stops = sorted({w for ws in _STOP.values() for w in ws})
+    stop_pat = r"\b(" + "|".join(all_stops) + r")\b"
+
+    return {
+        "extract_token_counts": f"""
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '{WORD_PAT}'))) AS BIGINT) AS n_words,
+                   CAST(sum(len(regexp_extract_all(text, '{NUM_PAT}'))) AS BIGINT) AS n_numbers
+            FROM documents GROUP BY lang
+        """,
+        "split_parts": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_parts,
+                   CAST(list_max(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                                p -> length(p))) AS BIGINT) AS max_part_len
+            FROM documents
+        """,
+        "gaps_stats": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\s+')) AS BIGINT) AS n_gaps,
+                   CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                       AS gap_chars
+            FROM documents
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events)
+            SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+        """,
+        "window_rolling": """
+            WITH s AS (
+              SELECT user_id,
+                     sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s3
+              FROM events)
+            SELECT user_id, round(max(s3), 4) AS max_3sum FROM s GROUP BY user_id
+        """,
+        "adopt_spans": """
+            SELECT l_orderkey,
+                   strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+                   strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) / count(*) AS DOUBLE), 4) AS avg_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            WITH r AS (
+              SELECT c.c_mktsegment AS mktsegment, o.o_orderkey,
+                     CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+                          ORDER BY o.o_totalprice DESC, o.o_orderkey) AS BIGINT) AS rank
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT * FROM r WHERE rank <= 3
+        """,
+        "dedup_distinct_texts": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+            FROM documents GROUP BY lang
+        """,
+        "nuco": """
+            SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1
+        """,
+        "str_ops": """
+            SELECT lang,
+                   CAST(sum(CASE WHEN starts_with(text, 't') THEN 1 ELSE 0 END) AS BIGINT) AS n_sw_t,
+                   CAST(sum(CASE WHEN ends_with(text, 'n') THEN 1 ELSE 0 END) AS BIGINT) AS n_ew_n,
+                   CAST(sum((length(text) - length(replace(text, 'data', ''))) / 4) AS BIGINT) AS occ_data
+            FROM documents GROUP BY lang
+        """,
+        "lang_id": f"""
+            WITH h AS (SELECT lang, {hits_cols} FROM documents)
+            SELECT lang, {lang_pred_case} AS lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM h GROUP BY lang, lang_pred
+        """,
+        "token_counts": rf"""
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+                   CAST(sum(len(regexp_extract_all(text, '{TOKEN_PAT}'))) AS BIGINT) AS bpe_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality": rf"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+                     len(regexp_extract_all(text, '[^\sA-Za-z\d]')) AS n_punct,
+                     len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+              FROM documents)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(
+                     least(n_words / 100.0, 1.0) * 0.3
+                     + (1.0 - least(n_punct / greatest(n_chars, 1) * 5, 1.0)) * 0.2
+                     + least(n_stop / greatest(n_words, 1) * 3, 1.0) * 0.3
+                     + (1.0 - least(abs(n_alpha / greatest(n_words, 1) - 5) / 5, 1.0)) * 0.2,
+                   4) AS quality_r
+            FROM m
+        """,
+        "fingerprint_groups": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ann_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round({_dot_sql('e.v', 'q.qv')}
+                         / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('q.qv', 'q.qv')})), 6)
+                       AS cosine_r
+            FROM e, q
+            ORDER BY cosine_r DESC, e.vec_id LIMIT 10
+        """,
+        "embedding_neardup": f"""
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({_dot_sql('a.v', 'b.v')}
+                         / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6)
+                       AS cosine_r
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round({_dot_sql('a.v', 'b.v')}
+                        / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) >= 0.9
+        """,
+        "plumule_word_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_hits
+            FROM documents
+        """,
+        "media_frames": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(least(CAST(floor(n_chars * 10 / 1000) AS BIGINT) + 1, 8) AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        # kg_triples_by_pred / minhash_dedup / simhash_neardup / ngram_jaccard:
+        # non-SQL-expressible (kernel/LSH internals) -> rows-only checks
+    }

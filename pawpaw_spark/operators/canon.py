@@ -1,0 +1,104 @@
+"""Canonicalization: connected components over match edges, no
+GraphFrames dependency — iterative min-label propagation on DataFrames
+with localCheckpoint to cut lineage (SURVEY.md §4.2 item 3).
+
+At 100 TB the label table is hash-partitioned by node; each iteration is
+two co-partitioned joins + one agg. Iterations ~ cluster diameter
+(symbol-name clusters are shallow); `max_iters` bounds the skewed worst
+case and the checkpoint interval keeps the DAG from growing without
+bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) — component = min node id in the component.
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors; converges in <= diameter
+    rounds. Undirected: edges are symmetrized once up front.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("comp", F.col("node"))
+
+    for it in range(max_iters):
+        # neighbor labels: for each edge (src,dst), dst hears src's comp
+        msgs = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def canonicalize_nodes(
+    nodes: DataFrame, match_edges: DataFrame, salt_buckets: int = 64
+) -> DataFrame:
+    """Assign canon_id to every node: symbols take their component's min
+    member (prefix-preserved); everything else is its own canon. Adds a
+    salted partition key for the final write (mega-repo defusal)."""
+    comps = connected_components(match_edges)
+    sym_canon = comps.select(
+        F.concat(F.lit("sym:"), F.col("node")).alias("node_id"),
+        F.concat(F.lit("sym:"), F.col("comp")).alias("__canon"),
+    )
+    out = (
+        nodes.join(sym_canon, "node_id", "left")
+        .withColumn("canon_id", F.coalesce(F.col("__canon"), F.col("node_id")))
+        .drop("__canon")
+    )
+    return out.withColumn("salt", F.pmod(F.xxhash64("canon_id"), F.lit(salt_buckets)))
+
+
+def rewrite_edges_canonical(edges: DataFrame, nodes_canon: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints to canonical ids (two co-partitioned joins)."""
+    subj_map = nodes_canon.select(
+        F.col("node_id").alias("subj"), F.col("canon_id").alias("subj_canon")
+    )
+    obj_map = nodes_canon.select(
+        F.col("node_id").alias("obj"), F.col("canon_id").alias("obj_canon")
+    )
+    return (
+        edges.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            F.coalesce("subj_canon", F.col("subj")).alias("subj"),
+            "pred",
+            F.coalesce("obj_canon", F.col("obj")).alias("obj"),
+            "doc_id",
+            "start",
+            "stop",
+        )
+    )

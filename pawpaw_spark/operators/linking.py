@@ -1,0 +1,184 @@
+"""Entity linking: symbol mentions -> candidate match edges.
+
+Blocking is MinHash/LSH over character 3-grams of the normalized name
+(explode band hashes -> bucket equi-join: never an all-pairs join), then
+a batched scorer (Jaro-Winkler + token Jaccard, Arrow batches) on the
+candidates only. This is the north-star stage that pawpaw does not have
+(BASELINE.json north_rule).
+
+Scale: the bucket join is the only shuffle; hot buckets are capped the
+same way as dedup.lsh_candidate_pairs. The scorer sees candidate pairs
+only (<< n^2); it is pure numpy/python inside mapInPandas batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def normalize_symbol(col):
+    """casefold + strip separators: parse_config/parseConfig -> parseconfig."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9]", "")
+
+
+def symbol_mentions(segments: DataFrame) -> DataFrame:
+    """Distinct symbol surface forms from the segments table."""
+    return (
+        segments.filter(
+            F.col("desc").isin("def_name", "class_name", "import_name", "call_name")
+            & F.col("value").isNotNull()
+        )
+        .select(F.col("value").alias("name"))
+        .distinct()
+        .withColumn("norm", normalize_symbol(F.col("name")))
+    )
+
+
+def _char_ngrams(s: str, k: int = 3) -> list[str]:
+    padded = f"^{s}$"
+    if len(padded) <= k:
+        return [padded]
+    return [padded[i : i + k] for i in range(len(padded) - k + 1)]
+
+
+def minhash_name_signatures(
+    names: DataFrame, n_hashes: int = 32, seed: int = 7
+) -> DataFrame:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for norm in pdf["norm"].values:
+                grams = set(_char_ngrams(str(norm)))
+                x = np.array(
+                    [
+                        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+                        for g in grams
+                    ],
+                    dtype=np.uint64,
+                )
+                vals = (x[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs.append(vals.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"name": pdf["name"], "norm": pdf["norm"], "sig": sigs})
+
+    return names.mapInPandas(kernel, schema="name string, norm string, sig array<long>")
+
+
+def candidate_pairs(
+    sigs: DataFrame, bands: int = 8, max_bucket: int = 500
+) -> DataFrame:
+    n_hashes = len(sigs.select("sig").first()["sig"])
+    rpb = n_hashes // bands
+    banded = sigs.select(
+        "name",
+        "norm",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rpb + 1, rpb)),
+            )
+        ).alias("band", "bucket"),
+    )
+    w = W.partitionBy("band", "bucket").orderBy("name")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+    a = banded.select(F.col("name").alias("a"), F.col("norm").alias("na"), "band", "bucket")
+    b = banded.select(F.col("name").alias("b"), F.col("norm").alias("nb"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "na", "nb")
+        .distinct()
+    )
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if not len1 or not len2:
+        return 0.0
+    match_dist = max(len1, len2) // 2 - 1
+    m1 = [False] * len1
+    m2 = [False] * len2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - match_dist), min(len2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len1 + matches / len2 + (matches - t) / matches) / 3
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = _jaro(s1, s2)
+    prefix = 0
+    for c1, c2 in zip(s1, s2):
+        if c1 != c2 or prefix == max_prefix:
+            break
+        prefix += 1
+    return j + prefix * p * (1 - j)
+
+
+def _token_jaccard(a: str, b: str) -> float:
+    ta, tb = set(_char_ngrams(a, 2)), set(_char_ngrams(b, 2))
+    if not ta and not tb:
+        return 1.0
+    return len(ta & tb) / len(ta | tb)
+
+
+def score_pairs(cands: DataFrame, threshold: float = 0.82) -> DataFrame:
+    """Batched scorer: 0.6*JaroWinkler(norm) + 0.4*bigramJaccard(norm)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scores = [
+                0.6 * jaro_winkler(na, nb) + 0.4 * _token_jaccard(na, nb)
+                for na, nb in zip(pdf["na"].values, pdf["nb"].values)
+            ]
+            out = pdf.assign(score=scores)
+            out = out[out["score"] >= threshold]
+            yield out[["a", "b", "score"]]
+
+    return cands.mapInPandas(kernel, schema="a string, b string, score double")
+
+
+def link_symbols(
+    segments: DataFrame,
+    threshold: float = 0.82,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """segments -> (a, b, score) match edges between symbol names."""
+    mentions = symbol_mentions(segments)
+    sigs = minhash_name_signatures(mentions, n_hashes=n_hashes)
+    cands = candidate_pairs(sigs, bands=bands)
+    return score_pairs(cands, threshold=threshold)

@@ -51,26 +51,41 @@ def segment(
     rules: RuleSet,
     text_col: str = "content",
     include_root: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a rule program to every document; returns the segments table.
 
     Equivalent of running an arborform pipeline over each doc
     (reference ``pawpaw/arborform/itorator/itorator.py:171-177``), but
-    exploded to relational rows on the executors.
+    exploded to relational rows on the executors. ``passthrough``
+    columns are copied onto every emitted segment row (e.g. the resume
+    bucket key).
     """
-    src = df.select(doc_id_col(df).alias("__doc_id"), F.col(text_col).alias("__text"))
+    pt_fields = [df.schema[c] for c in passthrough]
+    src = df.select(
+        doc_id_col(df).alias("__doc_id"), F.col(text_col).alias("__text"), *passthrough
+    )
+    out_cols = _SEG_COLS + list(passthrough)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for did, text in zip(pdf["__doc_id"].values, pdf["__text"].values):
+            for i, (did, text) in enumerate(zip(pdf["__doc_id"].values, pdf["__text"].values)):
                 if text is None:
                     continue
-                rows.extend(segment_records(str(did), str(text), rules, include_root))
+                recs = segment_records(str(did), str(text), rules, include_root)
+                if passthrough:
+                    extra = {c: pdf[c].values[i] for c in passthrough}
+                    for r in recs:
+                        r.update(extra)
+                rows.extend(recs)
             if rows:
-                yield pd.DataFrame(rows, columns=_SEG_COLS)
+                yield pd.DataFrame(rows, columns=out_cols)
 
-    return src.mapInPandas(run, schema=SEGMENT_DDL)
+    schema = SEGMENT_DDL
+    if pt_fields:
+        schema = schema + ", " + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pt_fields)
+    return src.mapInPandas(run, schema=schema)
 
 
 def repartition_by_weight(

@@ -29,7 +29,9 @@ DEFINE_DESCS = ("def_name", "class_name")
 _EDGE_COLS = ["subj", "pred", "obj", "doc_id", "start", "stop"]
 
 
-def segment_by_lang(source: DataFrame, lang_rules=None) -> DataFrame:
+def segment_by_lang(
+    source: DataFrame, lang_rules=None, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-language rule dispatch: one segmentation pass per distinct
     rule program, unioned. Each pass scans only its language partition
     (predicate pushed to the source scan)."""
@@ -41,9 +43,11 @@ def segment_by_lang(source: DataFrame, lang_rules=None) -> DataFrame:
 
     parts = []
     for rules, langs in by_ruleset.values():
-        parts.append(segment(source.filter(F.col("lang").isin(langs)), rules))
+        parts.append(
+            segment(source.filter(F.col("lang").isin(langs)), rules, passthrough=passthrough)
+        )
     rest = source.filter(~F.col("lang").isin(known) | F.col("lang").isNull())
-    parts.append(segment(rest, TEXT_RULES))
+    parts.append(segment(rest, TEXT_RULES, passthrough=passthrough))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
