@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Also measures the primary north-rule metric — KG triple throughput —
+on a deterministic synthetic source corpus of the input_hint shape
+(BASELINE.json), sized with the SF.
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32
+  BENCH_KG_FILES       override synthetic corpus size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "extract_token_counts",
+    "split_parts",
+    "gaps_stats",
+    "sessionize",
+    "window_rolling",
+    "tpch_q1",
+    "topk_orders",
+    "dedup_distinct_texts",
+    "str_ops",
+    "lang_id",
+    "token_counts",
+    "quality",
+    "fingerprint_groups",
+    "ann_topk",
+    "embedding_neardup",
+    "minhash_dedup",
+    "simhash_neardup",
+    "ngram_jaccard",
+    "plumule_word_count",
+    "kg_triples_by_pred",
+    "media_frames",
+]
+
+
+def force(df) -> int:
+    """Execute the full plan without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pawpaw_spark.session import get_spark
+
+    spark = get_spark(app_name="pawpaw_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(8, cpus))
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        t0 = time.time()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- KG triple throughput on the input_hint-shaped corpus -------------
+    try:
+        sf_f = float(sf)
+    except ValueError:
+        sf_f = 0.1
+    n_files = int(os.environ.get("BENCH_KG_FILES", str(max(200, int(40000 * sf_f)))))
+    from pawpaw_spark.corpus import source_df
+    from pawpaw_spark.operators.triples import build_edges
+
+    src = source_df(spark, n_files=n_files, seed=42).cache()
+    src.count()  # materialize outside the timed window
+    t0 = time.time()
+    edges = build_edges(src)
+    n_triples = edges.count()
+    kg_secs = time.time() - t0
+    timings["kg_build"] = round(kg_secs, 3)
+
+    total = round(time.time() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_f,
+                "kg_files": n_files,
+                "kg_triples": int(n_triples),
+                "triples_per_sec": round(n_triples / kg_secs, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

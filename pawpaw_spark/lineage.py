@@ -56,9 +56,13 @@ def stage_fingerprints(df: DataFrame, bucket_col: str = "bucket") -> DataFrame:
     """Per-bucket input fingerprint: count + xor of row hashes — cheap,
     order-insensitive, and changes when any input row changes."""
     row_hash = F.xxhash64(*[F.col(c) for c in df.columns if c != bucket_col])
-    return df.groupBy(bucket_col).agg(
-        F.count(F.lit(1)).alias("rows_in"),
-        F.conv(F.lower(F.hex(F.sum(row_hash))), 16, 16).alias("fp"),
+    return (
+        df.withColumn("__rh", row_hash)
+        .groupBy(bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("rows_in"),
+            F.expr("bit_xor(__rh)").cast("string").alias("fp"),
+        )
     )
 
 

@@ -30,16 +30,26 @@ def _word_hits(text_col: Column, words: list[str]) -> Column:
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-hit language heuristic over the fixed lexicons; ties and
-    zero-hit rows fall back to 'und' (undetermined)."""
+    zero-hit rows fall back to 'und' (undetermined).
+
+    Hit counts are materialized once (each regex scan is expensive);
+    the arg-max CASE runs over the materialized columns, so the text is
+    scanned exactly len(STOPWORDS) times, not O(langs^2)."""
     text = F.col(text_col)
-    hit_cols = {lang: _word_hits(text, words) for lang, words in STOPWORDS.items()}
-    best = F.greatest(*hit_cols.values())
+    hit_names = {lang: f"__h_{lang}" for lang in STOPWORDS}
+    step = df.select(
+        "*", *[_word_hits(text, ws).alias(hit_names[lang]) for lang, ws in STOPWORDS.items()]
+    )
+    best = F.greatest(*[F.col(c) for c in hit_names.values()])
+    step = step.withColumn("__best", best)
     # deterministic tie-break: alphabetically-first max-hit lang wins
     # (built in reverse so earlier langs wrap outermost)
     pred = F.lit("und")
     for lang in sorted(STOPWORDS, reverse=True):
-        pred = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return df.withColumn(out_col, pred)
+        pred = F.when(
+            (F.col(hit_names[lang]) == F.col("__best")) & (F.col("__best") > 0), F.lit(lang)
+        ).otherwise(pred)
+    return step.withColumn(out_col, pred).drop("__best", *hit_names.values())
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,119 @@
+"""Entity linking, canonicalization, and the resumable end-to-end pipeline."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pawpaw_spark.corpus import source_df
+from pawpaw_spark.operators.canon import connected_components
+from pawpaw_spark.operators.linking import jaro_winkler, link_symbols, symbol_mentions
+from pawpaw_spark.operators.segment import segment
+from pawpaw_spark.operators.triples import segment_by_lang
+from pawpaw_spark.pipeline import build_kg
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    return source_df(spark, n_files=80, seed=11).cache()
+
+
+@pytest.fixture(scope="module")
+def segs(spark, src):
+    return segment_by_lang(src).cache()
+
+
+class TestJaroWinkler:
+    def test_known_values(self):
+        # published JW examples (MARTHA/MARHTA = 0.9611, DWAYNE/DUANE = 0.84)
+        assert abs(jaro_winkler("martha", "marhta") - 0.9611) < 0.001
+        assert abs(jaro_winkler("dwayne", "duane") - 0.84) < 0.001
+        assert jaro_winkler("same", "same") == 1.0
+        assert jaro_winkler("abc", "xyz") == 0.0
+
+
+class TestLinking:
+    def test_near_duplicate_symbols_linked(self, spark, segs):
+        pairs = link_symbols(segs, threshold=0.80)
+        linked = {(r.a, r.b) for r in pairs.collect()}
+        # the corpus plants parse_config / parseConfig / parse_cfg families
+        names = {n for ab in linked for n in ab}
+        fam = {n for n in names if n.lower().startswith("parse")}
+        assert len(fam) >= 2, f"expected parse_* family linked, got {sorted(names)[:10]}"
+
+    def test_mentions_distinct(self, spark, segs):
+        m = symbol_mentions(segs)
+        assert m.count() == m.select("name").distinct().count()
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "p")],
+            "a string, b string",
+        )
+        comps = {r.node: r.comp for r in connected_components(edges).collect()}
+        assert comps["a"] == comps["b"] == comps["c"] == "a"
+        assert comps["x"] == comps["y"] == "x"
+        assert comps["p"] == comps["q"] == comps["r"] == "p"
+        assert comps["a"] != comps["x"] != comps["p"]
+
+    def test_long_chain_converges(self, spark):
+        n = 40
+        edges = spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n)], "a string, b string"
+        )
+        comps = connected_components(edges, max_iters=60, checkpoint_every=5)
+        assert comps.select("comp").distinct().count() == 1
+
+
+class TestPipeline:
+    def test_build_and_resume(self, spark, src, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("kg_out"))
+        res = build_kg(spark, src, out, n_buckets=8)
+        n_edges = res["edges"].count()
+        n_nodes = res["nodes"].count()
+        assert n_edges > 0 and n_nodes > 0
+
+        # canonical ids: every symbol's canon is itself a symbol id
+        syms = res["nodes"].filter(F.col("kind") == "symbol")
+        assert syms.filter(~F.col("canon_id").startswith("sym:")).count() == 0
+
+        # near-dup family should share a canon id
+        canon_of = {
+            r.node_id: r.canon_id
+            for r in syms.filter(
+                F.lower("node_id").rlike("sym:parse.?config")
+            ).collect()
+        }
+        if len(canon_of) >= 2:
+            assert len(set(canon_of.values())) == 1, canon_of
+
+        # resume: second run must skip all buckets (lineage complete)
+        from pawpaw_spark.lineage import LineageLog
+
+        log1 = LineageLog(out).read(spark).count()
+        res2 = build_kg(spark, src, out, n_buckets=8)
+        log2 = LineageLog(out).read(spark).count()
+        assert log2 == log1, "resume re-ran completed buckets"
+        assert res2["edges"].count() == n_edges
+
+    def test_resume_recomputes_changed_bucket(self, spark, src, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("kg_out2"))
+        build_kg(spark, src, out, n_buckets=8)
+        from pawpaw_spark.lineage import LineageLog
+
+        before = LineageLog(out).read(spark).filter(F.col("stage") == "segments").count()
+        # mutate one repo's content -> exactly its bucket(s) invalidated
+        changed = src.withColumn(
+            "content",
+            F.when(F.col("repo") == "org0/repo0", F.concat("content", F.lit("\nx = 1\n")))
+            .otherwise(F.col("content")),
+        ).withColumn(
+            "sha256",
+            F.sha2(F.col("content").cast("binary"), 256),
+        )
+        build_kg(spark, changed, out, n_buckets=8)
+        after = LineageLog(out).read(spark).filter(F.col("stage") == "segments").count()
+        assert after > before
+        assert after - before <= 2  # only the touched bucket(s), not all 8
