@@ -278,8 +278,25 @@ def tree_indexes(segs: list[SegRecord]):
     return paths, n_children, sibling_idx, dfs_idx
 
 
-def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool = False):
-    """Flat dict-rows for one doc — the exploded relational form.
+SEGMENT_COLUMNS = (
+    "doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth",
+    "rule_tag", "value", "path", "n_children", "sibling_idx", "dfs_idx",
+)
+
+
+def new_segment_columns() -> dict[str, list]:
+    return {c: [] for c in SEGMENT_COLUMNS}
+
+
+def append_segment_columns(
+    cols: dict[str, list], doc_id: str, text: str, rules: RuleSet,
+    include_root: bool = False,
+) -> int:
+    """Segment one doc, appending column-wise into ``cols``; returns the
+    number of rows appended. Columnar accumulation (one append per
+    column per row, batch-assembled into a single pandas frame) instead
+    of per-row dicts — the per-record overhead is the hot path when a
+    rule set emits one segment per word.
 
     ``value`` is materialized only for descs named in some rule's
     ``value_for`` (the ``value_func`` equivalent) — everything else
@@ -288,25 +305,38 @@ def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool =
     segs = segment_text(text, rules)
     value_descs = {d for r in rules for d in r.value_for}
     paths, n_children, sibling_idx, dfs_idx = tree_indexes(segs)
-    rows = []
-    for seg_id, (start, stop, desc, parent_idx, depth, rule_tag) in enumerate(segs):
-        if seg_id == 0 and not include_root:
-            continue
-        rows.append(
-            {
-                "doc_id": doc_id,
-                "seg_id": seg_id,
-                "parent_id": parent_idx if parent_idx >= 0 else None,
-                "start": start,
-                "stop": stop,
-                "desc": desc,
-                "depth": depth,
-                "rule_tag": rule_tag,
-                "value": text[start:stop] if desc in value_descs else None,
-                "path": paths[seg_id],
-                "n_children": n_children[seg_id],
-                "sibling_idx": sibling_idx[seg_id],
-                "dfs_idx": dfs_idx[seg_id],
-            }
-        )
-    return rows
+    lo = 0 if include_root else 1
+    n = len(segs)
+    if n <= lo:
+        return 0
+    k = n - lo
+    cols["doc_id"].extend([doc_id] * k)
+    cols["seg_id"].extend(range(lo, n))
+    cols["path"].extend(paths[lo:])
+    cols["n_children"].extend(n_children[lo:])
+    cols["sibling_idx"].extend(sibling_idx[lo:])
+    cols["dfs_idx"].extend(dfs_idx[lo:])
+    c_parent = cols["parent_id"]; c_start = cols["start"]; c_stop = cols["stop"]
+    c_desc = cols["desc"]; c_depth = cols["depth"]; c_tag = cols["rule_tag"]
+    c_value = cols["value"]
+    for i in range(lo, n):
+        start, stop, desc, parent_idx, depth, rule_tag = segs[i]
+        c_parent.append(parent_idx if parent_idx >= 0 else None)
+        c_start.append(start)
+        c_stop.append(stop)
+        c_desc.append(desc)
+        c_depth.append(depth)
+        c_tag.append(rule_tag)
+        c_value.append(text[start:stop] if desc in value_descs else None)
+    return k
+
+
+def segment_records(doc_id: str, text: str, rules: RuleSet, include_root: bool = False):
+    """Flat dict-rows for one doc — row-oriented convenience form used
+    by tests and the in-process oracle; the Spark operator uses the
+    columnar ``append_segment_columns`` path."""
+    cols = new_segment_columns()
+    k = append_segment_columns(cols, doc_id, text, rules, include_root)
+    return [
+        {c: cols[c][i] for c in SEGMENT_COLUMNS} for i in range(k)
+    ]

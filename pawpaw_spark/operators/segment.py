@@ -24,7 +24,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pawpaw_spark.kernel import segment_records
+from pawpaw_spark.kernel import (
+    SEGMENT_COLUMNS,
+    append_segment_columns,
+    new_segment_columns,
+)
 from pawpaw_spark.rules import RuleSet
 from pawpaw_spark.schemas import SEGMENT_DDL
 
@@ -65,22 +69,86 @@ def segment(
     src = df.select(
         doc_id_col(df).alias("__doc_id"), F.col(text_col).alias("__text"), *passthrough
     )
+    # Fan out before the kernel when the source arrives under-split (a
+    # small parquet is one row group -> one non-empty task no matter the
+    # core count). At scale inputs carry >> cores splits, so this stays
+    # a no-op — no shuffle is added on the 100 TB path.
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
     out_cols = _SEG_COLS + list(passthrough)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[dict] = []
-            for i, (did, text) in enumerate(zip(pdf["__doc_id"].values, pdf["__text"].values)):
+            cols = new_segment_columns()
+            repeats: list[int] = []
+            for did, text in zip(pdf["__doc_id"].values, pdf["__text"].values):
                 if text is None:
+                    repeats.append(0)
                     continue
-                recs = segment_records(str(did), str(text), rules, include_root)
-                if passthrough:
-                    extra = {c: pdf[c].values[i] for c in passthrough}
-                    for r in recs:
-                        r.update(extra)
-                rows.extend(recs)
-            if rows:
-                yield pd.DataFrame(rows, columns=out_cols)
+                repeats.append(
+                    append_segment_columns(cols, str(did), str(text), rules, include_root)
+                )
+            if cols["doc_id"]:
+                out = pd.DataFrame(cols, columns=SEGMENT_COLUMNS)
+                for c in passthrough:
+                    out[c] = pdf[c].values.repeat(repeats)
+                yield out[out_cols]
+
+    schema = SEGMENT_DDL
+    if pt_fields:
+        schema = schema + ", " + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pt_fields)
+    return src.mapInPandas(run, schema=schema)
+
+
+def segment_dispatch(
+    df: DataFrame,
+    lang_rules: dict[str, RuleSet],
+    default_rules: RuleSet,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    include_root: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """One kernel pass with per-row rule dispatch on ``lang_col``.
+
+    A union of per-language ``segment()`` calls costs one full
+    mapInPandas stage (scan + python-worker fan-out + shuffle) per rule
+    program; dispatching inside a single pass scans the source once
+    regardless of how many languages it mixes."""
+    pt_fields = [df.schema[c] for c in passthrough]
+    src = df.select(
+        doc_id_col(df).alias("__doc_id"),
+        F.col(text_col).alias("__text"),
+        F.col(lang_col).alias("__lang"),
+        *passthrough,
+    )
+    if not df.isStreaming:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+    out_cols = _SEG_COLS + list(passthrough)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = new_segment_columns()
+            repeats: list[int] = []
+            for did, text, lang in zip(
+                pdf["__doc_id"].values, pdf["__text"].values, pdf["__lang"].values
+            ):
+                if text is None:
+                    repeats.append(0)
+                    continue
+                rules = lang_rules.get(lang, default_rules)
+                repeats.append(
+                    append_segment_columns(cols, str(did), str(text), rules, include_root)
+                )
+            if cols["doc_id"]:
+                out = pd.DataFrame(cols, columns=SEGMENT_COLUMNS)
+                for c in passthrough:
+                    out[c] = pdf[c].values.repeat(repeats)
+                yield out[out_cols]
 
     schema = SEGMENT_DDL
     if pt_fields:

@@ -24,8 +24,21 @@ TOKEN_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"  # BPE-ish word/number/punct piec
 
 
 def _word_hits(text_col: Column, words: list[str]) -> Column:
-    pat = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pat), F.lit(0)))
+    """Count of ``\\b(w1|w2|...)\\b`` matches in lower(text).
+
+    Evaluated as tokenize-once + array membership instead of a regex
+    alternation scan: a maximal ``\\w+`` run matches the alternation iff
+    it equals one of the words (ASCII ``\\b`` semantics in both Spark and
+    the DuckDB/RE2 oracle), so the counts are identical while the text
+    is regex-scanned once regardless of lexicon count."""
+    return F.size(F.filter(_lower_tokens(text_col), lambda w: w.isin(*words)))
+
+
+def _lower_tokens(text_col: Column) -> Column:
+    """Maximal word-char runs of lower(text) (ASCII \\w, as in \\b)."""
+    return F.filter(
+        F.split(F.lower(text_col), r"[^0-9a-z_]+"), lambda t: t != F.lit("")
+    )
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
@@ -37,8 +50,12 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
     scanned exactly len(STOPWORDS) times, not O(langs^2)."""
     text = F.col(text_col)
     hit_names = {lang: f"__h_{lang}" for lang in STOPWORDS}
-    step = df.select(
-        "*", *[_word_hits(text, ws).alias(hit_names[lang]) for lang, ws in STOPWORDS.items()]
+    step = df.withColumn("__toks", _lower_tokens(text)).select(
+        "*",
+        *[
+            F.size(F.filter(F.col("__toks"), lambda w: w.isin(*ws))).alias(hit_names[lang])
+            for lang, ws in STOPWORDS.items()
+        ],
     )
     best = F.greatest(*[F.col(c) for c in hit_names.values()])
     step = step.withColumn("__best", best)
@@ -49,7 +66,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pre
         pred = F.when(
             (F.col(hit_names[lang]) == F.col("__best")) & (F.col("__best") > 0), F.lit(lang)
         ).otherwise(pred)
-    return step.withColumn(out_col, pred).drop("__best", *hit_names.values())
+    return step.withColumn(out_col, pred).drop("__best", "__toks", *hit_names.values())
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:

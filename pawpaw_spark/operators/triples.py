@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pawpaw_spark.operators.segment import doc_id_col, segment
+from pawpaw_spark.operators.segment import doc_id_col, segment, segment_dispatch
 from pawpaw_spark.rulesets import LANG_RULES, TEXT_RULES
 
 DEFINE_DESCS = ("def_name", "class_name")
@@ -32,26 +32,12 @@ _EDGE_COLS = ["subj", "pred", "obj", "doc_id", "start", "stop"]
 def segment_by_lang(
     source: DataFrame, lang_rules=None, passthrough: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Per-language rule dispatch: one segmentation pass per distinct
-    rule program, unioned. Each pass scans only its language partition
-    (predicate pushed to the source scan)."""
-    lang_rules = lang_rules or LANG_RULES
-    by_ruleset: dict[str, tuple[object, list[str]]] = {}
-    for lang, rules in lang_rules.items():
-        by_ruleset.setdefault(rules.name, (rules, []))[1].append(lang)
-    known = [lang for _, (_, langs) in by_ruleset.items() for lang in langs]
-
-    parts = []
-    for rules, langs in by_ruleset.values():
-        parts.append(
-            segment(source.filter(F.col("lang").isin(langs)), rules, passthrough=passthrough)
-        )
-    rest = source.filter(~F.col("lang").isin(known) | F.col("lang").isNull())
-    parts.append(segment(rest, TEXT_RULES, passthrough=passthrough))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    """Per-language rule dispatch inside ONE kernel pass (unknown langs
+    fall back to TEXT_RULES). A per-ruleset union would cost a full
+    scan + mapInPandas stage per rule program."""
+    return segment_dispatch(
+        source, lang_rules or LANG_RULES, TEXT_RULES, passthrough=passthrough
+    )
 
 
 def contains_edges(source: DataFrame) -> DataFrame:
@@ -145,8 +131,20 @@ def call_reference_edges(segments: DataFrame) -> DataFrame:
 
 
 def build_edges(source: DataFrame, segments: DataFrame | None = None) -> DataFrame:
+    """Edge union over a segments table.
+
+    When ``segments`` is not supplied (direct API / bench path) the
+    segmentation output is persisted before fan-out: five edge branches
+    plus two self-joins would otherwise re-run the regex kernel per
+    branch. The production pipeline (:mod:`pawpaw_spark.pipeline`)
+    materializes segments to parquet instead and passes them in.
+    """
     if segments is None:
-        segments = segment_by_lang(source)
+        from pyspark import StorageLevel
+
+        segments = segment_by_lang(source).persist(StorageLevel.MEMORY_AND_DISK)
+        segments.count()  # eager: the five branches below must hit the cache,
+        # not race to compute it (persist alone is lazy)
     return (
         contains_edges(source)
         .unionByName(has_segment_edges(segments))

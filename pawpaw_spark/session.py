@@ -42,6 +42,11 @@ def get_spark(
         # Source files vary 100B-10MB; bound Arrow batch row counts so a
         # batch of long documents still fits comfortably in executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Small inputs (one parquet file) must still fan out across all
+        # cores before a mapInPandas kernel — otherwise the whole
+        # segmentation runs on one task. At cluster scale this floor is
+        # a no-op (inputs have >> minPartitionNum splits).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("PAWPAW_SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
