@@ -316,12 +316,14 @@ def q_plumule_word_count(spark, sf_dir):
 
 
 def q_kg_triples_by_pred(spark, sf_dir):
-    """full KG pipeline on the documents table: triples per predicate."""
-    from pawpaw_spark.operators.triples import build_edges
+    """full KG pipeline on the documents table: triples per predicate
+    (fused single-pass kernel; multiset-equal to the relational
+    build_edges, see tests/test_triples_pr.py)."""
+    from pawpaw_spark.operators.triples import build_edges_fused
 
     src = documents_as_source(_docs(spark, sf_dir))
     return (
-        build_edges(src)
+        build_edges_fused(src)
         .groupBy("pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -366,6 +368,83 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+_ONTO_PATTERNS = {
+    "legal": r"\blaw\b|\bstate\b|\bcongress\b",
+    "legal/power": r"\bpower\b",
+    "legal/rights": r"\bright(s)?\b",
+    "math": r"\d+",
+}
+
+
+def _entry_ontology():
+    from pawpaw_spark.operators.ontology import Ontology, vocab_node
+
+    return Ontology(
+        {
+            "legal": Ontology(
+                {
+                    "power": vocab_node(_ONTO_PATTERNS["legal/power"]),
+                    "rights": vocab_node(_ONTO_PATTERNS["legal/rights"]),
+                },
+                rules=vocab_node(_ONTO_PATTERNS["legal"]).rules,
+            ),
+            "math": vocab_node(_ONTO_PATTERNS["math"]),
+        }
+    )
+
+
+def q_ontology_counts(spark, sf_dir):
+    """Ontology.discover mapping (§2.5): rule-tree hits per path."""
+    from pawpaw_spark.operators.ontology import discovery_counts
+
+    d = _docs(spark, sf_dir)
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    return discovery_counts(src, _entry_ontology()).select(
+        "path", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def q_windowed_merge(spark, sf_dir):
+    """WindowedJoin postorator (consume-on-match; rows-only check):
+    merge every 3-window of short words, count merges per doc."""
+    from pawpaw_spark.operators.consolidate import windowed_join
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.rules import RuleSet, extract
+
+    d = _docs(spark, sf_dir)
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    segs = segment(src, RuleSet.of(extract(r"(?P<word>[A-Za-z]+)"), name="w"))
+    out = windowed_join(
+        segs, 3, lambda w: all((x["stop"] - x["start"]) <= 4 for x in w), desc="merged"
+    )
+    return out.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n_merged") > 1, 1).otherwise(0)).cast("long").alias("n_merges"),
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+    )
+
+
+def q_stacked_runs(spark, sf_dir):
+    """StackedReduce postorator (rows-only check): fold maximal runs of
+    numeric tokens into one covering segment per run."""
+    from pawpaw_spark.operators.consolidate import stacked_reduce
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.rules import RuleSet, extract
+
+    d = _docs(spark, sf_dir)
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    segs = segment(src, RuleSet.of(extract(r"(?P<tok>\S+)", value_for=("tok",)), name="t"))
+    out = stacked_reduce(
+        segs,
+        lambda stack: {"start": stack[0]["start"], "stop": stack[-1]["stop"], "desc": "run"},
+        lambda stack, r: str(r["value"]).isdigit(),
+        lambda stack, r: not str(r["value"]).isdigit(),
+    )
+    return out.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("desc") == "run", 1).otherwise(0)).cast("long").alias("n_runs"),
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -396,6 +475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "media_frames": q_media_frames,
+        "ontology_counts": q_ontology_counts,
+        "windowed_merge": q_windowed_merge,
+        "stacked_runs": q_stacked_runs,
     }
 
 
@@ -582,6 +664,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(CAST(floor(n_chars * 10 / 1000) AS BIGINT) + 1, 8) AS BIGINT) AS n_frames
             FROM documents WHERE doc_id % 3 = 2
         """,
-        # kg_triples_by_pred / minhash_dedup / simhash_neardup / ngram_jaccard:
-        # non-SQL-expressible (kernel/LSH internals) -> rows-only checks
+        "ontology_counts": rf"""
+            WITH hits AS (
+              SELECT 'legal' AS path,
+                     sum(len(regexp_extract_all(text, '{_ONTO_PATTERNS["legal"]}'))) AS n
+              FROM documents
+              UNION ALL SELECT 'legal/power',
+                     sum(len(regexp_extract_all(text, '{_ONTO_PATTERNS["legal/power"]}')))
+              FROM documents
+              UNION ALL SELECT 'legal/rights',
+                     sum(len(regexp_extract_all(text, '{_ONTO_PATTERNS["legal/rights"]}')))
+              FROM documents
+              UNION ALL SELECT 'math',
+                     sum(len(regexp_extract_all(text, '{_ONTO_PATTERNS["math"]}')))
+              FROM documents)
+            SELECT path, CAST(n AS BIGINT) AS n_hits FROM hits WHERE n > 0
+        """,
+        # kg_triples_by_pred / minhash_dedup / simhash_neardup / ngram_jaccard /
+        # windowed_merge / stacked_runs: non-SQL-expressible (kernel/LSH
+        # internals, consume-on-match stream semantics) -> rows-only checks
     }

@@ -43,6 +43,9 @@ HEADLINE = [
     "plumule_word_count",
     "kg_triples_by_pred",
     "media_frames",
+    "ontology_counts",
+    "windowed_merge",
+    "stacked_runs",
 ]
 
 
@@ -79,12 +82,12 @@ def main() -> None:
         sf_f = 0.1
     n_files = int(os.environ.get("BENCH_KG_FILES", str(max(200, int(40000 * sf_f)))))
     from pawpaw_spark.corpus import source_df
-    from pawpaw_spark.operators.triples import build_edges
+    from pawpaw_spark.operators.triples import build_edges_fused
 
     src = source_df(spark, n_files=n_files, seed=42).cache()
     src.count()  # materialize outside the timed window
     t0 = time.time()
-    edges = build_edges(src)
+    edges = build_edges_fused(src)
     n_triples = edges.count()
     kg_secs = time.time() - t0
     timings["kg_build"] = round(kg_secs, 3)

@@ -154,6 +154,93 @@ def build_edges(source: DataFrame, segments: DataFrame | None = None) -> DataFra
     )
 
 
+def build_edges_fused(source: DataFrame, lang_rules=None) -> DataFrame:
+    """All five edge kinds emitted directly from ONE kernel pass.
+
+    Every edge kind is a per-document derivation over the in-UDF tree
+    (even call->def resolution is a parent-chain lookup), so the
+    relational route — materialize 6M segment rows, persist, five
+    branches, two self-joins — pays shuffle + cache for locality the
+    kernel already has. Same output rows as
+    ``build_edges(source)`` (differentially tested); use this for
+    throughput paths, the relational form when the segments table is
+    materialized anyway.
+    """
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    from pawpaw_spark.kernel import segment_text
+    from pawpaw_spark.rulesets import LANG_RULES as _LR, TEXT_RULES as _TR
+
+    lang_rules = lang_rules or _LR
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # mapInArrow, not mapInPandas: edge rows are built as arrow
+        # arrays directly — the pandas object-array detour measured
+        # ~20-25% slower end-to-end at this row volume
+        for rb in batches:
+            subj, pred, obj, doc, start, stop = [], [], [], [], [], []
+
+            def emit(s, p, o, d, a, b):
+                subj.append(s); pred.append(p); obj.append(o)
+                doc.append(d); start.append(a); stop.append(b)
+
+            for repo, did, text, lang in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist(),
+                rb.column(2).to_pylist(), rb.column(3).to_pylist(),
+            ):
+                emit(repo, "CONTAINS", did, did, None, None)
+                if text is None:
+                    continue
+                rules = lang_rules.get(lang, _TR)
+                value_descs = {d for r in rules for d in r.value_for}
+                segs = segment_text(text, rules)
+                names_by_parent: dict[int, list[str]] = {}
+                for a, b, desc, parent, _depth, _tag in segs[1:]:
+                    if desc == "def_name":
+                        names_by_parent.setdefault(parent, []).append(text[a:b])
+                for a, b, desc, parent, _depth, _tag in segs[1:]:
+                    if desc is None:
+                        continue
+                    emit(did, "HAS_SEGMENT", f"{did}#{a}-{b}:{desc}", did, a, b)
+                    if desc not in value_descs:
+                        continue
+                    value = text[a:b]
+                    if not value:
+                        continue
+                    if desc in DEFINE_DESCS:
+                        emit(did, "DEFINES", f"sym:{value}", did, a, b)
+                    elif desc == "import_name":
+                        emit(did, "REFERENCES", f"sym:{value}", did, a, b)
+                    elif desc == "call_name" and parent >= 0:
+                        body = segs[parent]
+                        if body[2] == "def_body":
+                            for name in names_by_parent.get(body[3], ()):
+                                emit(f"sym:{name}", "REFERENCES", f"sym:{value}", did, a, b)
+            if subj:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(subj, pa.string()), pa.array(pred, pa.string()),
+                     pa.array(obj, pa.string()), pa.array(doc, pa.string()),
+                     pa.array(start, pa.int32()), pa.array(stop, pa.int32())],
+                    names=["subj", "pred", "obj", "doc_id", "start", "stop"],
+                )
+
+    src = source.select(
+        F.col("repo").alias("__repo"),
+        doc_id_col(source).alias("__doc_id"),
+        F.col("content").alias("__text"),
+        F.col("lang").alias("__lang"),
+    )
+    if not source.isStreaming:
+        target = source.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
+    return src.mapInArrow(
+        run, schema="subj string, pred string, obj string, doc_id string, start int, stop int"
+    )
+
+
 def build_nodes(edges: DataFrame, source: DataFrame | None = None) -> DataFrame:
     """Distinct node table from edge endpoints; kind by id scheme."""
     endpoints = edges.select(F.col("subj").alias("node_id"), F.col("pred")).unionByName(

@@ -48,6 +48,12 @@ def get_spark(
         # a no-op (inputs have >> minPartitionNum splits).
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("PAWPAW_SPARK_DRIVER_MEM", "48g"))
+        # Batch-throughput GC: the edge tables materialize millions of
+        # short-lived strings per task; G1's pause-time targeting caps
+        # scaling at high core counts (measured 0.46 -> 0.84 efficiency
+        # 8->32 cores switching to the parallel collector).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -72,3 +72,27 @@ def test_nodes_cover_edge_endpoints(spark, src):
     assert n_nodes == endpoints
     kinds = {r.kind for r in nodes.select("kind").distinct().collect()}
     assert {"repo", "file", "symbol", "span"} <= kinds
+
+
+def test_fused_edges_multiset_equal_relational(spark):
+    """build_edges_fused must emit exactly the relational build_edges
+    rows (as a multiset) — it is the throughput path for the same op."""
+    from pyspark.sql import functions as F
+
+    from pawpaw_spark.corpus import source_df
+    from pawpaw_spark.operators.triples import build_edges, build_edges_fused
+
+    src = source_df(spark, n_files=120, seed=11).cache()
+
+    def canon(df):
+        return df.select(
+            "subj", "pred", "obj", "doc_id",
+            F.coalesce(F.col("start"), F.lit(-1)).alias("start"),
+            F.coalesce(F.col("stop"), F.lit(-1)).alias("stop"),
+        ).groupBy("subj", "pred", "obj", "doc_id", "start", "stop").count()
+
+    a, b = canon(build_edges(src)), canon(build_edges_fused(src))
+    diff = a.join(
+        b, ["subj", "pred", "obj", "doc_id", "start", "stop"], "full_outer"
+    ).where(~a["count"].eqNullSafe(b["count"]))
+    assert diff.count() == 0
