@@ -445,6 +445,31 @@ def q_stacked_runs(spark, sf_dir):
     )
 
 
+def q_nlp_tree_stats(spark, sf_dir):
+    """SimpleNlp pipeline (rows-only: sentence-boundary lookbehinds are
+    not RE2-expressible): paragraph/sentence/number/word counts per doc."""
+    from pawpaw_spark.nlp import NLP_RULES
+    from pawpaw_spark.operators.segment import segment
+
+    d = _docs(spark, sf_dir)
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    segs = segment(src, NLP_RULES)
+    return (
+        segs.filter(F.col("desc").isin("paragraph", "sentence", "number", "word"))
+        .groupBy("doc_id")
+        .pivot("desc", ["paragraph", "sentence", "number", "word"])
+        .count()
+        .na.fill(0)
+        .select(
+            "doc_id",
+            F.col("paragraph").cast("long").alias("n_paragraphs"),
+            F.col("sentence").cast("long").alias("n_sentences"),
+            F.col("number").cast("long").alias("n_numbers"),
+            F.col("word").cast("long").alias("n_words"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -478,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ontology_counts": q_ontology_counts,
         "windowed_merge": q_windowed_merge,
         "stacked_runs": q_stacked_runs,
+        "nlp_tree_stats": q_nlp_tree_stats,
     }
 
 

@@ -46,6 +46,7 @@ HEADLINE = [
     "ontology_counts",
     "windowed_merge",
     "stacked_runs",
+    "nlp_tree_stats",
 ]
 
 

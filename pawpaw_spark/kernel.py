@@ -97,8 +97,13 @@ def _build_match_tree(
     return n_roots
 
 
-def _apply_extract(out: list[SegRecord], rule: Rule, text: str, t_idx: int) -> None:
+def _apply_extract(
+    out: list[SegRecord], rule: Rule, text: str, t_idx: int,
+    sub: tuple[int, int] | None = None,
+) -> None:
     ts, te, _, _, t_depth, _ = out[t_idx]
+    if sub is not None:
+        ts, te = sub
     rx = _compiled(rule.pattern, rule.flags)
     keys = _group_keys(rx, rule.group_filter)
     n_roots = 0
@@ -237,8 +242,27 @@ def segment_text(text: str, rules: RuleSet | Iterable[Rule]) -> list[SegRecord]:
         # applies to its own output)
         targets = [i for i in range(len(out)) if rule.targets(out[i][2])]
         for t in targets:
-            apply_fn(out, rule, text, t)
+            if rule.kind == "extract" and rule.within_gaps_of is not None:
+                _apply_extract_in_gaps(out, rule, text, t)
+            else:
+                apply_fn(out, rule, text, t)
     return out
+
+
+def _apply_extract_in_gaps(out: list[SegRecord], rule: Rule, text: str, t_idx: int) -> None:
+    """Run the extract only on sub-ranges of the target not covered by a
+    prior rule's direct children (``Rule.within_gaps_of``)."""
+    ts, te = out[t_idx][0], out[t_idx][1]
+    covered = sorted(
+        (s[0], s[1]) for s in out if s[3] == t_idx and s[5] == rule.within_gaps_of
+    )
+    pos = ts
+    for cs, ce in covered:
+        if cs > pos:
+            _apply_extract(out, rule, text, t_idx, sub=(pos, min(cs, te)))
+        pos = max(pos, ce)
+    if pos < te:
+        _apply_extract(out, rule, text, t_idx, sub=(pos, te))
 
 
 def tree_indexes(segs: list[SegRecord]):

@@ -63,6 +63,12 @@ class Rule:
     # Saves a segments⋈source content re-join downstream; use for short
     # segments only (symbol names, not blocks).
     value_for: tuple[str, ...] = ()
+    # extract only: restrict matching to the sub-ranges of the target NOT
+    # covered by segments a prior rule (identified by its tag) attached to
+    # the same target. Expresses the reference's Delegate-on-None-part
+    # idiom (SimpleNlp words extracted only outside Number matches,
+    # ``pawpaw/nlp/nlp.py:489-494``) without materializing the gap parts.
+    within_gaps_of: str | None = None
 
     def targets(self, desc: str | None) -> bool:
         if self.on == "*":
@@ -81,10 +87,12 @@ def extract(
     tag: str | None = None,
     flags: int = 0,
     value_for: tuple[str, ...] = (),
+    within_gaps_of: str | None = None,
 ) -> Rule:
     return Rule(
         kind="extract", tag=tag or f"extract:{pattern[:24]}", pattern=pattern, on=on,
-        desc=desc, group_filter=group_filter, limit=limit, flags=flags, value_for=value_for,
+        desc=desc, group_filter=group_filter, limit=limit, flags=flags,
+        value_for=value_for, within_gaps_of=within_gaps_of,
     )
 
 

@@ -1,0 +1,83 @@
+"""XML segmentation: expat-offset parse -> segment rows.
+
+The reference's XmlParser cannot run on CPython >= 3.11 (its pure-python
+ElementTree hook broke — SURVEY.md §5), so parity is asserted against
+the *structure* the reference's descriptors define
+(``pawpaw/xml/descriptors.py``): element/tag/attributes/attribute/
+key/value/text spans that slice back to the exact source substrings."""
+
+from pawpaw_spark.sources.xml import segment_xml, xml_segment_records
+
+DOC = (
+    "<?xml version='1.0'?>\n"
+    "<data note=\"x\">\n"
+    "  <!-- a comment -->\n"
+    "  <?proc do it?>\n"
+    "  <item id=\"1\" rank=\"9\"><name>alpha</name></item>\n"
+    "  <item id=\"2\">beta</item>\n"
+    "</data>"
+)
+
+
+def _by_desc(recs):
+    out = {}
+    for r in recs:
+        out.setdefault(r["desc"], []).append(r)
+    return out
+
+
+class TestXmlRecords:
+    def test_structure(self):
+        recs = xml_segment_records("d", DOC)
+        by = _by_desc(recs)
+        assert len(by["element"]) == 4  # data, item, name, item
+        assert len(by["attribute"]) == 4  # note, id, rank, id
+        assert len(by["start_tag"]) == 4 and len(by["end_tag"]) == 4
+        assert len(by["tag"]) == 4 and len(by["name"]) == 4
+        assert len(by["comment"]) == 1
+        assert len(by["pi"]) == 1  # <?proc ...?> (the XML decl is not a PI)
+
+    def test_spans_slice_to_source(self):
+        recs = xml_segment_records("d", DOC)
+        by = _by_desc(recs)
+        names = sorted(DOC[r["start"]:r["stop"]] for r in by["key"])
+        assert names == ["id", "id", "note", "rank"]
+        vals = sorted(DOC[r["start"]:r["stop"]] for r in by["value"])
+        assert vals == ["1", "2", "9", "x"]
+        texts = [DOC[r["start"]:r["stop"]] for r in by["text"]]
+        assert "alpha" in texts and any("beta" in t for t in texts)
+        comment = DOC[by["comment"][0]["start"]:by["comment"][0]["stop"]]
+        assert comment == "<!-- a comment -->"
+
+    def test_nesting(self):
+        recs = xml_segment_records("d", DOC, include_root=True)
+        idx = {r["seg_id"]: r for r in recs}
+        for r in recs:
+            if r["parent_id"] is not None:
+                p = idx[r["parent_id"]]
+                assert p["start"] <= r["start"] and r["stop"] <= p["stop"], (r, p)
+
+    def test_malformed_returns_nothing_or_raises(self):
+        try:
+            recs = xml_segment_records("d", "<a><b></a>")
+        except Exception:
+            return
+        assert isinstance(recs, list)
+
+
+class TestXmlSpark:
+    def test_segment_xml(self, spark):
+        from pawpaw_spark.schemas import SOURCE_SCHEMA
+
+        rows = [
+            {"repo": "r", "path": "a.xml", "commit": "c", "lang": "xml",
+             "content": DOC, "sha256": None},
+            {"repo": "r", "path": "bad.xml", "commit": "c", "lang": "xml",
+             "content": "<a><b></a>", "sha256": None},
+        ]
+        src = spark.createDataFrame(rows, schema=SOURCE_SCHEMA)
+        segs = segment_xml(src).collect()
+        docs = {r.doc_id for r in segs}
+        assert "r/a.xml@c" in docs
+        local = xml_segment_records("r/a.xml@c", DOC)
+        assert len([r for r in segs if r.doc_id == "r/a.xml@c"]) == len(local)
