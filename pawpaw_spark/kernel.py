@@ -220,11 +220,25 @@ def _apply_literal(out: list[SegRecord], rule: Rule, text: str, t_idx: int) -> N
         i = k
 
 
+def _apply_custom(out: list[SegRecord], rule: Rule, text: str, t_idx: int) -> None:
+    """User transform rule (Itorator.wrap surface): spans come back as
+    (start, stop, desc) and are nested by the same sort+containment
+    pass as extract trees."""
+    ts, te, _, _, t_depth, _ = out[t_idx]
+    spans_keys = [
+        (max(ts, s0), min(te, s1), desc)
+        for s0, s1, desc in rule.fn(text, ts, te)
+        if s0 < s1
+    ]
+    _build_match_tree(out, spans_keys, t_idx, t_depth, rule.tag)
+
+
 _APPLY = {
     "extract": _apply_extract,
     "split": _apply_split,
     "gaps": _apply_gaps,
     "literal": _apply_literal,
+    "custom": _apply_custom,
 }
 
 

@@ -49,6 +49,33 @@ def _order_key(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(["start", "stop"], ascending=[True, False], kind="mergesort")
 
 
+def consolidate(
+    segments: DataFrame,
+    fn: Callable[[Sequence[Row]], Sequence[Row]],
+) -> DataFrame:
+    """Generic per-document stream consolidation — the
+    ``Postorator.wrap`` surface (``arborform/postorator/postorator.py:8-12``):
+    ``fn`` receives the doc's segments as ordered row dicts and returns
+    the consolidated rows ({'start','stop','desc'} + optional
+    'n_merged')."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _order_key(pdf)
+        rows = pdf.to_dict("records")
+        doc = rows[0]["doc_id"] if rows else None
+        out = []
+        for i, r in enumerate(fn(rows)):
+            out.append(
+                (doc, r["start"], r["stop"], r.get("desc"), r.get("n_merged", 1), i + 1)
+            )
+        return pd.DataFrame(
+            out, columns=["doc_id", "start", "stop", "desc", "n_merged", "ord"]
+        )
+
+    src = segments.select(*_stream_columns(segments))
+    return src.groupBy("doc_id").applyInPandas(run, schema=_OUT_DDL)
+
+
 def windowed_join(
     segments: DataFrame,
     window_size: int,

@@ -47,7 +47,7 @@ class BoundaryRetention(enum.Enum):
 
 @dataclass(frozen=True)
 class Rule:
-    kind: str                       # 'extract' | 'split' | 'gaps' | 'literal'
+    kind: str                       # 'extract' | 'split' | 'gaps' | 'literal' | 'custom'
     tag: str                        # rule_tag stamped on emitted segments
     pattern: str                    # regex source (or substring for 'literal')
     on: str | tuple[str, ...] = ROOT
@@ -63,6 +63,12 @@ class Rule:
     # Saves a segments⋈source content re-join downstream; use for short
     # segments only (symbol names, not blocks).
     value_for: tuple[str, ...] = ()
+    # custom only: user transform (text, start, stop) -> iterable of
+    # (start, stop, desc) child spans — the ``Itorator.wrap`` UDTF
+    # surface (``arborform/itorator/itorator.py:85-90``). Ships in the
+    # UDF closure like every other rule field; must be picklable and
+    # must return spans within [start, stop).
+    fn: object | None = None
     # extract only: restrict matching to the sub-ranges of the target NOT
     # covered by segments a prior rule (identified by its tag) attached to
     # the same target. Expresses the reference's Delegate-on-None-part
@@ -125,6 +131,18 @@ def gaps(
         kind="gaps", tag=tag or f"gaps:{pattern[:24]}", pattern=pattern, on=on,
         desc=desc, return_zero_widths=return_zero_widths, flags=flags,
     )
+
+
+def custom(
+    fn,
+    on: str | tuple[str, ...] = ROOT,
+    tag: str | None = None,
+) -> Rule:
+    """User segmentation transform: ``fn(text, start, stop)`` yields
+    ``(start, stop, desc)`` spans (absolute offsets, nested by
+    containment like extract output)."""
+    return Rule(kind="custom", tag=tag or f"custom:{getattr(fn, '__name__', 'fn')}",
+                pattern="", on=on, fn=fn)
 
 
 def literal(
