@@ -29,20 +29,31 @@ NUM_PAT = r"\d+"
 TOKEN_PAT = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
 
 
+def _fan(df):
+    """Small single-row-group parquet yields ONE non-empty split no
+    matter the core count — fan out before CPU-heavy per-row work.
+    No-op whenever the input already carries enough splits (the 100 TB
+    path), so no shuffle is added at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _fan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _fan(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _lineitem(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return _fan(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _fan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def documents_as_source(docs: DataFrame) -> DataFrame:
@@ -432,12 +443,14 @@ def q_stacked_runs(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
-    segs = segment(src, RuleSet.of(extract(r"(?P<tok>\S+)", value_for=("tok",)), name="t"))
+    # digit-ness encoded in desc by the pattern — no value strings
+    # materialized through the shuffle
+    segs = segment(src, RuleSet.of(extract(r"(?P<num>(?<!\S)\d+(?!\S))|(?P<tok>\S+)"), name="t"))
     out = stacked_reduce(
         segs,
         lambda stack: {"start": stack[0]["start"], "stop": stack[-1]["stop"], "desc": "run"},
-        lambda stack, r: str(r["value"]).isdigit(),
-        lambda stack, r: not str(r["value"]).isdigit(),
+        lambda stack, r: r["desc"] == "num",
+        lambda stack, r: r["desc"] != "num",
     )
     return out.groupBy("doc_id").agg(
         F.sum(F.when(F.col("desc") == "run", 1).otherwise(0)).cast("long").alias("n_runs"),

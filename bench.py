@@ -71,6 +71,21 @@ def main() -> None:
     qs = E.queries()
     timings: dict[str, float] = {}
     t_all = time.time()
+
+    # Warmup: JIT/codegen, parquet footers, python-worker spin-up —
+    # otherwise the first queries absorb all fixed session costs and the
+    # per-query attribution is meaningless. Counted in total as "warmup".
+    t0 = time.time()
+    spark.range(100000).selectExpr("sum(id)").collect()
+    for t in ("documents", "lineitem", "events", "embeddings", "orders", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    import pandas as pd
+
+    spark.range(64).mapInPandas(
+        lambda it: (pd.DataFrame({"x": b["id"]}) for b in it), schema="x long"
+    ).count()
+    timings["warmup"] = round(time.time() - t0, 3)
+
     for name in HEADLINE:
         t0 = time.time()
         force(qs[name](spark, sf_dir))

@@ -42,11 +42,11 @@ def get_spark(
         # Source files vary 100B-10MB; bound Arrow batch row counts so a
         # batch of long documents still fits comfortably in executor memory.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # Small inputs (one parquet file) must still fan out across all
-        # cores before a mapInPandas kernel — otherwise the whole
-        # segmentation runs on one task. At cluster scale this floor is
-        # a no-op (inputs have >> minPartitionNum splits).
-        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        # NOTE: spark.sql.files.minPartitionNum is deliberately NOT set:
+        # parquet cannot split below row-group granularity, so the floor
+        # only manufactures empty splits — which hide under-splitting
+        # from the explicit fan-out heuristics in segment()/_fan()
+        # (they repartition when getNumPartitions() < defaultParallelism).
         .config("spark.driver.memory", os.environ.get("PAWPAW_SPARK_DRIVER_MEM", "48g"))
         # Batch-throughput GC: the edge tables materialize millions of
         # short-lived strings per task; G1's pause-time targeting caps
