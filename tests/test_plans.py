@@ -1,0 +1,73 @@
+"""Physical-plan discipline: the properties that matter at 100 TB,
+asserted on the optimized plans (SURVEY.md §4 / bench design):
+
+* filters and column pruning reach the parquet scan
+* small-dimension joins broadcast (no shuffle of the big side)
+* aggregations are partial (map-side combine) before the shuffle
+* no cartesian products anywhere in the contract queries
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestPushdown:
+    def test_filter_pushed_to_scan(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        q = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_quantity")
+        plan = _plan(q)
+        assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan
+
+    def test_column_pruning(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        q = li.select("l_orderkey", "l_quantity")
+        plan = _plan(q)
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema and "l_comment" not in read_schema[0], plan
+
+    def test_tpch_q1_scan_prunes_columns(self, spark):
+        plan = _plan(E.q_tpch_q1(spark, SF))
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema
+        # 16-column table; the query needs 6
+        assert "l_comment" not in read_schema[0] and "l_shipmode" not in read_schema[0]
+
+
+class TestJoins:
+    def test_topk_orders_broadcasts_customer(self, spark):
+        plan = _plan(E.q_topk_orders(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_no_cartesian_in_contract_queries(self, spark):
+        skip = set()  # all queries must be cartesian-free
+        for name, fn in E.queries().items():
+            if name in skip:
+                continue
+            plan = _plan(fn(spark, SF))
+            assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+class TestAggregation:
+    def test_partial_aggregation_before_shuffle(self, spark):
+        plan = _plan(E.q_dedup_distinct_texts(spark, SF))
+        # partial_ aggregate functions indicate map-side combine
+        assert "partial_count" in plan or "partial count" in plan.lower(), plan
+
+    def test_whole_stage_codegen_on_scalar_path(self, spark):
+        q = E.q_str_ops(spark, SF)
+        q.collect()  # AQE finalizes the plan only on execution
+        plan = _plan(q)
+        # '*(n)' prefixes mark whole-stage-codegen'd operators in AQE plans
+        assert "*(" in plan, plan
