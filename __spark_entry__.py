@@ -426,7 +426,8 @@ def q_windowed_merge(spark, sf_dir):
     src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
     segs = segment(src, RuleSet.of(extract(r"(?P<word>[A-Za-z]+)"), name="w"))
     out = windowed_join(
-        segs, 3, lambda w: all((x["stop"] - x["start"]) <= 4 for x in w), desc="merged"
+        segs, 3, lambda w: all((x["stop"] - x["start"]) <= 4 for x in w), desc="merged",
+        partition_local=True,  # segment() emits doc-contiguous rows
     )
     return out.groupBy("doc_id").agg(
         F.sum(F.when(F.col("n_merged") > 1, 1).otherwise(0)).cast("long").alias("n_merges"),
@@ -451,6 +452,7 @@ def q_stacked_runs(spark, sf_dir):
         lambda stack: {"start": stack[0]["start"], "stop": stack[-1]["stop"], "desc": "run"},
         lambda stack, r: r["desc"] == "num",
         lambda stack, r: r["desc"] != "num",
+        partition_local=True,  # segment() emits doc-contiguous rows
     )
     return out.groupBy("doc_id").agg(
         F.sum(F.when(F.col("desc") == "run", 1).otherwise(0)).cast("long").alias("n_runs"),

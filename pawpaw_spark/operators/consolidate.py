@@ -11,28 +11,38 @@ window-function-expressible in general (SURVEY.md §2.4-2.5):
 * ``stacked_reduce`` — stack-based sessionization: push_predicate opens
   a group, pop_predicate closes+reduces it, non-members pass through
   (behavior spec: ``pawpaw/arborform/postorator/stacked_reduce.py:33-49``).
+* ``consolidate``    — generic per-doc stream transform
+  (``Postorator.wrap``, ``arborform/postorator/postorator.py:8-12``).
 
-Execution: ``applyInPandas`` per document — the sequential consume
-semantics run per doc on executors while Spark parallelizes across
-docs. Predicates/reducers are plain Python callables over row dicts
-(they ship in the UDF closure). The streams are ordered by document
-order (dfs_idx when present, else (start, -stop)) — the order the
-reference's generators yield in.
+Execution: the sequential consume semantics run per doc on executors
+while Spark parallelizes across docs. Two physical modes:
+
+* default — ``groupBy(doc_id).applyInPandas`` (one shuffle; correct for
+  any input distribution);
+* ``partition_local=True`` — ``mapInPandas`` that re-chunks each
+  partition's rows by doc across Arrow-batch boundaries. Valid ONLY
+  when each doc's rows are contiguous within one partition — which is
+  exactly what ``segment()`` emits — and saves the shuffle entirely.
+
+Predicates/reducers are plain Python callables over row dicts (they
+ship in the UDF closure). Streams are ordered by document order
+(dfs_idx when present, else (start, -stop)) — the order the reference's
+generators yield in.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Mapping, Sequence
+from typing import Callable, Iterator, Mapping, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 Row = Mapping[str, object]
 
 _OUT_DDL = (
     "doc_id string, start long, stop long, desc string, n_merged int, ord long"
 )
+_OUT_COLS = ["doc_id", "start", "stop", "desc", "n_merged", "ord"]
 
 
 def _stream_columns(df: DataFrame) -> list[str]:
@@ -43,37 +53,77 @@ def _stream_columns(df: DataFrame) -> list[str]:
     return keep
 
 
-def _order_key(pdf: pd.DataFrame) -> pd.DataFrame:
-    if "dfs_idx" in pdf.columns:
-        return pdf.sort_values("dfs_idx", kind="mergesort")
-    return pdf.sort_values(["start", "stop"], ascending=[True, False], kind="mergesort")
+def _sort_rows(rows: list[dict]) -> list[dict]:
+    if rows and "dfs_idx" in rows[0]:
+        return sorted(rows, key=lambda r: r["dfs_idx"])
+    return sorted(rows, key=lambda r: (r["start"], -r["stop"]))
+
+
+def _execute(
+    segments: DataFrame,
+    doc_fn: Callable[[str, list[dict]], list[tuple]],
+    partition_local: bool,
+) -> DataFrame:
+    """Run ``doc_fn(doc_id, ordered_rows) -> [(start, stop, desc,
+    n_merged), ...]`` per document, in either physical mode."""
+    src = segments.select(*_stream_columns(segments))
+
+    def run_doc(doc: str, rows: list[dict], out: list[tuple]) -> None:
+        res = doc_fn(doc, _sort_rows(rows))
+        out.extend(
+            (doc, a, b, d, n, i + 1) for i, (a, b, d, n) in enumerate(res)
+        )
+
+    if partition_local:
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cur: str | None = None
+            buf: list[dict] = []
+            out: list[tuple] = []
+            for pdf in batches:
+                for r in pdf.to_dict("records"):
+                    if r["doc_id"] != cur:
+                        if buf:
+                            run_doc(cur, buf, out)
+                        cur, buf = r["doc_id"], []
+                    buf.append(r)
+                if len(out) > 50000:
+                    yield pd.DataFrame(out, columns=_OUT_COLS)
+                    out = []
+            if buf:
+                run_doc(cur, buf, out)
+            if out:
+                yield pd.DataFrame(out, columns=_OUT_COLS)
+
+        return src.mapInPandas(run, schema=_OUT_DDL)
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.to_dict("records")
+        out: list[tuple] = []
+        if rows:
+            run_doc(rows[0]["doc_id"], rows, out)
+        return pd.DataFrame(out, columns=_OUT_COLS)
+
+    return src.groupBy("doc_id").applyInPandas(run_group, schema=_OUT_DDL)
 
 
 def consolidate(
     segments: DataFrame,
     fn: Callable[[Sequence[Row]], Sequence[Row]],
+    partition_local: bool = False,
 ) -> DataFrame:
-    """Generic per-document stream consolidation — the
-    ``Postorator.wrap`` surface (``arborform/postorator/postorator.py:8-12``):
+    """Generic per-document stream consolidation (Postorator.wrap):
     ``fn`` receives the doc's segments as ordered row dicts and returns
     the consolidated rows ({'start','stop','desc'} + optional
     'n_merged')."""
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _order_key(pdf)
-        rows = pdf.to_dict("records")
-        doc = rows[0]["doc_id"] if rows else None
-        out = []
-        for i, r in enumerate(fn(rows)):
-            out.append(
-                (doc, r["start"], r["stop"], r.get("desc"), r.get("n_merged", 1), i + 1)
-            )
-        return pd.DataFrame(
-            out, columns=["doc_id", "start", "stop", "desc", "n_merged", "ord"]
-        )
+    def doc_fn(doc: str, rows: list[dict]) -> list[tuple]:
+        return [
+            (r["start"], r["stop"], r.get("desc"), r.get("n_merged", 1))
+            for r in fn(rows)
+        ]
 
-    src = segments.select(*_stream_columns(segments))
-    return src.groupBy("doc_id").applyInPandas(run, schema=_OUT_DDL)
+    return _execute(segments, doc_fn, partition_local)
 
 
 def windowed_join(
@@ -81,6 +131,7 @@ def windowed_join(
     window_size: int,
     predicate: Callable[[Sequence[Row]], bool],
     desc: str | None = None,
+    partition_local: bool = False,
 ) -> DataFrame:
     """Merge every accepting k-window into one covering segment.
 
@@ -92,33 +143,26 @@ def windowed_join(
     if window_size < 2:
         raise ValueError("window_size must be >= 2")
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _order_key(pdf)
-        rows = pdf.to_dict("records")
+    def doc_fn(doc: str, rows: list[dict]) -> list[tuple]:
         out: list[tuple] = []
-        doc = rows[0]["doc_id"] if rows else None
         window: list[Row] = []
         for r in rows:
             window.append(r)
             if len(window) == window_size:
                 if predicate(window):
                     out.append(
-                        (doc, min(w["start"] for w in window),
+                        (min(w["start"] for w in window),
                          max(w["stop"] for w in window), desc, window_size)
                     )
                     window.clear()
                 else:
                     w0 = window.pop(0)
-                    out.append((doc, w0["start"], w0["stop"], w0["desc"], 1))
+                    out.append((w0["start"], w0["stop"], w0["desc"], 1))
         for w in window:
-            out.append((doc, w["start"], w["stop"], w["desc"], 1))
-        return pd.DataFrame(
-            [(d, a, b, de, n, i + 1) for i, (d, a, b, de, n) in enumerate(out)],
-            columns=["doc_id", "start", "stop", "desc", "n_merged", "ord"],
-        )
+            out.append((w["start"], w["stop"], w["desc"], 1))
+        return out
 
-    src = segments.select(*_stream_columns(segments))
-    return src.groupBy("doc_id").applyInPandas(run, schema=_OUT_DDL)
+    return _execute(segments, doc_fn, partition_local)
 
 
 def stacked_reduce(
@@ -126,6 +170,7 @@ def stacked_reduce(
     reduce_func: Callable[[Sequence[Row]], Row],
     push_predicate: Callable[[Sequence[Row], Row], bool],
     pop_predicate: Callable[[Sequence[Row], Row], bool] | None = None,
+    partition_local: bool = False,
 ) -> DataFrame:
     """Stack aggregation with explicit push/pop predicates.
 
@@ -135,16 +180,13 @@ def stacked_reduce(
     reduced at stream end) mirrors the reference transform.
     """
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = _order_key(pdf)
-        rows = pdf.to_dict("records")
-        doc = rows[0]["doc_id"] if rows else None
+    def doc_fn(doc: str, rows: list[dict]) -> list[tuple]:
         out: list[tuple] = []
         stack: list[Row] = []
 
         def emit_reduced() -> None:
             red = reduce_func(stack)
-            out.append((doc, red["start"], red["stop"], red.get("desc"), len(stack)))
+            out.append((red["start"], red["stop"], red.get("desc"), len(stack)))
 
         for r in rows:
             if stack:
@@ -157,13 +199,9 @@ def stacked_reduce(
                 if push_predicate(stack, r):
                     stack.append(r)
                 else:
-                    out.append((doc, r["start"], r["stop"], r["desc"], 1))
+                    out.append((r["start"], r["stop"], r["desc"], 1))
         if stack:
             emit_reduced()
-        return pd.DataFrame(
-            [(d, a, b, de, n, i + 1) for i, (d, a, b, de, n) in enumerate(out)],
-            columns=["doc_id", "start", "stop", "desc", "n_merged", "ord"],
-        )
+        return out
 
-    src = segments.select(*_stream_columns(segments))
-    return src.groupBy("doc_id").applyInPandas(run, schema=_OUT_DDL)
+    return _execute(segments, doc_fn, partition_local)

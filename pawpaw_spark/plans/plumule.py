@@ -363,7 +363,7 @@ class PlumuleEngine:
         this order, ``_query.py:677-686``)."""
         query = parse_query(path)
         stream = self._initial_stream(start)
-        out = self._run(query, stream)
+        out = self._run(query, stream, initial=start is None)
         return out.select("doc_id", "ord", *_ATTRS)
 
     def find(self, path: str, start: DataFrame | None = None) -> DataFrame:
@@ -393,13 +393,15 @@ class PlumuleEngine:
             self._text_joined_cache = src
         return self._text_joined_cache
 
-    def _run(self, query: ParsedQuery, stream: DataFrame) -> DataFrame:
-        for phrase in query.phrases:
-            stream = self._apply_phrase(phrase, stream)
+    def _run(self, query: ParsedQuery, stream: DataFrame, initial: bool = False) -> DataFrame:
+        for i, phrase in enumerate(query.phrases):
+            stream = self._apply_phrase(phrase, stream, initial=initial and i == 0)
         return stream
 
     # axis application: returns enumerated stream with fresh ord + e_idx
-    def _apply_phrase(self, phrase: ParsedPhrase, stream: DataFrame) -> DataFrame:
+    def _apply_phrase(
+        self, phrase: ParsedPhrase, stream: DataFrame, initial: bool = False
+    ) -> DataFrame:
         axis, reverse = phrase.axis, phrase.order == "-"
         g = self.segments.select(
             F.col("doc_id").alias("g_doc"), *[F.col(c).alias(f"g_{c}") for c in _ATTRS]
@@ -409,6 +411,34 @@ class PlumuleEngine:
         )
 
         per_stream_enum = axis in (".", "><")  # to_ecs over whole stream
+
+        # Fast path: '**'/'***' applied to the untouched initial root
+        # stream = every non-root (resp. leaf) segment — a full-table
+        # FILTER instead of a path-explode join (the most common query
+        # shape; one shuffle saved)
+        if initial and axis in ("**", "***") and not phrase.or_self:
+            fast = self.segments.filter(F.col("parent_id").isNotNull())
+            if axis == "***":
+                fast = fast.filter(F.col("n_children") == 0)
+            axed = (
+                fast.select("doc_id", *[F.col(c).alias(f"g_{c}") for c in _ATTRS])
+                .withColumn("origin", F.lit(-1).cast("long"))
+                .withColumn("src_ord", F.lit(1).cast("long"))
+                .withColumn(
+                    "__ok", (F.col("g_dfs_idx") * F.lit(-1 if reverse else 1)).cast("long")
+                )
+            )
+            w_enum = W.partitionBy("doc_id", "origin", "src_ord").orderBy("__ok")
+            axed = axed.withColumn("e_idx", F.row_number().over(w_enum).cast("long") - 1)
+            if phrase.expr is not None:
+                axed = self._apply_expr(phrase.expr, axed)
+            w_ord = W.partitionBy("doc_id", "origin").orderBy("src_ord", "e_idx")
+            out = axed.select(
+                "doc_id", "origin",
+                *[F.col(f"g_{c}").alias(c) for c in _ATTRS],
+                "e_idx", "src_ord",
+            ).withColumn("ord", F.row_number().over(w_ord).cast("long"))
+            return out.drop("src_ord", "e_idx")
 
         if axis == ".":
             axed = s.select(

@@ -195,3 +195,35 @@ class TestOntology:
         counts = {r.path: r.n_hits for r in discovery_counts(src, _make_ontology()).collect()}
         assert counts["legal/power"] == 2
         assert counts["math"] == 3
+
+
+def test_partition_local_equals_grouped(spark):
+    """partition_local=True (shuffle-free) must produce exactly the
+    grouped-mode rows when docs are partition-contiguous (segment()
+    output)."""
+    from pawpaw_spark.rules import RuleSet, extract
+    from pawpaw_spark.operators.segment import segment
+
+    segs = segment(_src(spark), RuleSet.of(
+        extract(r"(?P<num>(?<!\S)\d+(?!\S))|(?P<tok>\S+)"), name="t"
+    ))
+
+    def doc_rows(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.doc_id, []).append((r.ord, r.start, r.stop, r.desc, r.n_merged))
+        return {k: sorted(v) for k, v in out.items()}
+
+    wj = lambda pl: windowed_join(
+        segs, 2, lambda w: all(x["desc"] == "num" for x in w), desc="j", partition_local=pl
+    )
+    assert doc_rows(wj(True)) == doc_rows(wj(False))
+
+    sr = lambda pl: stacked_reduce(
+        segs,
+        lambda st: {"start": st[0]["start"], "stop": st[-1]["stop"], "desc": "run"},
+        lambda st, r: r["desc"] == "num",
+        lambda st, r: r["desc"] != "num",
+        partition_local=pl,
+    )
+    assert doc_rows(sr(True)) == doc_rows(sr(False))
