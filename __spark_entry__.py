@@ -485,6 +485,38 @@ def q_nlp_tree_stats(spark, sf_dir):
     )
 
 
+def q_table_detect(spark, sf_dir):
+    """StyledTable mapping (§2.1; rows-only — the table grammar needs
+    lookbehinds RE2 lacks): table/row segment counts over the corpus."""
+    from pawpaw_spark.operators.table import GRID, PIPE_PAT, detect_tables
+
+    d = _docs(spark, sf_dir)
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    grid = detect_tables(src, GRID).filter(F.col("desc").isin("table", "row"))
+    pipe = detect_tables(src, PIPE_PAT).filter(F.col("desc").isin("table", "row"))
+    return grid.unionByName(pipe).groupBy("desc").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).unionByName(
+        spark.createDataFrame([("__docs_scanned", 0)], "desc string, n long")
+        .withColumn("n", F.lit(d.count()).cast("long"))
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; rows-only — hyperplane hashing is
+    engine-internal): top-5 neighbors of vec 0 via random-hyperplane
+    bucket probe with exact re-rank."""
+    from pawpaw_spark.operators.similarity import hyperplanes, lsh_topk, with_lsh_bucket
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planes = hyperplanes(len(qv), n_planes=12, seed=42)
+    bucketed = with_lsh_bucket(emb, planes)
+    return lsh_topk(bucketed, qv, planes, k=5).select(
+        F.col("id").cast("long").alias("vec_id"), F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -519,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_merge": q_windowed_merge,
         "stacked_runs": q_stacked_runs,
         "nlp_tree_stats": q_nlp_tree_stats,
+        "table_detect": q_table_detect,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 

@@ -47,6 +47,8 @@ HEADLINE = [
     "windowed_merge",
     "stacked_runs",
     "nlp_tree_stats",
+    "table_detect",
+    "ann_lsh_topk",
 ]
 
 
