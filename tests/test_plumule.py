@@ -80,6 +80,26 @@ QUERIES = [
     "**[d:digit]/..!!",
     "**[d:digit]/-..!!",
     "*[i:0]/**",
+    # deeper matrix: reversed axes x or_self, nesting, chains
+    "-**!",
+    "-*!!",
+    "**[d:char]/-..",
+    "**[d:word]/-<<!",
+    "**[d:word]/>>!!",
+    "**[d:number]/->>!",
+    "**[d:phrase]{*[d:word]{*[d:char]&[i:0]}}",
+    "**[d:phrase]~{*[d:number]&[s:9]}",
+    "**[d:word]{>[d:number]}",
+    "**[d:number]{<[d:word]}",
+    "**[d:phrase]/*/..",
+    "**/../../..",
+    "*[d:para]/**[d:digit]",
+    "**[d:char]&[i:0-2,5-]",
+    "**[~d:word&~d:number]",
+    "**[lcs:nine]|[lcs:ten]",
+    "**[d:word]/.",
+    "**/></><",
+    "-***!",
 ]
 
 
@@ -163,6 +183,44 @@ def test_find_returns_first_per_doc(engine, ref_trees):
 
 
 def test_parse_errors():
-    for bad in ["", "*[unknownkey:x]", "*[d:a", "*{**", "*[d:a]]"]:
+    for bad in ["", "*[unknownkey:x]", "*[d:a", "*{**", "*[d:a]]",
+                "**[d:phrase]{{*[d:word]}}"]:  # reference rejects too: axis-less inner phrase
         with pytest.raises(ValueError):
             q = parse_query(bad)
+
+
+def test_constitution_demo_query(spark, pawpaw_ref):
+    """The reference's us_constitution demo query — sections containing
+    'power' or 'right' (docs/demos/us_constitution/us_constitution.py:74)
+    — run over the real demo corpus with CONSTITUTION_RULES through both
+    engines; span-for-span equality."""
+    from pawpaw_spark.corpus import load_constitution
+    from pawpaw_spark.rulesets import CONSTITUTION_RULES
+    from pawpaw_spark.schemas import SOURCE_SCHEMA
+    from pawpaw_spark.oracle import pawpaw_tree
+
+    text = load_constitution()
+    if text is None:
+        pytest.skip("demo corpus not available")
+    query = "**[d:section]{**[d:word] & [lcs:power,right]}"
+
+    root = pawpaw_tree(pawpaw_ref, text, CONSTITUTION_RULES)
+    expected = [(i.start, i.stop) for i in root.find_all(query)]
+    assert expected, "demo query should match sections"
+
+    src = spark.createDataFrame(
+        [{"repo": "r", "path": "c", "commit": "0", "lang": "text",
+          "content": text, "sha256": None}],
+        schema=SOURCE_SCHEMA,
+    )
+    segs = segment(src, CONSTITUTION_RULES, include_root=True)
+    source = src.select(
+        F.concat_ws("@", F.concat_ws("/", "repo", "path"), "commit").alias("doc_id"),
+        "content",
+    )
+    eng = PlumuleEngine(segs, source=source)
+    got = [
+        (r.start, r.stop)
+        for r in sorted(eng.find_all(query).collect(), key=lambda r: r.ord)
+    ]
+    assert got == expected
