@@ -14,7 +14,7 @@ identifies segments by (doc_id, seg_id).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 _KEY = ["doc_id", "seg_id"]
@@ -72,6 +72,103 @@ def descends_from(segments: DataFrame, ancestor_doc: str, ancestor_id: int) -> D
     return segments.filter(
         (F.col("doc_id") == ancestor_doc) & F.array_contains("path", ancestor_id)
     )
+
+
+def rebuild_forest(spans: DataFrame) -> DataFrame:
+    """(doc_id, start, stop, desc) -> a full segments forest, derived
+    relationally from span containment alone — the set form of the
+    reference's ``add_hierarchical`` insertion (``pawpaw/ito.py:1546-1615``):
+
+    * parent       = tightest strictly-containing span
+    * depth        = number of containing spans
+    * path         = containing spans in root->parent order
+    * seg_id/dfs   = pre-order DFS position = ORDER BY (start, -stop)
+
+    Insertion-order independent (the reference reaches the same tree
+    from any insertion order); duplicate spans within a doc are not
+    supported (the reference nests them by arrival order / key — an
+    order concept a set operator doesn't have) and must be deduped
+    first. Overlapping non-nested spans raise in the reference; here
+    each span simply parents to its tightest container, so validate
+    upstream if strictness is needed.
+
+    The self-join is per-doc (equi on doc_id + containment range
+    predicate): with the table bucketed by doc_id it is partition-local;
+    output volume is O(n * avg_depth) per doc.
+    """
+    w_dfs = W.partitionBy("doc_id").orderBy(F.col("start").asc(), F.col("stop").desc())
+    base = spans.select("doc_id", "start", "stop", "desc").withColumn(
+        "seg_id", F.row_number().over(w_dfs).cast("long") - 1
+    )
+    x = base.select("doc_id", *[F.col(c).alias(f"x_{c}") for c in ("seg_id", "start", "stop")])
+    y = base.select("doc_id", *[F.col(c).alias(f"y_{c}") for c in ("seg_id", "start", "stop")])
+    contains = (
+        (F.col("y_start") <= F.col("x_start"))
+        & (F.col("x_stop") <= F.col("y_stop"))
+        & ((F.col("y_start") < F.col("x_start")) | (F.col("x_stop") < F.col("y_stop")))
+    )
+    anc = x.join(y, "doc_id").filter(contains)
+    w_tight = W.partitionBy("doc_id", "x_seg_id").orderBy(
+        F.col("y_start").desc(), F.col("y_stop").asc()
+    )
+    per_node = (
+        anc.withColumn("__rk", F.row_number().over(w_tight))
+        .groupBy("doc_id", "x_seg_id")
+        .agg(
+            F.max(F.when(F.col("__rk") == 1, F.col("y_seg_id"))).alias("parent_id"),
+            F.count(F.lit(1)).alias("depth"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("y_start"), (-F.col("y_stop")).alias("ns"), F.col("y_seg_id")))
+            ).alias("__anc"),
+        )
+        .select(
+            "doc_id",
+            F.col("x_seg_id").alias("seg_id"),
+            "parent_id",
+            "depth",
+            F.transform("__anc", lambda s: s["y_seg_id"]).alias("path"),
+        )
+    )
+    out = base.join(per_node, ["doc_id", "seg_id"], "left").select(
+        "doc_id", "seg_id",
+        F.col("parent_id").cast("long").alias("parent_id"),
+        "start", "stop", "desc",
+        F.coalesce("depth", F.lit(0)).cast("int").alias("depth"),
+        F.lit("rebuild").alias("rule_tag"),
+        F.lit(None).cast("string").alias("value"),
+        F.coalesce("path", F.array().cast("array<long>")).alias("path"),
+    )
+    kids = out.groupBy(
+        F.col("doc_id").alias("__k_doc"), F.col("parent_id").alias("__p")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    w_sib = W.partitionBy("doc_id", "parent_id").orderBy(
+        F.col("start").asc(), F.col("stop").desc()
+    )
+    return (
+        out.join(
+            kids,
+            (out["doc_id"] == kids["__k_doc"]) & (out["seg_id"] == kids["__p"]),
+            "left",
+        )
+        .select(
+            "doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth",
+            "rule_tag", "value", "path",
+            F.coalesce("__n", F.lit(0)).cast("int").alias("n_children"),
+            (F.row_number().over(w_sib) - 1).cast("int").alias("sibling_idx"),
+            F.col("seg_id").cast("int").alias("dfs_idx"),
+        )
+    )
+
+
+def attach_by_containment(segments: DataFrame, new_spans: DataFrame) -> DataFrame:
+    """Insert new spans into an existing forest by span containment
+    (cross-stage ``Connectors.Children.AddHierarchical``): the combined
+    forest is re-derived from spans, so enclosed existing segments
+    re-parent onto tighter new spans exactly as the reference's
+    insertion does."""
+    cols = ["doc_id", "start", "stop", "desc"]
+    combined = segments.select(cols).unionByName(new_spans.select(cols))
+    return rebuild_forest(combined)
 
 
 def subtree_spans(segments: DataFrame) -> DataFrame:

@@ -112,3 +112,63 @@ def test_consolidate_wrap(spark):
 
     out = consolidate(segs, merge_all).collect()
     assert len(out) == 1 and out[0].n_merged == 5 and out[0].desc == "all"
+
+
+class TestRebuildForest:
+    SPANS = [(0, 40), (0, 10), (2, 6), (3, 4), (7, 9), (12, 30), (13, 20), (21, 29), (35, 39)]
+
+    def _reference_tree(self, pawpaw_ref, order):
+        text = "x" * 50
+        root = pawpaw_ref.Ito(text, 0, 40, desc="s0")
+        itos = [pawpaw_ref.Ito(text, a, b, desc=f"s{a}") for a, b in order]
+        root.children.add_hierarchical(*itos)
+        out = {}
+
+        def walk(ito, parent):
+            out[(ito.start, ito.stop)] = (parent.start, parent.stop) if parent else None
+            for c in ito.children:
+                walk(c, ito)
+
+        walk(root, None)
+        return out
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_reference_any_insertion_order(self, spark, pawpaw_ref, seed):
+        import random
+
+        from pawpaw_spark.plans.tree import rebuild_forest
+
+        inner = [s for s in self.SPANS if s != (0, 40)]
+        rng = random.Random(seed)
+        order = inner[:]
+        rng.shuffle(order)
+        expected = self._reference_tree(pawpaw_ref, order)
+
+        spans = spark.createDataFrame(
+            [("d", a, b, f"s{a}") for a, b in self.SPANS],
+            "doc_id string, start long, stop long, desc string",
+        )
+        forest = rebuild_forest(spans)
+        rows = {r.seg_id: r for r in forest.collect()}
+        got = {}
+        for r in rows.values():
+            p = rows.get(r.parent_id) if r.parent_id is not None else None
+            got[(r.start, r.stop)] = (p.start, p.stop) if p else None
+        assert got == expected
+
+    def test_attach_reparents_enclosed(self, spark):
+        from pawpaw_spark.plans.tree import attach_by_containment
+
+        base = spark.createDataFrame(
+            [("d", 0, 20, "root"), ("d", 2, 5, "a"), ("d", 8, 12, "b")],
+            "doc_id string, start long, stop long, desc string",
+        )
+        new = spark.createDataFrame(
+            [("d", 1, 6, "wrap")], "doc_id string, start long, stop long, desc string"
+        )
+        rows = {r.desc: r for r in attach_by_containment(base, new).collect()}
+        ids = {r.desc: r.seg_id for r in rows.values()}
+        assert rows["wrap"].parent_id == ids["root"]
+        assert rows["a"].parent_id == ids["wrap"]  # re-parented onto the tighter span
+        assert rows["b"].parent_id == ids["root"]
+        assert rows["a"].depth == 2 and list(rows["a"].path) == [ids["root"], ids["wrap"]]
