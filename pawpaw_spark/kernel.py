@@ -117,7 +117,15 @@ def _apply_extract(
                 spans = [s] if s[0] >= 0 else []
             for s0, s1 in spans:
                 if s0 >= 0:
-                    spans_keys.append((s0, s1, rule.desc if rule.desc is not None else str(gk)))
+                    if callable(rule.desc):
+                        # desc_func surface: f(match, group_key) -> str
+                        # (reference Extract desc default, extract.py:16)
+                        desc = rule.desc(m, gk)
+                    elif rule.desc is not None:
+                        desc = rule.desc
+                    else:
+                        desc = str(gk)
+                    spans_keys.append((s0, s1, desc))
         n_roots += _build_match_tree(out, spans_keys, t_idx, t_depth, rule.tag)
         if rule.limit is not None and n_roots >= rule.limit:
             break

@@ -181,13 +181,15 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 32,
     max_bucket: int = 200,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate pairs once.
 
     max_bucket caps pathological buckets (identical boilerplate docs):
     a bucket of m rows yields m^2/2 pairs — at web scale one viral
     page would otherwise dominate the shuffle."""
-    n_hashes = len(signatures.select("sig").first()["sig"])
+    if n_hashes is None:  # probe only when the caller didn't know it
+        n_hashes = len(signatures.select("sig").first()["sig"])
     rows_per_band = n_hashes // bands
     banded = signatures.select(
         "id",
@@ -224,14 +226,23 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Candidates via LSH, verified by signature-agreement estimate."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
-    cands = lsh_candidate_pairs(sigs, bands)
+    """Candidates via LSH, verified by signature-agreement estimate.
+
+    The signature kernel output is persisted before fan-out — it feeds
+    the band explode plus both sides of the verification join, and
+    n_hashes is threaded through instead of probed with driver actions
+    (each probe would re-run the kernel on a partition)."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
     sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(float(len(sigs.select("sig").first()["sig"])))
+        / F.lit(float(n_hashes))
     )
     return (
         cands.join(sa, "a")

@@ -51,7 +51,10 @@ class Rule:
     tag: str                        # rule_tag stamped on emitted segments
     pattern: str                    # regex source (or substring for 'literal')
     on: str | tuple[str, ...] = ROOT
-    desc: str | None = None         # fixed desc; None => group key (extract) / None (split parts keep desc param)
+    desc: object | None = None      # fixed str desc; None => group key (extract);
+                                    # extract also accepts a callable f(match, group_key) -> str
+                                    # (the reference's desc_func, ``extract.py:16``) — must be
+                                    # picklable (module-level def)
     group_filter: tuple[str, ...] | None = None  # extract: named groups to keep; None => all named groups ('0' excluded)
     limit: int | None = None
     retention: BoundaryRetention = BoundaryRetention.NONE

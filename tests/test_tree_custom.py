@@ -172,3 +172,19 @@ class TestRebuildForest:
         assert rows["a"].parent_id == ids["wrap"]  # re-parented onto the tighter span
         assert rows["b"].parent_id == ids["root"]
         assert rows["a"].depth == 2 and list(rows["a"].path) == [ids["root"], ids["wrap"]]
+
+
+def desc_by_len(m, gk):
+    return "long" if (m.end(str(gk)) - m.start(str(gk))) > 3 else "short"
+
+
+def test_desc_func(spark):
+    """Callable desc (reference Extract desc_func surface)."""
+    from pawpaw_spark.schemas import SOURCE_SCHEMA
+
+    rows = [{"repo": "r", "path": "p", "commit": "c", "lang": "text",
+             "content": "hi there big x", "sha256": None}]
+    src = spark.createDataFrame(rows, schema=SOURCE_SCHEMA)
+    segs = segment(src, RuleSet.of(extract(r"(?P<tok>\S+)", desc=desc_by_len)))
+    got = sorted((r.start, r.desc) for r in segs.collect())
+    assert got == [(0, "short"), (3, "long"), (9, "short"), (13, "short")]
