@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
+        # catalog tables (bucketed layouts, storage.py) land outside the
+        # repo; static conf, so it must be set at session creation
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("PAWPAW_SPARK_WAREHOUSE", "/tmp/pawpaw_spark_warehouse"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
