@@ -102,7 +102,12 @@ def run_stage(
         todo = inp.filter(F.col(bucket_col).isin(pending_keys))
         t0 = time.time()
         result = transform(todo)
-        result.write.mode("overwrite").partitionBy(bucket_col).parquet(out_path)
+        # cluster by the partition column first: otherwise every task
+        # holds rows of many buckets and partitionBy fans out
+        # n_tasks x n_buckets small files (2048 at local[32]/64 buckets)
+        result.repartition(bucket_col).write.mode("overwrite").partitionBy(
+            bucket_col
+        ).parquet(out_path)
         wall_ms = int((time.time() - t0) * 1000)
         out_counts = {
             r[bucket_col]: r["n"]

@@ -36,6 +36,7 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("comp", F.col("node"))
 
+    labels = labels.localCheckpoint(eager=True)
     for it in range(max_iters):
         # neighbor labels: for each edge (src,dst), dst hears src's comp
         msgs = (
@@ -48,8 +49,13 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+        # materialize EVERY iteration: the convergence probe below is an
+        # action, and an unmaterialized chain re-executes from the last
+        # checkpoint on every action — quadratic work between
+        # checkpoints (measured 35s for a tiny edge set). The label
+        # table is one row per node; eager localCheckpoint keeps each
+        # iteration O(1) passes and the lineage flat.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -64,14 +64,18 @@ def build_kg(
     match_edges = link_symbols(segments, threshold=link_threshold)
     nodes = build_nodes(edges)
     nodes_canon = canonicalize_nodes(nodes, match_edges)
-    edges_canon = rewrite_edges_canonical(edges, nodes_canon)
 
     nodes_out = f"{out_dir}/nodes"
     edges_out = f"{out_dir}/edges_canonical"
-    nodes_canon.write.mode("overwrite").partitionBy("salt").parquet(nodes_out)
-    edges_canon.withColumn("salt", bucket_key(F.col("subj"), 64)).write.mode(
-        "overwrite"
-    ).partitionBy("salt").parquet(edges_out)
+    nodes_canon.repartition("salt").write.mode("overwrite").partitionBy("salt").parquet(nodes_out)
+    # rewrite edges against the WRITTEN node table — joining the
+    # unwritten plan would re-run union-find + node distinct a second
+    # time (measured 46s of pure recompute at 20k files)
+    nodes_canon = spark.read.parquet(nodes_out)
+    edges_canon = rewrite_edges_canonical(edges, nodes_canon)
+    edges_canon.withColumn("salt", bucket_key(F.col("subj"), 64)).repartition(
+        "salt"
+    ).write.mode("overwrite").partitionBy("salt").parquet(edges_out)
 
     return {
         "segments": segments,
