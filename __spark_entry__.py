@@ -327,15 +327,20 @@ def q_plumule_word_count(spark, sf_dir):
 
 
 def q_kg_triples_by_pred(spark, sf_dir):
-    """full KG pipeline on the documents table: triples per predicate
+    """full KG pipeline on the documents table: triples per (pred, desc)
     (fused single-pass kernel; multiset-equal to the relational
-    build_edges, see tests/test_triples_pr.py)."""
+    build_edges, see tests/test_triples_pr.py). desc is recovered from
+    the HAS_SEGMENT object id suffix, so the DuckDB oracle checks the
+    para/sentence/word segment counts of the kernel value-by-value."""
     from pawpaw_spark.operators.triples import build_edges_fused
 
     src = documents_as_source(_docs(spark, sf_dir))
+    seg_desc = F.when(
+        F.col("pred") == "HAS_SEGMENT", F.substring_index("obj", ":", -1)
+    ).otherwise(F.lit(""))
     return (
         build_edges_fused(src)
-        .groupBy("pred")
+        .groupBy("pred", seg_desc.alias("seg_desc"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
@@ -360,12 +365,15 @@ def q_simhash_neardup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """n-gram Jaccard near-dup (rows-only): pair count at 0.5."""
+    """n-gram Jaccard near-dup: the full pair set at threshold 0.5
+    (exact semantics — token 3-gram sets, Jaccard = |∩|/|∪| — so the
+    DuckDB oracle recomputes every pair brute-force and must agree
+    value-by-value; the engine's gram-hash blocking is lossless)."""
     from pawpaw_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
-    return ngram_jaccard_pairs(d, threshold=0.5).agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    return ngram_jaccard_pairs(d, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard_r")
     )
 
 
@@ -436,8 +444,11 @@ def q_windowed_merge(spark, sf_dir):
 
 
 def q_stacked_runs(spark, sf_dir):
-    """StackedReduce postorator (rows-only check): fold maximal runs of
-    numeric tokens into one covering segment per run."""
+    """StackedReduce postorator: fold maximal runs of numeric tokens
+    into one covering segment per run. The consume-on-match stream
+    semantics reduce, for this push/pop pair, to gaps-and-islands —
+    mirrored value-level in the DuckDB oracle (n_out = non-numeric
+    tokens + one row per maximal numeric run)."""
     from pawpaw_spark.operators.consolidate import stacked_reduce
     from pawpaw_spark.operators.segment import segment
     from pawpaw_spark.rules import RuleSet, extract
@@ -755,7 +766,68 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT path, CAST(n AS BIGINT) AS n_hits FROM hits WHERE n > 0
         """,
-        # kg_triples_by_pred / minhash_dedup / simhash_neardup / ngram_jaccard /
-        # windowed_merge / stacked_runs: non-SQL-expressible (kernel/LSH
-        # internals, consume-on-match stream semantics) -> rows-only checks
+        # TEXT_RULES kernel mirror (documents corpus has no blank lines, so
+        # every doc is one para; sentence boundaries = `(?<=[.!?])\s+(?=[A-Z])`
+        # emulated as consuming matches — disjoint char classes make the
+        # counts identical; word/number extract matches cannot cross the
+        # dropped whitespace boundaries, so whole-text counts equal
+        # per-sentence counts. Verified exact vs the kernel at sf0.001/0.01/0.1.
+        "kg_triples_by_pred": r"""
+            WITH per AS (
+              SELECT len(regexp_extract_all(text, '[.!?][ \t\r\n\f]+[A-Z]')) + 1 AS n_sent,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS n_word,
+                     len(regexp_extract_all(text, '\d+(\.\d+)?')) AS n_num
+              FROM documents),
+            c AS (
+              SELECT 'CONTAINS' AS pred, '' AS seg_desc, CAST(count(*) AS BIGINT) AS n FROM documents
+              UNION ALL SELECT 'HAS_SEGMENT', 'para', CAST(count(*) AS BIGINT) FROM per
+              UNION ALL SELECT 'HAS_SEGMENT', 'sentence', CAST(sum(n_sent) AS BIGINT) FROM per
+              UNION ALL SELECT 'HAS_SEGMENT', 'word', CAST(sum(n_word) AS BIGINT) FROM per
+              UNION ALL SELECT 'HAS_SEGMENT', 'number', CAST(sum(n_num) AS BIGINT) FROM per)
+            SELECT pred, seg_desc, n FROM c WHERE n > 0
+        """,
+        # brute-force O(n^2) recompute of the blocked engine result
+        "ngram_jaccard": r"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM d),
+            p AS (
+              SELECT a.id AS a, b.id AS b,
+                     len(list_intersect(a.grams, b.grams)) AS shared,
+                     len(a.grams) AS na, len(b.grams) AS nb
+              FROM g a JOIN g b ON a.id < b.id)
+            SELECT a, b, round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard_r
+            FROM p WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        """,
+        # maximal numeric-token runs via gaps-and-islands over the token list
+        "stacked_runs": r"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+              FROM documents),
+            m AS (
+              SELECT doc_id, list_transform(toks, t -> regexp_full_match(t, '\d+')) AS isnum
+              FROM d WHERE len(toks) > 0),
+            r AS (
+              SELECT doc_id,
+                     len(list_filter(isnum, b -> NOT b)) AS n_nonnum,
+                     len(list_filter(range(1, len(isnum) + 1),
+                         i -> isnum[i] AND (i = 1 OR NOT isnum[i-1]))) AS n_runs
+              FROM m)
+            SELECT doc_id, CAST(n_runs AS BIGINT) AS n_runs,
+                   CAST(n_nonnum + n_runs AS BIGINT) AS n_out
+            FROM r
+        """,
+        # minhash_dedup / simhash_neardup / windowed_merge /
+        # nlp_tree_stats / table_detect / ann_lsh_topk:
+        # non-SQL-expressible (seeded hash internals, consume-on-match
+        # stream semantics, RE2-incompatible lookbehinds) -> rows-only checks
     }
