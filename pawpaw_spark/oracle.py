@@ -49,9 +49,22 @@ def pawpaw_tree(pawpaw_ref, text: str, rules: RuleSet):
     arborform idiom the demos use."""
     root = pawpaw_ref.Ito(text, desc=ROOT)
     for rule in rules:
-        itor = _ref_itorator(pawpaw_ref, rule)
         # snapshot targets before mutation (rule never applies to own output)
         targets = [i for i in _walk(root) if rule.targets(i.desc)]
+        if rule.kind == "custom":
+            # Itorator.wrap + Children.AddHierarchical idiom: flat user
+            # spans nested by the reference's own containment insert
+            # (``ito.py:1546-1615``; equal spans nest in insertion order)
+            for t in targets:
+                itos = [
+                    pawpaw_ref.Ito(text, s0, s1, desc)
+                    for s0, s1, desc in rule.fn(text, t.start, t.stop)
+                    if s0 < s1
+                ]
+                if itos:
+                    t.children.add_hierarchical(*itos)
+            continue
+        itor = _ref_itorator(pawpaw_ref, rule)
         for t in targets:
             for produced in itor(t.clone(clone_children=False)):
                 # re-root produced tree under t (same span basis string)

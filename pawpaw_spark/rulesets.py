@@ -9,7 +9,7 @@ extraction; text rules drive paragraph/sentence/word trees
 
 from __future__ import annotations
 
-from pawpaw_spark.rules import ROOT, RuleSet, extract, gaps, split
+from pawpaw_spark.rules import ROOT, RuleSet, custom, extract, gaps, split
 
 # --- python-ish source code ------------------------------------------------
 # def blocks with name + body; body ends at the next top-or-any-indent
@@ -55,12 +55,24 @@ CONSTITUTION_RULES = RuleSet.of(
     name="constitution",
 )
 
+# --- structural XML --------------------------------------------------------
+# one custom rule: expat-offset parse emitting the reference descriptor
+# taxonomy (element/start_tag/tag/name/attributes/attribute/key/value/
+# text/end_tag/comment/pi); nested by the kernel's containment stack.
+def _xml_spans(text, start, stop):
+    from pawpaw_spark.sources.xml import xml_spans
+
+    return xml_spans(text, start, stop)
+
+
+XML_RULES = RuleSet.of(custom(_xml_spans, tag="xml"), name="xml")
+
 #: lang -> RuleSet used by the KG pipeline
 LANG_RULES: dict[str, RuleSet] = {
     "python": CODE_RULES,
     "text": TEXT_RULES,
     "markdown": TEXT_RULES,
-    "xml": TEXT_RULES,  # round 1: structural XML rules land later
+    "xml": XML_RULES,
 }
 
 

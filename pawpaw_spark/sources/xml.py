@@ -28,6 +28,8 @@ from pawpaw_spark.schemas import SEGMENT_DDL
 
 _ATTR_RE = _stdre.compile(r'(?P<key>[\w:.\-]+)\s*=\s*(?P<q>["\'])(?P<value>.*?)(?P=q)', _stdre.S)
 _NAME_RE = _stdre.compile(r"<\s*(?P<name>[\w:.\-]+)")
+# start-tag extent: '>' outside quoted attribute values
+_TAG_RE = _stdre.compile(r"<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>", _stdre.S)
 
 _SEG_COLS = [
     "doc_id", "seg_id", "parent_id", "start", "stop", "desc", "depth",
@@ -52,6 +54,7 @@ class _Collector:
         # (start, stop, desc, parent_idx, depth) — stop patched on close
         self.recs: list[list] = [[0, len(text), "$doc", -1, 0]]
         self.stack: list[int] = [0]
+        self.self_closed: set[int] = set()
 
     def char(self, byte_idx: int) -> int:
         if byte_idx >= self.n_bytes:
@@ -67,9 +70,15 @@ class _Collector:
 
     def start_element(self, parser, name, attrs) -> None:
         c0 = self.char(parser.CurrentByteIndex)
-        gt = self.text.index(">", c0)
-        tag_stop = gt + 1
+        m = _TAG_RE.match(self.text, c0)
+        tag_stop = m.end() if m else self.text.index(">", c0) + 1
         elem = self.add(c0, -1, "element", self.stack[-1])  # stop patched at end
+        if self.text.startswith("/>", tag_stop - 2):
+            # self-closing: expat's end event reports the byte index PAST
+            # the token (which may coincide with a following real end
+            # tag), so the extent must be fixed here, not on close
+            self.recs[elem][1] = tag_stop
+            self.self_closed.add(elem)
         st = self.add(c0, tag_stop, "start_tag", elem)
         tag_src = self.text[c0:tag_stop]
         nm = _NAME_RE.match(tag_src)
@@ -99,15 +108,12 @@ class _Collector:
 
     def end_element(self, parser, name) -> None:
         elem = self.stack.pop()
+        if elem in self.self_closed:
+            return  # extent already set in start_element
         c0 = self.char(parser.CurrentByteIndex)
-        if self.text.startswith("</", c0):
-            gt = self.text.index(">", c0)
-            self.recs[elem][1] = gt + 1
-            self.add(c0, gt + 1, "end_tag", elem)
-        else:
-            # self-closing: expat reports the start position
-            gt = self.text.index(">", c0)
-            self.recs[elem][1] = gt + 1
+        gt = self.text.index(">", c0)
+        self.recs[elem][1] = gt + 1
+        self.add(c0, gt + 1, "end_tag", elem)
 
     def character_data(self, parser, data) -> None:
         if not data.strip():
@@ -165,6 +171,37 @@ def xml_segment_records(doc_id: str, text: str, include_root: bool = False) -> l
             }
         )
     return rows
+
+
+def xml_spans(text: str, start: int, stop: int):
+    """Kernel ``custom``-rule adapter: structural XML spans as
+    ``(start, stop, desc)`` triples (absolute offsets), for use inside
+    the one-pass segmentation kernel via ``rules.custom(xml_spans)``.
+
+    Parentage is recovered by the kernel's containment stack; XML
+    element nesting is strict span containment, and the intra-record
+    equal-span ties (element/start_tag of a childless self-closing
+    element, tag/name without namespace, attributes/attribute for a
+    single attribute) resolve correctly because emission order is
+    parent-first and the containment sort is stable. Differentially
+    tested against :func:`xml_segment_records` (tests/test_xml.py).
+
+    Malformed XML yields no spans (the doc still carries its root
+    segment; pipeline lineage counts surface the skip)."""
+    sub = text[start:stop]
+    data = sub.encode("utf-8")
+    col = _Collector(sub, _byte_to_char_map(data))
+    parser = expat.ParserCreate("utf-8")
+    parser.StartElementHandler = lambda n, a: col.start_element(parser, n, a)
+    parser.EndElementHandler = lambda n: col.end_element(parser, n)
+    parser.CharacterDataHandler = lambda d: col.character_data(parser, d)
+    parser.CommentHandler = lambda d: col.comment(parser, d)
+    parser.ProcessingInstructionHandler = lambda t, d: col.pi(parser, t, d)
+    try:
+        parser.Parse(data, True)
+    except expat.ExpatError:
+        return []
+    return [(r[0] + start, r[1] + start, r[2]) for r in col.recs[1:]]
 
 
 def segment_xml(df: DataFrame, text_col: str = "content", include_root: bool = False) -> DataFrame:
