@@ -74,6 +74,7 @@ def run_stage(
     out_dir: str,
     lineage: LineageLog,
     bucket_col: str = "bucket",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Resume-aware stage runner.
 
@@ -82,11 +83,17 @@ def run_stage(
     ``transform`` (which must preserve ``bucket_col``) and land in
     ``out_dir`` via dynamic partition overwrite. Returns the full stage
     output (reading previously-completed buckets from disk).
+
+    Pass a precomputed/cached ``fps`` (from :func:`stage_fingerprints`)
+    when several stages share the same input — fingerprinting hashes
+    every input row, and at 100 TB one content scan per stage is the
+    difference between metadata cost and a second full read.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out_path = os.path.join(out_dir, stage)
 
-    fps = stage_fingerprints(inp, bucket_col)
+    if fps is None:
+        fps = stage_fingerprints(inp, bucket_col)
     done = lineage.completed(spark, stage)
     pending = fps.join(
         done,

@@ -6,14 +6,19 @@ This is the spark-submit entry surface (jobs/build_kg.py wraps it).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pawpaw_spark.lineage import LineageLog, bucket_key, run_stage
+from pawpaw_spark.lineage import LineageLog, bucket_key, run_stage, stage_fingerprints
 from pawpaw_spark.operators.canon import canonicalize_nodes, rewrite_edges_canonical
 from pawpaw_spark.operators.linking import link_symbols
 from pawpaw_spark.operators.segment import check_sha256_invariant, with_sha256
 from pawpaw_spark.operators.triples import build_edges, build_nodes, segment_by_lang
+from pawpaw_spark.storage import write_partitioned
 
 
 def build_kg(
@@ -39,6 +44,15 @@ def build_kg(
 
     src_b = source.withColumn("bucket", bucket_key(F.col("repo"), n_buckets))
 
+    # ONE fingerprint pass shared by every stage (each is a full read of
+    # the source content — at 100 TB, repeating it per stage would double
+    # the scan bill); also keyed into the canon-stage checkpoint below
+    fps = stage_fingerprints(src_b).cache()
+    fp_rows = fps.collect()
+    canon_fp = hashlib.sha256(
+        repr(sorted((r["bucket"], r["fp"], r["rows_in"]) for r in fp_rows)).encode()
+    ).hexdigest()[:24] + f":{link_threshold}:{n_buckets}"
+
     segments = run_stage(
         spark,
         "segments",
@@ -46,6 +60,7 @@ def build_kg(
         lambda df: segment_by_lang(df, passthrough=("bucket",)),
         out_dir,
         lineage,
+        fps=fps,
     )
 
     doc_bucket = src_b.select(
@@ -59,27 +74,77 @@ def build_kg(
         e = build_edges(df.drop("bucket"), segments=pending_segs.drop("bucket"))
         return e.join(doc_bucket, "doc_id")
 
-    edges = run_stage(spark, "edges", src_b, edges_transform, out_dir, lineage)
-
-    match_edges = link_symbols(segments, threshold=link_threshold)
-    nodes = build_nodes(edges)
-    nodes_canon = canonicalize_nodes(nodes, match_edges)
+    edges = run_stage(spark, "edges", src_b, edges_transform, out_dir, lineage, fps=fps)
 
     nodes_out = f"{out_dir}/nodes"
     edges_out = f"{out_dir}/edges_canonical"
-    nodes_canon.repartition("salt").write.mode("overwrite").partitionBy("salt").parquet(nodes_out)
-    # rewrite edges against the WRITTEN node table — joining the
-    # unwritten plan would re-run union-find + node distinct a second
-    # time (measured 46s of pure recompute at 20k files)
-    nodes_canon = spark.read.parquet(nodes_out)
-    edges_canon = rewrite_edges_canonical(edges, nodes_canon)
-    edges_canon.withColumn("salt", bucket_key(F.col("subj"), 64)).repartition(
-        "salt"
-    ).write.mode("overwrite").partitionBy("salt").parquet(edges_out)
+
+    # canon is a GLOBAL stage (connected components can't be bucket-local),
+    # so its checkpoint is a single fingerprint derived from the per-bucket
+    # source fingerprints + the linking parameters: unchanged input =>
+    # skip linking + union-find entirely and reuse the written tables
+    canon_done = {
+        (r["partition_key"], r["input_fingerprint"])
+        for r in lineage.completed(spark, "canon").collect()
+    }
+    from pawpaw_spark.storage import iceberg_catalog
+
+    cat = iceberg_catalog(spark)
+    if cat is not None:
+        outputs_exist = spark.catalog.tableExists(
+            f"{cat}.pawpaw.nodes"
+        ) and spark.catalog.tableExists(f"{cat}.pawpaw.edges_canonical")
+    else:
+        # dynamic partitionOverwriteMode (set by run_stage) suppresses the
+        # root _SUCCESS marker — probe for committed partition dirs instead
+        def _has_output(path: str) -> bool:
+            return os.path.isdir(path) and any(
+                not e.startswith((".", "_")) for e in os.listdir(path)
+            )
+
+        outputs_exist = _has_output(nodes_out) and _has_output(edges_out)
+    if ("__global__", canon_fp) in canon_done and outputs_exist:
+        if cat is not None:
+            nodes_canon = spark.table(f"{cat}.pawpaw.nodes")
+            edges_canon = spark.table(f"{cat}.pawpaw.edges_canonical")
+        else:
+            nodes_canon = spark.read.parquet(nodes_out)
+            edges_canon = spark.read.parquet(edges_out)
+    else:
+        t0 = time.time()
+        match_edges = link_symbols(segments, threshold=link_threshold)
+        nodes = build_nodes(edges)
+        nodes_canon = canonicalize_nodes(nodes, match_edges)
+        # rewrite edges against the WRITTEN node table — joining the
+        # unwritten plan would re-run union-find + node distinct a second
+        # time (measured 46s of pure recompute at 20k files)
+        nodes_canon = write_partitioned(nodes_canon, "pawpaw.nodes", nodes_out, ("salt",))
+        edges_canon = write_partitioned(
+            rewrite_edges_canonical(edges, nodes_canon).withColumn(
+                "salt", bucket_key(F.col("subj"), 64)
+            ),
+            "pawpaw.edges_canonical",
+            edges_out,
+            ("salt",),
+        )
+        lineage.record(
+            spark,
+            [
+                {
+                    "stage": "canon",
+                    "partition_key": "__global__",
+                    "input_fingerprint": canon_fp,
+                    "rows_in": int(sum(r["rows_in"] for r in fp_rows)),
+                    "rows_out": int(edges_canon.count()),
+                    "wall_ms": int((time.time() - t0) * 1000),
+                    "status": "ok",
+                }
+            ],
+        )
 
     return {
         "segments": segments,
         "edges": edges,
-        "nodes": spark.read.parquet(nodes_out),
-        "edges_canonical": spark.read.parquet(edges_out),
+        "nodes": nodes_canon,
+        "edges_canonical": edges_canon,
     }

@@ -15,6 +15,53 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+_ICEBERG_CATALOG_IMPLS = (
+    "org.apache.iceberg.spark.SparkCatalog",
+    "org.apache.iceberg.spark.SparkSessionCatalog",
+)
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog on this session, or None.
+
+    The north rule materializes node/edge tables as partitioned Iceberg
+    tables; this sandbox ships no Iceberg runtime jars, so the engine
+    detects the catalog at runtime and falls back to partitioned
+    parquet with the identical logical layout (same partition columns,
+    same pruning behavior at read)."""
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and v in _ICEBERG_CATALOG_IMPLS:
+            return k.rsplit(".", 1)[1]
+    return None
+
+
+def write_partitioned(
+    df: DataFrame,
+    table: str,
+    path: str,
+    partition_cols: tuple[str, ...],
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize a partitioned table; Iceberg when available, else
+    parquet at ``path``. Input is clustered by the partition columns
+    first so each task writes one file per partition it owns instead of
+    a (tasks x partitions) small-file explosion. Returns a re-read of
+    the written table (downstream consumers read the materialized form,
+    never re-run the producing plan)."""
+    spark = df.sparkSession
+    cat = iceberg_catalog(spark)
+    clustered = df.repartition(*[df[c] for c in partition_cols])
+    if cat is not None:
+        full = f"{cat}.{table}"
+        writer = clustered.writeTo(full).partitionedBy(*partition_cols)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return spark.table(full)
+    clustered.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return spark.read.parquet(path)
+
 
 def write_bucketed(
     df: DataFrame,
