@@ -499,13 +499,20 @@ def q_nlp_tree_stats(spark, sf_dir):
 def q_table_detect(spark, sf_dir):
     """StyledTable mapping (§2.1; rows-only — the table grammar needs
     lookbehinds RE2 lacks): table/row segment counts over the corpus."""
-    from pawpaw_spark.operators.table import GRID, PIPE_PAT, detect_tables
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.operators.table import GRID, PIPE_PAT, table_rules
+    from pawpaw_spark.rules import RuleSet
 
     d = _docs(spark, sf_dir)
     src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
-    grid = detect_tables(src, GRID).filter(F.col("desc").isin("table", "row"))
-    pipe = detect_tables(src, PIPE_PAT).filter(F.col("desc").isin("table", "row"))
-    return grid.unionByName(pipe).groupBy("desc").agg(
+    # both styles interpreted in ONE kernel pass (two rule rows), not one
+    # scan per style — at 100 TB each extra style would otherwise be a
+    # full corpus re-read
+    both = RuleSet.of(
+        *table_rules(GRID, tag="grid"), *table_rules(PIPE_PAT, tag="pipe"), name="tables"
+    )
+    segs = segment(src, both).filter(F.col("desc").isin("table", "row"))
+    return segs.groupBy("desc").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     ).unionByName(
         spark.createDataFrame([("__docs_scanned", 0)], "desc string, n long")

@@ -86,6 +86,22 @@ def main() -> None:
     spark.range(64).mapInPandas(
         lambda it: (pd.DataFrame({"x": b["id"]}) for b in it), schema="x long"
     ).count()
+    # warm the REAL python-worker stacks: reused workers import
+    # pawpaw_spark.kernel / regex / numpy on first closure use — without
+    # this, whichever query first touches each stack absorbs ~2 s of
+    # per-worker import cost and the attribution is misleading
+    from pawpaw_spark.operators.consolidate import windowed_join
+    from pawpaw_spark.operators.dedup import minhash_signatures
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.rules import RuleSet, extract
+
+    warm = spark.createDataFrame(
+        [(str(i), "nine 9 ten 10. Alpha beta gamma.") for i in range(64)],
+        "doc_id string, content string",
+    ).repartition(cpus)
+    warm_segs = segment(warm, RuleSet.of(extract(r"(?P<word>[A-Za-z]+)"), name="w"))
+    windowed_join(warm_segs, 3, lambda w: False, partition_local=True).count()
+    minhash_signatures(warm, text_col="content", n_hashes=16).count()
     timings["warmup"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:

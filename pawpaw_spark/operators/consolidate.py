@@ -68,6 +68,13 @@ def _execute(
     n_merged), ...]`` per document, in either physical mode."""
     src = segments.select(*_stream_columns(segments))
 
+    def _dict_rows(pdf: pd.DataFrame) -> list[dict]:
+        # DataFrame.to_dict('records') is ~2.5x slower than zipping
+        # column lists (measured at 271k rows) — this conversion is the
+        # per-batch hot path of both physical modes
+        cols = list(pdf.columns)
+        return [dict(zip(cols, t)) for t in zip(*(pdf[c].tolist() for c in cols))]
+
     def run_doc(doc: str, rows: list[dict], out: list[tuple]) -> None:
         res = doc_fn(doc, _sort_rows(rows))
         out.extend(
@@ -81,7 +88,7 @@ def _execute(
             buf: list[dict] = []
             out: list[tuple] = []
             for pdf in batches:
-                for r in pdf.to_dict("records"):
+                for r in _dict_rows(pdf):
                     if r["doc_id"] != cur:
                         if buf:
                             run_doc(cur, buf, out)
@@ -98,7 +105,7 @@ def _execute(
         return src.mapInPandas(run, schema=_OUT_DDL)
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = pdf.to_dict("records")
+        rows = _dict_rows(pdf)
         out: list[tuple] = []
         if rows:
             run_doc(rows[0]["doc_id"], rows, out)
