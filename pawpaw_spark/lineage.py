@@ -111,8 +111,16 @@ def run_stage(
         result = transform(todo)
         # cluster by the partition column first: otherwise every task
         # holds rows of many buckets and partitionBy fans out
-        # n_tasks x n_buckets small files (2048 at local[32]/64 buckets)
-        result.repartition(bucket_col).write.mode("overwrite").partitionBy(
+        # n_tasks x n_buckets small files (2048 at local[32]/64 buckets).
+        # A secondary content-derived salt spreads each bucket over up to
+        # 8 write tasks — bucket = repo-hash, and a mega-repo (the skew
+        # fixture holds 40% of the corpus) would otherwise serialize its
+        # whole write through one straggler task. Deterministic salt
+        # (hash of the first column), so task retries are safe; files per
+        # bucket directory stay bounded at 8.
+        first = result.columns[0]
+        salt = F.pmod(F.xxhash64(F.col(first)), F.lit(8))
+        result.repartition(F.col(bucket_col), salt).write.mode("overwrite").partitionBy(
             bucket_col
         ).parquet(out_path)
         wall_ms = int((time.time() - t0) * 1000)
