@@ -535,6 +535,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed ANN (scale path #2; rows-only — k-means internals):
+    top-5 neighbors of vec 0 probing half of 8 inverted lists."""
+    from pawpaw_spark.operators.similarity import ivf_fit, ivf_topk, with_ivf_cluster
+
+    emb = _emb(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    centroids = ivf_fit(emb, n_centroids=8, iters=3)
+    clustered = with_ivf_cluster(emb, centroids)
+    return ivf_topk(clustered, centroids, qv, k=5, n_probe=4).select(
+        F.col("id").cast("long").alias("vec_id"), F.round("cosine", 6).alias("cosine_r")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -571,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_tree_stats": q_nlp_tree_stats,
         "table_detect": q_table_detect,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -834,7 +849,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         # minhash_dedup / simhash_neardup / windowed_merge /
-        # nlp_tree_stats / table_detect / ann_lsh_topk:
-        # non-SQL-expressible (seeded hash internals, consume-on-match
-        # stream semantics, RE2-incompatible lookbehinds) -> rows-only checks
+        # nlp_tree_stats / table_detect / ann_lsh_topk / ann_ivf_topk:
+        # non-SQL-expressible (seeded hash / k-means internals,
+        # consume-on-match stream semantics, RE2-incompatible
+        # lookbehinds) -> rows-only checks
     }

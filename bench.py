@@ -49,6 +49,7 @@ HEADLINE = [
     "nlp_tree_stats",
     "table_detect",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

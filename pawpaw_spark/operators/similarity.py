@@ -91,6 +91,110 @@ def lsh_topk(
     )
 
 
+def _centroid_dots(centroids: np.ndarray, vec_col: str):
+    """array<double> of dot(v, c_i) — pure column expressions, evaluated
+    inside whole-stage codegen (no python worker)."""
+    return F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_fit(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means for the IVF index: assignment runs distributed
+    (argmax of centroid dot products, JVM-side), the centroid update is
+    a (cluster, dim)-keyed sum — n_centroids x dim rows, metadata-sized
+    no matter the corpus. Init = first n_centroids vectors by id-hash
+    order (deterministic, spread by the hash)."""
+    init = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([r["v"] for r in init], dtype=float)
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    norm = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x / norm)
+    for _ in range(iters):
+        dots = _centroid_dots(centroids, "__unit")
+        assigned = (
+            emb.withColumn("__unit", unit)
+            .withColumn("__c", F.array_position(dots, F.array_max(dots)) - 1)
+        )
+        sums = (
+            assigned.select("__c", F.posexplode("__unit").alias("pos", "x"))
+            .groupBy("__c", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc = np.zeros_like(centroids)
+        for r in sums:
+            acc[int(r["__c"]), int(r["pos"])] = r["s"]
+        filled = {int(r["__c"]) for r in sums}
+        for c in filled:
+            v = acc[c]
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                new[c] = v / n
+        centroids = new
+    return centroids
+
+
+def with_ivf_cluster(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment as a column expression; at rest the
+    table is partitioned by this column so a probe reads only the probed
+    clusters' files (partition pruning = the IVF inverted lists)."""
+    norm = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x / norm)
+    df = emb.withColumn("__unit", unit)
+    dots = _centroid_dots(centroids, "__unit")
+    return df.withColumn(out_col, (F.array_position(dots, F.array_max(dots)) - 1).cast("int")).drop(
+        "__unit"
+    )
+
+
+def ivf_topk(
+    emb_with_cluster: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: probe the n_probe clusters whose centroids are nearest
+    the query (driver-side on the tiny centroid matrix), exact cosine
+    re-rank inside them."""
+    q = np.asarray(query_vec, dtype=float)
+    qu = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qu))[:n_probe]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    qn = float(np.linalg.norm(q))
+    cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        emb_with_cluster.filter(F.col("cluster").isin([int(c) for c in probe]))
+        .select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def topk_per_group(
     df: DataFrame, group_col: str, order_col: str, k: int, ascending: bool = False
 ) -> DataFrame:

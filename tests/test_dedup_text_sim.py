@@ -218,3 +218,34 @@ class TestMultimodal:
             pass
         with pytest.raises(NotImplementedError):
             decode_image(b"not an image")
+
+
+class TestIVF:
+    def test_ivf_recall_vs_bruteforce(self, spark, emb):
+        from pawpaw_spark.operators.similarity import (
+            cosine_topk, ivf_fit, ivf_topk, with_ivf_cluster,
+        )
+
+        centroids = ivf_fit(emb, n_centroids=8, iters=4)
+        assert centroids.shape[1] == len(emb.first().embedding)
+        clustered = with_ivf_cluster(emb, centroids).cache()
+        # every vector got a cluster in range
+        stats = clustered.agg(
+            F.min("cluster").alias("lo"), F.max("cluster").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        assert stats.lo >= 0 and stats.hi < 8 and stats.n == emb.count()
+
+        q = emb.first().embedding
+        exact = [r.id for r in cosine_topk(emb, q, k=10).collect()]
+        approx = [r.id for r in ivf_topk(clustered, centroids, q, k=10, n_probe=4).collect()]
+        # labels form real clusters in the fixture: half the lists probed
+        # must recover most of the exact top-10
+        assert len(set(exact) & set(approx)) >= 8
+
+    def test_ivf_fit_deterministic(self, spark, emb):
+        from pawpaw_spark.operators.similarity import ivf_fit
+
+        c1 = ivf_fit(emb, n_centroids=4, iters=2)
+        c2 = ivf_fit(emb, n_centroids=4, iters=2)
+        assert np.allclose(c1, c2)
