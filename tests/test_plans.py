@@ -71,3 +71,17 @@ class TestAggregation:
         plan = _plan(q)
         # '*(n)' prefixes mark whole-stage-codegen'd operators in AQE plans
         assert "*(" in plan, plan
+
+
+class TestFusedKgPlan:
+    def test_fused_build_has_no_exchange(self, spark):
+        """The one-pass KG build must be a single map stage: scan ->
+        arrow kernel -> output, with no shuffle anywhere (SURVEY §4;
+        this is what makes the N->4N scaling near-linear)."""
+        from pawpaw_spark.corpus import source_df
+        from pawpaw_spark.operators.triples import build_edges_fused
+
+        src = source_df(spark, 24, 42)
+        plan = _plan(build_edges_fused(src))
+        assert "Exchange" not in plan.replace("RoundRobin", ""), plan
+        assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan

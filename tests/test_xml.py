@@ -81,3 +81,30 @@ class TestXmlSpark:
         assert "r/a.xml@c" in docs
         local = xml_segment_records("r/a.xml@c", DOC)
         assert len([r for r in segs if r.doc_id == "r/a.xml@c"]) == len(local)
+
+
+def test_deep_nesting_no_recursion_limit(spark):
+    """The xpath_recursion_depth demo: stdlib ElementTree XPath blows the
+    recursion limit at depth ~300; the offset parser + relational tree
+    must not (expat walk, iterative indexes, plumule joins)."""
+    depth = 300
+    text = "<span>" * depth + "<p>text to be extracted</p>" + "</span>" * depth
+    from pawpaw_spark.kernel import segment_text
+    from pawpaw_spark.rulesets import XML_RULES
+
+    segs = segment_text(text, XML_RULES)
+    # the <p> element exists at depth ~depth, tree fully built
+    p = [s for s in segs if s[2] == "element" and text[s[0]:s[0]+3] == "<p>"]
+    assert len(p) == 1
+    assert max(s[4] for s in segs) >= depth
+
+    # and the plumule descendants axis finds its text node relationally
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.plans.plumule import PlumuleEngine
+
+    df = spark.createDataFrame([("d", text)], "doc_id string, content string")
+    seg_df = segment(df, XML_RULES, include_root=True)
+    hits = PlumuleEngine(seg_df).find_all("**[d:text]").collect()
+    assert len(hits) == 1
+    h = hits[0]
+    assert text[h.start:h.stop] == "text to be extracted"
