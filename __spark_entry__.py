@@ -523,14 +523,20 @@ def q_table_detect(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (scale path; rows-only — hyperplane hashing is
     engine-internal): top-5 neighbors of vec 0 via random-hyperplane
-    bucket probe with exact re-rank."""
+    bucket probe with exact re-rank. Plane count sizes buckets to ~64
+    vectors regardless of corpus scale (n_planes = log2(n/64)), so the
+    probe set stays useful from 2k vectors to 10^9."""
+    import math
+
     from pawpaw_spark.operators.similarity import hyperplanes, lsh_topk, with_lsh_bucket
 
     emb = _emb(spark, sf_dir)
+    n = emb.count()
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    planes = hyperplanes(len(qv), n_planes=12, seed=42)
+    n_planes = max(2, int(math.log2(max(n, 2) / 64)) + 1)
+    planes = hyperplanes(len(qv), n_planes=n_planes, seed=42)
     bucketed = with_lsh_bucket(emb, planes)
-    return lsh_topk(bucketed, qv, planes, k=5).select(
+    return lsh_topk(bucketed, qv, planes, k=5, n_probe=n_planes).select(
         F.col("id").cast("long").alias("vec_id"), F.round("cosine", 6).alias("cosine_r")
     )
 
