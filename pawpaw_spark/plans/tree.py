@@ -191,3 +191,48 @@ def subtree_spans(segments: DataFrame) -> DataFrame:
         "doc_id", "seg_id", "start", "stop",
         F.coalesce("n_descendants", F.lit(0)).alias("n_descendants"),
     )
+
+
+def tree_dump(segments: DataFrame, text_by_doc: dict[str, str], doc_id: str) -> str:
+    """Render one document's segment tree in the reference Tree-dumper
+    format — ``(start, stop) 'desc' : 'substr'`` rows joined by
+    box-drawing connectors (``pawpaw/visualization/pepo/pepo.py:59``;
+    parity-tested in tests/test_format.py). Debug surface: collects ONE
+    doc's segments to the driver by design."""
+    rows = sorted(
+        (
+            r
+            for r in segments.filter(F.col("doc_id") == doc_id).collect()
+        ),
+        key=lambda r: r["seg_id"],
+    )
+    text = text_by_doc[doc_id]
+    by_id = {r["seg_id"]: r for r in rows}
+    kids: dict[int | None, list] = {}
+    for r in rows:
+        p = r["parent_id"] if r["parent_id"] in by_id else None
+        kids.setdefault(p, []).append(r)
+    for v in kids.values():
+        v.sort(key=lambda r: (r["start"], -r["stop"]))
+
+    def node_line(r) -> str:
+        desc = r["desc"] if r["desc"] is not None else ""
+        return f"({r['start']}, {r['stop']}) '{desc}' : '{text[r['start']:r['stop']]}'"
+
+    out: list[str] = []
+
+    def emit(r, prefix: str, is_last: bool, is_root: bool) -> None:
+        if is_root:
+            out.append(node_line(r))
+            child_prefix = ""
+        else:
+            out.append(prefix + ("└──" if is_last else "├──") + node_line(r))
+            child_prefix = prefix + ("   " if is_last else "│  ")
+        cs = kids.get(r["seg_id"], [])
+        for i, c in enumerate(cs):
+            emit(c, child_prefix, i == len(cs) - 1, False)
+
+    top = kids.get(None, [])
+    for i, r in enumerate(top):
+        emit(r, "", i == len(top) - 1, len(top) == 1 and r["parent_id"] is None)
+    return "\n".join(out)

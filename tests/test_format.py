@@ -74,3 +74,25 @@ def test_span_only_spec_needs_no_source(spark):
     out = format_segments(segs, "%desc@%start-%stop")
     got = sorted(r["formatted"] for r in out.collect())
     assert got == ["word@0-3", "word@4-7"]
+
+
+def test_tree_dump_matches_reference_dumper(spark):
+    import regex
+
+    from pawpaw import arborform, visualization
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.plans.tree import tree_dump
+    from pawpaw_spark.rules import RuleSet, extract
+
+    text = "nine 9 ten 10 eleven 11"
+    pat = r"(?P<phrase>(?P<word>[a-z]+) (?P<number>\d+))"
+
+    root = pawpaw.Ito(text, desc="$doc")
+    for t in arborform.Extract(regex.compile(pat))(root.clone()):
+        root.children.add(t)
+    expected = visualization.pepo.Tree().dumps(root)
+
+    src = spark.createDataFrame([("d", text)], "doc_id string, content string")
+    segs = segment(src, RuleSet.of(extract(pat)), include_root=True)
+    got = tree_dump(segs, {"d": text}, "d")
+    assert got.strip() == expected.strip()
