@@ -93,12 +93,21 @@ def ngram_jaccard_pairs(
     Grams occurring in > max_gram_freq docs are dropped before the
     self-join (boilerplate skew guard; at 100 TB a hot shingle would
     otherwise create a quadratic bucket)."""
-    grams = _gram_table(df, text_col, id_col, k)
+    from pyspark import StorageLevel
+
+    # the gram table feeds FOUR consumers (sizes, frequency filter, both
+    # self-join sides); unpersisted, Catalyst re-derives each from the
+    # source scan — 6 corpus reads + 6 gram computations (observed, 0
+    # ReusedExchange). One clustering pass cached beats re-scanning at
+    # any scale; MEMORY_AND_DISK spills instead of evicting.
+    grams = _gram_table(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     freq_ok = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__f")).filter(
         F.col("__f") <= max_gram_freq
     )
-    grams = grams.join(F.broadcast(freq_ok.select("gram")), "gram")
+    grams = grams.join(F.broadcast(freq_ok.select("gram")), "gram").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = grams.select(F.col("id").alias("a"), "gram")
     b = grams.select(F.col("id").alias("b"), "gram")
     shared = (
