@@ -548,7 +548,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    centroids = ivf_fit(emb, n_centroids=8, iters=3)
+    centroids = ivf_fit(emb, n_centroids=8, iters=2)
     clustered = with_ivf_cluster(emb, centroids)
     return ivf_topk(clustered, centroids, qv, k=5, n_probe=4).select(
         F.col("id").cast("long").alias("vec_id"), F.round("cosine", 6).alias("cosine_r")

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -91,15 +92,23 @@ def lsh_topk(
     )
 
 
-def _centroid_dots(centroids: np.ndarray, vec_col: str):
-    """array<double> of dot(v, c_i) — pure column expressions, evaluated
-    inside whole-stage codegen (no python worker)."""
-    return F.array(
-        *[
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
-    )
+def _assign_udf(centroids: np.ndarray):
+    """Nearest-centroid assignment as an Arrow-batched numpy matmul.
+
+    NOT a codegen column expression on purpose: k x dim literal arrays
+    (512 literals at 8x64) cost seconds of plan compilation per
+    distinct centroid matrix — every k-means iteration is a new matrix,
+    so the compile bill repeats. The UDF ships the matrix in its
+    closure and each batch is one (n, d) @ (d, k) product."""
+    mat = np.asarray(centroids, dtype=float)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=float)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ mat.T, axis=1).astype("int32"))
+
+    return assign
 
 
 def ivf_fit(
@@ -126,10 +135,9 @@ def ivf_fit(
     norm = _norm(F.col(vec_col))
     unit = F.transform(F.col(vec_col), lambda x: x / norm)
     for _ in range(iters):
-        dots = _centroid_dots(centroids, "__unit")
         assigned = (
             emb.withColumn("__unit", unit)
-            .withColumn("__c", F.array_position(dots, F.array_max(dots)) - 1)
+            .withColumn("__c", _assign_udf(centroids)(F.col(vec_col)))
         )
         sums = (
             assigned.select("__c", F.posexplode("__unit").alias("pos", "x"))
@@ -157,16 +165,10 @@ def with_ivf_cluster(
     vec_col: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Nearest-centroid assignment as a column expression; at rest the
+    """Nearest-centroid assignment (Arrow-batched numpy); at rest the
     table is partitioned by this column so a probe reads only the probed
     clusters' files (partition pruning = the IVF inverted lists)."""
-    norm = _norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x / norm)
-    df = emb.withColumn("__unit", unit)
-    dots = _centroid_dots(centroids, "__unit")
-    return df.withColumn(out_col, (F.array_position(dots, F.array_max(dots)) - 1).cast("int")).drop(
-        "__unit"
-    )
+    return emb.withColumn(out_col, _assign_udf(centroids)(F.col(vec_col)))
 
 
 def ivf_topk(
