@@ -117,3 +117,12 @@ class TestPipeline:
         after = LineageLog(out).read(spark).filter(F.col("stage") == "segments").count()
         assert after > before
         assert after - before <= 2  # only the touched bucket(s), not all 8
+
+        # the canon stage is input-global: changed content MUST invalidate
+        # its checkpoint (two distinct fingerprints recorded), while an
+        # unchanged third run adds nothing
+        canon = LineageLog(out).read(spark).filter(F.col("stage") == "canon")
+        assert canon.count() == 2
+        assert canon.select("input_fingerprint").distinct().count() == 2
+        build_kg(spark, changed, out, n_buckets=8)
+        assert LineageLog(out).read(spark).filter(F.col("stage") == "canon").count() == 2
