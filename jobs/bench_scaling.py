@@ -49,6 +49,10 @@ def ensure_corpus(path: str, n_files: int, seed: int = 42) -> None:
     base = n_files // n_chunks
     sizes = [base + (1 if i < n_files % n_chunks else 0) for i in range(n_chunks)]
 
+    offsets = [0] * n_chunks
+    for i in range(1, n_chunks):
+        offsets[i] = offsets[i - 1] + sizes[i - 1]
+
     def gen(batches):
         import pandas as pd
 
@@ -56,7 +60,11 @@ def ensure_corpus(path: str, n_files: int, seed: int = 42) -> None:
 
         for pdf in batches:
             for cid, sz in zip(pdf["id"].values, pdf["sz"].values):
-                rows = list(generate_rows(int(sz), seed + int(cid)))
+                # per-chunk start offset => globally unique (repo, path,
+                # commit) doc identities across chunks (ADVICE r1)
+                rows = list(
+                    generate_rows(int(sz), seed + int(cid), start=offsets[int(cid)])
+                )
                 yield pd.DataFrame(rows, columns=list(SOURCE_SCHEMA.fieldNames()))
 
     spark = get_spark(app_name="kg_scale_gen", master="local[32]")

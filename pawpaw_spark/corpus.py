@@ -111,12 +111,18 @@ def load_constitution() -> str | None:
     return None
 
 
-def generate_rows(n_files: int = 200, seed: int = 42, include_demo_corpora: bool = True):
-    """Yield dict rows of the source table. Deterministic in (n_files, seed)."""
+def generate_rows(
+    n_files: int = 200, seed: int = 42, include_demo_corpora: bool = True,
+    start: int = 0,
+):
+    """Yield dict rows of the source table. Deterministic in (n_files,
+    seed, start). ``start`` offsets the path/commit index space so
+    chunked generators (each chunk its own seed) still emit globally
+    unique (repo, path, commit) doc identities."""
     rng = random.Random(seed)
     constitution = load_constitution() if include_demo_corpora else None
     kinds = ["py", "py", "py", "txt", "txt", "md", "grades", "qa", "xml", "canon"]
-    for i in range(n_files):
+    for i in range(start, start + n_files):
         # mega-repo skew: org0/repo0 takes ~40% of files
         if rng.random() < 0.4:
             repo = "org0/repo0"

@@ -21,12 +21,20 @@ def connected_components(
     b_col: str = "b",
     max_iters: int = 25,
     checkpoint_every: int = 5,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) — component = min node id in the component.
 
-    Min-label propagation: every node repeatedly adopts the smallest
-    label among itself and its neighbors; converges in <= diameter
-    rounds. Undirected: edges are symmetrized once up front.
+    Min-label propagation + pointer jumping: every round each node (1)
+    adopts the smallest label among itself and its neighbors, then (2)
+    adopts its label's label (path halving). Step 2 shortcuts label
+    chains, so a path graph of n nodes converges in O(log n) rounds
+    instead of O(n) — ``max_iters=25`` covers components of ~2^25
+    diameter. Undirected: edges are symmetrized once up front.
+
+    If the loop exits without converging the result is WRONG (labels
+    mid-propagation); ``on_nonconverged`` = 'raise' (default) or 'warn'
+    (log and return the unconverged labels) — never silent.
     """
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -37,6 +45,7 @@ def connected_components(
     labels = nodes.withColumn("comp", F.col("node"))
 
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for it in range(max_iters):
         # neighbor labels: for each edge (src,dst), dst hears src's comp
         msgs = (
@@ -48,6 +57,18 @@ def connected_components(
             .union(msgs)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jumping (path halving): comp <- label(comp). Labels
+        # only ever shrink toward the component min, and every comp
+        # value is itself a node (labels start as node ids), so the
+        # inner join is total. This is the step that makes long chains
+        # O(log n) rounds.
+        jump = new_labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_labels = (
+            new_labels.join(jump, "comp")
+            .select("node", F.least("comp", "comp2").alias("comp"))
         )
         # materialize EVERY iteration: the convergence probe below is an
         # action, and an unmaterialized chain re-executes from the last
@@ -65,7 +86,20 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iters} rounds; "
+            "labels are mid-propagation and component assignments are wrong. "
+            "Raise max_iters (rounds ~ log2(component diameter))."
+        )
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning)
+        else:
+            raise RuntimeError(msg)
     return labels.select("node", "comp")
 
 

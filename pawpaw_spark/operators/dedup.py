@@ -86,13 +86,22 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_gram_freq: int = 1000,
+    max_gram_freq: int | None = 1000,
 ) -> DataFrame:
     """Pairs with k-token-shingle Jaccard >= threshold.
 
     Grams occurring in > max_gram_freq docs are dropped before the
     self-join (boilerplate skew guard; at 100 TB a hot shingle would
-    otherwise create a quadratic bucket)."""
+    otherwise create a quadratic bucket). NOTE: dropped grams are also
+    excluded from the intersection count, so with a finite
+    max_gram_freq the reported jaccard is a lower bound once any gram's
+    doc-frequency exceeds the cap; pass ``max_gram_freq=None`` for
+    exact semantics on corpora without hot shingles.
+
+    Cache lifecycle: the gram tables are persisted (they feed four
+    consumers); handles are attached to the returned DataFrame as
+    ``_pawpaw_cached`` — long-lived sessions should unpersist them after
+    the consuming action (callers own cleanup)."""
     from pyspark import StorageLevel
 
     # the gram table feeds FOUR consumers (sizes, frequency filter, both
@@ -100,14 +109,18 @@ def ngram_jaccard_pairs(
     # source scan — 6 corpus reads + 6 gram computations (observed, 0
     # ReusedExchange). One clustering pass cached beats re-scanning at
     # any scale; MEMORY_AND_DISK spills instead of evicting.
+    cached = []
     grams = _gram_table(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    cached.append(grams)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    freq_ok = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__f")).filter(
-        F.col("__f") <= max_gram_freq
-    )
-    grams = grams.join(F.broadcast(freq_ok.select("gram")), "gram").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if max_gram_freq is not None:
+        freq_ok = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__f")).filter(
+            F.col("__f") <= max_gram_freq
+        )
+        grams = grams.join(F.broadcast(freq_ok.select("gram")), "gram").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cached.append(grams)
     a = grams.select(F.col("id").alias("a"), "gram")
     b = grams.select(F.col("id").alias("b"), "gram")
     shared = (
@@ -118,7 +131,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
-    return (
+    out = (
         shared.join(sa, "a")
         .join(sb, "b")
         .withColumn(
@@ -128,6 +141,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    out._pawpaw_cached = cached  # callers own unpersist (see docstring)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +240,25 @@ def lsh_candidate_pairs(
     )
 
 
+def _gram_array(df: DataFrame, text_col: str, id_col: str, k: int):
+    """(id, grams: array<long>) — distinct hashed k-token shingles per
+    doc (same shingle definition as ``_gram_table``, unexploded)."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    width = n - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, width).alias(f"t{i}") for i in range(k)]
+    )
+    grams_k = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(k)])
+    )
+    grams = F.when(n >= k, grams_k).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(grams, lambda g: F.xxhash64(g))).alias("grams"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -234,8 +268,18 @@ def minhash_dedup_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    verify: str = "estimate",
 ) -> DataFrame:
-    """Candidates via LSH, verified by signature-agreement estimate.
+    """Candidates via LSH, then per-pair verification.
+
+    ``verify='estimate'`` filters on the signature-agreement Jaccard
+    estimate (cheapest; the classic MinHash answer). ``verify='exact'``
+    recomputes the TRUE shingle-set Jaccard for each candidate pair
+    (array_intersect on the hashed shingle arrays) — the standard
+    LSH-block + exact-verify pipeline: still never all-pairs, the exact
+    math runs on candidates only, and the output is deterministic given
+    the candidate set (false negatives are only LSH misses, whose
+    probability is (1-t^r)^b per pair).
 
     The signature kernel output is persisted before fan-out — it feeds
     the band explode plus both sides of the verification join, and
@@ -247,6 +291,19 @@ def minhash_dedup_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = lsh_candidate_pairs(sigs, bands, n_hashes=n_hashes)
+    if verify == "exact":
+        grams = _gram_array(df, text_col, id_col, shingle_k)
+        ga = grams.select(F.col("id").alias("a"), F.col("grams").alias("ga"))
+        gb = grams.select(F.col("id").alias("b"), F.col("grams").alias("gb"))
+        inter = F.size(F.array_intersect("ga", "gb"))
+        jacc = inter / (F.size("ga") + F.size("gb") - inter)
+        return (
+            cands.join(ga, "a")
+            .join(gb, "b")
+            .withColumn("jaccard", jacc)
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
     sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     est = (
@@ -267,8 +324,23 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Arrow-batched numpy)."""
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn: str = "blake2b",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Arrow-batched numpy).
+
+    ``hash_fn``: per-token 64-bit hash family. ``'blake2b'`` (default,
+    fastest) or ``'md5'`` — the lower 8 digest bytes little-endian,
+    which equals DuckDB's ``md5_number_lower`` so an external engine can
+    recompute the fingerprints bit-for-bit (used by the correctness
+    oracle)."""
+    if hash_fn == "md5":
+        def _h(t: str) -> int:
+            return int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+    else:
+        def _h(t: str) -> int:
+            return int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitcols = np.arange(64, dtype=np.uint64)
@@ -283,10 +355,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                     fps.append(0)
                     continue
                 hs = np.array(
-                    [
-                        int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-                        for t in toks
-                    ],
+                    [_h(t) for t in toks],
                     dtype=np.uint64,
                 )
                 bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)  # (n_tok, 64)

@@ -76,9 +76,12 @@ def minhash_name_signatures(
 
 
 def candidate_pairs(
-    sigs: DataFrame, bands: int = 8, max_bucket: int = 500
+    sigs: DataFrame, bands: int = 8, max_bucket: int = 500,
+    n_hashes: int | None = None,
 ) -> DataFrame:
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    if n_hashes is None:  # probe only when the caller didn't know it —
+        # a driver action that runs the signature kernel on a partition
+        n_hashes = len(sigs.select("sig").first()["sig"])
     rpb = n_hashes // bands
     banded = sigs.select(
         "name",
@@ -180,5 +183,6 @@ def link_symbols(
     """segments -> (a, b, score) match edges between symbol names."""
     mentions = symbol_mentions(segments)
     sigs = minhash_name_signatures(mentions, n_hashes=n_hashes)
-    cands = candidate_pairs(sigs, bands=bands)
+    # n_hashes threaded through — no driver action before the score stage
+    cands = candidate_pairs(sigs, bands=bands, n_hashes=n_hashes)
     return score_pairs(cands, threshold=threshold)

@@ -59,7 +59,23 @@ def write_partitioned(
         else:
             writer.append()
         return spark.table(full)
-    clustered.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    # Force STATIC overwrite for the parquet fallback: pipeline stages set
+    # partitionOverwriteMode=dynamic session-wide (lineage.run_stage), under
+    # which mode='overwrite' only replaces partitions present in the NEW
+    # data — a re-run covering fewer salt values would silently leave stale
+    # partitions on disk and bless them via the stage checkpoint.
+    if mode == "overwrite":
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            clustered.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    else:
+        clustered.write.mode(mode).partitionBy(*partition_cols).parquet(path)
     return spark.read.parquet(path)
 
 

@@ -66,6 +66,28 @@ class TestConnectedComponents:
         comps = connected_components(edges, max_iters=60, checkpoint_every=5)
         assert comps.select("comp").distinct().count() == 1
 
+    def test_chain_longer_than_iters_converges_via_pointer_jumping(self, spark):
+        # a 100-node path has diameter 100; pointer jumping must close
+        # it in O(log n) rounds — well inside max_iters=10
+        n = 100
+        edges = spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "a string, b string"
+        )
+        comps = connected_components(edges, max_iters=10)
+        rows = comps.collect()
+        assert len(rows) == n
+        assert {r.comp for r in rows} == {"n000"}
+
+    def test_nonconvergence_raises_not_silent(self, spark):
+        import pytest
+
+        n = 64
+        edges = spark.createDataFrame(
+            [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "a string, b string"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iters=1)
+
 
 class TestPipeline:
     def test_build_and_resume(self, spark, src, tmp_path_factory):
