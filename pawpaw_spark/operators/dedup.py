@@ -359,7 +359,10 @@ def simhash(
                     dtype=np.uint64,
                 )
                 bits = (hs[:, None] >> bitcols[None, :]) & np.uint64(1)  # (n_tok, 64)
-                votes = bits.sum(axis=0) * 2 - len(toks)
+                # signed accumulate: in uint64, 2*ones - n underflows
+                # whenever a bit has minority ones, silently setting it —
+                # caught by the DuckDB fingerprint oracle (round 2)
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(toks)
                 fp = int(((votes > 0).astype(np.uint64) << bitcols).sum(dtype=np.uint64))
                 ids.append(did)
                 fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)  # store as signed

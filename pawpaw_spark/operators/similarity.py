@@ -63,6 +63,36 @@ def with_lsh_bucket(
     return emb.withColumn(out_col, bucket)
 
 
+def probe_buckets_for(
+    query_vec: list[float], planes: np.ndarray, n_probe: int
+) -> list[int]:
+    """Multiprobe bucket sequence: the query's own bucket plus the
+    n_probe buckets cheapest to reach by flipping hyperplane signs,
+    ranked by total flipped |margin| (the standard multiprobe-LSH
+    ordering). For small plane counts every mask is ranked exactly;
+    beyond 12 planes the ranking covers all 1- and 2-flip masks (the
+    useful probe set — a 3-flip bucket is practically never cheaper
+    than an unprobed 2-flip one)."""
+    q = np.asarray(query_vec, dtype=float)
+    margins = planes @ q
+    p = len(planes)
+    base = sum((1 << i) for i, m in enumerate(margins) if m >= 0)
+    am = np.abs(margins)
+    if p <= 12:
+        masks = np.arange(1 << p)
+        costs = [(am[[i for i in range(p) if m >> i & 1]].sum(), int(m)) for m in masks]
+    else:
+        order = np.argsort(am)
+        costs = [(0.0, 0)]
+        costs += [(float(am[i]), 1 << int(i)) for i in order]
+        costs += [
+            (float(am[order[i]] + am[order[j]]), (1 << int(order[i])) | (1 << int(order[j])))
+            for i in range(min(p, 24)) for j in range(i + 1, min(p, 24))
+        ]
+    costs.sort()
+    return [base ^ m for _, m in costs[: n_probe + 1]]
+
+
 def lsh_topk(
     emb_with_bucket: DataFrame,
     query_vec: list[float],
@@ -72,14 +102,11 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """ANN top-k: probe the query's bucket plus its n_probe nearest
-    single-bit-flip neighbors (flipping the planes with the smallest
-    |margin|), exact cosine re-rank inside the probed buckets."""
+    """ANN top-k: probe the query's bucket plus its n_probe cheapest
+    multiprobe neighbors (ranked bit-flip masks over the plane margins),
+    exact cosine re-rank inside the probed buckets."""
     q = np.asarray(query_vec, dtype=float)
-    margins = planes @ q
-    base = sum((1 << i) for i, m in enumerate(margins) if m >= 0)
-    flips = np.argsort(np.abs(margins))[:n_probe]
-    probe_buckets = [base] + [base ^ (1 << int(i)) for i in flips]
+    probe_buckets = probe_buckets_for(query_vec, planes, n_probe)
 
     qcol = F.array(*[F.lit(float(x)) for x in q])
     qn = float(np.sqrt(q @ q))

@@ -105,8 +105,24 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace/case-normalized content fingerprint (md5 — stable
-    across engines, so the DuckDB oracle can reproduce it)."""
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", mode: str = "normalized"
+) -> DataFrame:
+    """Content fingerprint (md5 — stable across engines, so the DuckDB
+    oracle can reproduce it).
+
+    * ``mode='normalized'`` — whitespace/case-normalized exact-content
+      fingerprint: collapses docs that differ only in spacing/case.
+    * ``mode='tokenset'``   — bag-of-words fingerprint: md5 over the
+      sorted distinct lowercase tokens; collapses token-reordered and
+      token-repeated near-duplicates (the classic shingle-free cheap
+      near-dup key). Still one projection, no shuffle.
+    """
+    if mode == "tokenset":
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        )
+        key = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        return df.withColumn("fingerprint", F.md5(key))
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(F.trim(normalized)))
