@@ -220,6 +220,23 @@ def q_str_ops(spark, sf_dir):
     )
 
 
+def q_str_suite(spark, sf_dir):
+    """round-2 str-equivalence additions (§2.2): span-emitting split /
+    splitlines and rfind as pure column expressions, per doc."""
+    from pawpaw_spark.functions.strings import (
+        str_rfind, str_split_spans, str_splitlines_spans,
+    )
+
+    d = _docs(spark, sf_dir)
+    start, stop = F.lit(0), F.length("text")
+    return d.select(
+        "doc_id",
+        F.size(str_split_spans(F.col("text"), start, stop)).cast("long").alias("n_ws_parts"),
+        F.size(str_splitlines_spans(F.col("text"), start, stop)).cast("long").alias("n_lines"),
+        str_rfind(F.col("text"), start, stop, "data").cast("long").alias("last_data"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """language-ID heuristic (training-pipeline op): confusion counts."""
     from pawpaw_spark.operators.text import with_lang_id
@@ -677,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_distinct_texts": q_dedup_distinct_texts,
         "nuco": q_nuco,
         "str_ops": q_str_ops,
+        "str_suite": q_str_suite,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality": q_quality,
@@ -817,6 +835,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN ends_with(text, 'n') THEN 1 ELSE 0 END) AS BIGINT) AS n_ew_n,
                    CAST(sum((length(text) - length(replace(text, 'data', ''))) / 4) AS BIGINT) AS occ_data
             FROM documents GROUP BY lang
+        """,
+        # ws-mode split spans == non-space runs; splitlines on a corpus
+        # with no EOLs == 1 line per doc; rfind via the reverse trick
+        "str_suite": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_parts,
+                   CAST(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN strpos(reverse(text), 'atad') > 0
+                        THEN length(text) - (strpos(reverse(text), 'atad') - 1) - 4
+                        ELSE -1 END AS BIGINT) AS last_data
+            FROM documents
         """,
         "lang_id": f"""
             WITH h AS (SELECT lang, {hits_cols} FROM documents)

@@ -31,6 +31,7 @@ HEADLINE = [
     "topk_orders",
     "dedup_distinct_texts",
     "str_ops",
+    "str_suite",
     "lang_id",
     "token_counts",
     "quality",

@@ -75,17 +75,23 @@ def str_partition_spans(
 
 def str_isdigit(content: Column, start: Column, stop: Column) -> Column:
     t = seg_text(content, start, stop)
-    return (F.length(t) > 0) & t.rlike(r"^\d+$")
+    return (F.length(t) > 0) & t.rlike(r"\A\d+\z")
 
 
 def str_isalpha(content: Column, start: Column, stop: Column) -> Column:
     t = seg_text(content, start, stop)
-    return (F.length(t) > 0) & t.rlike(r"^[^\W\d_]+$")
+    return (F.length(t) > 0) & t.rlike(r"\A[^\W\d_]+\z")
+
+
+# python's str whitespace set (str.isspace / whitespace-mode split):
+# Unicode White_Space plus the \x1c-\x1f separators Java \s lacks
+_PY_WS = r"\A[\p{IsWhite_Space}\x1c-\x1f]\z"
+_PY_WS_RUN = r"\A[\p{IsWhite_Space}\x1c-\x1f]+\z"
 
 
 def str_isspace(content: Column, start: Column, stop: Column) -> Column:
     t = seg_text(content, start, stop)
-    return (F.length(t) > 0) & t.rlike(r"^\s+$")
+    return (F.length(t) > 0) & t.rlike(_PY_WS_RUN)
 
 
 def removeprefix_span(content: Column, start: Column, stop: Column, prefix: str) -> Column:
@@ -96,6 +102,259 @@ def removeprefix_span(content: Column, start: Column, stop: Column, prefix: str)
 def removesuffix_span(content: Column, start: Column, stop: Column, suffix: str) -> Column:
     """New stop offset after ``str.removesuffix``."""
     return F.when(str_endswith(content, start, stop, suffix), stop - len(suffix)).otherwise(stop)
+
+
+def str_rfind(content: Column, start: Column, stop: Column, sub: str) -> Column:
+    """Last index of ``sub`` relative to the span start; -1 if absent
+    (``str.rfind`` semantics) — reverse-locate trick, pure JVM."""
+    t = seg_text(content, start, stop)
+    rpos = F.locate(sub[::-1], F.reverse(t))  # 1-based from the end
+    return F.when(rpos == 0, F.lit(-1)).otherwise(
+        F.length(t) - (rpos - 1) - len(sub)
+    ).cast("int")
+
+
+def str_rindex(content: Column, start: Column, stop: Column, sub: str) -> Column:
+    """Like rfind but NULL when absent (the Column analog of the
+    ValueError ``str.rindex`` raises)."""
+    idx = str_rfind(content, start, stop, sub)
+    return F.when(idx >= 0, idx)
+
+
+def str_rpartition_spans(
+    content: Column, start: Column, stop: Column, sep: str
+) -> tuple[Column, Column, Column, Column]:
+    """(before_stop, sep_start, sep_stop, after_start) absolute offsets;
+    if sep missing, before/sep collapse at START and after = whole span
+    (``str.rpartition`` semantics)."""
+    idx = str_rfind(content, start, stop, sep)
+    found = idx >= 0
+    sep_start = F.when(found, start + idx).otherwise(start)
+    sep_stop = F.when(found, start + idx + len(sep)).otherwise(start)
+    return (sep_start.cast("int"), sep_start.cast("int"), sep_stop.cast("int"), sep_stop.cast("int"))
+
+
+_SPAN = lambda a, b: F.struct(a.cast("int").alias("start"), b.cast("int").alias("stop"))
+
+
+def _ws_token_spans(content: Column, start: Column, stop: Column) -> Column:
+    """Array of absolute (start, stop) spans of the maximal non-space
+    runs — the whitespace mode of ``str.split``, span-emitting. Char
+    classification over a position sequence keeps it a pure column
+    expression (no UDF): O(len) one-char substrings inside codegen."""
+    t = seg_text(content, start, stop)
+    L = F.length(t)
+    c = lambda i: F.substring(t, i + 1, 1)
+    ws = lambda i: c(i).rlike(_PY_WS)
+    idx = F.sequence(F.lit(0), L - 1)
+    starts = F.filter(idx, lambda i: ~ws(i) & ((i == 0) | ws(i - 1)))
+    ends = F.filter(idx, lambda i: ~ws(i) & ((i == L - 1) | ws(i + 1)))
+    spans = F.zip_with(starts, ends, lambda a, b: _SPAN(start + a, start + b + 1))
+    return F.when(L > 0, spans).otherwise(F.array().cast("array<struct<start:int,stop:int>>"))
+
+
+def _sep_positions(t: Column, L: Column, sep: str) -> Column:
+    """Relative start offsets of the leftmost non-overlapping ``sep``
+    occurrences (the occurrence discipline of ``str.split``): candidate
+    positions from a char scan, then a fold keeps each candidate only
+    if it starts at/after the previous kept occurrence's end."""
+    idx = F.sequence(F.lit(0), L - 1)
+    cand = F.filter(idx, lambda i: F.substring(t, i + 1, len(sep)) == sep)
+    init = F.struct(
+        F.lit(0).alias("nxt"), F.array().cast("array<int>").alias("keep")
+    )
+    merge = lambda acc, i: F.when(
+        i >= acc["nxt"],
+        F.struct(
+            (i + len(sep)).cast("int").alias("nxt"),
+            F.concat(acc["keep"], F.array(i.cast("int"))).alias("keep"),
+        ),
+    ).otherwise(acc)
+    kept = F.aggregate(cand, init, merge, lambda acc: acc["keep"])
+    return F.when(L > 0, kept).otherwise(F.array().cast("array<int>"))
+
+
+def str_split_spans(
+    content: Column, start: Column, stop: Column, sep: str | None = None,
+    maxsplit: int = -1,
+) -> Column:
+    """Array of absolute (start, stop) spans, ``str.split`` semantics
+    (span-emitting form of the reference's ``str_split``): whitespace
+    mode drops empty parts; separator mode keeps them; with ``maxsplit``
+    the tail part runs to the span's stop."""
+    if sep is None:
+        spans = _ws_token_spans(content, start, stop)
+        if maxsplit >= 0:
+            tail = _SPAN(F.element_at(spans, maxsplit + 1)["start"], stop)
+            spans = F.when(
+                F.size(spans) > maxsplit,
+                F.concat(F.slice(spans, 1, maxsplit), F.array(tail)),
+            ).otherwise(spans)
+        return spans
+    if sep == "":
+        raise ValueError("empty separator")
+    t = seg_text(content, start, stop)
+    L = F.length(t)
+    seps = _sep_positions(t, L, sep)
+    starts_rel = F.concat(
+        F.array(F.lit(0)), F.transform(seps, lambda s: s + len(sep))
+    )
+    stops_rel = F.concat(seps, F.array(L))
+    spans = F.zip_with(starts_rel, stops_rel, lambda a, b: _SPAN(start + a, start + b))
+    if maxsplit >= 0:
+        tail = _SPAN(F.element_at(spans, maxsplit + 1)["start"], stop)
+        spans = F.when(
+            F.size(spans) > maxsplit + 1,
+            F.concat(F.slice(spans, 1, maxsplit), F.array(tail)),
+        ).otherwise(spans)
+    return spans
+
+
+def _rsep_positions(t: Column, L: Column, sep: str) -> Column:
+    """Rightmost non-overlapping occurrences (the discipline of
+    ``str.rsplit``: 'aaa'.rsplit('aa') == ['a', ''])."""
+    idx = F.sequence(F.lit(0), L - 1)
+    cand = F.filter(idx, lambda i: F.substring(t, i + 1, len(sep)) == sep)
+    init = F.struct(
+        (L + F.lit(0)).cast("int").alias("prv"),
+        F.array().cast("array<int>").alias("keep"),
+    )
+    merge = lambda acc, i: F.when(
+        i + len(sep) <= acc["prv"],
+        F.struct(
+            i.cast("int").alias("prv"),
+            F.concat(acc["keep"], F.array(i.cast("int"))).alias("keep"),
+        ),
+    ).otherwise(acc)
+    kept = F.aggregate(F.reverse(cand), init, merge, lambda acc: F.reverse(acc["keep"]))
+    return F.when(L > 0, kept).otherwise(F.array().cast("array<int>"))
+
+
+def str_rsplit_spans(
+    content: Column, start: Column, stop: Column, sep: str | None = None,
+    maxsplit: int = -1,
+) -> Column:
+    """``str.rsplit`` span form: occurrences scanned right-to-left, and
+    with ``maxsplit`` the HEAD part runs from the span's start to the
+    stop of the (n-maxsplit-1)th part (mirrors python:
+    ' a b '.rsplit(None, 1) == [' a', 'b'])."""
+    if sep is None:
+        spans = str_split_spans(content, start, stop, None)
+    else:
+        if sep == "":
+            raise ValueError("empty separator")
+        t = seg_text(content, start, stop)
+        L = F.length(t)
+        seps = _rsep_positions(t, L, sep)
+        starts_rel = F.concat(
+            F.array(F.lit(0)), F.transform(seps, lambda s: s + len(sep))
+        )
+        stops_rel = F.concat(seps, F.array(L))
+        spans = F.zip_with(starts_rel, stops_rel, lambda a, b: _SPAN(start + a, start + b))
+    if maxsplit < 0:
+        return spans
+    n = F.size(spans)
+    head = _SPAN(start, F.element_at(spans, n - maxsplit)["stop"])
+    return F.when(
+        n > maxsplit + (1 if sep is not None else 0),
+        F.concat(F.array(head), F.slice(spans, n - maxsplit + 1, maxsplit)),
+    ).otherwise(spans)
+
+
+# full Unicode EOL set of str.splitlines (reference ito.py:1288)
+_EOL_CHARS = ["\n", "\r", "\x0b", "\x0c", "\x1c", "\x1d", "\x1e", "\x85", "\u2028", "\u2029"]
+
+
+def str_splitlines_spans(
+    content: Column, start: Column, stop: Column, keepends: bool = False
+) -> Column:
+    """Array of absolute (start, stop) line spans, ``str.splitlines``
+    semantics: full Unicode EOL set, '\\r\\n' as one separator, interior
+    empty lines kept, trailing empty line dropped."""
+    t = seg_text(content, start, stop)
+    L = F.length(t)
+    c = lambda i: F.substring(t, i + 1, 1)
+    is_eol = lambda i: c(i).isin(_EOL_CHARS)
+    idx = F.sequence(F.lit(0), L - 1)
+    # break starts: EOL chars, except a '\n' that completes '\r\n'
+    brk = F.filter(
+        idx, lambda i: is_eol(i) & ~((c(i) == "\n") & (i > 0) & (c(i - 1) == "\r"))
+    )
+    blen = lambda i: F.when((c(i) == "\r") & (c(i + 1) == "\n"), 2).otherwise(1)
+    starts_rel = F.concat(F.array(F.lit(0)), F.transform(brk, lambda b: b + blen(b)))
+    if keepends:
+        stops_rel = F.concat(F.transform(brk, lambda b: b + blen(b)), F.array(L))
+    else:
+        stops_rel = F.concat(brk, F.array(L))
+    lines = F.zip_with(starts_rel, stops_rel, lambda a, b: _SPAN(start + a, start + b))
+    # drop the trailing empty line (text ending in an EOL)
+    last_start = F.element_at(F.concat(F.array(F.lit(0)), F.transform(brk, lambda b: b + blen(b))), -1)
+    lines = F.when(last_start >= L, F.slice(lines, 1, F.size(lines) - 1)).otherwise(lines)
+    return F.when(L > 0, lines).otherwise(F.array().cast("array<struct<start:int,stop:int>>"))
+
+
+# --- remaining is-predicates -------------------------------------------------
+# Implemented as Unicode-category regexes (pure JVM). Java regex has no
+# XID_Start/Numeric_Type properties, so isidentifier/isnumeric are
+# category approximations: exact for ASCII and the common Unicode
+# ranges, divergent for exotica (e.g. Han numerals are Lo, not \p{N}) —
+# the differential tests pin the supported envelope.
+
+
+def _nonempty_rlike(content: Column, start: Column, stop: Column, pat: str) -> Column:
+    t = seg_text(content, start, stop)
+    return (F.length(t) > 0) & t.rlike(pat)
+
+
+def str_isalnum(content: Column, start: Column, stop: Column) -> Column:
+    return _nonempty_rlike(content, start, stop, r"\A[\p{L}\p{N}]+\z")
+
+
+def str_isdecimal(content: Column, start: Column, stop: Column) -> Column:
+    return _nonempty_rlike(content, start, stop, r"\A\p{Nd}+\z")
+
+
+def str_isnumeric(content: Column, start: Column, stop: Column) -> Column:
+    return _nonempty_rlike(content, start, stop, r"\A[\p{Nd}\p{Nl}\p{No}]+\z")
+
+
+def str_isupper(content: Column, start: Column, stop: Column) -> Column:
+    """At least one cased char and no lowercase (``str.isupper``)."""
+    t = seg_text(content, start, stop)
+    # binary Uppercase/Lowercase properties, not Lu/Ll categories:
+    # python counts e.g. Roman numerals (Nl, Uppercase=True) as cased
+    return t.rlike(r"[\p{IsUppercase}\p{Lt}]") & ~t.rlike(r"\p{IsLowercase}")
+
+
+def str_islower(content: Column, start: Column, stop: Column) -> Column:
+    t = seg_text(content, start, stop)
+    return t.rlike(r"\p{IsLowercase}") & ~t.rlike(r"[\p{IsUppercase}\p{Lt}]")
+
+
+def str_istitle(content: Column, start: Column, stop: Column) -> Column:
+    """Title case: upper/title only after uncased, lower only after
+    cased, at least one cased char (``str.istitle``)."""
+    t = seg_text(content, start, stop)
+    return t.rlike(
+        r"\A(?:[^\p{IsUppercase}\p{IsLowercase}\p{Lt}]|[\p{IsUppercase}\p{Lt}]\p{IsLowercase}*)*\z"
+    ) & t.rlike(r"[\p{IsUppercase}\p{Lt}]")
+
+
+def str_isascii(content: Column, start: Column, stop: Column) -> Column:
+    return seg_text(content, start, stop).rlike(r"\A[\x00-\x7F]*\z")
+
+
+def str_isidentifier(content: Column, start: Column, stop: Column) -> Column:
+    return _nonempty_rlike(
+        content, start, stop,
+        r"\A[\p{L}\p{Nl}_][\p{L}\p{Nl}\p{Mn}\p{Mc}\p{Nd}\p{Pc}]*\z",
+    )
+
+
+def str_isprintable(content: Column, start: Column, stop: Column) -> Column:
+    """No control/format/separator chars except the plain space
+    (``str.isprintable``; empty is printable)."""
+    return seg_text(content, start, stop).rlike(r"\A(?:[^\p{C}\p{Z}]|\x20)*\z")
 
 
 def to_line_col(content: Column, start: Column, eol: str = "\n") -> tuple[Column, Column]:
