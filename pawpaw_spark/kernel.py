@@ -241,11 +241,28 @@ def _apply_custom(out: list[SegRecord], rule: Rule, text: str, t_idx: int) -> No
     _build_match_tree(out, spans_keys, t_idx, t_depth, rule.tag)
 
 
+def _apply_literal_seq(out: list[SegRecord], rule: Rule, text: str, t_idx: int) -> None:
+    """Sequential multi-substring form of ``Ito.from_substrings``
+    (``ito.py:271-314``): each substring located after the previous
+    one's end; stops at the first not found. Substrings travel joined
+    with NUL (cannot appear in a str rule pattern)."""
+    ts, te, _, _, t_depth, _ = out[t_idx]
+    i = ts
+    for sub in rule.pattern.split("\x00"):
+        i = text.find(sub, i, te)
+        if i < 0:
+            break
+        k = i + len(sub)
+        out.append((i, k, rule.desc, t_idx, t_depth + 1, rule.tag))
+        i = k
+
+
 _APPLY = {
     "extract": _apply_extract,
     "split": _apply_split,
     "gaps": _apply_gaps,
     "literal": _apply_literal,
+    "literal_seq": _apply_literal_seq,
     "custom": _apply_custom,
 }
 

@@ -149,12 +149,31 @@ def custom(
 
 
 def literal(
-    substring: str,
+    *substrings: str,
     on: str | tuple[str, ...] = ROOT,
     desc: str | None = None,
     tag: str | None = None,
 ) -> Rule:
-    return Rule(kind="literal", tag=tag or f"literal:{substring[:24]}", pattern=substring, on=on, desc=desc)
+    """``Ito.from_substrings`` rule (``ito.py:271-314``).
+
+    One substring: every non-overlapping occurrence becomes a segment
+    (the corpus-rule generalization). Multiple substrings: the
+    reference's sequential form — each is located left-to-right after
+    the previous one's end, one segment per listed substring (repeat a
+    substring in the list to capture it twice); locating stops at the
+    first substring not found (the rule-form analog of the ValueError
+    the reference raises)."""
+    if not substrings:
+        raise ValueError("literal() requires at least one substring")
+    if len(substrings) == 1:
+        return Rule(
+            kind="literal", tag=tag or f"literal:{substrings[0][:24]}",
+            pattern=substrings[0], on=on, desc=desc,
+        )
+    return Rule(
+        kind="literal_seq", tag=tag or f"literal:{substrings[0][:20]}+",
+        pattern="\x00".join(substrings), on=on, desc=desc,
+    )
 
 
 @dataclass(frozen=True)

@@ -198,3 +198,43 @@ class TestChainedPipeline:
             )
         )
         assert got == expected
+
+
+class TestFromSubstrings:
+    """literal(*substrings) vs the reference Ito.from_substrings
+    (ito.py:271-314), including the repeated-substring doc example."""
+
+    CASES = [
+        ("ababce", ("ab", "ce")),
+        ("ababce", ("ab", "ab", "ce")),
+        ("nine 9 ten 10", ("nine", "ten")),
+        ("xxyxx", ("xx", "xx")),
+    ]
+
+    def test_sequential_multi_substring(self):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from pawpaw import Ito
+
+        from pawpaw_spark.rules import literal
+
+        for text, subs in self.CASES:
+            ref = [tuple(i.span) for i in Ito.from_substrings(text, *subs, desc="s")]
+            segs = segment_text(text, RuleSet.of(literal(*subs, desc="s")))
+            got = [(s[0], s[1]) for s in segs[1:]]
+            assert got == ref, (text, subs)
+
+    def test_missing_substring_stops_instead_of_raising(self):
+        from pawpaw_spark.rules import literal
+
+        segs = segment_text("ab only", RuleSet.of(literal("ab", "zz", "b", desc="s")))
+        # 'ab' found; 'zz' missing -> locating stops (reference raises;
+        # a corpus rule must not kill the job)
+        assert [(s[0], s[1]) for s in segs[1:]] == [(0, 2)]
+
+    def test_single_substring_scans_all_occurrences(self):
+        from pawpaw_spark.rules import literal
+
+        segs = segment_text("ababab", RuleSet.of(literal("ab", desc="s")))
+        assert [(s[0], s[1]) for s in segs[1:]] == [(0, 2), (2, 4), (4, 6)]

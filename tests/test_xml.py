@@ -108,3 +108,89 @@ def test_deep_nesting_no_recursion_limit(spark):
     assert len(hits) == 1
     h = hits[0]
     assert text[h.start:h.stop] == "text to be extracted"
+
+
+NS_DOC = (
+    "<root xmlns=\"http://def.example\" xmlns:a=\"http://a.example\">\n"
+    "  <a:item id=\"1\">first</a:item>\n"
+    "  <item>second</item>\n"
+    "  <inner xmlns=\"http://inner.example\">\n"
+    "    <item>third</item>\n"
+    "  </inner>\n"
+    "</root>"
+)
+
+
+class TestXmlHelpers:
+    """XmlHelper surface (reference xml_helper.py:82-249) as DataFrame
+    joins over the descriptor segments."""
+
+    @staticmethod
+    def _fixture(spark):
+        src = spark.createDataFrame([("x1", NS_DOC)], "doc_id string, content string")
+        segs = segment_xml(src, include_root=True).cache()
+        return src, segs
+
+    def test_local_name_and_namespace_cols_vs_reference(self, spark):
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from pawpaw.xml import XmlHelper
+        from pyspark.sql import functions as F
+
+        from pawpaw_spark.sources.xml_helpers import local_name, namespace_of
+
+        tags = ["{http://x}node", "plain", "{u}v", "}odd"]
+        df = spark.createDataFrame([(t,) for t in tags], "tag string")
+        got = df.select(
+            local_name(F.col("tag")).alias("ln"),
+            namespace_of(F.col("tag")).alias("ns"),
+        ).collect()
+        for t, r in zip(tags, got):
+            assert r["ln"] == XmlHelper.get_local_name(t), t
+            assert r["ns"] == XmlHelper.get_namespace(t), t
+
+    def test_qualified_names(self, spark):
+        from pawpaw_spark.sources.xml_helpers import qualified_names
+
+        src, segs = self._fixture(spark)
+        rows = qualified_names(segs, src).collect()
+        got = sorted(((r["prefix"], r["local"]) for r in rows), key=str)
+        assert got == sorted(
+            [(None, "root"), ("a", "item"), (None, "item"), (None, "inner"), (None, "item")],
+            key=str,
+        )
+
+    def test_xmlns_declarations_and_prefix_map(self, spark):
+        from pawpaw_spark.sources.xml_helpers import prefix_map, xmlns_declarations
+
+        src, segs = self._fixture(spark)
+        decls = sorted(
+            [(r["prefix"], r["uri"]) for r in xmlns_declarations(segs, src).collect()],
+            key=str,
+        )
+        assert decls == sorted(
+            [(None, "http://def.example"), ("a", "http://a.example"), (None, "http://inner.example")],
+            key=str,
+        )
+        pm = {(r["prefix"], r["uri"]) for r in prefix_map(segs, src).collect()}
+        assert pm == {("a", "http://a.example")}
+
+    def test_default_namespaces_nearest_ancestor(self, spark):
+        from pawpaw_spark.sources.xml_helpers import (
+            default_namespaces, element_texts, find_elements_by_local_name,
+        )
+
+        src, segs = self._fixture(spark)
+        texts = {r["element_id"]: r["text"].strip() for r in element_texts(segs, src).collect()}
+        dns = {r["element_id"]: r["default_uri"] for r in default_namespaces(segs, src).collect()}
+        # map element ids -> contained text to identify them
+        by_text = {v: k for k, v in texts.items() if v in ("first", "second", "third")}
+        assert dns[by_text["second"]] == "http://def.example"
+        assert dns[by_text["third"]] == "http://inner.example"
+        # a:item carries the outer default too (prefix overrides are
+        # resolved by the caller, as in the reference)
+        assert dns[by_text["first"]] == "http://def.example"
+        # find by local name crosses namespaces/prefixes
+        items = find_elements_by_local_name(segs, src, "item")
+        assert items.count() == 3
