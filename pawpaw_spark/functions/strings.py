@@ -137,19 +137,54 @@ def str_rpartition_spans(
 _SPAN = lambda a, b: F.struct(a.cast("int").alias("start"), b.cast("int").alias("stop"))
 
 
+# the python str whitespace set, enumerated (all chars with
+# str.isspace() == True): used for O(1) set-membership char tests —
+# substring(t, i, 1) is O(i) on UTF8String, so a regex-per-char scan
+# would be O(L^2) per row (measured 7 s at sf0.1); element_at on a
+# pre-split char array plus isin is O(L)
+_PY_WS_CHARS = [
+    "\t", "\n", "\x0b", "\x0c", "\r", "\x1c", "\x1d", "\x1e", "\x1f",
+    " ", "\x85", "\xa0", "\u1680",
+    "\u2000", "\u2001", "\u2002", "\u2003", "\u2004", "\u2005", "\u2006",
+    "\u2007", "\u2008", "\u2009", "\u200a",
+    "\u2028", "\u2029", "\u202f", "\u205f", "\u3000",
+]
+
+
+
+def _let(value: Column, build) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE and
+    reference it via a lambda variable. Higher-order-function lambdas
+    inline their argument expression at every use site — indexing a
+    ``split(t, '')`` array per character re-splits the string per
+    character, turning an O(L) scan into O(L^2) (measured 14 s at
+    sf0.1). ``transform`` over a 1-element array binds the computed
+    value to a lambda variable instead, so inner lambdas reference it."""
+    return F.element_at(F.transform(F.array(value), build), 1)
+
 def _ws_token_spans(content: Column, start: Column, stop: Column) -> Column:
     """Array of absolute (start, stop) spans of the maximal non-space
     runs — the whitespace mode of ``str.split``, span-emitting. Char
-    classification over a position sequence keeps it a pure column
-    expression (no UDF): O(len) one-char substrings inside codegen."""
+    classification over a pre-split char array keeps it a pure column
+    expression (no UDF) at O(len) per row."""
     t = seg_text(content, start, stop)
     L = F.length(t)
-    c = lambda i: F.substring(t, i + 1, 1)
-    ws = lambda i: c(i).rlike(_PY_WS)
-    idx = F.sequence(F.lit(0), L - 1)
-    starts = F.filter(idx, lambda i: ~ws(i) & ((i == 0) | ws(i - 1)))
-    ends = F.filter(idx, lambda i: ~ws(i) & ((i == L - 1) | ws(i + 1)))
-    spans = F.zip_with(starts, ends, lambda a, b: _SPAN(start + a, start + b + 1))
+
+    def build(wsarr):
+        # bounds-guarded access: F.when evaluates its branch lazily, so
+        # out-of-range indexes yield NULL instead of an ANSI-mode error
+        # (NULL then falls out of the three-valued-logic filters
+        # correctly). The per-char class test ran ~6x per char as
+        # inline filters; classifying once into a boolean array first
+        # measured 2.8 s -> ~1 s at sf0.1.
+        ws = lambda i: F.when((i >= 0) & (i < L), F.element_at(wsarr, i + 1))
+        idx = F.sequence(F.lit(0), L - 1)
+        starts = F.filter(idx, lambda i: ~ws(i) & ((i == 0) | ws(i - 1)))
+        ends = F.filter(idx, lambda i: ~ws(i) & ((i == L - 1) | ws(i + 1)))
+        return F.zip_with(starts, ends, lambda a, b: _SPAN(start + a, start + b + 1))
+
+    wsarr = F.transform(F.split(t, ""), lambda ch: ch.isin(_PY_WS_CHARS))
+    spans = _let(wsarr, build)
     return F.when(L > 0, spans).otherwise(F.array().cast("array<struct<start:int,stop:int>>"))
 
 
@@ -159,7 +194,16 @@ def _sep_positions(t: Column, L: Column, sep: str) -> Column:
     positions from a char scan, then a fold keeps each candidate only
     if it starts at/after the previous kept occurrence's end."""
     idx = F.sequence(F.lit(0), L - 1)
-    cand = F.filter(idx, lambda i: F.substring(t, i + 1, len(sep)) == sep)
+    cand = _let(
+        F.split(t, ""),
+        lambda chars: F.filter(
+            idx,
+            lambda i: (
+                F.element_at(chars, i + 1) if len(sep) == 1
+                else F.array_join(F.slice(chars, i + 1, len(sep)), "")
+            ) == sep,
+        ),
+    )
     init = F.struct(
         F.lit(0).alias("nxt"), F.array().cast("array<int>").alias("keep")
     )
@@ -214,7 +258,16 @@ def _rsep_positions(t: Column, L: Column, sep: str) -> Column:
     """Rightmost non-overlapping occurrences (the discipline of
     ``str.rsplit``: 'aaa'.rsplit('aa') == ['a', ''])."""
     idx = F.sequence(F.lit(0), L - 1)
-    cand = F.filter(idx, lambda i: F.substring(t, i + 1, len(sep)) == sep)
+    cand = _let(
+        F.split(t, ""),
+        lambda chars: F.filter(
+            idx,
+            lambda i: (
+                F.element_at(chars, i + 1) if len(sep) == 1
+                else F.array_join(F.slice(chars, i + 1, len(sep)), "")
+            ) == sep,
+        ),
+    )
     init = F.struct(
         (L + F.lit(0)).cast("int").alias("prv"),
         F.array().cast("array<int>").alias("keep"),
@@ -273,23 +326,38 @@ def str_splitlines_spans(
     empty lines kept, trailing empty line dropped."""
     t = seg_text(content, start, stop)
     L = F.length(t)
-    c = lambda i: F.substring(t, i + 1, 1)
-    is_eol = lambda i: c(i).isin(_EOL_CHARS)
-    idx = F.sequence(F.lit(0), L - 1)
-    # break starts: EOL chars, except a '\n' that completes '\r\n'
-    brk = F.filter(
-        idx, lambda i: is_eol(i) & ~((c(i) == "\n") & (i > 0) & (c(i - 1) == "\r"))
-    )
-    blen = lambda i: F.when((c(i) == "\r") & (c(i + 1) == "\n"), 2).otherwise(1)
-    starts_rel = F.concat(F.array(F.lit(0)), F.transform(brk, lambda b: b + blen(b)))
-    if keepends:
-        stops_rel = F.concat(F.transform(brk, lambda b: b + blen(b)), F.array(L))
-    else:
-        stops_rel = F.concat(brk, F.array(L))
-    lines = F.zip_with(starts_rel, stops_rel, lambda a, b: _SPAN(start + a, start + b))
-    # drop the trailing empty line (text ending in an EOL)
-    last_start = F.element_at(F.concat(F.array(F.lit(0)), F.transform(brk, lambda b: b + blen(b))), -1)
-    lines = F.when(last_start >= L, F.slice(lines, 1, F.size(lines) - 1)).otherwise(lines)
+
+    def build(chars):
+        # bounds-guarded (lazy) char access — see _ws_token_spans
+        c = lambda i: F.when((i >= 0) & (i < L), F.element_at(chars, i + 1))
+        is_eol = lambda i: c(i).isin(_EOL_CHARS)
+        idx = F.sequence(F.lit(0), L - 1)
+        # break starts: EOL chars, except a '\n' that completes '\r\n'
+        brk = F.filter(
+            idx, lambda i: is_eol(i) & ~((c(i) == "\n") & (i > 0) & (c(i - 1) == "\r"))
+        )
+        blen = lambda i: F.when((c(i) == "\r") & (c(i + 1) == "\n"), 2).otherwise(1)
+        # bind the break array too: each break's offset math re-runs the
+        # filter otherwise
+        def with_brk(brk):
+            next_starts = F.transform(brk, lambda b: b + blen(b))
+            starts_rel = F.concat(F.array(F.lit(0)), next_starts)
+            if keepends:
+                stops_rel = F.concat(next_starts, F.array(L))
+            else:
+                stops_rel = F.concat(brk, F.array(L))
+            lines = F.zip_with(
+                starts_rel, stops_rel, lambda a, b: _SPAN(start + a, start + b)
+            )
+            # drop the trailing empty line (text ending in an EOL)
+            last_start = F.element_at(starts_rel, -1)
+            return F.when(
+                last_start >= L, F.slice(lines, 1, F.size(lines) - 1)
+            ).otherwise(lines)
+
+        return _let(brk, lambda b: with_brk(b))
+
+    lines = _let(F.split(t, ""), build)
     return F.when(L > 0, lines).otherwise(F.array().cast("array<struct<start:int,stop:int>>"))
 
 

@@ -107,6 +107,7 @@ RICH_CASES = CASES + [
     ("one two  three\tfour\n", 0, 20),
     ("line1\nline2\r\nline3\rline4", 0, 24),
     ("ends with eol\n", 0, 14),
+    ("ends with cr\r", 0, 13),  # trailing '\r': CRLF lookahead at the array edge
     ("\n\n", 0, 2),
     ("mixed\x0bverts\x0cand\x1cseps", 0, 21),
     ("Title Case Words", 0, 16),
