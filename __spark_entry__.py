@@ -237,6 +237,26 @@ def q_str_suite(spark, sf_dir):
     )
 
 
+def q_codec_roundtrip(spark, sf_dir):
+    """pawpaw stringless-JSON interchange (§2.1 sinks): segment ->
+    encode -> decode -> per-doc segment count by desc. A lossy codec
+    (dropped/duplicated/renested rows) changes the counts, so the
+    closed-form oracle (word extracts + the root) is a real round-trip
+    check, not just a smoke test."""
+    from pawpaw_spark.codec import from_pawpaw_json, segments_to_pawpaw_json
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.rules import RuleSet, extract
+
+    d = _docs(spark, sf_dir)
+    src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    segs = segment(src, RuleSet.of(extract(r"(?P<word>[A-Za-z]+)"), name="w"), include_root=True)
+    back = from_pawpaw_json(segments_to_pawpaw_json(segs))
+    return back.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("desc") == "word", 1).otherwise(0)).cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     """language-ID heuristic (training-pipeline op): confusion counts."""
     from pawpaw_spark.operators.text import with_lang_id
@@ -695,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nuco": q_nuco,
         "str_ops": q_str_ops,
         "str_suite": q_str_suite,
+        "codec_roundtrip": q_codec_roundtrip,
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality": q_quality,
@@ -845,6 +866,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN strpos(reverse(text), 'atad') > 0
                         THEN length(text) - (strpos(reverse(text), 'atad') - 1) - 4
                         ELSE -1 END AS BIGINT) AS last_data
+            FROM documents
+        """,
+        # segments survive the encode/decode unchanged: words + the root
+        "codec_roundtrip": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) + 1 AS BIGINT) AS n_segs
             FROM documents
         """,
         "lang_id": f"""

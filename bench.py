@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_distinct_texts",
     "str_ops",
     "str_suite",
+    "codec_roundtrip",
     "lang_id",
     "token_counts",
     "quality",

@@ -52,3 +52,94 @@ def streaming_segment(source_stream: DataFrame, rules: RuleSet) -> DataFrame:
     """Segmentation over a streaming source table — identical kernel,
     streaming plan (append mode; segmentation is stateless per row)."""
     return segment(source_stream, rules)
+
+
+_SESSION_OUT_DDL = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_SESSION_STATE_DDL = "session_start long, last_ts long, n_events long, total_value double"
+
+
+def stateful_sessions(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the arbitrary-state form ``session_window`` can't express (e.g.
+    carrying aggregates the built-in session agg doesn't support, or
+    custom close rules). State per user = the OPEN session (start,
+    last event, count, value sum); an event beyond the gap closes and
+    emits the previous session; an event-time timeout (watermark past
+    last_ts + gap) closes idle sessions. Emits CLOSED sessions only
+    (append mode).
+
+    This is the ``StackedReduce`` push/pop semantics lifted onto an
+    unbounded stream: push = event within gap, pop = gap exceeded or
+    timeout, reduce = (span, count, sum)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    e = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    gap = int(gap_seconds)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        user = key[0]
+        out = []
+
+        def emit(ss, lt, n, tv):
+            out.append((user, ss, lt, n, tv))
+
+        if state.hasTimedOut:
+            ss, lt, n, tv = state.get
+            emit(ss, lt, n, tv)
+            state.remove()
+        else:
+            frames = [p for p in pdfs if len(p)]
+            cur = state.get if state.exists else None
+            if frames:
+                batch = pd.concat(frames, ignore_index=True).sort_values(
+                    ["ts", "event_id"]
+                )
+                # state keeps MICROSECOND timestamps (emitted spans must
+                # match the source precision); the gap rule compares
+                # truncated seconds, the same arithmetic as the batch
+                # epoch-cast oracle
+                ts_us = (batch["ts"].astype("int64") // 1_000).tolist()
+                vals = batch["value"].tolist()
+                for t, v in zip(ts_us, vals):
+                    if cur is None:
+                        cur = (t, t, 1, float(v))
+                    else:
+                        ss, lt, n, tv = cur
+                        if t // 1_000_000 - lt // 1_000_000 > gap:
+                            emit(ss, lt, n, tv)
+                            cur = (t, t, 1, float(v))
+                        else:
+                            cur = (ss, max(lt, t), n + 1, tv + float(v))
+            if cur is not None:
+                state.update(cur)
+                # close the open session when event time passes last+gap
+                state.setTimeoutTimestamp((cur[1] // 1_000_000 + gap) * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                    "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                    "n_events": [r[3] for r in out],
+                    "total_value": [r[4] for r in out],
+                }
+            )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_OUT_DDL,
+        stateStructType=_SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

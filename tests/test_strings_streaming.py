@@ -250,6 +250,69 @@ class TestStreaming:
         assert win is None or win > 0
         assert sess is not None
 
+    def test_stateful_sessions_match_batch_closed_sessions(self, spark, tmp_path_factory):
+        """applyInPandasWithState sessionization == batch gaps-and-islands
+        on the CLOSED sessions (each user's final session stays open in
+        state because the watermark never passes it in one microbatch)."""
+        from pyspark.sql import Window as W
+
+        from pawpaw_spark.streaming.events import stateful_sessions
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src_dir = str(tmp_path_factory.mktemp("events_state"))
+        # one file -> one microbatch: with several, the watermark
+        # advances between batches and unordered files make event-time
+        # drops/timeouts nondeterministic for the comparison
+        ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+        q = (
+            stateful_sessions(stream, gap_seconds=1800)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("state_sessions")
+            .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_state")))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.sql("SELECT * FROM state_sessions").collect()
+        }
+        # batch oracle: sessions via gap rule; drop each user's last
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.col("ts").cast("timestamp").cast("long")
+        gap = epoch - F.lag(epoch).over(w)
+        sess = (
+            ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .withColumn("sid", F.sum("new_s").over(w))
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min(F.col("ts").cast("timestamp")).alias("session_start"),
+                F.max(F.col("ts").cast("timestamp")).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+        # the trailing microbatch TIME-OUTS open sessions once the final
+        # watermark (max ts - 1 h) passes last_ts + gap; sessions ending
+        # within the last watermark+gap window legitimately stay open in
+        # state. So: streaming ⊆ batch, every missing one is in that
+        # tail window, and everything safely past it was emitted.
+        rows = sess.collect()
+        exp_all = {
+            (r.user_id, r.session_start, r.session_end, r.n_events) for r in rows
+        }
+        max_ts = max(r.session_end for r in rows)
+        import datetime as _dt
+
+        tail_cut = max_ts - _dt.timedelta(seconds=3600 + 1800 + 2)
+        exp_certain = {t for t in exp_all if t[2] < tail_cut}
+        assert got <= exp_all
+        assert exp_certain <= got
+        still_open = exp_all - got
+        assert all(t[2] >= tail_cut for t in still_open), still_open
+        assert len(exp_certain) > 100
+
     def test_streaming_segment(self, spark, tmp_path_factory):
         from pawpaw_spark.corpus import source_df
         from pawpaw_spark.rulesets import TEXT_RULES
