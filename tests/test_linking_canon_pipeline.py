@@ -73,10 +73,25 @@ class TestConnectedComponents:
         edges = spark.createDataFrame(
             [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "a string, b string"
         )
-        comps = connected_components(edges, max_iters=10)
+        comps = connected_components(edges, max_iters=10, driver_threshold=0)
         rows = comps.collect()
         assert len(rows) == n
         assert {r.comp for r in rows} == {"n000"}
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = spark.createDataFrame(
+            [(f"n{rng.randint(0, 60):02d}", f"n{rng.randint(0, 60):02d}") for _ in range(80)],
+            "a string, b string",
+        )
+        fast = {(r.node, r.comp) for r in connected_components(edges).collect()}
+        dist = {
+            (r.node, r.comp)
+            for r in connected_components(edges, driver_threshold=0).collect()
+        }
+        assert fast == dist
 
     def test_nonconvergence_raises_not_silent(self, spark):
         import pytest
@@ -86,7 +101,7 @@ class TestConnectedComponents:
             [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)], "a string, b string"
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(edges, max_iters=1)
+            connected_components(edges, max_iters=1, driver_threshold=0)
 
 
 class TestPipeline:
