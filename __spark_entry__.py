@@ -665,7 +665,10 @@ _IVF_INDEX: dict[str, tuple] = {}
 def _ivf_index(spark, sf_dir):
     from pawpaw_spark.operators.similarity import ivf_fit, with_ivf_cluster
 
-    hit = _IVF_INDEX.get(sf_dir)
+    # cache key includes the session: a cached DataFrame is dead if the
+    # driver runs each query in a fresh SparkSession
+    key = (id(spark), sf_dir)
+    hit = _IVF_INDEX.get(key)
     if hit is not None:
         return hit
     emb = _emb(spark, sf_dir)
@@ -675,7 +678,7 @@ def _ivf_index(spark, sf_dir):
     # path is exercised by tests/test_dedup_text_sim.py instead
     centroids = ivf_fit(emb, n_centroids=8, iters=0)
     clustered = with_ivf_cluster(emb, centroids).persist()
-    _IVF_INDEX[sf_dir] = (centroids, clustered)
+    _IVF_INDEX[key] = (centroids, clustered)
     return centroids, clustered
 
 
