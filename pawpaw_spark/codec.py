@@ -115,6 +115,108 @@ def segments_to_pawpaw_json(
     return src.groupBy("doc_id").applyInPandas(encode, schema=_JSON_DDL)
 
 
+def _require_pawpaw(pawpaw_path: str | None = None):
+    """Optional interop dependency: building pickle streams that
+    unpickle as ``pawpaw.Ito`` requires the public ``pawpaw`` package
+    importable on the executors (pip install pawpaw, or pass its path —
+    driver sys.path does not propagate to python workers). The engine
+    itself never depends on it — only these two interop sinks do."""
+    import sys as _sys
+
+    if pawpaw_path and pawpaw_path not in _sys.path:
+        _sys.path.insert(0, pawpaw_path)
+    try:
+        from pawpaw import Ito  # noqa: F401
+
+        return Ito
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "segments_to_pickle/from_pickle need the public 'pawpaw' package "
+            "(pip install pawpaw) available to the Spark executors"
+        ) from exc
+
+
+def segments_to_pickle(
+    segments: DataFrame,
+    source: DataFrame,
+    text_col: str = "content",
+    pawpaw_path: str | None = None,
+) -> DataFrame:
+    """(doc_id, pkl: binary) — one pickled ``pawpaw.Ito`` tree per doc
+    (the reference's ``__getstate__`` surface, ``ito.py:404-421``).
+    Unlike the JSON form, pickle always carries the string (that is the
+    reference's pickle contract), so the source table is required."""
+    cols = [c for c in _SEG_COLS if c in segments.columns]
+    src = segments.select(*cols).join(
+        source.selectExpr("doc_id", f"{text_col} as __text"), "doc_id", "left"
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        Ito = _require_pawpaw(pawpaw_path)
+        rows = pdf.to_dict("records")
+        doc = rows[0]["doc_id"]
+        text = rows[0].get("__text") or ""
+        by_id = {r["seg_id"]: r for r in rows}
+        kids: dict[object, list] = {r["seg_id"]: [] for r in rows}
+        roots = []
+        for r in rows:
+            p = r.get("parent_id")
+            (kids[p] if p is not None and p in by_id else roots).append(r)
+
+        def build(r):
+            ito = Ito(text, int(r["start"]), int(r["stop"]), r["desc"])
+            for c in sorted(kids[r["seg_id"]], key=lambda c: (c["start"], -c["stop"])):
+                ito.children.add(build(c))
+            return ito
+
+        if len(roots) == 1:
+            tree = build(roots[0])
+        else:
+            tree = Ito(text, desc=None)
+            for r in sorted(roots, key=lambda c: (c["start"], -c["stop"])):
+                tree.children.add(build(r))
+        return pd.DataFrame({"doc_id": [doc], "pkl": [pickle.dumps(tree)]})
+
+    return src.groupBy("doc_id").applyInPandas(encode, schema="doc_id string, pkl binary")
+
+
+def from_pickle(
+    pdf_in: DataFrame, pkl_col: str = "pkl", id_col: str = "doc_id",
+    pawpaw_path: str | None = None,
+) -> DataFrame:
+    """Pickled ``pawpaw.Ito`` trees -> segments rows (pre-order DFS)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pickle
+
+        _require_pawpaw(pawpaw_path)
+        for pdf in batches:
+            out = {c: [] for c in _SEG_COLS}
+            for doc, blob in zip(pdf[id_col].values, pdf[pkl_col].values):
+                tree = pickle.loads(bytes(blob))
+                stack = [(tree, None, 0)]
+                next_id = 0
+                while stack:
+                    node, parent, depth = stack.pop()
+                    sid = next_id
+                    next_id += 1
+                    out["doc_id"].append(str(doc))
+                    out["seg_id"].append(sid)
+                    out["parent_id"].append(parent)
+                    out["start"].append(int(node.start))
+                    out["stop"].append(int(node.stop))
+                    out["desc"].append(node.desc)
+                    out["depth"].append(depth)
+                    for c in reversed(list(node.children)):
+                        stack.append((c, sid, depth + 1))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return pdf_in.mapInPandas(decode, schema=_SEG_DDL)
+
+
 def from_pawpaw_json(
     jdf: DataFrame, json_col: str = "json", id_col: str = "doc_id"
 ) -> DataFrame:

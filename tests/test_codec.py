@@ -140,3 +140,34 @@ class TestDecode:
                 for s, d, p in _row_tree_tuples(rows)
             )
             assert norm(orig) == norm(got)
+
+
+class TestPickleInterop:
+    """Optional pickle sink: trees round-trip through the reference's
+    own pickle surface (__getstate__/__setstate__, ito.py:404-421)."""
+
+    def test_pickle_round_trip_and_reference_unpickle(self, spark, segs):
+        import pickle
+
+        from pawpaw_spark.codec import from_pickle, segments_to_pickle
+
+        src = spark.createDataFrame(DOCS, "doc_id string, content string")
+        pk = segments_to_pickle(segs, src, pawpaw_path="/root/reference").cache()
+        blobs = {r["doc_id"]: bytes(r["pkl"]) for r in pk.collect()}
+        assert set(blobs) == {d for d, _ in DOCS}
+        # driver-side reference unpickle: real Ito with the text attached
+        for doc, text in DOCS:
+            tree = pickle.loads(blobs[doc])
+            assert isinstance(tree, Ito)
+            assert tree.string == text
+            assert str(next(iter(tree.children))) == text[: next(iter(tree.children)).stop]
+        # distributed decode back to rows == original segments
+        back = from_pickle(pk, pawpaw_path="/root/reference")
+        for doc, _ in DOCS:
+            orig = [r.asDict() for r in segs.filter(segs.doc_id == doc).collect()]
+            got = [r.asDict() for r in back.filter(back.doc_id == doc).collect()]
+            norm = lambda rows: sorted(
+                (s, d if d != "$doc" else None, p)
+                for s, d, p in _row_tree_tuples(rows)
+            )
+            assert norm(orig) == norm(got)
