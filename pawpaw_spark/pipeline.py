@@ -27,12 +27,26 @@ def build_kg(
     out_dir: str,
     n_buckets: int = 64,
     link_threshold: float = 0.82,
+    edges_mode: str = "fused",
 ) -> dict[str, DataFrame]:
     """Returns {'segments', 'edges', 'nodes', 'edges_canonical'}.
 
     Resume: rerunning with the same out_dir skips completed buckets
     (lineage anti-join); changed input rows invalidate exactly their
     bucket via the per-bucket fingerprint.
+
+    ``edges_mode``:
+
+    * ``'fused'`` (default) — edges come from the one-pass mapInArrow
+      kernel over the SOURCE rows (multiset-equal to the relational
+      derivation, tests/test_triples_pr.py). Costs a second content
+      scan but zero segment-table shuffles; measured 74 s -> ~15 s for
+      the edges stage at 100k files (the four branch re-reads plus two
+      self-joins over 5.4M segment rows cost more than re-running the
+      regex kernel).
+    * ``'relational'`` — derive edges from the materialized segments
+      table (single content scan total). The right choice when content
+      bytes dominate segment rows — e.g. few, huge documents.
     """
     lineage = LineageLog(out_dir)
 
@@ -69,9 +83,17 @@ def build_kg(
     )
 
     def edges_transform(df):
-        # consume the already-materialized segments of the pending buckets
-        pending_segs = segments.join(df.select("bucket").distinct(), "bucket")
-        e = build_edges(df.drop("bucket"), segments=pending_segs.drop("bucket"))
+        if edges_mode == "fused":
+            from pawpaw_spark.operators.triples import build_edges_fused
+
+            e = build_edges_fused(df.drop("bucket"))
+        else:
+            # consume the already-materialized segments of the pending buckets
+            pending_segs = segments.join(df.select("bucket").distinct(), "bucket")
+            e = build_edges(df.drop("bucket"), segments=pending_segs.drop("bucket"))
+        # doc_bucket is one row per source file: ~60x smaller than the
+        # edge set but NOT broadcastable at 10^12 files — let AQE pick
+        # (it broadcasts at small scale, sort-merges on doc_id at large)
         return e.join(doc_bucket, "doc_id")
 
     edges = run_stage(spark, "edges", src_b, edges_transform, out_dir, lineage, fps=fps)
