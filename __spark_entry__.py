@@ -250,7 +250,8 @@ def q_codec_roundtrip(spark, sf_dir):
     d = _docs(spark, sf_dir)
     src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
     segs = segment(src, RuleSet.of(extract(r"(?P<word>[A-Za-z]+)"), name="w"), include_root=True)
-    back = from_pawpaw_json(segments_to_pawpaw_json(segs))
+    # segment() emits doc-contiguous rows -> shuffle-free encode
+    back = from_pawpaw_json(segments_to_pawpaw_json(segs, partition_local=True))
     return back.groupBy("doc_id").agg(
         F.sum(F.when(F.col("desc") == "word", 1).otherwise(0)).cast("long").alias("n_words"),
         F.count(F.lit(1)).cast("long").alias("n_segs"),

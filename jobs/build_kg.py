@@ -30,6 +30,11 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--link-threshold", type=float, default=0.82)
     p.add_argument("--synthetic", type=int, default=0, help="generate N synthetic files")
+    p.add_argument(
+        "--edges-mode", default="fused", choices=("fused", "relational"),
+        help="edge derivation: fused one-pass kernel (default) or from the "
+        "materialized segments table (single content scan)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -49,7 +54,8 @@ def main() -> None:
 
     t0 = time.time()
     res = build_kg(
-        spark, source, args.output, n_buckets=args.buckets, link_threshold=args.link_threshold
+        spark, source, args.output, n_buckets=args.buckets,
+        link_threshold=args.link_threshold, edges_mode=args.edges_mode,
     )
     stats = {
         "wall_sec": round(time.time() - t0, 2),
