@@ -170,7 +170,11 @@ def _require_pawpaw(pawpaw_path: str | None = None):
     import sys as _sys
 
     if pawpaw_path and pawpaw_path not in _sys.path:
-        _sys.path.insert(0, pawpaw_path)
+        # APPEND, never prepend: python workers are reused across jobs,
+        # and a checkout of pawpaw ships sibling packages (tests/, docs
+        # helpers) that would otherwise shadow same-named modules for
+        # every later task in the worker's lifetime
+        _sys.path.append(pawpaw_path)
     try:
         from pawpaw import Ito  # noqa: F401
 
