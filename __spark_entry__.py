@@ -1045,8 +1045,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": r"""
             WITH d AS (
               SELECT CAST(doc_id AS VARCHAR) AS id,
-                     regexp_split_to_array(lower(text), '\s+') AS toks
-              FROM documents WHERE length(trim(text)) > 0),
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents WHERE text IS NOT NULL),
             h AS (
               SELECT id, list_transform(toks, t -> md5_number_lower(t)) AS hs,
                      len(toks) AS n

@@ -390,8 +390,10 @@ def str_isupper(content: Column, start: Column, stop: Column) -> Column:
     """At least one cased char and no lowercase (``str.isupper``)."""
     t = seg_text(content, start, stop)
     # binary Uppercase/Lowercase properties, not Lu/Ll categories:
-    # python counts e.g. Roman numerals (Nl, Uppercase=True) as cased
-    return t.rlike(r"[\p{IsUppercase}\p{Lt}]") & ~t.rlike(r"\p{IsLowercase}")
+    # python counts e.g. Roman numerals (Nl, Uppercase=True) as cased.
+    # Titlecase (Lt, e.g. 'ǅ') is cased but NOT uppercase, so its
+    # presence disqualifies — 'ǅ'.isupper() is False in Python.
+    return t.rlike(r"\p{IsUppercase}") & ~t.rlike(r"[\p{IsLowercase}\p{Lt}]")
 
 
 def str_islower(content: Column, start: Column, stop: Column) -> Column:
@@ -403,8 +405,14 @@ def str_istitle(content: Column, start: Column, stop: Column) -> Column:
     """Title case: upper/title only after uncased, lower only after
     cased, at least one cased char (``str.istitle``)."""
     t = seg_text(content, start, stop)
+    # word = upper/title head + lowercase run; words must be separated
+    # by >=1 uncased char (an alternation like (uncased|word)* wrongly
+    # accepts 'ABc': upper may only FOLLOW uncased, per CPython's
+    # previous_is_cased state machine)
+    _n = r"[^\p{IsUppercase}\p{IsLowercase}\p{Lt}]"
+    _w = r"[\p{IsUppercase}\p{Lt}]\p{IsLowercase}*"
     return t.rlike(
-        r"\A(?:[^\p{IsUppercase}\p{IsLowercase}\p{Lt}]|[\p{IsUppercase}\p{Lt}]\p{IsLowercase}*)*\z"
+        rf"\A{_n}*(?:{_w}(?:{_n}+{_w})*{_n}*)?\z"
     ) & t.rlike(r"[\p{IsUppercase}\p{Lt}]")
 
 

@@ -144,6 +144,10 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    # release the cached symmetrized edge set on the distributed path
+    # too (no-op when driver_threshold==0 and it was never persisted);
+    # otherwise the executor storage leaks for the session lifetime.
+    sym.unpersist()
     if not converged:
         msg = (
             f"connected_components did not converge in {max_iters} rounds; "

@@ -165,6 +165,11 @@ def literal(
     the reference raises)."""
     if not substrings:
         raise ValueError("literal() requires at least one substring")
+    if any("\x00" in s for s in substrings):
+        # NUL is the internal pack separator for the sequential form; a
+        # substring containing it would silently split into multiple
+        # locate steps and change the rule's semantics.
+        raise ValueError("literal() substrings cannot contain NUL ('\\x00')")
     if len(substrings) == 1:
         return Rule(
             kind="literal", tag=tag or f"literal:{substrings[0][:24]}",

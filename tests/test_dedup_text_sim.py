@@ -90,6 +90,54 @@ class TestDedup:
         for r in base.select("doc_id").collect():
             assert (r.doc_id, f"sh_{r.doc_id}") in found or (f"sh_{r.doc_id}", r.doc_id) in found
 
+    def test_simhash_oracle_alignment_on_tricky_corpus(self, spark):
+        """Engine fingerprints == the DuckDB oracle recompute on docs
+        with leading whitespace, blank/whitespace-only text, and empty
+        strings — the corpus shapes where a '\\s+'-split oracle would
+        diverge from the engine's str.split() (ADVICE r2)."""
+        import duckdb
+
+        from pawpaw_spark.operators.dedup import simhash
+
+        rows = [
+            ("t1", "  leading space text"),
+            ("t2", "leading space text"),
+            ("t3", "   "),            # whitespace-only -> fp 0
+            ("t4", ""),               # empty -> fp 0
+            ("t5", "\ttab\nand  runs \r\n"),
+            ("t6", "normal words here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            r.id: r.fingerprint
+            for r in simhash(docs, hash_fn="md5").collect()
+        }
+        con = duckdb.connect()
+        con.register("tricky", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+        # same bit-array form as the contract oracle (an integer
+        # list_sum would round through DOUBLE and lose low bits)
+        oracle = con.sql(r"""
+            WITH d AS (
+              SELECT doc_id AS id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM tricky WHERE text IS NOT NULL),
+            h AS (SELECT id, list_transform(toks, t -> md5_number_lower(t)) AS hs,
+                         len(toks) AS n FROM d)
+            SELECT id,
+                   list_transform(range(0, 64),
+                     b -> 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > n) AS bits
+            FROM h
+        """).df()
+
+        def bits_to_signed(bits):
+            v = sum(1 << i for i, b in enumerate(bits) if b)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        exp = {r.id: bits_to_signed(list(r.bits)) for r in oracle.itertuples()}
+        assert got == exp
+        assert got["t3"] == 0 and got["t4"] == 0
+
     def test_embedding_neardup_blocked(self, spark, emb):
         from pawpaw_spark.operators.dedup import embedding_neardup_pairs
 

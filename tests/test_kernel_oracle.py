@@ -238,3 +238,16 @@ class TestFromSubstrings:
 
         segs = segment_text("ababab", RuleSet.of(literal("ab", desc="s")))
         assert [(s[0], s[1]) for s in segs[1:]] == [(0, 2), (2, 4), (4, 6)]
+
+    def test_nul_in_substring_rejected(self):
+        import pytest
+
+        from pawpaw_spark.rules import literal
+
+        # NUL is the internal pack separator of the sequential form; a
+        # substring containing it must error, not silently change the
+        # rule into multiple locate steps.
+        with pytest.raises(ValueError, match="NUL"):
+            literal("a\x00b", "c", desc="s")
+        with pytest.raises(ValueError, match="NUL"):
+            literal("ok", "a\x00b", desc="s")

@@ -116,6 +116,10 @@ RICH_CASES = CASES + [
     ("7not_ident", 0, 10),
     ("¼Ⅻ42", 0, 4),
     ("tab\tand space", 0, 13),
+    ("ǅ", 0, 1),               # titlecase (Lt): cased but NOT uppercase
+    ("AǅB", 0, 3),             # Lt amid uppercase: isupper must be False
+    ("ǅung", 0, 4),            # Lt then lowercase: islower must be False
+    ("ABc", 0, 3),             # upper after cased: istitle must be False
 ]
 
 
