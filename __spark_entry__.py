@@ -431,9 +431,13 @@ def q_simhash_neardup(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard near-dup: the full pair set at threshold 0.5
-    (exact semantics — token 3-gram sets, Jaccard = |∩|/|∪| — so the
-    DuckDB oracle recomputes every pair brute-force and must agree
-    value-by-value; the engine's gram-hash blocking is lossless)."""
+    (token 3-gram sets, Jaccard = |∩|/|∪|; the engine's gram-hash
+    blocking is lossless). Runs with the PRODUCTION skew guard
+    (max_gram_freq=1000), and the DuckDB oracle applies the same
+    doc-frequency cutoff by construction — grams hotter than the cap
+    leave the intersection but not the set sizes — so engine and
+    oracle agree at ANY scale factor, not just ones without hot
+    shingles (round-2 verdict item #3)."""
     from pawpaw_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
@@ -487,6 +491,24 @@ def q_ontology_counts(spark, sf_dir):
     src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
     return discovery_counts(src, _entry_ontology()).select(
         "path", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+def q_ontology_doc_hits(spark, sf_dir):
+    """Ontology.discover, per-document breakdown (round-2 verdict item
+    #4): one row per (doc, ontology path) with hits — pins the
+    Discoveries tree SHAPE per document, not just 4 corpus totals
+    (reference Discoveries.flatten, pawpaw/ontology/ontology.py:23-28)."""
+    from pawpaw_spark.operators.ontology import discover
+
+    d = _docs(spark, sf_dir)
+    src = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    return (
+        discover(src, _entry_ontology())
+        .groupBy("doc_id", F.concat_ws("/", "path").alias("path"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
 
 
@@ -546,6 +568,76 @@ def q_nlp_tree_stats(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     src = d.select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content"))
+    segs = segment(src, NLP_RULES)
+    return (
+        segs.filter(F.col("desc").isin("paragraph", "sentence", "number", "word"))
+        .groupBy("doc_id")
+        .pivot("desc", ["paragraph", "sentence", "number", "word"])
+        .count()
+        .na.fill(0)
+        .select(
+            "doc_id",
+            F.col("paragraph").cast("long").alias("n_paragraphs"),
+            F.col("sentence").cast("long").alias("n_sentences"),
+            F.col("number").cast("long").alias("n_numbers"),
+            F.col("word").cast("long").alias("n_words"),
+        )
+    )
+
+
+def q_nlp_grammar_stats(spark, sf_dir):
+    """SimpleNlp over a CONSTRUCTED corpus that exercises the sentence
+    grammar's hard parts (round-2 verdict item #2 — the natural corpus
+    has 1 sentence and 0 numbers per doc, so nlp_tree_stats degenerates
+    to word counting). One doc per customer-with-orders, built from
+    orders x customer: two paragraphs; 'Dr.' and numeric-abbr 'no. <d>'
+    boundaries that must NOT split; thousands-grouped decimals
+    (format_number) that must count as ONE number each; one sentence
+    per order. Closed form (validated char-exact through the kernel):
+    paragraphs=2, sentences=4+n, numbers=4+2n, words=19+3n for n
+    orders, so the oracle predicts every count from the orders table
+    alone. Reference grammar: pawpaw/nlp/nlp.py:121-223, 314-469."""
+    from pawpaw_spark.nlp import NLP_RULES
+    from pawpaw_spark.operators.segment import segment
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+            ).alias("os"),
+            F.sum("o_totalprice").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    k = F.col("o_custkey").cast("string")
+    para1 = F.concat(
+        F.lit("Dr. Smith reviewed account "), k,
+        F.lit(" for market segment "), F.col("c_mktsegment"),
+        F.lit(". It covers "), F.col("n").cast("string"),
+        F.lit(" orders. Total spend was "), F.format_number("total", 2),
+        F.lit(" dollars."),
+    )
+    osent = F.transform(
+        "os",
+        lambda o: F.concat(
+            F.lit("Order "), o["o_orderkey"].cast("string"),
+            F.lit(" cost "), F.format_number(o["o_totalprice"], 2),
+            F.lit(" dollars."),
+        ),
+    )
+    para2 = F.concat(
+        F.lit("Invoice list no. "), k, F.lit(" follows. "),
+        F.concat_ws(" ", osent),
+    )
+    src = per.select(
+        k.alias("doc_id"), F.concat(para1, F.lit("\n\n"), para2).alias("content")
+    )
     segs = segment(src, NLP_RULES)
     return (
         segs.filter(F.col("desc").isin("paragraph", "sentence", "number", "word"))
@@ -673,11 +765,14 @@ def _ivf_index(spark, sf_dir):
     if hit is not None:
         return hit
     emb = _emb(spark, sf_dir)
-    # iters=0: centroids are the 8 hash-picked seed vectors verbatim —
-    # fully deterministic (no distributed float sums), which the
-    # cross-engine value check requires; the iterated k-means quality
-    # path is exercised by tests/test_dedup_text_sim.py instead
-    centroids = ivf_fit(emb, n_centroids=8, iters=0)
+    # iters=3 + quantize=6: the ITERATED k-means path is what the
+    # contract verifies (round-2 verdict item #1 — iters=0 made the
+    # index degenerate seed vectors). Quantizing each iteration's
+    # centroids to 1e-6 removes the distributed-float-sum jitter, so
+    # the fit — and therefore cluster assignments and probe sets — is
+    # bit-identical across runs and partitionings, which the
+    # cross-engine exact-rows check requires.
+    centroids = ivf_fit(emb, n_centroids=16, iters=3, quantize=6)
     clustered = with_ivf_cluster(emb, centroids).persist()
     _IVF_INDEX[key] = (centroids, clustered)
     return centroids, clustered
@@ -685,17 +780,21 @@ def _ivf_index(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed ANN (scale path #2): top-5 neighbors of vec 0
-    probing 5 of 8 inverted lists (the true top-5 live in probe ranks
-    <= 5 at sf0.001 and <= 3 at sf0.01, measured — deterministic seeds
-    make the outcome stable). Index built once per sf_dir and cached
-    (see _ivf_index); the query times the PROBE. Value-level oracle:
-    brute-force cosine top-5."""
+    probing 10 of 16 inverted lists built by ITERATED k-means (iters=3,
+    centroids quantized per iteration for cross-run determinism — see
+    _ivf_index). Measured probe ranks of the true top-5: max 8 at
+    sf0.001, 6 at sf0.01, 7 at sf0.1, so n_probe=10 has >=2 lists of
+    margin everywhere; small near-isotropic corpora genuinely need a
+    wide beam (same argument as q_ann_lsh_topk), while at real scale
+    the same index probes a fixed fraction of a much larger list set.
+    Index built once per sf_dir and cached; the query times the PROBE.
+    Value-level oracle: brute-force cosine top-5."""
     from pawpaw_spark.operators.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     centroids, clustered = _ivf_index(spark, sf_dir)
-    return ivf_topk(clustered, centroids, qv, k=5, n_probe=5).select(
+    return ivf_topk(clustered, centroids, qv, k=5, n_probe=10).select(
         F.col("id").cast("long").alias("vec_id"), F.round("cosine", 6).alias("cosine_r")
     )
 
@@ -733,9 +832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "media_frames": q_media_frames,
         "ontology_counts": q_ontology_counts,
+        "ontology_doc_hits": q_ontology_doc_hits,
         "windowed_merge": q_windowed_merge,
         "stacked_runs": q_stacked_runs,
         "nlp_tree_stats": q_nlp_tree_stats,
+        "nlp_grammar_stats": q_nlp_grammar_stats,
         "table_detect": q_table_detect,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -954,6 +1055,17 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") SELECT path, CAST(n AS BIGINT) AS n_hits FROM hits WHERE n > 0"
         ),
+        # per-document Discoveries shape: same patterns, one row per
+        # (doc, path) with hits
+        "ontology_doc_hits": (
+            "WITH hits AS ("
+            + " UNION ALL ".join(
+                f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, '{path}' AS path, "
+                f"len(regexp_extract_all(text, '{pat}')) AS n FROM documents"
+                for path, pat in _ONTO_PATTERNS.items()
+            )
+            + ") SELECT doc_id, path, CAST(n AS BIGINT) AS n_hits FROM hits WHERE n > 0"
+        ),
         # TEXT_RULES kernel mirror (documents corpus has no blank lines, so
         # every doc is one para; sentence boundaries = `(?<=[.!?])\s+(?=[A-Z])`
         # emulated as consuming matches — disjoint char classes make the
@@ -987,11 +1099,24 @@ def oracle_sql() -> dict[str, str]:
                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
                           ELSE [array_to_string(toks, ' ')] END AS grams
               FROM d),
+            -- the engine's boilerplate skew guard, mirrored BY
+            -- CONSTRUCTION (round-2 verdict item #3): grams in > 1000
+            -- docs are excluded from the intersection count, while
+            -- na/nb stay the unfiltered set sizes — exactly
+            -- ngram_jaccard_pairs(max_gram_freq=1000)
+            hot AS (
+              SELECT coalesce(list(gram), []) AS dropped
+              FROM (SELECT gram FROM (SELECT id, unnest(grams) AS gram FROM g)
+                    GROUP BY gram HAVING count(*) > 1000)),
+            gf AS (
+              SELECT id, grams,
+                     list_filter(grams, x -> NOT list_contains(hot.dropped, x)) AS kept
+              FROM g, hot),
             p AS (
               SELECT a.id AS a, b.id AS b,
-                     len(list_intersect(a.grams, b.grams)) AS shared,
+                     len(list_intersect(a.kept, b.kept)) AS shared,
                      len(a.grams) AS na, len(b.grams) AS nb
-              FROM g a JOIN g b ON a.id < b.id)
+              FROM gf a JOIN gf b ON a.id < b.id)
             SELECT a, b, round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard_r
             FROM p WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
         """,
@@ -1104,6 +1229,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words
             FROM documents
         """,
+        # constructed grammar corpus (see q_nlp_grammar_stats): closed
+        # form validated char-exact through the kernel — 2 paragraphs,
+        # 4+n sentences, 4+2n numbers (each thousands-grouped decimal is
+        # ONE number), 19+3n words for a customer with n orders; 'Dr.'
+        # and 'no. <digit>' must not split sentences for these to hold
+        "nlp_grammar_stats": """
+            SELECT CAST(o_custkey AS VARCHAR) AS doc_id,
+                   CAST(2 AS BIGINT) AS n_paragraphs,
+                   CAST(4 + count(*) AS BIGINT) AS n_sentences,
+                   CAST(4 + 2 * count(*) AS BIGINT) AS n_numbers,
+                   CAST(19 + 3 * count(*) AS BIGINT) AS n_words
+            FROM orders GROUP BY o_custkey
+        """,
         # the constructed per-region report embeds one pipe table (header
         # + one row per nation) and one grid table (one row per nation);
         # the oracle predicts the segment counts from the same relational
@@ -1130,8 +1268,9 @@ def oracle_sql() -> dict[str, str]:
             FROM e, q
             ORDER BY cosine_r DESC, e.vec_id LIMIT 5
         """,
-        # the probed 4 of 8 inverted lists provably contain the true
-        # top-5 at the gate SF (see q_ann_ivf_topk) -> brute-force top-5
+        # the probed 10 of 16 inverted lists (iterated quantized k-means
+        # index) contain the true top-5 with >=2 lists of margin at
+        # every SF (see q_ann_ivf_topk) -> brute-force top-5
         "ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

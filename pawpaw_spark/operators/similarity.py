@@ -144,12 +144,21 @@ def ivf_fit(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means for the IVF index: assignment runs distributed
     (argmax of centroid dot products, JVM-side), the centroid update is
     a (cluster, dim)-keyed sum — n_centroids x dim rows, metadata-sized
     no matter the corpus. Init = first n_centroids vectors by id-hash
-    order (deterministic, spread by the hash)."""
+    order (deterministic, spread by the hash).
+
+    ``quantize``: round centroids to this many decimals after every
+    update. Distributed float sums are order-nondeterministic at the
+    ~1e-15 level; quantizing each iteration's centroids makes the whole
+    fit bit-identical across runs and partitionings (the correctness
+    contract relies on this to put the *iterated* path under the
+    cross-engine value check). ~1e-6 centroid error is far below any
+    assignment margin, so index quality is unchanged."""
     init = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("id")))
@@ -183,6 +192,8 @@ def ivf_fit(
             if n > 1e-12:
                 new[c] = v / n
         centroids = new
+        if quantize is not None:
+            centroids = np.round(centroids, quantize)
     return centroids
 
 

@@ -43,6 +43,47 @@ class TestDedup:
             orig = r.doc_id.removeprefix("clone_")
             assert (orig, r.doc_id) in found or (r.doc_id, orig) in found
 
+    def test_ngram_skew_guard_matches_cutoff_oracle(self, spark):
+        """Engine with a TRIGGERED max_gram_freq vs a brute-force
+        recompute applying the same doc-frequency cutoff (the contract
+        oracle's construction) — proves the two stay aligned on corpora
+        that actually have hot boilerplate shingles."""
+        from pawpaw_spark.operators.dedup import ngram_jaccard_pairs
+
+        boiler = "standard legal disclaimer text"  # 2 shingles, in EVERY doc
+        rows = [
+            ("d1", f"{boiler} alpha beta gamma delta"),
+            ("d2", f"{boiler} alpha beta gamma epsilon"),
+            ("d3", f"{boiler} zeta eta theta iota"),
+            ("d4", f"{boiler} zeta eta theta kappa"),
+            ("d5", f"{boiler} totally different body words"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            (r.a, r.b): round(r.jaccard, 6)
+            for r in ngram_jaccard_pairs(df, threshold=0.0, max_gram_freq=3).collect()
+        }
+
+        def shingles(t):
+            toks = t.lower().split()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)} or {t.lower()}
+
+        sets = {i: shingles(t) for i, t in rows}
+        from collections import Counter
+
+        freq = Counter(g for s in sets.values() for g in s)
+        hot = {g for g, c in freq.items() if c > 3}
+        assert hot, "fixture must actually trigger the cap"
+        exp = {}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared = len((sets[a] & sets[b]) - hot)
+                j = shared / (len(sets[a]) + len(sets[b]) - shared)
+                if shared:
+                    exp[(a, b)] = round(j, 6)
+        assert got == exp
+
     def test_minhash_lsh_finds_neardups(self, spark, docs):
         from pawpaw_spark.operators.dedup import minhash_dedup_pairs
 
@@ -297,3 +338,13 @@ class TestIVF:
         c1 = ivf_fit(emb, n_centroids=4, iters=2)
         c2 = ivf_fit(emb, n_centroids=4, iters=2)
         assert np.allclose(c1, c2)
+
+    def test_ivf_fit_quantized_bit_identical_across_partitionings(self, spark, emb):
+        """quantize=6 must make the ITERATED fit bit-identical even when
+        the centroid-update sums run over different partitionings — the
+        property the exact-rows IVF contract entry relies on."""
+        from pawpaw_spark.operators.similarity import ivf_fit
+
+        c1 = ivf_fit(emb.repartition(1), n_centroids=8, iters=3, quantize=6)
+        c2 = ivf_fit(emb.repartition(13), n_centroids=8, iters=3, quantize=6)
+        assert (c1 == c2).all()
