@@ -45,6 +45,7 @@ HEADLINE = [
     "plumule_word_count",
     "kg_triples_by_pred",
     "media_frames",
+    "media_dimensions",
     "ontology_counts",
     "ontology_doc_hits",
     "windowed_merge",

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step itself is STUBBED (image/audio libraries are not in
-this container): ``decode_image`` raises ``NotImplementedError`` unless
-a decoder is importable, and ``fake_features`` is the deterministic
-stand-in used by tests. Everything Spark-side — schema, Arrow batch
-shape, partitioning, UDF signatures — is real and tested.
+Header-level decode is REAL: :func:`parse_image_header` reads
+width/height/format from PNG IHDR, JPEG SOF, GIF logical-screen and BMP
+info-header bytes in pure Python (the formats are public specs), and
+:func:`decode_image_meta` runs it Arrow-batched over a media table.
+Only FULL pixel decode is stubbed (``decode_image`` needs Pillow, not
+in this container), and ``_fake_feature`` is the deterministic
+model-forward stand-in used by tests. Everything Spark-side — schema,
+Arrow batch shape, partitioning, UDF signatures — is real and tested.
 """
 
 from __future__ import annotations
@@ -48,6 +51,148 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         (F.pmod(F.col("doc_id"), F.lit(1920)) + 1).cast("int").alias("width"),
         (F.pmod(F.col("doc_id"), F.lit(1080)) + 1).cast("int").alias("height"),
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# SOF markers carry dimensions; C4=DHT, C8=JPG-extension, CC=DAC do not
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
+    """(format, width, height) from the container header bytes — pure
+    Python over the public PNG/JPEG/GIF/BMP wire formats, no image
+    library. Returns None for anything unrecognized or truncated.
+
+    PNG: IHDR is the first chunk after the 8-byte signature; width and
+    height are big-endian uint32 at offsets 16 and 20 (PNG spec 11.2.2).
+    JPEG: walk marker segments from SOI; the first SOFn segment holds
+    uint16 height then width after the precision byte (ITU T.81 B.2.2).
+    GIF: uint16-LE width/height right after the 6-byte version block.
+    BMP: int32-LE width/height at offsets 18/22 of the BITMAPINFOHEADER.
+    """
+    if not payload:
+        return None
+    b = payload
+    if b.startswith(_PNG_SIG):
+        if len(b) < 24 or b[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("png", w, h) if 0 < w and 0 < h else None
+    if b.startswith(b"\xff\xd8"):
+        i = 2
+        n = len(b)
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                return None
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 4 + 5 > n:
+                    return None
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h) if 0 < w and 0 < h else None
+            i += 2 + seg_len
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            return None
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("gif", w, h) if 0 < w and 0 < h else None
+    if b.startswith(b"BM"):
+        if len(b) < 26:
+            return None
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        # BMP height may be negative (top-down rows); magnitude is size
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        return ("bmp", w, h) if 0 < w and 0 < h else None
+    return None
+
+
+def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
+    """Structurally-honest header bytes for tests/oracles: real
+    signatures, real chunk/segment framing, real CRCs — only the pixel
+    payload is omitted (PNG) or minimal (JPEG/GIF/BMP), so any
+    spec-conforming header parser reads the same dimensions."""
+    import zlib
+
+    if fmt == "png":
+        ihdr = (
+            width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + b"\x08\x02\x00\x00\x00"  # 8-bit, truecolor
+        )
+        chunk = b"IHDR" + ihdr
+        return (
+            _PNG_SIG + len(ihdr).to_bytes(4, "big") + chunk
+            + zlib.crc32(chunk).to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + b"IEND"
+            + zlib.crc32(b"IEND").to_bytes(4, "big")
+        )
+    if fmt == "jpeg":
+        app0 = b"JFIF\x00\x01\x02\x01\x00\x48\x00\x48\x00\x00"
+        sof0 = (
+            b"\x08" + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+            + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + (len(app0) + 2).to_bytes(2, "big") + app0
+            + b"\xff\xc0" + (len(sof0) + 2).to_bytes(2, "big") + sof0
+            + b"\xff\xd9"
+        )
+    if fmt == "gif":
+        return (
+            b"GIF89a"
+            + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+            + b"\x00\x00\x00" + b"\x3b"  # no GCT; trailer
+        )
+    if fmt == "bmp":
+        info = (
+            (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + bytes(24)
+        )
+        header = b"BM" + (14 + len(info)).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        return header + info
+    raise ValueError(f"unknown format: {fmt}")
+
+
+def decode_image_meta(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, format, width, height) parsed from the payload header
+    bytes — Arrow-batched pure-Python header reads (no image library);
+    unrecognized payloads yield nulls so corrupt blobs never kill a
+    100 TB scan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_image_header(p) for p in pdf[payload_col].values]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": [m[0] if m else None for m in metas],
+                    "width": pd.array([m[1] if m else None for m in metas], dtype="Int32"),
+                    "height": pd.array([m[2] if m else None for m in metas], dtype="Int32"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel, schema="media_id string, format string, width int, height int"
     )
 
 

@@ -297,6 +297,62 @@ class TestMultimodal:
         f2 = {r.media_id: r.feature for r in extract_features(media).collect()}
         assert f1 == f2
 
+    @pytest.mark.parametrize("fmt", ["png", "jpeg", "gif", "bmp"])
+    def test_header_roundtrip(self, fmt):
+        from pawpaw_spark.operators.multimodal import make_image_bytes, parse_image_header
+
+        for w, h in [(1, 1), (640, 480), (1920, 1080), (65535, 1), (1, 65535)]:
+            assert parse_image_header(make_image_bytes(fmt, w, h)) == (fmt, w, h)
+
+    def test_header_parse_rejects_garbage(self):
+        from pawpaw_spark.operators.multimodal import make_image_bytes, parse_image_header
+
+        assert parse_image_header(None) is None
+        assert parse_image_header(b"") is None
+        assert parse_image_header(b"plain text blob") is None
+        # truncated headers must not raise (cut 9 < the 10-byte GIF
+        # logical-screen prefix, the shortest complete header here)
+        for fmt in ("png", "jpeg", "gif", "bmp"):
+            full = make_image_bytes(fmt, 64, 32)
+            for cut in (2, 6, 9):
+                assert parse_image_header(full[:cut]) is None
+        # JPEG with EOI before any SOF
+        assert parse_image_header(b"\xff\xd8\xff\xd9") is None
+
+    def test_header_parse_jpeg_skips_leading_segments(self):
+        """SOF found after APPn/COM segments (marker-walk, not offset)."""
+        from pawpaw_spark.operators.multimodal import make_image_bytes, parse_image_header
+
+        base = make_image_bytes("jpeg", 320, 200)
+        com = b"\xff\xfe" + (2 + 11).to_bytes(2, "big") + b"a comment!!"
+        padded = base[:2] + com + base[2:]
+        assert parse_image_header(padded) == ("jpeg", 320, 200)
+
+    def test_header_parse_bmp_topdown_negative_height(self):
+        from pawpaw_spark.operators.multimodal import make_image_bytes, parse_image_header
+
+        b = bytearray(make_image_bytes("bmp", 10, 20))
+        b[22:26] = (-20).to_bytes(4, "little", signed=True)
+        assert parse_image_header(bytes(b)) == ("bmp", 10, 20)
+
+    def test_decode_image_meta_distributed(self, spark):
+        from pawpaw_spark.operators.multimodal import decode_image_meta, make_image_bytes
+
+        rows = [
+            ("a", make_image_bytes("png", 12, 34)),
+            ("b", make_image_bytes("jpeg", 56, 78)),
+            ("c", make_image_bytes("gif", 9, 10)),
+            ("d", make_image_bytes("bmp", 11, 12)),
+            ("e", b"not an image"),
+            ("f", None),
+        ]
+        media = spark.createDataFrame(rows, "media_id string, payload binary")
+        got = {r.media_id: (r.format, r.width, r.height) for r in decode_image_meta(media).collect()}
+        assert got == {
+            "a": ("png", 12, 34), "b": ("jpeg", 56, 78), "c": ("gif", 9, 10),
+            "d": ("bmp", 11, 12), "e": (None, None, None), "f": (None, None, None),
+        }
+
     def test_decode_stub_raises(self):
         from pawpaw_spark.operators.multimodal import decode_image
 
