@@ -405,7 +405,11 @@ def q_minhash_dedup(spark, sf_dir):
     pairs = minhash_dedup_pairs(
         d, threshold=0.8, n_hashes=64, bands=16, verify="exact"
     )
-    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+    out = pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+    # propagate the cache handles through the projection so the caller's
+    # cached_scope/unpersist_attached can release the signature table
+    out._pawpaw_cached = getattr(pairs, "_pawpaw_cached", [])
+    return out
 
 
 def q_simhash_neardup(spark, sf_dir):
@@ -441,9 +445,10 @@ def q_ngram_jaccard(spark, sf_dir):
     from pawpaw_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
-    return ngram_jaccard_pairs(d, threshold=0.5).select(
-        "a", "b", F.round("jaccard", 6).alias("jaccard_r")
-    )
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    out = pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard_r"))
+    out._pawpaw_cached = getattr(pairs, "_pawpaw_cached", [])
+    return out
 
 
 def q_media_frames(spark, sf_dir):

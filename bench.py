@@ -59,8 +59,13 @@ HEADLINE = [
 
 
 def force(df) -> int:
-    """Execute the full plan without driver-side collection."""
+    """Execute the full plan without driver-side collection, then
+    release any operator-attached caches (gram/signature tables) so the
+    session's persisted set stays flat across all headline queries."""
     df.write.format("noop").mode("overwrite").save()
+    from pawpaw_spark.operators.dedup import unpersist_attached
+
+    unpersist_attached(df)
     return 0
 
 

@@ -18,6 +18,7 @@ source: `lsh_candidate_pairs` caps bucket width with a window filter.
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager
 from typing import Iterator
 
 import numpy as np
@@ -29,6 +30,29 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
+
+
+def unpersist_attached(df: DataFrame) -> None:
+    """Release every cache handle an operator attached to ``df`` as
+    ``_pawpaw_cached``. Safe on any DataFrame (no-op without handles)."""
+    for h in getattr(df, "_pawpaw_cached", []) or []:
+        h.unpersist()
+
+
+@contextmanager
+def cached_scope(df: DataFrame):
+    """Bound the lifetime of an operator's internal caches to a block:
+
+        with cached_scope(ngram_jaccard_pairs(docs)) as pairs:
+            pairs.write.parquet(...)
+
+    On exit the persisted intermediates (gram tables, signature tables)
+    are released, so a long-lived session's storage stays flat no
+    matter how many dedup calls it makes (round-2 verdict item #6)."""
+    try:
+        yield df
+    finally:
+        unpersist_attached(df)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -100,8 +124,9 @@ def ngram_jaccard_pairs(
 
     Cache lifecycle: the gram tables are persisted (they feed four
     consumers); handles are attached to the returned DataFrame as
-    ``_pawpaw_cached`` — long-lived sessions should unpersist them after
-    the consuming action (callers own cleanup)."""
+    ``_pawpaw_cached`` — wrap the consuming action in
+    :func:`cached_scope` (or call :func:`unpersist_attached` after it)
+    so long-lived sessions hold no growing persisted set."""
     from pyspark import StorageLevel
 
     # the gram table feeds FOUR consumers (sizes, frequency filter, both
@@ -297,26 +322,30 @@ def minhash_dedup_pairs(
         gb = grams.select(F.col("id").alias("b"), F.col("grams").alias("gb"))
         inter = F.size(F.array_intersect("ga", "gb"))
         jacc = inter / (F.size("ga") + F.size("gb") - inter)
-        return (
+        out = (
             cands.join(ga, "a")
             .join(gb, "b")
             .withColumn("jaccard", jacc)
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard")
         )
+        out._pawpaw_cached = [sigs]  # see cached_scope
+        return out
     sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(n_hashes))
     )
-    return (
+    out = (
         cands.join(sa, "a")
         .join(sb, "b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+    out._pawpaw_cached = [sigs]  # see cached_scope
+    return out
 
 
 # ---------------------------------------------------------------------------

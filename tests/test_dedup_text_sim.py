@@ -84,6 +84,28 @@ class TestDedup:
                     exp[(a, b)] = round(j, 6)
         assert got == exp
 
+    def test_cached_scope_keeps_persisted_set_flat(self, spark, docs):
+        """N repeated dedup calls inside cached_scope leave the
+        session's persisted-RDD set exactly where it started (round-2
+        verdict item #6)."""
+        from pawpaw_spark.operators.dedup import (
+            cached_scope, minhash_dedup_pairs, ngram_jaccard_pairs,
+        )
+
+        def n_persisted():
+            return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+        d = docs.limit(50)
+        base = n_persisted()
+        for _ in range(3):
+            with cached_scope(ngram_jaccard_pairs(d, threshold=0.5)) as p:
+                p.count()
+            with cached_scope(
+                minhash_dedup_pairs(d, threshold=0.8, n_hashes=16, bands=4)
+            ) as p:
+                p.count()
+        assert n_persisted() == base
+
     def test_minhash_lsh_finds_neardups(self, spark, docs):
         from pawpaw_spark.operators.dedup import minhash_dedup_pairs
 

@@ -93,6 +93,41 @@ class TestConnectedComponents:
         }
         assert fast == dist
 
+    def test_distributed_path_stress_1m_edges(self, spark):
+        """The DISTRIBUTED loop (driver cutover disabled) at ~1M edges:
+        500 chains x 1000 nodes (diameter 999) plus a 500k-leaf star
+        (the mega-repo skew shape). Exact labels — every node's comp is
+        its component's min id — within max_iters = log2(diameter)+2
+        rounds, proving the pointer-jumping bound at a size the driver
+        cutover would normally shield (round-2 verdict item #7)."""
+        import math
+
+        n_chains, chain_len, n_leaves = 500, 1000, 500_000
+        chain_nodes = n_chains * chain_len
+        chains = spark.range(chain_nodes).filter(
+            (F.col("id") % chain_len) != chain_len - 1
+        ).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        hub = chain_nodes  # a single hot node: star skew
+        star = spark.range(n_leaves).select(
+            F.lit(hub).alias("a"), (F.col("id") + hub + 1).alias("b")
+        )
+        edges = chains.unionByName(star)
+        assert edges.count() == n_chains * (chain_len - 1) + n_leaves
+
+        budget = int(math.log2(chain_len - 1)) + 2
+        labels = connected_components(
+            edges, max_iters=budget, driver_threshold=0  # raises if over budget
+        )
+        bad_chain = labels.filter(
+            (F.col("node") < chain_nodes)
+            & (F.col("comp") != (F.col("node") - F.col("node") % chain_len))
+        ).count()
+        bad_star = labels.filter(
+            (F.col("node") >= chain_nodes) & (F.col("comp") != hub)
+        ).count()
+        assert bad_chain == 0 and bad_star == 0
+        assert labels.count() == chain_nodes + n_leaves + 1
+
     def test_nonconvergence_raises_not_silent(self, spark):
         import pytest
 
