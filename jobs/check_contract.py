@@ -2,11 +2,16 @@
 oracle_sql() at a given SF and compare rows/schema/values the way the
 driver does (columns sorted by name, rows sorted, stringified values).
 
-Usage: python jobs/check_contract.py [sf_dir] [key ...]
+Usage: python jobs/check_contract.py [--out FILE] [sf_dir] [key ...]
+
+--out writes the per-query results as JSON in the driver's
+CORRECTNESS_r{N}.json shape, so a green run at a second scale factor is
+a committable artifact (CHECK_sf0.01.json), not a code comment.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -30,7 +35,13 @@ def norm(df):
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     import __spark_entry__ as E
     from pawpaw_spark.session import get_spark
 
@@ -40,9 +51,10 @@ def main() -> int:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{sf}/{t}.parquet')"
         )
-    keys = sys.argv[2:] or list(E.queries())
+    keys = argv[1:] or list(E.queries())
     oracles = E.oracle_sql()
     n_bad = 0
+    results: dict[str, dict] = {}
     for k in keys:
         try:
             sdf = E.queries()[k](spark, sf).toPandas()
@@ -51,6 +63,10 @@ def main() -> int:
             rows = len(a) == len(b)
             cols = list(a.columns) == list(b.columns)
             vals = rows and cols and a.equals(b)
+            results[k] = {
+                "rows_match": rows, "schema_match": cols, "hash_match": bool(vals),
+                "spark_rows": len(a), "oracle_rows": len(b), "err": None,
+            }
             status = "OK  " if (rows and cols and vals) else "FAIL"
             if status == "FAIL":
                 n_bad += 1
@@ -67,8 +83,17 @@ def main() -> int:
                 print("  oracle cols:", list(b.columns))
         except Exception as exc:  # noqa: BLE001
             n_bad += 1
+            results[k] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"{type(exc).__name__}: {exc}",
+            }
             print(f"ERR  {k}: {type(exc).__name__}: {exc}")
     print(f"{'ALL GREEN' if n_bad == 0 else f'{n_bad} FAILURES'}")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf, "results": results}, f, indent=2)
+        print(f"wrote {out_path}")
     return 1 if n_bad else 0
 
 
