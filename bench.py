@@ -60,12 +60,14 @@ HEADLINE = [
 
 def force(df) -> int:
     """Execute the full plan without driver-side collection, then
-    release any operator-attached caches (gram/signature tables) so the
-    session's persisted set stays flat across all headline queries."""
+    release any operator caches registered this session (gram/signature
+    tables) so the persisted set stays flat across all headline
+    queries — the session registry catches handles even when a
+    projection dropped the per-DataFrame attribute."""
     df.write.format("noop").mode("overwrite").save()
-    from pawpaw_spark.operators.dedup import unpersist_attached
+    from pawpaw_spark.operators.dedup import release_session_caches
 
-    unpersist_attached(df)
+    release_session_caches(df.sparkSession)
     return 0
 
 
@@ -114,9 +116,12 @@ def main() -> None:
     windowed_join(warm_segs, 3, lambda w: False, partition_local=True).count()
     minhash_signatures(warm, text_col="content", n_hashes=16).count()
     # the IVF index is a build-once artifact (persisted inverted lists);
-    # building it here keeps ann_ivf_topk timing the PROBE, the
-    # steady-state cost — same argument as the parquet-footer warmup
-    E._ivf_index(spark, sf_dir)
+    # building AND materializing it here keeps ann_ivf_topk timing the
+    # PROBE, the steady-state cost — same argument as the parquet-footer
+    # warmup. with_ivf_cluster().persist() is lazy, so without the
+    # count() the first probe would still pay the assignment scan.
+    _, clustered = E._ivf_index(spark, sf_dir)
+    clustered.count()
     timings["warmup"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:

@@ -39,6 +39,9 @@ def main() -> int:
     out_path = None
     if "--out" in argv:
         i = argv.index("--out")
+        if i + 1 >= len(argv):
+            print("usage: check_contract.py [--out FILE] [sf_dir] [key ...]")
+            return 2
         out_path = argv[i + 1]
         del argv[i : i + 2]
     sf = argv[0] if argv else "/root/testdata/sf0.01"
@@ -55,9 +58,14 @@ def main() -> int:
     oracles = E.oracle_sql()
     n_bad = 0
     results: dict[str, dict] = {}
+    from pawpaw_spark.operators.dedup import release_session_caches
+
     for k in keys:
         try:
             sdf = E.queries()[k](spark, sf).toPandas()
+            # release operator caches (gram/signature tables) so earlier
+            # queries' persisted intermediates don't squeeze later ones
+            release_session_caches(spark)
             odf = con.sql(oracles[k]).df()
             a, b = norm(sdf), norm(odf)
             rows = len(a) == len(b)

@@ -32,11 +32,40 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------------------
 
 
+def _attach_caches(out: DataFrame, handles: list) -> DataFrame:
+    """Attach operator cache handles to ``out`` AND register them on
+    the session. The attribute serves per-DataFrame scoping
+    (cached_scope); the session registry is the safety net — Python
+    attributes do not survive DataFrame transformations, so a caller
+    projecting the result would otherwise silently orphan the handles."""
+    out._pawpaw_cached = handles
+    spark = out.sparkSession
+    reg = getattr(spark, "_pawpaw_cache_registry", None)
+    if reg is None:
+        reg = []
+        spark._pawpaw_cache_registry = reg
+    reg.extend(handles)
+    return out
+
+
 def unpersist_attached(df: DataFrame) -> None:
     """Release every cache handle an operator attached to ``df`` as
     ``_pawpaw_cached``. Safe on any DataFrame (no-op without handles)."""
     for h in getattr(df, "_pawpaw_cached", []) or []:
         h.unpersist()
+
+
+def release_session_caches(spark) -> int:
+    """Release EVERY operator cache registered this session, whether or
+    not the caller kept the original DataFrame (projections drop the
+    ``_pawpaw_cached`` attribute). Returns the number released.
+    Idempotent: unpersisting twice is a Spark no-op."""
+    reg = getattr(spark, "_pawpaw_cache_registry", None) or []
+    n = len(reg)
+    for h in reg:
+        h.unpersist()
+    reg.clear()
+    return n
 
 
 @contextmanager
@@ -166,8 +195,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    out._pawpaw_cached = cached  # callers own unpersist (see docstring)
-    return out
+    return _attach_caches(out, cached)  # see cached_scope
 
 
 # ---------------------------------------------------------------------------
@@ -329,8 +357,7 @@ def minhash_dedup_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard")
         )
-        out._pawpaw_cached = [sigs]  # see cached_scope
-        return out
+        return _attach_caches(out, [sigs])  # see cached_scope
     sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     est = (
@@ -344,8 +371,7 @@ def minhash_dedup_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
-    out._pawpaw_cached = [sigs]  # see cached_scope
-    return out
+    return _attach_caches(out, [sigs])  # see cached_scope
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,12 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
         while i + 4 <= n:
             if b[i] != 0xFF:
                 return None
+            # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+            # the space before a marker code
+            while i + 1 < n and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                return None
             marker = b[i + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
                 i += 2
@@ -114,9 +120,19 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
     if b.startswith(b"BM"):
         if len(b) < 26:
             return None
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        # BMP height may be negative (top-down rows); magnitude is size
-        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        # offsets 18/22 are int32 only for BITMAPINFOHEADER (DIB header
+        # size >= 40); the OS/2 BITMAPCOREHEADER (size 12) packs uint16
+        # dims at 18/20 and would misparse as garbage int32s
+        dib = int.from_bytes(b[14:18], "little")
+        if dib >= 40:
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            # height may be negative (top-down rows); magnitude is size
+            h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        elif dib == 12:
+            w = int.from_bytes(b[18:20], "little")
+            h = int.from_bytes(b[20:22], "little")
+        else:
+            return None
         return ("bmp", w, h) if 0 < w and 0 < h else None
     return None
 

@@ -106,6 +106,25 @@ class TestDedup:
                 p.count()
         assert n_persisted() == base
 
+    def test_session_registry_catches_dropped_attribute(self, spark, docs):
+        """A projection drops the _pawpaw_cached attribute; the
+        session-level registry must still release the handles."""
+        from pawpaw_spark.operators.dedup import (
+            ngram_jaccard_pairs, release_session_caches,
+        )
+
+        def n_persisted():
+            return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+        release_session_caches(spark)  # clean slate
+        base = n_persisted()
+        projected = ngram_jaccard_pairs(docs.limit(50), threshold=0.5).select("a")
+        assert not hasattr(projected, "_pawpaw_cached")
+        projected.count()
+        assert n_persisted() > base  # caches are live
+        assert release_session_caches(spark) >= 1
+        assert n_persisted() == base
+
     def test_minhash_lsh_finds_neardups(self, spark, docs):
         from pawpaw_spark.operators.dedup import minhash_dedup_pairs
 
@@ -349,6 +368,31 @@ class TestMultimodal:
         com = b"\xff\xfe" + (2 + 11).to_bytes(2, "big") + b"a comment!!"
         padded = base[:2] + com + base[2:]
         assert parse_image_header(padded) == ("jpeg", 320, 200)
+
+    def test_header_parse_jpeg_fill_bytes(self):
+        """ITU T.81 B.1.1.2: 0xFF fill bytes may pad marker space."""
+        from pawpaw_spark.operators.multimodal import make_image_bytes, parse_image_header
+
+        base = make_image_bytes("jpeg", 320, 200)
+        padded = base[:2] + b"\xff\xff" + base[2:]
+        assert parse_image_header(padded) == ("jpeg", 320, 200)
+
+    def test_header_parse_bmp_os2_core_header(self):
+        """BITMAPCOREHEADER (DIB size 12) packs uint16 dims at 18/20 —
+        must parse those, not misread int32s at 18/22."""
+        from pawpaw_spark.operators.multimodal import parse_image_header
+
+        info = (
+            (12).to_bytes(4, "little")
+            + (10).to_bytes(2, "little") + (20).to_bytes(2, "little")
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        )
+        header = b"BM" + (14 + len(info)).to_bytes(4, "little") + bytes(4) + (26).to_bytes(4, "little")
+        assert parse_image_header(header + info) == ("bmp", 10, 20)
+        # unknown DIB size -> None, not garbage dimensions
+        weird = bytearray(header + info + bytes(16))
+        weird[14:18] = (17).to_bytes(4, "little")
+        assert parse_image_header(bytes(weird)) is None
 
     def test_header_parse_bmp_topdown_negative_height(self):
         from pawpaw_spark.operators.multimodal import make_image_bytes, parse_image_header
