@@ -13,8 +13,48 @@ happen here so callers never see them.
 
 from __future__ import annotations
 
+import sys
+import unicodedata as _ud
+from typing import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Exact Unicode predicate classes. Java regex lacks the Numeric_Type /
+# XID_Start / XID_Continue properties several str predicates need, so
+# the char classes are computed ONCE per driver process from the same
+# unicodedata tables CPython's own predicates read, compressed to
+# codepoint ranges, and shipped to executors as plain pattern strings.
+# Build cost ~0.5 s per class, lazy, driver-only.
+_UNISET_CACHE: dict[str, str] = {}
+
+
+def _uniset_body(name: str, pred: Callable[[str], bool]) -> str:
+    """Class BODY (no brackets, so call sites can union/negate) of
+    every non-surrogate codepoint where ``pred(chr(cp))`` is true, as
+    compressed ``\\x{a}-\\x{b}`` ranges."""
+    cached = _UNISET_CACHE.get(name)
+    if cached is not None:
+        return cached
+    ranges: list[list[int]] = []
+    for cp in range(sys.maxunicode + 1):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        if pred(chr(cp)):
+            if ranges and ranges[-1][1] == cp - 1:
+                ranges[-1][1] = cp
+            else:
+                ranges.append([cp, cp])
+    out = "".join(
+        rf"\x{{{a:x}}}" if a == b else rf"\x{{{a:x}}}-\x{{{b:x}}}"
+        for a, b in ranges
+    )
+    _UNISET_CACHE[name] = out
+    return out
+
+
+def _uniset_class(name: str, pred: Callable[[str], bool]) -> str:
+    return "[" + _uniset_body(name, pred) + "]"
 
 
 def seg_text(content: Column, start: Column, stop: Column) -> Column:
@@ -74,13 +114,24 @@ def str_partition_spans(
 
 
 def str_isdigit(content: Column, start: Column, stop: Column) -> Column:
+    """Exact ``str.isdigit``: Numeric_Type Digit or Decimal. Java regex
+    has no Numeric_Type property, so the char class is computed once
+    from the driver's own unicodedata tables (see _uniset_class)."""
     t = seg_text(content, start, stop)
-    return (F.length(t) > 0) & t.rlike(r"\A\d+\z")
+    return (F.length(t) > 0) & t.rlike(
+        rf"\A{_uniset_class('isdigit', lambda ch: _ud.digit(ch, None) is not None)}+\z"
+    )
 
 
 def str_isalpha(content: Column, start: Column, stop: Column) -> Column:
+    # python isalpha == general category L* — NOT java \w (ASCII-only
+    # by default, caught by the stratified-unicode differential corpus),
+    # and computed rather than \p{L} so letters from Unicode versions
+    # newer than the JVM's UCD still count
     t = seg_text(content, start, stop)
-    return (F.length(t) > 0) & t.rlike(r"\A[^\W\d_]+\z")
+    return (F.length(t) > 0) & t.rlike(
+        rf"\A{_uniset_class('isalpha', str.isalpha)}+\z"
+    )
 
 
 # python's str whitespace set (str.isspace / whitespace-mode split):
@@ -362,11 +413,12 @@ def str_splitlines_spans(
 
 
 # --- remaining is-predicates -------------------------------------------------
-# Implemented as Unicode-category regexes (pure JVM). Java regex has no
-# XID_Start/Numeric_Type properties, so isidentifier/isnumeric are
-# category approximations: exact for ASCII and the common Unicode
-# ranges, divergent for exotica (e.g. Han numerals are Lo, not \p{N}) —
-# the differential tests pin the supported envelope.
+# Pure-JVM regexes. Properties Java regex has natively (categories,
+# binary Uppercase/Lowercase/White_Space) are used directly; the ones
+# it lacks (Numeric_Type, XID_Start/XID_Continue, the per-char isalnum
+# union) are EXACT computed classes from the driver's unicodedata (see
+# _uniset_class) — the stratified-unicode differential corpus holds
+# every predicate to CPython bit-for-bit.
 
 
 def _nonempty_rlike(content: Column, start: Column, stop: Column, pat: str) -> Column:
@@ -375,30 +427,60 @@ def _nonempty_rlike(content: Column, start: Column, stop: Column, pat: str) -> C
 
 
 def str_isalnum(content: Column, start: Column, stop: Column) -> Column:
-    return _nonempty_rlike(content, start, stop, r"\A[\p{L}\p{N}]+\z")
+    # python isalnum == per-char isalpha|isdecimal|isdigit|isnumeric;
+    # the numeric side includes Numeric_Type chars outside \p{N}
+    # (e.g. Han numerals, category Lo)
+    return _nonempty_rlike(
+        content, start, stop,
+        rf"\A{_uniset_class('isalnum', str.isalnum)}+\z",
+    )
 
 
 def str_isdecimal(content: Column, start: Column, stop: Column) -> Column:
-    return _nonempty_rlike(content, start, stop, r"\A\p{Nd}+\z")
+    # computed Nd (CPython UCD), not \p{Nd} (JVM UCD) — version skew
+    return _nonempty_rlike(
+        content, start, stop,
+        rf"\A{_uniset_class('isdecimal', str.isdecimal)}+\z",
+    )
 
 
 def str_isnumeric(content: Column, start: Column, stop: Column) -> Column:
-    return _nonempty_rlike(content, start, stop, r"\A[\p{Nd}\p{Nl}\p{No}]+\z")
+    """Exact ``str.isnumeric``: any Numeric_Type (Decimal/Digit/
+    Numeric), which reaches outside \\p{N} (Han numerals are Lo)."""
+    return _nonempty_rlike(
+        content, start, stop,
+        rf"\A{_uniset_class('isnumeric', lambda ch: _ud.numeric(ch, None) is not None)}+\z",
+    )
+
+
+# case-predicate building blocks, computed from CPython's own tables
+# (binary Uppercase/Lowercase + Lt): Java's \p{IsUppercase} reads the
+# JVM's UCD, which lags CPython's by several Unicode versions — chars
+# from newer blocks (e.g. Latin Extended-F, 14.0) would disagree
+def _upper_body() -> str:
+    return _uniset_body("upper", str.isupper)
+
+
+def _lower_body() -> str:
+    return _uniset_body("lower", str.islower)
+
+
+def _lt_body() -> str:
+    return _uniset_body("lt", lambda ch: _ud.category(ch) == "Lt")
 
 
 def str_isupper(content: Column, start: Column, stop: Column) -> Column:
-    """At least one cased char and no lowercase (``str.isupper``)."""
+    """At least one cased char and no non-uppercase cased char
+    (``str.isupper``): python counts e.g. Roman numerals (Nl,
+    Uppercase=True) as cased; titlecase (Lt, e.g. 'ǅ') is cased but
+    NOT uppercase, so its presence disqualifies."""
     t = seg_text(content, start, stop)
-    # binary Uppercase/Lowercase properties, not Lu/Ll categories:
-    # python counts e.g. Roman numerals (Nl, Uppercase=True) as cased.
-    # Titlecase (Lt, e.g. 'ǅ') is cased but NOT uppercase, so its
-    # presence disqualifies — 'ǅ'.isupper() is False in Python.
-    return t.rlike(r"\p{IsUppercase}") & ~t.rlike(r"[\p{IsLowercase}\p{Lt}]")
+    return t.rlike(rf"[{_upper_body()}]") & ~t.rlike(rf"[{_lower_body()}{_lt_body()}]")
 
 
 def str_islower(content: Column, start: Column, stop: Column) -> Column:
     t = seg_text(content, start, stop)
-    return t.rlike(r"\p{IsLowercase}") & ~t.rlike(r"[\p{IsUppercase}\p{Lt}]")
+    return t.rlike(rf"[{_lower_body()}]") & ~t.rlike(rf"[{_upper_body()}{_lt_body()}]")
 
 
 def str_istitle(content: Column, start: Column, stop: Column) -> Column:
@@ -409,11 +491,11 @@ def str_istitle(content: Column, start: Column, stop: Column) -> Column:
     # by >=1 uncased char (an alternation like (uncased|word)* wrongly
     # accepts 'ABc': upper may only FOLLOW uncased, per CPython's
     # previous_is_cased state machine)
-    _n = r"[^\p{IsUppercase}\p{IsLowercase}\p{Lt}]"
-    _w = r"[\p{IsUppercase}\p{Lt}]\p{IsLowercase}*"
+    _n = rf"[^{_upper_body()}{_lower_body()}{_lt_body()}]"
+    _w = rf"[{_upper_body()}{_lt_body()}][{_lower_body()}]*"
     return t.rlike(
         rf"\A{_n}*(?:{_w}(?:{_n}+{_w})*{_n}*)?\z"
-    ) & t.rlike(r"[\p{IsUppercase}\p{Lt}]")
+    ) & t.rlike(rf"[{_upper_body()}{_lt_body()}]")
 
 
 def str_isascii(content: Column, start: Column, stop: Column) -> Column:
@@ -421,16 +503,21 @@ def str_isascii(content: Column, start: Column, stop: Column) -> Column:
 
 
 def str_isidentifier(content: Column, start: Column, stop: Column) -> Column:
-    return _nonempty_rlike(
-        content, start, stop,
-        r"\A[\p{L}\p{Nl}_][\p{L}\p{Nl}\p{Mn}\p{Mc}\p{Nd}\p{Pc}]*\z",
-    )
+    """Exact ``str.isidentifier``: XID_Start then XID_Continue* —
+    classes computed from CPython itself (a char starts an identifier
+    iff ch.isidentifier(); continues one iff ('a'+ch) does)."""
+    head = _uniset_class("xid_start", str.isidentifier)
+    tail = _uniset_class("xid_continue", lambda ch: ("a" + ch).isidentifier())
+    return _nonempty_rlike(content, start, stop, rf"\A{head}{tail}*\z")
 
 
 def str_isprintable(content: Column, start: Column, stop: Column) -> Column:
-    """No control/format/separator chars except the plain space
-    (``str.isprintable``; empty is printable)."""
-    return seg_text(content, start, stop).rlike(r"\A(?:[^\p{C}\p{Z}]|\x20)*\z")
+    """No control/format/separator/unassigned chars except the plain
+    space (``str.isprintable``; empty is printable). Computed class:
+    the JVM's \\p{C} covers a different unassigned set than CPython's
+    newer UCD."""
+    bad = _uniset_body("unprintable", lambda ch: not ch.isprintable())
+    return seg_text(content, start, stop).rlike(rf"\A[^{bad}]*\z")
 
 
 def to_line_col(content: Column, start: Column, eol: str = "\n") -> tuple[Column, Column]:

@@ -129,3 +129,48 @@ class TestStrSuiteProperty:
             prev = p + len(sub)
         parts.append(seg[prev:])
         assert parts == seg.split(sub)
+
+
+class TestImageHeaderProperties:
+    """The header parser must never raise — any byte blob yields a
+    3-tuple or None — and must round-trip every generator output."""
+
+    @given(blob=st.binary(max_size=64))
+    @settings(**SETTINGS)
+    def test_never_raises_on_arbitrary_bytes(self, blob):
+        from pawpaw_spark.operators.multimodal import parse_image_header
+
+        r = parse_image_header(blob)
+        assert r is None or (len(r) == 3 and r[1] > 0 and r[2] > 0)
+
+    @given(
+        blob=st.binary(min_size=2, max_size=64),
+        sig=st.sampled_from(
+            [b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"GIF87a", b"BM"]
+        ),
+    )
+    @settings(**SETTINGS)
+    def test_never_raises_with_valid_signature_prefix(self, blob, sig):
+        """Adversarial case: real signature, garbage body."""
+        from pawpaw_spark.operators.multimodal import parse_image_header
+
+        r = parse_image_header(sig + blob)
+        assert r is None or (len(r) == 3 and r[1] > 0 and r[2] > 0)
+
+    @given(
+        fmt=st.sampled_from(["png", "jpeg", "gif", "bmp"]),
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        cut=st.integers(0, 80),
+    )
+    @settings(**SETTINGS)
+    def test_roundtrip_and_truncation_totality(self, fmt, w, h, cut):
+        from pawpaw_spark.operators.multimodal import (
+            make_image_bytes, parse_image_header,
+        )
+
+        full = make_image_bytes(fmt, w, h)
+        assert parse_image_header(full) == (fmt, w, h)
+        # every truncation parses to the true dims or None, never junk
+        r = parse_image_header(full[: min(cut, len(full))])
+        assert r in (None, (fmt, w, h))

@@ -203,6 +203,64 @@ class TestStrEquivalenceExtended:
             got = _spans_to_strs(r.content, r.sp)
             assert got == seg.splitlines(keepends), (seg, keepends)
 
+    def test_is_predicates_on_stratified_unicode_corpus(self, spark):
+        """All is-predicates vs CPython over a seeded corpus drawn from
+        every relevant Unicode category (Lu/Ll/Lt/Lm/Lo/Nd/Nl/No/Mn/Zs/
+        Cc/Cf/Po + ASCII), single Spark job — hunts category-boundary
+        bugs the curated cases miss (the r3 Lt fixes came from exactly
+        this class)."""
+        import random
+        import sys
+        import unicodedata
+
+        from pawpaw_spark.functions import strings as S
+
+        random.seed(42)
+        cats = ["Lu", "Ll", "Lt", "Lm", "Lo", "Nd", "Nl", "No", "Mn", "Zs", "Cc", "Cf", "Po"]
+        full: dict[str, list[str]] = {c: [] for c in cats}
+        for cp in range(sys.maxunicode + 1):
+            if 0xD800 <= cp <= 0xDFFF:  # surrogates can't round-trip utf-8
+                continue
+            ch = chr(cp)
+            cat = unicodedata.category(ch)
+            if cat in full:
+                full[cat].append(ch)
+        # random sample across each FULL category, not its oldest block
+        # — chars added in Unicode versions newer than the JVM's UCD are
+        # exactly where version-skew bugs live
+        pools = {c: random.sample(v, min(400, len(v))) for c, v in full.items()}
+        corpus = []
+        for _ in range(300):
+            n = random.randint(0, 6)
+            s = "".join(
+                random.choice(pools[random.choice(cats)]) for _ in range(n)
+            )
+            corpus.append(s)
+        corpus += ["", "A", "a", "1", " ", "ǅ", "Ab cD", "ᵃᵇ", "Ⅻ¼"]
+        rdf = spark.createDataFrame(
+            [(c, 0, len(c)) for c in corpus], "content string, start int, stop int"
+        )
+        fns = [
+            (S.str_isalnum, "isalnum"), (S.str_isdecimal, "isdecimal"),
+            (S.str_isnumeric, "isnumeric"), (S.str_isupper, "isupper"),
+            (S.str_islower, "islower"), (S.str_istitle, "istitle"),
+            (S.str_isascii, "isascii"), (S.str_isidentifier, "isidentifier"),
+            (S.str_isprintable, "isprintable"), (S.str_isspace, "isspace"),
+            (S.str_isalpha, "isalpha"), (S.str_isdigit, "isdigit"),
+        ]
+        row = rdf.select(
+            "content",
+            *[fn(F.col("content"), F.col("start"), F.col("stop")).alias(name)
+              for fn, name in fns],
+        ).collect()
+        bad = []
+        for r in row:
+            for _, name in fns:
+                exp = getattr(r.content, name)()
+                if getattr(r, name) != exp:
+                    bad.append((name, repr(r.content), exp, getattr(r, name)))
+        assert not bad, bad[:10]
+
     def test_remaining_is_predicates(self, spark, rdf):
         from pawpaw_spark.functions import strings as S
 
