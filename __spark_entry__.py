@@ -412,6 +412,24 @@ def q_minhash_dedup(spark, sf_dir):
     return out
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUP assignment — the keep-one-per-cluster step a
+    training pipeline runs after pair detection: LSH-blocked
+    exact-verified pairs at J>=0.8 -> connected components (transitive
+    closure) -> (doc, group_id=min member, is_canonical). Value-level
+    oracle: DuckDB recomputes every pair brute-force and closes the
+    graph with a recursive CTE."""
+    from pawpaw_spark.operators.dedup import minhash_dedup_pairs, neardup_groups
+
+    d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    pairs = minhash_dedup_pairs(
+        d, threshold=0.8, n_hashes=64, bands=16, verify="exact"
+    )
+    out = neardup_groups(d, pairs)
+    out._pawpaw_cached = getattr(pairs, "_pawpaw_cached", [])
+    return out
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup, portable-hash mode: per-token hash = lower 8
     md5 digest bytes (== DuckDB md5_number_lower), so the oracle can
@@ -873,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plumule_word_count": q_plumule_word_count,
         "kg_triples_by_pred": q_kg_triples_by_pred,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_groups": q_dedup_groups,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "media_frames": q_media_frames,
@@ -1216,6 +1235,36 @@ def oracle_sql() -> dict[str, str]:
               FROM g a JOIN g b ON a.id < b.id)
             SELECT a, b, round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard_r
             FROM p WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.8
+        """,
+        # same brute-force pair derivation as minhash_dedup, then the
+        # transitive closure as a recursive CTE: min-label reachability
+        # seeded with every doc (singletons form their own group)
+        "dedup_groups": r"""
+            WITH RECURSIVE d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM d),
+            p AS (
+              SELECT a.id AS a, b.id AS b
+              FROM g a JOIN g b ON a.id < b.id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                    >= 0.8),
+            e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+            reach(node, comp) AS (
+              SELECT id, id FROM d
+              UNION
+              SELECT e.dst, reach.comp FROM reach JOIN e ON e.src = reach.node)
+            SELECT node AS doc, min(comp) AS group_id,
+                   (min(comp) = node) AS is_canonical
+            FROM reach GROUP BY node
         """,
         # fingerprints recomputed bit-for-bit: per-token hash
         # md5_number_lower == lower 8 md5 digest bytes little-endian ==

@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_topk",
     "embedding_neardup",
     "minhash_dedup",
+    "dedup_groups",
     "simhash_neardup",
     "ngram_jaccard",
     "plumule_word_count",

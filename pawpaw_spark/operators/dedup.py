@@ -500,3 +500,34 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup group assignment (the keep-one-per-cluster step)
+# ---------------------------------------------------------------------------
+
+
+def neardup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """(doc, group_id, is_canonical): every document's near-dup cluster
+    and the one keeper per cluster — the step a training pipeline runs
+    AFTER pair detection to actually drop duplicates. Clusters are
+    connected components over the pair graph (transitive: A~B, B~C
+    puts A and C in one group even if A!~C); group_id = min member id;
+    the keeper is the group minimum. Unpaired docs form singleton
+    groups. Scale shape: the pair graph is tiny relative to the corpus
+    (it only holds near-dups), so the CC runs on pairs only and joins
+    back to the corpus once, broadcast when small."""
+    from pawpaw_spark.operators.canon import connected_components
+
+    comps = connected_components(pairs, a_col=a_col, b_col=b_col)
+    ids = df.select(F.col(id_col).alias("doc"))
+    out = ids.join(comps, ids["doc"] == comps["node"], "left").select(
+        "doc", F.coalesce("comp", "doc").alias("group_id")
+    )
+    return out.withColumn("is_canonical", F.col("group_id") == F.col("doc"))

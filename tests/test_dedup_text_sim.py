@@ -172,6 +172,27 @@ class TestDedup:
         for r in base.select("doc_id").collect():
             assert (r.doc_id, f"sh_{r.doc_id}") in found or (f"sh_{r.doc_id}", r.doc_id) in found
 
+    def test_neardup_groups_transitive_and_singletons(self, spark):
+        """A~B and B~C put A,C in one group even when A!~C directly;
+        unpaired docs are their own canonical singleton."""
+        from pawpaw_spark.operators.dedup import neardup_groups
+
+        docs = spark.createDataFrame(
+            [("d1", ""), ("d2", ""), ("d3", ""), ("d9", "")],
+            "doc_id string, text string",
+        )
+        pairs = spark.createDataFrame(
+            [("d1", "d2"), ("d2", "d3")], "a string, b string"
+        )
+        got = {
+            r.doc: (r.group_id, r.is_canonical)
+            for r in neardup_groups(docs, pairs).collect()
+        }
+        assert got == {
+            "d1": ("d1", True), "d2": ("d1", False), "d3": ("d1", False),
+            "d9": ("d9", True),
+        }
+
     def test_simhash_oracle_alignment_on_tricky_corpus(self, spark):
         """Engine fingerprints == the DuckDB oracle recompute on docs
         with leading whitespace, blank/whitespace-only text, and empty
