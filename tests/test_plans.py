@@ -112,6 +112,13 @@ class TestExpensiveQueryPlanShape:
         assert "BatchEvalPython" not in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 3, plan
 
+    def test_media_dimensions_is_narrow_pipeline(self, spark):
+        plan = self._p(spark, "media_dimensions")
+        # construct -> parse is two chained Arrow kernels over one scan:
+        # no shuffle at any width
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert plan.count("MapInPandas") >= 2, plan
+
     def test_simhash_neardup_shape(self, spark):
         plan = self._p(spark, "simhash_neardup")
         assert "BatchEvalPython" not in plan, plan
