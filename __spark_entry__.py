@@ -282,14 +282,18 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    """quality scoring (length/punct/stopword ratios)."""
-    from pawpaw_spark.operators.text import with_quality_score
+    """quality scoring (length/punct/stopword ratios). Emits the score
+    as quality_q4 = exact integer quantization to 4 decimals (see
+    operators.text.quality_q4): the float round(x, 4) diverged from
+    DuckDB by 1 ulp on a .xxxx5 boundary at sf0.1 — found by the
+    committed sf0.1 contract sweep, fixed by construction."""
+    from pawpaw_spark.operators.text import quality_q4, with_quality_score
 
     d = _docs(spark, sf_dir)
     return with_quality_score(d).select(
         "doc_id",
         F.col("n_words").cast("long").alias("n_words"),
-        F.round("quality", 4).alias("quality_r"),
+        quality_q4().alias("quality_q4"),
     )
 
 
@@ -790,13 +794,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (scale path): top-5 neighbors of vec 0 via
     random-hyperplane multiprobe with exact re-rank. Plane count sizes
     buckets to ~64 vectors regardless of corpus scale
-    (n_planes = log2(n/64)); the multiprobe beam (8 buckets, ranked
-    bit-flip masks) covers ALL buckets at the 500-vector gate SF — this
-    corpus's embeddings are near-isotropic (max off-diagonal cosine
-    0.47), so recall 1 there genuinely requires the full beam — while at
-    larger n the same beam probes a shrinking fraction (8/32 at sf0.1).
-    Value-level oracle: brute-force cosine top-5 (recall@5 = 1 by
-    construction at the gate SF)."""
+    (n_planes = log2(n/64)). This corpus's embeddings are
+    NEAR-ISOTROPIC (max off-diagonal cosine 0.47) — LSH's worst case,
+    where bucket signs barely correlate with cosine — so the recall-1
+    contract beam is a bucket FRACTION: measured beam ranks of the true
+    top-5 max out at 7/8 (sf0.001), 5/8 (sf0.01), 19/32 (sf0.1; the
+    round-2 fixed 8-bucket beam missed 3 of 5 there — caught by the
+    committed sf0.1 contract sweep), so probing max(8, 3/4 of buckets)
+    holds recall 1 with margin at every SF. On real clustered
+    embeddings a narrow beam suffices (the planted-cluster recall test
+    finds 7/8 of true neighbors probing 5/16 buckets). Value-level
+    oracle: brute-force cosine top-5."""
     import math
 
     from pawpaw_spark.operators.similarity import hyperplanes, lsh_topk, with_lsh_bucket
@@ -807,7 +815,8 @@ def q_ann_lsh_topk(spark, sf_dir):
     n_planes = max(2, int(math.log2(max(n, 2) / 64)) + 1)
     planes = hyperplanes(len(qv), n_planes=n_planes, seed=42)
     bucketed = with_lsh_bucket(emb, planes)
-    return lsh_topk(bucketed, qv, planes, k=5, n_probe=7).select(
+    n_probe = max(7, (3 * (1 << n_planes)) // 4)
+    return lsh_topk(bucketed, qv, planes, k=5, n_probe=n_probe).select(
         F.col("id").cast("long").alias("vec_id"), F.round("cosine", 6).alias("cosine_r")
     )
 
@@ -1056,23 +1065,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '{TOKEN_PAT}'))) AS BIGINT) AS bpe_tokens
             FROM documents GROUP BY lang
         """,
+        # exact integer quantization mirror (see quality_q4): N/D in
+        # pure int64, half-up via (20000N + D) // (2D) — no float round
+        # boundary can diverge between engines at any SF
         "quality": rf"""
             WITH m AS (
               SELECT doc_id,
-                     length(text) AS n_chars,
-                     len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
-                     len(regexp_extract_all(text, '[^\sA-Za-z\d]')) AS n_punct,
-                     len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop,
-                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
-              FROM documents)
-            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-                   round(
-                     least(n_words / 100.0, 1.0) * 0.3
-                     + (1.0 - least(n_punct / greatest(n_chars, 1) * 5, 1.0)) * 0.2
-                     + least(n_stop / greatest(n_words, 1) * 3, 1.0) * 0.3
-                     + (1.0 - least(abs(n_alpha / greatest(n_words, 1) - 5) / 5, 1.0)) * 0.2,
-                   4) AS quality_r
-            FROM m
+                     greatest(length(text), 1) AS c,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS w_raw,
+                     greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS w,
+                     len(regexp_extract_all(text, '[^\sA-Za-z\d]')) AS p,
+                     len(regexp_extract_all(lower(text), '{stop_pat}')) AS s,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS a
+              FROM documents),
+            n AS (
+              SELECT doc_id, w_raw,
+                     3 * c * w * least(w_raw, 100)
+                     + 200 * w * greatest(c - 5 * p, 0)
+                     + 300 * c * least(3 * s, w)
+                     + 40 * c * greatest(5 * w - abs(a - 5 * w), 0) AS nn,
+                     1000 * c * w AS dd
+              FROM m)
+            SELECT doc_id, CAST(w_raw AS BIGINT) AS n_words,
+                   CAST((20000 * nn + dd) // (2 * dd) AS BIGINT) AS quality_q4
+            FROM n
         """,
         "fingerprint_groups": r"""
             SELECT md5(array_to_string(list_sort(list_distinct(

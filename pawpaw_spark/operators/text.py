@@ -105,6 +105,42 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_q4(text_col: str = "text") -> Column:
+    """The quality score quantized to 4 decimals via EXACT integer
+    arithmetic — algebraically identical to ``with_quality_score`` but
+    cross-engine bit-stable. The float form differs between engines in
+    the last ulp, which flips ``round(x, 4)`` on .xxxx5 boundaries
+    (observed at sf0.1); here every term is a ratio of int64s over the
+    common denominator D = 1000*c*w, and the half-up rounding is
+    (20000*N + D) div (2*D) — pure integers until one exact division.
+
+    N = 3*c*w*min(words,100)            # 0.3 * min(w/100, 1)
+      + 200*w*max(c - 5*punct, 0)       # 0.2 * (1 - min(5p/c, 1))
+      + 300*c*min(3*stops, w)           # 0.3 * min(3s/w, 1)
+      + 40*c*max(5*w - |alpha - 5*w|,0) # 0.2 * (1 - min(|a/w-5|/5,1))
+    with c, w clamped to >= 1 exactly as the float form clamps."""
+    t = F.col(text_col)
+    c = F.greatest(F.length(t).cast("long"), F.lit(1))
+    w_raw = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+"), F.lit(0))).cast("long")
+    w = F.greatest(w_raw, F.lit(1))
+    p = F.size(F.regexp_extract_all(t, F.lit(r"[^\sA-Za-z\d]"), F.lit(0))).cast("long")
+    all_stops = sorted({x for ws in STOPWORDS.values() for x in ws})
+    s = _word_hits(t, all_stops).cast("long")
+    a = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long")
+    n = (
+        F.lit(3) * c * w * F.least(w_raw, F.lit(100))
+        + F.lit(200) * w * F.greatest(c - 5 * p, F.lit(0))
+        + F.lit(300) * c * F.least(3 * s, w)
+        + F.lit(40) * c * F.greatest(5 * w - F.abs(a - 5 * w), F.lit(0))
+    )
+    d = F.lit(1000) * c * w
+    num = F.lit(20000) * n + d
+    den = F.lit(2) * d
+    # (num - num % den) / den: numerator exactly divisible, so the one
+    # float division is exact (quotient <= 10000, inside 2^53)
+    return ((num - num % den) / den).cast("long")
+
+
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", mode: str = "normalized"
 ) -> DataFrame:

@@ -281,6 +281,18 @@ class TestText:
         assert all(0 <= r.quality <= 1 for r in rows)
         assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in rows)
 
+    def test_quality_q4_matches_float_score(self, spark, docs):
+        """The exact-integer quantization is the same formula: q4/10000
+        must equal the float score to within one quantum everywhere."""
+        from pawpaw_spark.operators.text import quality_q4, with_quality_score
+
+        rows = (
+            with_quality_score(docs)
+            .select("quality", quality_q4().alias("q4"))
+            .collect()
+        )
+        assert rows and all(abs(r.q4 / 10000 - r.quality) <= 1e-4 for r in rows)
+
     def test_fingerprint_ignores_whitespace_case(self, spark):
         from pawpaw_spark.operators.text import with_fingerprint
 
