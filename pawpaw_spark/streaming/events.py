@@ -54,6 +54,27 @@ def streaming_segment(source_stream: DataFrame, rules: RuleSet) -> DataFrame:
     return segment(source_stream, rules)
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on a stream: first arrival of each content digest
+    passes, re-arrivals inside the watermark horizon are dropped.
+    ``dropDuplicatesWithinWatermark`` bounds the digest state by the
+    horizon — the only way continuous exact dedup fits in finite state;
+    duplicates farther apart than the horizon are a batch
+    reconciliation job's problem by design (state O(unique digests per
+    horizon), not O(corpus))."""
+    d = (
+        docs.withColumn("ts", F.col(ts_col).cast("timestamp"))
+        .withColumn("__digest", F.sha2(F.col(text_col).cast("binary"), 256))
+        .withWatermark("ts", watermark)
+    )
+    return d.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
+
+
 _SESSION_OUT_DDL = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"

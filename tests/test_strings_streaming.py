@@ -375,6 +375,38 @@ class TestStreaming:
         assert all(t[2] >= tail_cut for t in still_open), still_open
         assert len(exp_certain) > 100
 
+    def test_streaming_exact_dedup(self, spark, tmp_path_factory):
+        """First arrival of each digest passes; re-arrivals inside the
+        watermark horizon drop — across microbatches, not just within
+        one (maxFilesPerTrigger=1 forces one batch per file)."""
+        from pawpaw_spark.streaming.events import streaming_exact_dedup
+
+        src_dir = str(tmp_path_factory.mktemp("dedup_stream"))
+        base = [("doc-%d" % (i % 7), "2024-01-01 00:%02d:00" % i) for i in range(20)]
+        df1 = spark.createDataFrame(base[:12], "text string, ts string")
+        df2 = spark.createDataFrame(base[12:], "text string, ts string")
+        # two files, written in arrival order -> two microbatches
+        df1.coalesce(1).write.mode("append").parquet(src_dir)
+        df2.coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(df1.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src_dir)
+        q = (
+            streaming_exact_dedup(stream, watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .option("checkpointLocation", str(tmp_path_factory.mktemp("ckpt_dd")))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT text FROM dedup_out").collect()
+        # all 20 events span 20 min < 1 h horizon: exactly one survivor
+        # per distinct text, including texts whose re-arrival came in
+        # the SECOND microbatch (state carried across batches)
+        assert sorted(r.text for r in rows) == sorted({t for t, _ in base})
+
     def test_streaming_segment(self, spark, tmp_path_factory):
         from pawpaw_spark.corpus import source_df
         from pawpaw_spark.rulesets import TEXT_RULES
