@@ -871,6 +871,80 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph-level exact dedup. Multi-paragraph docs
+    are CONSTRUCTED from the documents table (the texts themselves hold
+    no newlines): 40 docs, each = shared header paragraph + member
+    texts (doc_id % 40, ordered) + one of 5 shared footers. The header
+    repeats 40x and each footer 8x, so later arrivals drop and docs
+    are reassembled from survivors; member texts are corpus-unique and
+    all survive. Value-level oracle: same construction + split +
+    first-arrival window in DuckDB, hash-matching the rebuilt text."""
+    from pawpaw_spark.operators.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir)
+    built = (
+        d.groupBy((F.col("doc_id") % 40).alias("g"))
+        .agg(
+            F.concat_ws(
+                "\n\n",
+                F.lit("SHARED HEADER PARAGRAPH"),
+                F.concat_ws(
+                    "\n\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                ),
+                F.concat(
+                    F.lit("SHARED FOOTER "), (F.col("g") % 5).cast("string")
+                ),
+            ).alias("text")
+        )
+        .select(F.col("g").alias("doc_id"), "text")
+    )
+    return paragraph_dedup(built).select(
+        F.col("doc_id").cast("long"),
+        "clean_text",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling (training-mix primitive):
+    membership is a pure function of md5(doc_id), so the selection is
+    reproducible across engines/reruns/partitionings — the DuckDB
+    oracle recomputes the SAME predicate and must select the SAME rows
+    (not just the same count). Narrow filter, no shuffle."""
+    from pawpaw_spark.operators.sampling import sample_key, stratified_sample
+
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(d, SAMPLE_FRACTIONS, "lang", "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "lang",
+        sample_key(F.col("doc_id")).alias("skey"),
+    )
+
+
+SAMPLE_FRACTIONS = {"en": 0.25, "de": 0.5, "fr": 0.125, "es": 0.75, "zh": 1.0}
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-50 by total token count with doc
+    frequency (tokenizer-corpus prep). Deterministic tiebreak (token
+    asc) so the k-cutoff is engine-independent."""
+    from pawpaw_spark.operators.text import vocab_topk
+
+    d = _docs(spark, sf_dir)
+    return vocab_topk(d, "text", "doc_id", k=50).select(
+        "token",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -914,6 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_detect": q_table_detect,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "paragraph_dedup": q_paragraph_dedup,
+        "stratified_sample": q_stratified_sample,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -939,6 +1016,17 @@ _DOT = (
 
 def _dot_sql(a, b):
     return _DOT.replace("__A__", a).replace("__B__", b)
+
+
+def _sample_case_arms() -> str:
+    """CASE arms for the stratified-sample oracle, thresholds computed
+    by the SAME function the engine uses (no literal drift)."""
+    from pawpaw_spark.operators.sampling import _threshold_hex
+
+    return " ".join(
+        f"WHEN '{lang}' THEN '{_threshold_hex(p)}'"
+        for lang, p in sorted(SAMPLE_FRACTIONS.items())
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1400,5 +1488,66 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine_r
             FROM e, q
             ORDER BY cosine_r DESC, e.vec_id LIMIT 5
+        """,
+        # same doc construction + split + first-arrival-by-(g,pos)
+        # dedup + reassembly, hash-matching the rebuilt clean_text
+        "paragraph_dedup": """
+            WITH grp AS (
+                SELECT doc_id % 40 AS g, doc_id, text FROM documents
+            ),
+            built AS (
+                SELECT g,
+                       'SHARED HEADER PARAGRAPH' || chr(10) || chr(10)
+                       || string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+                       || chr(10) || chr(10) || 'SHARED FOOTER ' || (g % 5)
+                           AS text
+                FROM grp GROUP BY g
+            ),
+            paras AS (
+                SELECT g,
+                       unnest(string_split(text, chr(10) || chr(10))) AS para,
+                       generate_subscripts(
+                           string_split(text, chr(10) || chr(10)), 1) AS pos
+                FROM built
+            ),
+            ranked AS (
+                SELECT g, pos, para,
+                       row_number() OVER (PARTITION BY para ORDER BY g, pos)
+                           AS rn
+                FROM paras
+            )
+            SELECT g AS doc_id,
+                   coalesce(
+                       string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                           FILTER (WHERE rn = 1), '') AS clean_text,
+                   count(*)::BIGINT AS n_paras,
+                   (count(*) FILTER (WHERE rn = 1))::BIGINT AS n_kept
+            FROM ranked GROUP BY g
+        """,
+        # identical md5-prefix predicate (thresholds generated from the
+        # SAME _threshold_hex the engine uses) -> identical row set
+        "stratified_sample": f"""
+            SELECT doc_id, lang,
+                   substr(md5(cast(doc_id AS VARCHAR)), 1, 8) AS skey
+            FROM documents
+            WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 8) <
+                CASE lang {_sample_case_arms()} ELSE '00000000' END
+        """,
+        "vocab_topk": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                           t -> t <> '')) AS token
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT doc_id, token, count(*) AS n_in_doc
+                FROM tok GROUP BY doc_id, token
+            )
+            SELECT token, sum(n_in_doc)::BIGINT AS n_total,
+                   count(*)::BIGINT AS n_docs
+            FROM per_doc GROUP BY token
+            ORDER BY n_total DESC, token ASC LIMIT 50
         """,
     }

@@ -56,6 +56,9 @@ HEADLINE = [
     "table_detect",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "paragraph_dedup",
+    "stratified_sample",
+    "vocab_topk",
 ]
 
 

@@ -104,6 +104,65 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup (the CCNet / RefinedWeb
+    pre-training staple): split every document on ``sep``, keep only
+    the FIRST arrival of each distinct paragraph corpus-wide (arrival
+    order = lexicographic ``(id, position)``), and reassemble each
+    document from its surviving paragraphs in original order.
+
+    Output columns: ``id_col``, ``clean_text`` (surviving paragraphs
+    re-joined with ``sep``; empty string when every paragraph was a
+    later arrival), ``n_paras`` (pre-dedup), ``n_kept``.
+
+    Scale: first-arrival is computed with ``groupBy(paragraph).agg(min
+    (struct(id, pos)))`` + an equi-join back, NOT a window — partial
+    (map-side) aggregation collapses hot boilerplate paragraphs before
+    the shuffle, and AQE can split a skewed probe side of the join,
+    whereas a window sort must materialize every copy of a hot
+    paragraph in one task. Two shuffles on the paragraph string, both
+    skew-tolerant.
+    """
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "__pos", "__para"
+        ),
+    )
+    firsts = paras.groupBy("__para").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
+    kept = paras.join(firsts, "__para").where(
+        (F.col("__id") == F.col("__first.__id"))
+        & (F.col("__pos") == F.col("__first.__pos"))
+    )
+    totals = paras.groupBy("__id").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__para"))),
+                lambda s: s["__para"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (token shingles, exact similarity on blocked pairs)
 # ---------------------------------------------------------------------------

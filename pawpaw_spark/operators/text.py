@@ -162,3 +162,35 @@ def with_fingerprint(
         return df.withColumn("fingerprint", F.md5(key))
     normalized = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(F.trim(normalized)))
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary: top-k lowercase word tokens by total count,
+    with document frequency — the tokenizer-training / corpus-stats
+    pass of a pre-training pipeline.
+
+    Output: (token, n_total, n_docs), ordered by n_total desc with
+    token asc as the deterministic tiebreak.
+
+    Scale: per-doc counts are pre-aggregated INSIDE the projection
+    (aggregate over the token array), so the shuffle carries one row
+    per (doc, distinct token), partially combined map-side — a hot
+    token ('the') reaches its reducer as one partial sum per map task.
+    n_docs is then a plain count, not a count-distinct expand. The
+    final ordered limit is a TakeOrdered, not a global sort.
+    """
+    per_doc = df.select(
+        F.col(id_col),
+        F.explode(_lower_tokens(F.col(text_col))).alias("token"),
+    ).groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("n_in_doc"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("n_in_doc").alias("n_total"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(k)
+    )

@@ -256,6 +256,121 @@ class TestDedup:
         assert pairs.columns == ["a", "b", "cosine"]
 
 
+class TestParagraphDedup:
+    def test_first_arrival_survives_later_drop(self, spark):
+        from pawpaw_spark.operators.dedup import paragraph_dedup
+
+        rows = [
+            (1, "common\n\nunique-a\n\nshared-x"),
+            (2, "common\n\nunique-b"),
+            (3, "shared-x\n\nunique-c\n\ncommon"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.clean_text, r.n_paras, r.n_kept)
+            for r in paragraph_dedup(df).collect()
+        }
+        # doc 1 keeps everything (first arrival of common + shared-x)
+        assert got[1] == ("common\n\nunique-a\n\nshared-x", 3, 3)
+        # doc 2 loses 'common', keeps unique-b
+        assert got[2] == ("unique-b", 2, 1)
+        # doc 3 loses both repeats, keeps unique-c
+        assert got[3] == ("unique-c", 3, 1)
+
+    def test_fully_duplicate_doc_becomes_empty(self, spark):
+        from pawpaw_spark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "a\n\nb")], "doc_id long, text string"
+        )
+        got = {r.doc_id: (r.clean_text, r.n_kept) for r in paragraph_dedup(df).collect()}
+        assert got[1] == ("a\n\nb", 2)
+        assert got[2] == ("", 0)
+
+    def test_roundtrip_when_no_duplicates(self, spark, docs):
+        """Corpus-unique texts (verified distinct) round-trip intact."""
+        from pawpaw_spark.operators.dedup import paragraph_dedup
+
+        d = docs.limit(50)
+        out = paragraph_dedup(d).join(
+            d.select("doc_id", F.col("text").alias("orig")), "doc_id"
+        )
+        assert out.filter(F.col("clean_text") != F.col("orig")).count() == 0
+
+
+class TestSampling:
+    def test_deterministic_and_partition_invariant(self, spark, docs):
+        from pawpaw_spark.operators.sampling import deterministic_sample
+
+        a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+        b = {
+            r.doc_id
+            for r in deterministic_sample(docs.repartition(13), "doc_id", 0.3)
+            .select("doc_id")
+            .collect()
+        }
+        assert a == b and a  # same rows regardless of partitioning
+
+    def test_fraction_is_approximately_honored(self, spark, docs):
+        from pawpaw_spark.operators.sampling import deterministic_sample
+
+        n = docs.count()
+        for p in (0.1, 0.5, 0.9):
+            k = deterministic_sample(docs, "doc_id", p).count()
+            # md5 is uniform; 500 draws at p have sd ~ sqrt(500*p*(1-p))
+            assert abs(k - n * p) < 5 * (n * p * (1 - p)) ** 0.5 + 5
+
+    def test_stratified_respects_per_stratum_rates(self, spark, docs):
+        from pawpaw_spark.operators.sampling import stratified_sample
+
+        out = stratified_sample(docs, {"en": 1.0, "de": 0.0}, "lang", "doc_id")
+        langs = {r.lang for r in out.select("lang").distinct().collect()}
+        assert "de" not in langs and "en" in langs
+        n_en = docs.filter(F.col("lang") == "en").count()
+        # 1.0 keeps all but the 2^-32 top hash sliver — exact here
+        assert out.filter(F.col("lang") == "en").count() == n_en
+
+    def test_nested_samples(self, spark, docs):
+        """Smaller fraction is a SUBSET of a larger one (hex-prefix
+        thresholding is monotone) — lets pipelines carve nested
+        train/val corpora without re-hashing."""
+        from pawpaw_spark.operators.sampling import deterministic_sample
+
+        small = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+        big = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.4).collect()}
+        assert small <= big
+
+    def test_bad_fraction_raises(self):
+        from pawpaw_spark.operators.sampling import _threshold_hex
+
+        with pytest.raises(ValueError):
+            _threshold_hex(1.5)
+
+
+class TestVocab:
+    def test_vocab_topk_matches_python_counts(self, spark, docs):
+        import re
+        from collections import Counter
+
+        from pawpaw_spark.operators.text import vocab_topk
+
+        d = docs.limit(100)
+        total, ndocs = Counter(), Counter()
+        for r in d.select("doc_id", "text").collect():
+            toks = [t for t in re.split(r"[^0-9a-z_]+", r.text.lower()) if t]
+            total.update(toks)
+            ndocs.update(set(toks))
+        exp = sorted(
+            ((t, c, ndocs[t]) for t, c in total.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:20]
+        got = [
+            (r.token, r.n_total, r.n_docs)
+            for r in vocab_topk(d, "text", "doc_id", k=20).collect()
+        ]
+        assert got == exp
+
+
 class TestText:
     def test_lang_id_on_english(self, spark):
         from pawpaw_spark.operators.text import with_lang_id
