@@ -945,6 +945,46 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-language corpus profile with EXACT R-7 percentiles (the
+    same interpolation as DuckDB quantile_cont) — the profiling pass
+    that sizes sampling/packing decisions."""
+    from pawpaw_spark.operators.text import corpus_profile
+
+    d = _docs(spark, sf_dir)
+    return corpus_profile(d).select(
+        "lang",
+        F.col("n_docs").cast("long"),
+        F.col("total_chars").cast("long"),
+        "chars_p25",
+        "chars_p50",
+        "chars_p75",
+    )
+
+
+def q_pack_bins(spark, sf_dir):
+    """Contiguous-fill sequence packing into 512-token bins per
+    language, docs ordered by md5(doc_id) (the deterministic training
+    shuffle): per-bin doc count and token total. Window cumsum in both
+    engines — identical bins by construction."""
+    from pawpaw_spark.operators.packing import pack_stats
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+        ).alias("n_tokens"),
+    )
+    return pack_stats(d, "n_tokens", 512, "ord_key", "lang").select(
+        "lang",
+        F.col("bin").cast("long"),
+        F.col("n_docs").cast("long"),
+        F.col("total_tokens").cast("long"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -991,6 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
+        "corpus_profile": q_corpus_profile,
+        "pack_bins": q_pack_bins,
     }
 
 
@@ -1549,5 +1591,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs
             FROM per_doc GROUP BY token
             ORDER BY n_total DESC, token ASC LIMIT 50
+        """,
+        # quantile_cont == Spark's exact percentile (R-7 interpolation)
+        "corpus_profile": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   round(quantile_cont(n_chars, 0.25), 4) AS chars_p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS chars_p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS chars_p75
+            FROM documents GROUP BY lang
+        """,
+        # same window cumsum -> same bin boundaries by construction
+        "pack_bins": """
+            WITH d AS (
+                SELECT lang, md5(cast(doc_id AS VARCHAR)) AS ord_key,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       t -> t <> '')) AS n_tokens
+                FROM documents
+            ),
+            packed AS (
+                SELECT lang, n_tokens,
+                       ((sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord_key)
+                         - n_tokens) // 512) AS bin
+                FROM d
+            )
+            SELECT lang, bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens
+            FROM packed GROUP BY lang, bin
         """,
     }

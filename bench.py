@@ -59,6 +59,8 @@ HEADLINE = [
     "paragraph_dedup",
     "stratified_sample",
     "vocab_topk",
+    "corpus_profile",
+    "pack_bins",
 ]
 
 

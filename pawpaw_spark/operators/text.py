@@ -164,6 +164,30 @@ def with_fingerprint(
     return df.withColumn("fingerprint", F.md5(F.trim(normalized)))
 
 
+def corpus_profile(
+    df: DataFrame, group_col: str = "lang", chars_col: str = "n_chars"
+) -> DataFrame:
+    """Per-group corpus statistics: doc count, total chars, and exact
+    p25/p50/p75 of document length — the profiling pass that sizes
+    downstream sampling/packing decisions.
+
+    Uses EXACT ``percentile`` (R-7 linear interpolation, the same
+    definition as DuckDB's ``quantile_cont``) so the numbers are
+    engine-reproducible. At 100 TB you'd flip to
+    ``approx_percentile(…, accuracy)`` — one pass, bounded memory —
+    but a profile that feeds automated mix decisions should start
+    exact and relax knowingly, not the reverse.
+    """
+    c = F.col(chars_col)
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(c).alias("total_chars"),
+        F.round(F.percentile(c, F.lit(0.25)), 4).alias("chars_p25"),
+        F.round(F.percentile(c, F.lit(0.5)), 4).alias("chars_p50"),
+        F.round(F.percentile(c, F.lit(0.75)), 4).alias("chars_p75"),
+    )
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 50
 ) -> DataFrame:

@@ -347,6 +347,77 @@ class TestSampling:
             _threshold_hex(1.5)
 
 
+class TestPacking:
+    def test_contiguous_fill_bins(self, spark):
+        from pawpaw_spark.operators.packing import pack_sequences
+
+        # order a,b,c,d with tokens 300,300,300,700 in one partition:
+        # offsets 0,300,600,900 -> bins 0,0,1,1 at max=512
+        rows = [("a", 300), ("b", 300), ("c", 300), ("d", 700)]
+        df = spark.createDataFrame(rows, "k string, t long").withColumn(
+            "p", F.lit("x")
+        )
+        got = {
+            r.k: r.bin
+            for r in pack_sequences(df, "t", 512, "k", "p").collect()
+        }
+        assert got == {"a": 0, "b": 0, "c": 1, "d": 1}
+
+    def test_oversized_doc_advances_multiple_bins(self, spark):
+        from pawpaw_spark.operators.packing import pack_sequences
+
+        # 1200-token doc at offset 0 spans bins 0-2; next doc starts
+        # at offset 1200 -> bin 2 (no empty bin invented for it)
+        rows = [("a", 1200), ("b", 100)]
+        df = spark.createDataFrame(rows, "k string, t long").withColumn(
+            "p", F.lit("x")
+        )
+        got = {
+            r.k: r.bin
+            for r in pack_sequences(df, "t", 512, "k", "p").collect()
+        }
+        assert got == {"a": 0, "b": 2}
+
+    def test_partitions_pack_independently(self, spark):
+        from pawpaw_spark.operators.packing import pack_stats
+
+        # p1: offsets 0,400,800 -> bins 0,0,1; p2 restarts at offset 0
+        rows = [("a", 400, "p1"), ("b", 400, "p1"), ("c", 400, "p1"), ("d", 400, "p2")]
+        df = spark.createDataFrame(rows, "k string, t long, p string")
+        out = {
+            (r.p, r.bin): (r.n_docs, r.total_tokens)
+            for r in pack_stats(df, "t", 512, "k", "p").collect()
+        }
+        assert out == {("p1", 0): (2, 800), ("p1", 1): (1, 400), ("p2", 0): (1, 400)}
+
+    def test_bad_budget_raises(self, spark):
+        from pawpaw_spark.operators.packing import pack_sequences
+
+        with pytest.raises(ValueError):
+            pack_sequences(None, "t", 0, "k", "p")
+
+
+class TestCorpusProfile:
+    def test_matches_numpy_percentiles(self, spark, docs):
+        from pawpaw_spark.operators.text import corpus_profile
+
+        got = {
+            r.lang: (r.n_docs, r.total_chars, r.chars_p25, r.chars_p50, r.chars_p75)
+            for r in corpus_profile(docs).collect()
+        }
+        rows = docs.select("lang", "n_chars").collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r.n_chars)
+        for lang, xs in by_lang.items():
+            n, tot = len(xs), sum(xs)
+            p25, p50, p75 = (
+                round(float(v), 4)
+                for v in np.percentile(xs, [25, 50, 75], method="linear")
+            )
+            assert got[lang] == (n, tot, p25, p50, p75)
+
+
 class TestVocab:
     def test_vocab_topk_matches_python_counts(self, spark, docs):
         import re
