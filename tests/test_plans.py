@@ -127,6 +127,43 @@ class TestExpensiveQueryPlanShape:
         assert "CartesianProduct" not in plan, plan
         assert plan.count("Exchange hashpartitioning") <= 7, plan
 
+    def test_stratified_sample_is_shuffle_free_pushed_filter(self, spark):
+        plan = self._p(spark, "stratified_sample")
+        # membership is a pure row predicate: no shuffle, no Python,
+        # filter evaluated at/next to the scan (the harness's RoundRobin
+        # test-fan-out is not part of the operator)
+        import re as _re
+
+        plan = _re.sub(r"Exchange RoundRobinPartitioning[^\n]*", "", plan)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+        assert "Filter" in plan, plan
+
+    def test_vocab_topk_partial_agg_and_take_ordered(self, spark):
+        plan = self._p(spark, "vocab_topk")
+        # hot tokens combine map-side; the k-cutoff is TakeOrdered,
+        # never a global Sort of the vocabulary
+        assert "partial" in plan.lower(), plan
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_paragraph_dedup_avoids_window_sort(self, spark):
+        plan = self._p(spark, "paragraph_dedup")
+        # first-arrival via agg+join: a Window over paragraph content
+        # would put every copy of a hot boilerplate para in one task
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_pack_bins_single_partitioned_sort(self, spark):
+        plan = self._p(spark, "pack_bins")
+        # one hash-shuffle on the stream key for the window; the
+        # per-bin agg rides the same partitioning (no second shuffle
+        # of the full data), and there is no global sort
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
 
 class TestFusedKgPlan:
     def test_fused_build_has_no_exchange(self, spark):
