@@ -985,6 +985,35 @@ def q_pack_bins(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (eval-leakage guard): docs 0-4 play
+    the benchmark; every doc sharing a 3-token shingle with them is
+    flagged. Engine probes 64-bit gram hashes against a BROADCAST
+    benchmark gram set; the oracle recomputes overlap on gram strings
+    (same construction as the ngram_jaccard mirror)."""
+    from pawpaw_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") < 5).select("text")
+    out = decontaminate(d, bench, k=3, keep_flag=True)
+    return out.select(F.col("doc_id").cast("long"), "contaminated")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: per-doc top-bigram coverage
+    and duplicated-token fraction (value-level vs a full DuckDB
+    recompute)."""
+    from pawpaw_spark.operators.text import repetition_scores
+
+    d = _docs(spark, sf_dir)
+    return repetition_scores(d).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_toks").cast("long"),
+        "top_bigram_frac",
+        "dup_token_frac",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1033,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "corpus_profile": q_corpus_profile,
         "pack_bins": q_pack_bins,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1618,5 +1649,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
                    sum(n_tokens)::BIGINT AS total_tokens
             FROM packed GROUP BY lang, bin
+        """,
+        # same 3-token shingle construction as the ngram_jaccard
+        # mirror; overlap recomputed on gram STRINGS (the engine joins
+        # on 64-bit gram hashes — identical flags absent collisions)
+        "decontaminate": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM d),
+            bg AS (
+              SELECT list(DISTINCT gram) AS bench
+              FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id < 5))
+            SELECT g.doc_id,
+                   len(list_intersect(g.grams, bg.bench)) > 0 AS contaminated
+            FROM g, bg
+        """,
+        "repetition_stats": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+            tc AS (
+              SELECT doc_id, t, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+              GROUP BY doc_id, t),
+            ts AS (
+              SELECT doc_id, sum(c) AS n_toks,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+              FROM tc GROUP BY doc_id),
+            bc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])) AS g
+                    FROM d)
+              GROUP BY doc_id, g),
+            bs AS (
+              SELECT doc_id, sum(c) AS nb, max(c) AS top
+              FROM bc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(ts.n_toks, 0)::BIGINT AS n_toks,
+                   round(CASE WHEN coalesce(bs.nb, 0) > 0
+                              THEN bs.top / CAST(bs.nb AS DOUBLE) ELSE 0.0 END,
+                         6) AS top_bigram_frac,
+                   round(CASE WHEN coalesce(ts.n_toks, 0) > 0
+                              THEN ts.dup / CAST(ts.n_toks AS DOUBLE) ELSE 0.0 END,
+                         6) AS dup_token_frac
+            FROM d
+            LEFT JOIN ts USING (doc_id)
+            LEFT JOIN bs USING (doc_id)
         """,
     }

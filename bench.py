@@ -61,6 +61,8 @@ HEADLINE = [
     "vocab_topk",
     "corpus_profile",
     "pack_bins",
+    "decontaminate",
+    "repetition_stats",
 ]
 
 

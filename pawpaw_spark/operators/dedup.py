@@ -163,6 +163,57 @@ def paragraph_dedup(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bench_text_col: str = "text",
+    keep_flag: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or flag) every training
+    document that shares at least one k-token shingle with the
+    benchmark corpus — the standard eval-leakage guard run before any
+    pre-training mix ships.
+
+    Scale: the benchmark side is eval sets (MBs, not TBs), so its
+    distinct gram set is BROADCAST — the contamination probe is a
+    map-side semi-join against the full training scan, no shuffle of
+    the training grams. Gram join keys are 64-bit hashes
+    (:func:`_gram_table`), ~10x smaller than gram strings.
+
+    ``keep_flag=True`` returns all rows with a ``contaminated`` bool
+    instead of filtering, for audit pipelines that quarantine rather
+    than drop.
+    """
+    doc_grams = _gram_table(df, text_col, id_col, k)
+    bench_grams = (
+        _gram_table(
+            benchmark.select(
+                F.monotonically_increasing_id().cast("string").alias("__bid"),
+                F.col(bench_text_col),
+            ),
+            bench_text_col,
+            "__bid",
+            k,
+        )
+        .select("gram")
+        .distinct()
+    )
+    hit_ids = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    if keep_flag:
+        flags = hit_ids.withColumn("contaminated", F.lit(True))
+        return df.join(flags, id_col, "left").fillna(
+            False, subset=["contaminated"]
+        )
+    return df.join(hit_ids, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (token shingles, exact similarity on blocked pairs)
 # ---------------------------------------------------------------------------

@@ -164,6 +164,80 @@ def with_fingerprint(
     return df.withColumn("fingerprint", F.md5(F.trim(normalized)))
 
 
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, used to filter
+    degenerate/boilerplate text before pre-training:
+
+    * ``top_bigram_frac`` — occurrences of the most frequent token
+      bigram / total bigrams (high = looping text),
+    * ``dup_token_frac``  — tokens whose token occurs >= 2 times /
+      total tokens (high = low lexical diversity).
+
+    Docs with fewer than 2 tokens emit 0.0 for both (nothing can
+    repeat). Ratios rounded to 6 — engine-portable.
+
+    Scale: one explode + two partial-agg groupBys keyed by (doc,
+    gram) then doc — no windows, no Python; hot docs stay within
+    their reducer because the key includes the doc id (no global hot
+    key is possible by construction).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), bigrams.alias("bigrams")
+    )
+    tok_stats = (
+        base.select("id", F.explode("toks").alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_toks"),
+        )
+    )
+    big_stats = (
+        base.select("id", F.explode("bigrams").alias("g"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram"))
+    )
+    # anchor on base so zero-token docs still emit a row
+    out = (
+        base.select("id")
+        .join(tok_stats, "id", "left")
+        .join(big_stats, "id", "left")
+    )
+    zero = F.lit(0.0)
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_toks"),
+        F.round(
+            F.when(
+                F.col("n_bigrams").isNotNull() & (F.col("n_bigrams") > 0),
+                F.col("top_bigram") / F.col("n_bigrams"),
+            ).otherwise(zero),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(F.col("n_toks") > 0, F.col("dup_toks") / F.col("n_toks")).otherwise(
+                zero
+            ),
+            6,
+        ).alias("dup_token_frac"),
+    )
+
+
 def corpus_profile(
     df: DataFrame, group_col: str = "lang", chars_col: str = "n_chars"
 ) -> DataFrame:

@@ -298,6 +298,84 @@ class TestParagraphDedup:
         assert out.filter(F.col("clean_text") != F.col("orig")).count() == 0
 
 
+class TestDecontaminate:
+    def test_benchmark_members_always_contaminated(self, spark, docs):
+        from pawpaw_spark.operators.dedup import decontaminate
+
+        bench = docs.filter(F.col("doc_id").cast("long") < 5).select("text")
+        flagged = decontaminate(docs, bench, k=3, keep_flag=True)
+        bad = flagged.filter(
+            (F.col("doc_id").cast("long") < 5) & ~F.col("contaminated")
+        ).count()
+        assert bad == 0
+        # filter mode drops exactly the flagged set
+        n_contam = flagged.filter("contaminated").count()
+        clean = decontaminate(docs, bench, k=3)
+        assert clean.count() == docs.count() - n_contam
+        assert clean.filter(F.col("doc_id").cast("long") < 5).count() == 0
+
+    def test_disjoint_benchmark_flags_nothing(self, spark, docs):
+        from pawpaw_spark.operators.dedup import decontaminate
+
+        bench = spark.createDataFrame(
+            [("zzq qqz zqq xyzzy plugh",)], "text string"
+        )
+        assert decontaminate(docs, bench, k=3).count() == docs.count()
+
+    def test_planted_overlap_is_caught(self, spark):
+        from pawpaw_spark.operators.dedup import decontaminate
+
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "one two three four five six"),
+                (3, "totally different words here now"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [("the answer is two three four indeed",)], "text string"
+        )
+        kept = {r.doc_id for r in decontaminate(train, bench, k=3).collect()}
+        assert kept == {1, 3}  # doc 2 shares 'two three four'
+
+
+class TestRepetition:
+    def test_scores_match_python(self, spark, docs):
+        from collections import Counter
+
+        from pawpaw_spark.operators.text import repetition_scores
+
+        d = docs.limit(60)
+        got = {
+            r.doc_id: (r.n_toks, r.top_bigram_frac, r.dup_token_frac)
+            for r in repetition_scores(d).collect()
+        }
+        for r in d.select("doc_id", "text").collect():
+            toks = r.text.lower().split()
+            tc = Counter(toks)
+            dup = sum(c for c in tc.values() if c >= 2)
+            bg = Counter(zip(toks, toks[1:]))
+            top = round(max(bg.values()) / sum(bg.values()), 6) if bg else 0.0
+            dupf = round(dup / len(toks), 6) if toks else 0.0
+            assert got[r.doc_id] == (len(toks), top, dupf), r.doc_id
+
+    def test_degenerate_docs(self, spark):
+        from pawpaw_spark.operators.text import repetition_scores
+
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam"), (2, "word"), (3, "   ")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_toks, r.top_bigram_frac, r.dup_token_frac)
+            for r in repetition_scores(df).collect()
+        }
+        assert got[1] == (4, 1.0, 1.0)  # pure loop
+        assert got[2] == (1, 0.0, 0.0)  # nothing can repeat
+        assert got[3] == (0, 0.0, 0.0)  # empty after tokenization
+
+
 class TestSampling:
     def test_deterministic_and_partition_invariant(self, spark, docs):
         from pawpaw_spark.operators.sampling import deterministic_sample
