@@ -364,6 +364,31 @@ def minhash_signatures(
     return src.mapInPandas(kernel, schema="id string, sig array<long>")
 
 
+def _banded(
+    signatures: DataFrame, bands: int, n_hashes: int, max_bucket: int
+) -> DataFrame:
+    """(id, band, bucket) from (id, sig) — band hashes as a column
+    expression so stored signatures re-band without re-reading text.
+    Buckets are capped at ``max_bucket`` rows (lowest ids win) to bound
+    the quadratic pair fan-out of boilerplate clusters."""
+    rows_per_band = n_hashes // bands
+    out = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    w = W.partitionBy("band", "bucket").orderBy("id")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 32,
@@ -377,22 +402,7 @@ def lsh_candidate_pairs(
     page would otherwise dominate the shuffle."""
     if n_hashes is None:  # probe only when the caller didn't know it
         n_hashes = len(signatures.select("sig").first()["sig"])
-    rows_per_band = n_hashes // bands
-    banded = signatures.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band", "bucket"),
-    )
-    w = W.partitionBy("band", "bucket").orderBy("id")
-    banded = (
-        banded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_bucket)
-        .drop("__rn")
-    )
+    banded = _banded(signatures, bands, n_hashes, max_bucket)
     a = banded.select(F.col("id").alias("a"), "band", "bucket")
     b = banded.select(F.col("id").alias("b"), "band", "bucket")
     return (
@@ -482,6 +492,111 @@ def minhash_dedup_pairs(
         .select("a", "b", "est_jaccard")
     )
     return _attach_caches(out, [sigs])  # see cached_scope
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted MinHash index + delta pass
+# ---------------------------------------------------------------------------
+
+_INDEX_PARAMS = ("n_hashes", "bands", "shingle_k", "seed")
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus dedup index: one parquet row per doc with its
+    MinHash signature AND hashed shingle set, so a later delta pass can
+    both block (bands from ``sig``) and exact-verify (``grams``)
+    against history without ever re-reading historical text.
+
+    The LSH parameters are written to ``<path>/_params`` — a delta run
+    with different parameters would silently find nothing, so
+    :func:`minhash_dedup_delta` validates them and raises instead.
+
+    ``mode='append'`` is how a daily job folds yesterday's new docs in
+    after deduplicating them (index grows by the delta only).
+    """
+    spark = df.sparkSession
+    df = df.withColumn(id_col, F.col(id_col).cast("string"))
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    grams = _gram_array(df, text_col, id_col, shingle_k)
+    sigs.join(grams, "id").write.mode(mode).parquet(f"{path}/rows")
+    params = dict(zip(_INDEX_PARAMS, (n_hashes, bands, shingle_k, seed)))
+    spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_params"
+    )
+
+
+def minhash_dedup_delta(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING AT LEAST ONE NEW DOC: new-vs-index and
+    new-vs-new, LSH-blocked then exact-verified — the daily-ingest path.
+    History-vs-history pairs were already emitted when history was new,
+    so the delta never rescans them: cost scales with |delta| x bucket
+    density, not |corpus|.
+
+    Output: (a, b, jaccard) with a < b, exact shingle Jaccard >=
+    threshold. Parameters come from the index sidecar (mismatched
+    re-derivation would silently miss everything, so they are not
+    caller-suppliable)."""
+    spark = new_docs.sparkSession
+    new_docs = new_docs.withColumn(id_col, F.col(id_col).cast("string"))
+    p = {
+        k: int(v)
+        for k, v in spark.read.parquet(f"{index_path}/_params").first().asDict().items()
+    }
+    idx = spark.read.parquet(f"{index_path}/rows")
+    new_ids = new_docs.select(F.col(id_col).cast("string").alias("id"))
+    if idx.join(new_ids, "id", "left_semi").limit(1).count() > 0:
+        raise ValueError("new_docs contains ids already present in the index")
+    sigs_new = minhash_signatures(
+        new_docs, text_col, id_col, p["n_hashes"], p["shingle_k"], p["seed"]
+    ).persist()
+    b_new = _banded(sigs_new, p["bands"], p["n_hashes"], max_bucket)
+    b_old = _banded(
+        idx.select("id", "sig"), p["bands"], p["n_hashes"], max_bucket
+    )
+    # new-vs-old (order-normalized) + new-vs-new, deduped once
+    no = (
+        b_new.select(F.col("id").alias("n"), "band", "bucket")
+        .join(b_old.select(F.col("id").alias("o"), "band", "bucket"), ["band", "bucket"])
+        .select(
+            F.least("n", "o").alias("a"), F.greatest("n", "o").alias("b")
+        )
+    )
+    l = b_new.select(F.col("id").alias("a"), "band", "bucket")
+    r = b_new.select(F.col("id").alias("b"), "band", "bucket")
+    nn = l.join(r, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b")
+    cands = no.unionByName(nn).distinct()
+    grams_all = idx.select("id", "grams").unionByName(
+        _gram_array(new_docs, text_col, id_col, p["shingle_k"])
+    )
+    ga = grams_all.select(F.col("id").alias("a"), F.col("grams").alias("ga"))
+    gb = grams_all.select(F.col("id").alias("b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jacc = inter / (F.size("ga") + F.size("gb") - inter)
+    out = (
+        cands.join(ga, "a")
+        .join(gb, "b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return _attach_caches(out, [sigs_new])  # see cached_scope
 
 
 # ---------------------------------------------------------------------------

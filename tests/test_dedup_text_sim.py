@@ -298,6 +298,82 @@ class TestParagraphDedup:
         assert out.filter(F.col("clean_text") != F.col("orig")).count() == 0
 
 
+class TestIncrementalDedup:
+    def test_delta_equals_full_run_restricted_to_new(
+        self, spark, docs, tmp_path_factory
+    ):
+        """index(half A) + delta(half B) == full-corpus pairs touching
+        B — the daily-ingest contract. Clones planted across the A/B
+        boundary and inside B guarantee non-empty overlap both ways."""
+        from pawpaw_spark.operators.dedup import (
+            minhash_dedup_delta,
+            minhash_dedup_pairs,
+            minhash_index_write,
+        )
+
+        base = docs.limit(80).select("doc_id", "text")
+        a_half = base.filter(F.col("doc_id").cast("long") % 2 == 0)
+        b_half = base.filter(F.col("doc_id").cast("long") % 2 == 1)
+        # cross-boundary clone (of an A doc) and an in-B clone pair
+        clone_src = a_half.limit(1).select(
+            F.lit("zz_cross").alias("doc_id"), "text"
+        )
+        b_doc = b_half.limit(1).select("text").first()["text"]
+        b_clones = spark.createDataFrame(
+            [("zz_in1", b_doc)], "doc_id string, text string"
+        )
+        b_all = b_half.unionByName(clone_src).unionByName(b_clones)
+        full = base.unionByName(clone_src).unionByName(b_clones)
+
+        path = str(tmp_path_factory.mktemp("mh_index"))
+        minhash_index_write(a_half, path, n_hashes=64, bands=16)
+        delta = {
+            (r.a, r.b, round(r.jaccard, 6))
+            for r in minhash_dedup_delta(b_all, path, threshold=0.8).collect()
+        }
+        full_pairs = {
+            (r.a, r.b, round(r.jaccard, 6))
+            for r in minhash_dedup_pairs(
+                full, threshold=0.8, n_hashes=64, bands=16, verify="exact"
+            ).collect()
+        }
+        b_ids = {r.doc_id for r in b_all.select("doc_id").collect()}
+        expected = {t for t in full_pairs if t[0] in b_ids or t[1] in b_ids}
+        assert delta == expected
+        assert any("zz_cross" in t[:2] for t in delta)  # A-vs-B found
+        assert any("zz_in1" in t[:2] for t in delta)  # B-vs-B found
+
+    def test_param_sidecar_and_id_collision_guard(
+        self, spark, docs, tmp_path_factory
+    ):
+        from pawpaw_spark.operators.dedup import (
+            minhash_dedup_delta,
+            minhash_index_write,
+        )
+
+        path = str(tmp_path_factory.mktemp("mh_index2"))
+        a = docs.limit(10).select("doc_id", "text")
+        minhash_index_write(a, path, n_hashes=64, bands=16)
+        p = spark.read.parquet(f"{path}/_params").first().asDict()
+        assert {int(p["n_hashes"]), int(p["bands"])} == {64, 16}
+        with pytest.raises(ValueError, match="already present"):
+            minhash_dedup_delta(a, path)
+
+    def test_append_mode_grows_index(self, spark, docs, tmp_path_factory):
+        from pawpaw_spark.operators.dedup import minhash_index_write
+
+        path = str(tmp_path_factory.mktemp("mh_index3"))
+        a = docs.limit(10).select("doc_id", "text")
+        b = (
+            docs.limit(20)
+            .filter(F.col("doc_id").cast("long") >= 10)
+            .select("doc_id", "text")
+        )
+        minhash_index_write(a, path, n_hashes=64, bands=16)
+        minhash_index_write(b, path, n_hashes=64, bands=16, mode="append")
+        assert spark.read.parquet(f"{path}/rows").count() == a.count() + b.count()
+
+
 class TestDecontaminate:
     def test_benchmark_members_always_contaminated(self, spark, docs):
         from pawpaw_spark.operators.dedup import decontaminate
