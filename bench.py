@@ -63,6 +63,10 @@ HEADLINE = [
     "pack_bins",
     "decontaminate",
     "repetition_stats",
+    "minhash_delta",
+    "bm25_search",
+    "c4_filters",
+    "kg_degrees",
 ]
 
 

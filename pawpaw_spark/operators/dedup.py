@@ -517,7 +517,7 @@ def minhash_index_write(
     both block (bands from ``sig``) and exact-verify (``grams``)
     against history without ever re-reading historical text.
 
-    The LSH parameters are written to ``<path>/_params`` — a delta run
+    The LSH parameters are written to ``<path>/params`` — a delta run
     with different parameters would silently find nothing, so
     :func:`minhash_dedup_delta` validates them and raises instead.
 
@@ -531,7 +531,7 @@ def minhash_index_write(
     sigs.join(grams, "id").write.mode(mode).parquet(f"{path}/rows")
     params = dict(zip(_INDEX_PARAMS, (n_hashes, bands, shingle_k, seed)))
     spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_params"
+        f"{path}/params"
     )
 
 
@@ -557,7 +557,7 @@ def minhash_dedup_delta(
     new_docs = new_docs.withColumn(id_col, F.col(id_col).cast("string"))
     p = {
         k: int(v)
-        for k, v in spark.read.parquet(f"{index_path}/_params").first().asDict().items()
+        for k, v in spark.read.parquet(f"{index_path}/params").first().asDict().items()
     }
     idx = spark.read.parquet(f"{index_path}/rows")
     new_ids = new_docs.select(F.col(id_col).cast("string").alias("id"))

@@ -292,3 +292,46 @@ def vocab_topk(
         .orderBy(F.desc("n_total"), F.asc("token"))
         .limit(k)
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line/document cleaning heuristics (Raffel et al. 2020,
+    public): keep only lines that end in terminal punctuation AND have
+    at least ``min_line_words`` words; drop whole documents that contain
+    ``lorem ipsum`` or a curly brace, or whose kept lines carry fewer
+    than ``min_sentences`` sentences.
+
+    Output per doc: (id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, keep, clean_text) where clean_text is the kept lines
+    rejoined — the text a downstream stage would actually train on.
+
+    Scale: one projection over the scan — line split, per-line filters,
+    and sentence counting are all array/regex column expressions inside
+    whole-stage codegen; no shuffle, no Python, no per-line explode.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_words = lambda l: F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+    keep_line = lambda l: l.rlike(r'[.!?"]\s*$') & (n_words(l) >= min_line_words)
+    kept = F.filter(lines, keep_line)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.split(clean, r"[.!?]")) - 1
+    has_lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= min_sentences) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+        clean.alias("clean_text"),
+    )

@@ -354,7 +354,7 @@ class TestIncrementalDedup:
         path = str(tmp_path_factory.mktemp("mh_index2"))
         a = docs.limit(10).select("doc_id", "text")
         minhash_index_write(a, path, n_hashes=64, bands=16)
-        p = spark.read.parquet(f"{path}/_params").first().asDict()
+        p = spark.read.parquet(f"{path}/params").first().asDict()
         assert {int(p["n_hashes"]), int(p["bands"])} == {64, 16}
         with pytest.raises(ValueError, match="already present"):
             minhash_dedup_delta(a, path)

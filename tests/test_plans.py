@@ -155,6 +155,36 @@ class TestExpensiveQueryPlanShape:
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
 
+    def test_bm25_search_stats_broadcast_no_python(self, spark):
+        plan = self._p(spark, "bm25_search")
+        # tf counts are array filters in codegen; corpus stats are a
+        # 1-row aggregate joined back by broadcast — never a shuffle of
+        # the corpus keyed on anything
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+
+    def test_c4_filters_single_shuffle(self, spark):
+        plan = self._p(spark, "c4_filters")
+        # doc construction groups orders by customer (one shuffle);
+        # every line/sentence rule is a column expression after it
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+    def test_kg_degrees_fused_kernel_one_agg(self, spark):
+        plan = self._p(spark, "kg_degrees")
+        # one Arrow kernel pass + partial-agg shuffle on (subj, pred)
+        assert "MapInArrow" in plan, plan
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "partial_count" in plan, plan
+
+    def test_minhash_delta_blocked_joins_only(self, spark):
+        plan = self._p(spark, "minhash_delta")
+        # delta candidates come from (band, bucket) equi-joins against
+        # the at-rest index — no cartesian, no full-corpus re-shingle
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
     def test_pack_bins_single_partitioned_sort(self, spark):
         plan = self._p(spark, "pack_bins")
         # one hash-shuffle on the stream key for the window; the

@@ -1,0 +1,111 @@
+"""BM25 search scored against a from-first-principles Python oracle,
+plus the C4 line-filter heuristics (operators/text.c4_filters)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "spark shuffles the fox data across the cluster"),
+    (2, "a lazy dog sleeps"),
+    (3, "quick quick quick fox"),
+    (4, "nothing relevant here at all"),
+    (5, "   "),  # whitespace-only: zero tokens, never matches
+]
+
+
+def py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {q: sum(1 for v in toks.values() if q in v) for q in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        for q in terms:
+            tf = v.count(q)
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if any(q in v for q in terms):
+            out[i] = s
+    return out
+
+
+class TestBM25:
+    def test_scores_match_python_oracle(self, spark):
+        from pawpaw_spark.operators.search import bm25_scores
+
+        df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        got = {
+            r.doc_id: r.score
+            for r in bm25_scores(df, ["fox", "lazy"]).collect()
+        }
+        want = py_bm25(CORPUS, ["fox", "lazy"])
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+    def test_topk_order_and_tiebreak(self, spark):
+        from pawpaw_spark.operators.search import bm25_topk
+
+        df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        rows = bm25_topk(df, ["fox"], k=3).collect()
+        want = py_bm25(CORPUS, ["fox"])
+        expect = sorted(want, key=lambda i: (-want[i], i))[:3]
+        assert [r.doc_id for r in rows] == expect
+
+    def test_higher_tf_scores_higher_same_dl(self, spark):
+        from pawpaw_spark.operators.search import bm25_scores
+
+        df = spark.createDataFrame(
+            [(0, "fox cat dog bird"), (1, "fox fox dog bird")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.score for r in bm25_scores(df, ["fox"]).collect()}
+        assert got[1] > got[0]
+
+    def test_empty_terms_raise(self, spark):
+        from pawpaw_spark.operators.search import bm25_scores
+
+        df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_scores(df, [])
+
+
+class TestC4Filters:
+    def test_line_and_doc_rules(self, spark):
+        from pawpaw_spark.operators.text import c4_filters
+
+        docs = [
+            # 3 good sentences -> keep
+            (0, "This is a good first line.\nHere is another proper line!\nAnd a third full sentence?"),
+            # only 2 sentences -> drop
+            (1, "This is a good first line.\nHere is another proper line."),
+            # short line + unterminated line don't count
+            (2, "One good line sits right here.\ntiny line\nno terminal punctuation on this line\nA second full sentence stands here.\nA third full sentence stands here."),
+            # lorem ipsum anywhere kills the doc
+            (3, "A first full sentence right here.\nA second full sentence right here.\nlorem ipsum dolor sit amet."),
+            # curly brace anywhere kills the doc
+            (4, "A first full sentence right here.\nA second full sentence right here.\nA third but config { present }."),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r for r in c4_filters(df).collect()}
+        assert out[0].keep and out[0].n_kept_lines == 3 and out[0].n_sentences == 3
+        assert not out[1].keep and out[1].n_sentences == 2
+        assert out[2].n_lines == 5 and out[2].n_kept_lines == 3 and out[2].keep
+        assert not out[3].keep and out[3].has_lorem
+        assert not out[4].keep and out[4].has_brace
+
+    def test_clean_text_is_kept_lines_joined(self, spark):
+        from pawpaw_spark.operators.text import c4_filters
+
+        df = spark.createDataFrame(
+            [(0, "Keep this full proper sentence.\nskip\nKeep this other proper sentence.")],
+            "doc_id long, text string",
+        )
+        row = c4_filters(df).first()
+        assert row.clean_text == (
+            "Keep this full proper sentence.\nKeep this other proper sentence."
+        )
