@@ -1064,6 +1064,32 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+_INV_INDEX_BUILT: set[tuple] = set()
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """Same BM25 retrieval through the AT-REST inverted index: postings
+    partitioned by token-hash bucket, the query scans only the query
+    terms' partitions — never the corpus text. Proven bit-identical to
+    the brute path (tests/test_search.py), so it shares q_bm25_search's
+    DuckDB oracle verbatim."""
+    from pawpaw_spark.operators.search import (
+        bm25_scores_from_index,
+        build_inverted_index,
+    )
+
+    path = "/tmp/pawpaw_inv_index_" + os.path.basename(os.path.normpath(sf_dir))
+    key = (id(spark), path)
+    if key not in _INV_INDEX_BUILT:
+        build_inverted_index(_docs(spark, sf_dir), path)
+        _INV_INDEX_BUILT.add(key)
+    return bm25_scores_from_index(spark, path, BM25_TERMS).select(
+        F.col("doc_id").cast("long"),
+        F.col("dl"),
+        F.round("score", 6).alias("score_r"),
+    )
+
+
 def q_c4_filters(spark, sf_dir):
     """C4-style line/doc cleaning (Raffel et al. 2020) on a CONSTRUCTED
     corpus (the documents table has no lines/punctuation): one report
@@ -1190,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "minhash_delta": q_minhash_delta,
         "bm25_search": q_bm25_search,
+        "bm25_indexed": q_bm25_indexed,
         "c4_filters": q_c4_filters,
         "kg_degrees": q_kg_degrees,
     }
@@ -1244,7 +1271,7 @@ def oracle_sql() -> dict[str, str]:
     all_stops = sorted({w for ws in _STOP.values() for w in ws})
     stop_pat = r"\b(" + "|".join(all_stops) + r")\b"
 
-    return {
+    d = {
         "extract_token_counts": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{WORD_PAT}'))) AS BIGINT) AS n_words,
@@ -1937,3 +1964,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
     }
+    # the indexed path is bit-identical to the brute path by
+    # construction (tests/test_search.py::test_indexed_equals_brute)
+    # so it shares the oracle verbatim
+    d["bm25_indexed"] = d["bm25_search"]
+    return d

@@ -65,6 +65,7 @@ HEADLINE = [
     "repetition_stats",
     "minhash_delta",
     "bm25_search",
+    "bm25_indexed",
     "c4_filters",
     "kg_degrees",
 ]
@@ -134,6 +135,27 @@ def main() -> None:
     # count() the first probe would still pay the assignment scan.
     _, clustered = E._ivf_index(spark, sf_dir)
     clustered.count()
+    # same build-once argument for the two at-rest parquet indexes:
+    # history MinHash index (minhash_delta times the DELTA pass) and
+    # the BM25 inverted index (bm25_indexed times the pruned probe)
+    from pyspark.sql import functions as F
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    mh_key = (id(spark), "/tmp/pawpaw_mh_index_" + sf_tag)
+    if mh_key not in E._MH_DELTA_INDEX:
+        from pawpaw_spark.operators.dedup import minhash_index_write
+
+        hist = E._docs(spark, sf_dir).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        ).filter(F.col("doc_id").cast("long") % 2 == 0)
+        minhash_index_write(hist, mh_key[1], n_hashes=64, bands=16)
+        E._MH_DELTA_INDEX.add(mh_key)
+    inv_key = (id(spark), "/tmp/pawpaw_inv_index_" + sf_tag)
+    if inv_key not in E._INV_INDEX_BUILT:
+        from pawpaw_spark.operators.search import build_inverted_index
+
+        build_inverted_index(E._docs(spark, sf_dir), inv_key[1])
+        E._INV_INDEX_BUILT.add(inv_key)
     timings["warmup"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:

@@ -14,9 +14,9 @@ Scale notes (100 TB):
   as integers so the statistics — and therefore every downstream
   float — are bit-identical regardless of partitioning.
 - Two passes over the corpus total (stats + score), both pruned to the
-  text column. For repeated querying at scale, persist ``tokenize()``'s
-  output once (or materialize an inverted index via
-  ``text.vocab_topk``-style gram tables) and both passes ride it.
+  text column. For repeated querying at scale,
+  :func:`build_inverted_index` materializes postings once and
+  :func:`bm25_scores_from_index` reads only the query terms' partitions.
 
 The reference engine has no retrieval scorer; this extends the
 training-pipeline surface (SURVEY.md "beyond the reference" §).
@@ -118,3 +118,112 @@ def bm25_topk(
     no full sort shuffle)."""
     scored = bm25_scores(df, query_terms, text_col, id_col, k1, b)
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: the at-rest scale path for repeated querying
+# ---------------------------------------------------------------------------
+
+
+def build_inverted_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> None:
+    """Materialize the corpus as a BM25-ready inverted index:
+
+    - ``<path>/postings`` — one row per (token, doc, tf, dl), written
+      partitioned by ``tok_bucket = crc32(token) % n_buckets`` so a
+      q-term query prunes the scan to at most q partitions of the
+      postings table instead of re-tokenizing the corpus;
+    - ``<path>/tokens`` — per-token document frequency (the idf side);
+    - ``<path>/meta`` — one row: N docs and Σdl.
+
+    ``bm25_scores`` re-reads the whole corpus per query (fine for one
+    sweep); this trades one indexing shuffle for per-query cost
+    proportional to the QUERY TERMS' postings — the 100 TB shape for a
+    curation workload that issues many retrievals. Bucketing by token
+    hash instead of ``partitionBy(token)`` keeps the file count fixed
+    (a web vocabulary has tens of millions of distinct tokens).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("toks"),
+    ).withColumn("dl", F.size("toks").cast("long"))
+    postings = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .groupBy("token", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tok_bucket", F.crc32(F.col("token")) % n_buckets)
+    )
+    postings.write.mode("overwrite").partitionBy("tok_bucket").parquet(
+        f"{path}/postings"
+    )
+    spark = df.sparkSession
+    spark.read.parquet(f"{path}/postings").groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.mode("overwrite").parquet(f"{path}/tokens")
+    toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).withColumn("n_buckets", F.lit(n_buckets).cast("long")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def bm25_scores_from_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over a :func:`build_inverted_index` — reads only the query
+    terms' postings partitions (``tok_bucket`` pruned at the scan,
+    token equality inside them), never the corpus text.
+
+    Bit-identical to ``bm25_scores`` on the same corpus: per-term
+    contributions are pivoted into fixed columns ((token, doc) is
+    unique, so each pivot cell is a single value, not a float
+    reassociation) and added in query order — the same float64 tree.
+
+    The bucket count comes from the ``meta`` sidecar, not the caller —
+    re-deriving it with a different modulus would silently prune every
+    posting away (same guard as the MinHash index sidecar).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    import zlib
+
+    n_buckets = int(spark.read.parquet(f"{path}/meta").first()["n_buckets"])
+    buckets = sorted({zlib.crc32(t.encode()) % n_buckets for t in query_terms})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tok_bucket").isin(buckets))
+        .filter(F.col("token").isin(list(query_terms)))
+    )
+    tokens = spark.read.parquet(f"{path}/tokens").filter(
+        F.col("token").isin(list(query_terms))
+    )
+    meta = spark.read.parquet(f"{path}/meta")
+    rows = (
+        postings.join(F.broadcast(tokens), "token")
+        .join(F.broadcast(meta))
+    )
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    dfreq = F.col("df").cast("double")
+    tf = F.col("tf").cast("double")
+    idf = F.log(F.lit(1.0) + (n - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5)))
+    contrib = idf * (
+        (tf * F.lit(k1 + 1.0))
+        / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
+    )
+    per_term = rows.groupBy("doc_id", "dl").pivot("token", list(query_terms)).agg(
+        F.first(contrib)
+    )
+    score = F.lit(0.0)
+    for t in query_terms:
+        score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+    return per_term.select("doc_id", "dl", score.alias("score"))

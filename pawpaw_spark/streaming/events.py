@@ -164,3 +164,78 @@ def stateful_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_neardup_sink(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+):
+    """Continuous NEAR-dup detection: each micro-batch runs the
+    incremental MinHash delta against the persisted index
+    (:func:`pawpaw_spark.operators.dedup.minhash_dedup_delta` —
+    new-vs-history + new-vs-new, LSH-blocked, exact-verified), appends
+    the found pairs to ``pairs_path``, then folds the batch into the
+    index so the NEXT batch dedups against it.
+
+    ``foreachBatch`` is the right harness here, not a stateful
+    operator: the state (signatures + shingle sets of every doc ever
+    seen) must outlive any watermark horizon and be shared with batch
+    jobs — an at-rest parquet index, not executor state. Per-batch
+    cost scales with |batch| x bucket density; history is only touched
+    through its (band, bucket)-pruned signature rows.
+
+    Exactly-once: Structured Streaming replays a failed batch with the
+    same batch_id; the index append and pairs append are both
+    idempotent-per-batch only if the batch is not half-applied, so the
+    fold runs AFTER the pairs write and re-running a batch whose docs
+    already made it into the index raises the delta's id-collision
+    guard rather than double-counting — fail loud, reconcile in batch.
+
+    Bootstrap: the index (with its params sidecar) must exist before
+    the stream starts — ``minhash_index_write`` it from the historical
+    corpus, or from an empty slice for a cold start.
+
+    Returns the StreamingQuery (caller stops it / processAllAvailable).
+    """
+    from pawpaw_spark.operators.dedup import (
+        minhash_dedup_delta,
+        minhash_index_write,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.select(id_col, text_col).persist()
+        try:
+            p = batch.sparkSession.read.parquet(f"{index_path}/params").first()
+            from pawpaw_spark.operators.dedup import cached_scope
+
+            with cached_scope(
+                minhash_dedup_delta(
+                    batch, index_path, threshold=threshold,
+                    text_col=text_col, id_col=id_col,
+                )
+            ) as pairs:
+                pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(pairs_path)
+            minhash_index_write(
+                batch, index_path, text_col=text_col, id_col=id_col,
+                n_hashes=int(p["n_hashes"]), bands=int(p["bands"]),
+                shingle_k=int(p["shingle_k"]), seed=int(p["seed"]),
+                mode="append",
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

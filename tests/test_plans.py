@@ -164,6 +164,14 @@ class TestExpensiveQueryPlanShape:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
         assert "Exchange hashpartitioning" not in plan, plan
 
+    def test_bm25_indexed_prunes_to_query_buckets(self, spark):
+        plan = self._p(spark, "bm25_indexed")
+        # the postings scan must be partition-pruned on tok_bucket and
+        # never touch the corpus text
+        assert "PartitionFilters" in plan and "tok_bucket" in plan, plan
+        assert "documents.parquet" not in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
     def test_c4_filters_single_shuffle(self, spark):
         plan = self._p(spark, "c4_filters")
         # doc construction groups orders by customer (one shuffle);

@@ -109,3 +109,60 @@ class TestC4Filters:
         assert row.clean_text == (
             "Keep this full proper sentence.\nKeep this other proper sentence."
         )
+
+
+class TestInvertedIndex:
+    def test_indexed_equals_brute_bitwise(self, spark, tmp_path_factory):
+        from pawpaw_spark.operators.search import (
+            bm25_scores,
+            bm25_scores_from_index,
+            build_inverted_index,
+        )
+
+        df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        path = str(tmp_path_factory.mktemp("inv_idx"))
+        build_inverted_index(df, path, n_buckets=16)
+        terms = ["fox", "lazy", "cluster"]
+        brute = {
+            (r.doc_id, r.dl): r.score for r in bm25_scores(df, terms).collect()
+        }
+        indexed = {
+            (r.doc_id, r.dl): r.score
+            for r in bm25_scores_from_index(spark, path, terms).collect()
+        }
+        assert brute == indexed  # exact float equality, not approx
+
+    def test_scan_prunes_to_query_buckets(self, spark, tmp_path_factory):
+        from pawpaw_spark.operators.search import (
+            bm25_scores_from_index,
+            build_inverted_index,
+        )
+
+        df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        path = str(tmp_path_factory.mktemp("inv_idx2"))
+        build_inverted_index(df, path, n_buckets=64)
+        out = bm25_scores_from_index(spark, path, ["fox"])
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in plan and "tok_bucket" in plan, plan
+
+    def test_bucket_count_from_sidecar(self, spark, tmp_path_factory):
+        """An index built with a non-default modulus still answers
+        correctly — the query derives buckets from meta, never a
+        caller-supplied (and possibly wrong) constant."""
+        from pawpaw_spark.operators.search import (
+            bm25_scores,
+            bm25_scores_from_index,
+            build_inverted_index,
+        )
+
+        df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+        path = str(tmp_path_factory.mktemp("inv_idx3"))
+        build_inverted_index(df, path, n_buckets=3)
+        got = {
+            r.doc_id: r.score
+            for r in bm25_scores_from_index(spark, path, ["dog"]).collect()
+        }
+        want = {r.doc_id: r.score for r in bm25_scores(df, ["dog"]).collect()}
+        assert got == want

@@ -431,3 +431,60 @@ class TestStreaming:
 
         n_batch = segment(batch, TEXT_RULES).count()
         assert n_stream == n_batch > 0
+
+
+class TestStreamingNearDup:
+    def test_cross_batch_neardup_pairs(self, spark, tmp_path_factory):
+        """Near-dup pairs accumulate across microbatches against the
+        at-rest index: a clone arriving in batch 2 of a doc indexed
+        from history is found, as is a batch2-vs-batch1 clone; the
+        final pair set equals a one-shot batch run over everything."""
+        from pyspark.sql import functions as F
+
+        from pawpaw_spark.operators.dedup import (
+            minhash_dedup_pairs,
+            minhash_index_write,
+        )
+        from pawpaw_spark.streaming.events import streaming_neardup_sink
+
+        words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+        mk = lambda i: " ".join(words[(i + j) % 8] for j in range(8)) + f" tail{i}"
+        hist = [(f"h{i}", mk(i)) for i in range(6)]
+        b1 = [(f"a{i}", mk(i + 20)) for i in range(4)] + [("a_dup_h0", hist[0][1])]
+        b2 = [(f"b{i}", mk(i + 40)) for i in range(4)] + [("b_dup_a0", b1[0][1])]
+
+        base = tmp_path_factory.mktemp("nd_stream")
+        index, pairs_out, ckpt, src = (
+            str(base / p) for p in ("idx", "pairs", "ckpt", "src")
+        )
+        schema = "doc_id string, text string"
+        minhash_index_write(
+            spark.createDataFrame(hist, schema), index, n_hashes=64, bands=16
+        )
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = streaming_neardup_sink(stream, index, pairs_out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            (r.a, r.b) for r in spark.read.parquet(pairs_out).collect()
+        }
+        full = spark.createDataFrame(hist + b1 + b2, schema)
+        want = {
+            (r.a, r.b)
+            for r in minhash_dedup_pairs(
+                full, threshold=0.8, n_hashes=64, bands=16, verify="exact"
+            ).collect()
+            # history-vs-history pairs predate the stream by contract
+            if not (r.a.startswith("h") and r.b.startswith("h"))
+        }
+        assert got == want
+        assert ("a_dup_h0", "h0") in got or ("h0", "a_dup_h0") in got
+        assert ("a0", "b_dup_a0") in got or ("b_dup_a0", "a0") in got
+        # the index folded every streamed doc in
+        n_rows = spark.read.parquet(f"{index}/rows").count()
+        assert n_rows == len(hist) + len(b1) + len(b2)
