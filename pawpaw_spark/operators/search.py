@@ -220,10 +220,15 @@ def bm25_scores_from_index(
         (tf * F.lit(k1 + 1.0))
         / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)))
     )
-    per_term = rows.groupBy("doc_id", "dl").pivot("token", list(query_terms)).agg(
-        F.first(contrib)
+    per_term = (
+        rows.groupBy("doc_id", "dl")
+        .pivot("token", list(query_terms))
+        .agg(F.first(contrib))
+        # positional rename: pivot names columns after the raw token
+        # text, which need not be a safe identifier
+        .toDF("doc_id", "dl", *[f"c_{i}" for i in range(len(query_terms))])
     )
     score = F.lit(0.0)
-    for t in query_terms:
-        score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+    for i in range(len(query_terms)):
+        score = score + F.coalesce(F.col(f"c_{i}"), F.lit(0.0))
     return per_term.select("doc_id", "dl", score.alias("score"))

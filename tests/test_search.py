@@ -20,6 +20,8 @@ def py_bm25(corpus, terms, k1=1.2, b=0.75):
     toks = {i: t.lower().split() for i, t in corpus}
     n = len(toks)
     avgdl = sum(len(v) for v in toks.values()) / n
+    if avgdl == 0:
+        return {}  # no tokens anywhere -> nothing can match
     dfreq = {q: sum(1 for v in toks.values() if q in v) for q in terms}
     out = {}
     for i, v in toks.items():
@@ -165,4 +167,78 @@ class TestInvertedIndex:
             for r in bm25_scores_from_index(spark, path, ["dog"]).collect()
         }
         want = {r.doc_id: r.score for r in bm25_scores(df, ["dog"]).collect()}
+        assert got == want
+
+
+# --- property-based differential tests (one Spark job per example set,
+# not per example: hypothesis generates corpora, Spark scores them in
+# small batches to keep runtime sane) ---
+
+from hypothesis import given, settings, strategies as st
+
+WORDS = st.sampled_from(
+    "the fox dog lazy quick spark data row alpha beta Gamma DOG".split()
+)
+DOC = st.lists(WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+class TestBM25Property:
+    @given(docs=st.lists(DOC, min_size=2, max_size=8))
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    def test_matches_python_reference(self, spark, docs):
+        from pawpaw_spark.operators.search import bm25_scores
+
+        corpus = list(enumerate(docs))
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r.doc_id: r.score for r in bm25_scores(df, ["fox", "dog"]).collect()}
+        want = py_bm25(corpus, ["fox", "dog"])
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def py_c4(text, min_line_words=5, min_sentences=3):
+    lines = text.split("\n")
+    kept = [
+        l for l in lines
+        if len(l.split()) >= min_line_words
+        and __import__("re").search(r'[.!?"]\s*$', l)
+    ]
+    clean = "\n".join(kept)
+    n_sent = sum(clean.count(c) for c in ".!?")
+    has_lorem = "lorem ipsum" in text.lower()
+    has_brace = "{" in text
+    return (
+        len(lines), len(kept), n_sent, has_lorem, has_brace,
+        n_sent >= min_sentences and not has_lorem and not has_brace,
+    )
+
+
+LINE = st.lists(
+    st.sampled_from(
+        'word sentence. stop! what? quote" lorem ipsum { tail'.split(" ")
+    ),
+    min_size=0,
+    max_size=7,
+).map(" ".join)
+
+
+class TestC4Property:
+    @given(docs=st.lists(st.lists(LINE, min_size=1, max_size=5).map("\n".join),
+                         min_size=1, max_size=6))
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    def test_matches_python_reference(self, spark, docs):
+        from pawpaw_spark.operators.text import c4_filters
+
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (
+                r.n_lines, r.n_kept_lines, r.n_sentences,
+                r.has_lorem, r.has_brace, r.keep,
+            )
+            for r in c4_filters(df).collect()
+        }
+        want = {i: py_c4(t) for i, t in enumerate(docs)}
         assert got == want
