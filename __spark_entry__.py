@@ -1164,6 +1164,101 @@ def q_kg_degrees(spark, sf_dir):
     )
 
 
+# --- KG graph analytics over a constructed call graph ----------------------
+# Python docs built from customer keys (the q_c4_filters construction
+# pattern): customer r (dense keys 0..m-1, TESTDATA.md) defines f_r and
+# calls its two ring successors inside residue group g = r % 16, plus
+# the group hub f_g; the LAST member of each group also calls the
+# undefined f_missing_g (a dangling PageRank node). The kernel
+# (CODE_RULES -> build_edges_fused) extracts the sym->sym call graph;
+# the oracle reconstructs the identical edge list from the same
+# arithmetic, so graph analytics verify end-to-end: segmentation ->
+# triples -> algorithm.
+
+_KG_GROUPS = 16
+
+
+def _call_docs(spark, sf_dir):
+    G = _KG_GROUPS
+    c = _fan(spark.read.parquet(f"{sf_dir}/customer.parquet")).select(
+        F.col("c_custkey").cast("long").alias("r")
+    )
+    m = c.count()  # metadata-sized; keys are dense 0..m-1
+    g = F.col("r") % G
+    p = F.col("r") / F.lit(G)
+    p = F.floor(p).cast("long")
+    sg = F.floor((F.lit(m - 1) - g) / G).cast("long") + 1
+    nbr1 = g + G * ((p + 1) % sg)
+    nbr2 = g + G * ((p + 2) % sg)
+    body = F.concat(
+        F.lit("def f_"), F.col("r"), F.lit("():\n"),
+        F.lit("    f_"), nbr1, F.lit("()\n"),
+        F.lit("    f_"), nbr2, F.lit("()\n"),
+        F.lit("    f_"), g, F.lit("()\n"),
+        F.when(
+            p == sg - 1, F.concat(F.lit("    f_missing_"), g, F.lit("()\n"))
+        ).otherwise(F.lit("")),
+    )
+    return c.select(
+        F.lit("src/calls").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("r")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.lit("python").alias("lang"),
+        body.alias("content"),
+    )
+
+
+def _call_edges(spark, sf_dir):
+    """sym -> sym call edges from the REAL kernel over the constructed
+    corpus (multiplicities collapse in the consumers, mirroring the
+    oracle's DISTINCT)."""
+    from pawpaw_spark.operators.triples import build_edges_fused
+
+    e = build_edges_fused(_call_docs(spark, sf_dir))
+    return e.filter(
+        (F.col("pred") == "REFERENCES") & F.col("subj").startswith("sym:")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the kernel-extracted call graph.
+    Hubs (in-degree ~ group size) separate from ring members; the
+    per-group missing symbol exercises the dangling-mass term. Ranks
+    are N-normalized (~1.0) before rounding so the 6-decimal match is
+    ~1e-6 relative everywhere."""
+    from pawpaw_spark.operators.graph import pagerank
+
+    ranks = pagerank(_call_edges(spark, sf_dir), iters=3, damping=0.85)
+    return ranks.select(
+        "node", F.round(F.col("rank") * ranks._pagerank_n, 6).alias("rank_r")
+    )
+
+
+def q_kg_triangles(spark, sf_dir):
+    """Degree-ordered triangle counting on the undirected projection:
+    ring chords (p+1, p+2) and hub spokes make every member sit in
+    several triangles; counts verified against a plain 3-way-join
+    enumeration in DuckDB."""
+    from pawpaw_spark.operators.graph import triangle_count
+
+    return triangle_count(_call_edges(spark, sf_dir))
+
+
+def q_kg_components(spark, sf_dir):
+    """Distributed connected components (driver_threshold=0 forces the
+    iterative min-label + pointer-jumping path — the contract exercises
+    the loop itself, not the small-graph cutover) over the undirected
+    call graph: exactly one component per residue group, labeled by its
+    lexicographically smallest member."""
+    from pawpaw_spark.operators.canon import connected_components
+
+    # no undirected_edges() pre-pass: connected_components symmetrizes
+    # and dedups internally, and self-loops can't move a min-label
+    return connected_components(
+        _call_edges(spark, sf_dir), "src", "dst", driver_threshold=0
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1219,6 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "c4_filters": q_c4_filters,
         "kg_degrees": q_kg_degrees,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
+        "kg_components": q_kg_components,
     }
 
 
@@ -1255,6 +1353,73 @@ def _sample_case_arms() -> str:
         f"WHEN '{lang}' THEN '{_threshold_hex(p)}'"
         for lang, p in sorted(SAMPLE_FRACTIONS.items())
     )
+
+
+# edge list of the constructed call graph, reconstructed from customer
+# keys with the SAME arithmetic as _call_docs (16 = _KG_GROUPS): ring
+# successors p+1/p+2 within residue group, hub spoke, and the last
+# member's dangling f_missing_g call. DISTINCT mirrors the operators'
+# multiplicty collapse.
+_KG_EDGE_CTE = f"""
+            params AS (SELECT count(*) AS m FROM customer),
+            mem AS (
+              SELECT c_custkey AS r, c_custkey % {_KG_GROUPS} AS g,
+                     c_custkey // {_KG_GROUPS} AS p,
+                     ((SELECT m FROM params) - 1 - c_custkey % {_KG_GROUPS})
+                       // {_KG_GROUPS} + 1 AS sg
+              FROM customer),
+            raw AS (
+              SELECT 'sym:f_' || r AS src,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 1) % sg)) AS dst
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 2) % sg))
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_' || g FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_missing_' || g
+              FROM mem WHERE p = sg - 1),
+            e AS (SELECT DISTINCT src, dst FROM raw),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+
+
+def _kg_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-method iterations — generated by the same loop
+    count the engine query passes, so iteration drift is impossible."""
+    parts = [
+        f"WITH {_KG_EDGE_CTE},",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+            r{k} AS (
+              SELECT nodes.node,
+                     (1.0 - {damping}) / nn.n
+                     + {damping} * (coalesce(c.contrib, 0) + dg.dmass / nn.n)
+                       AS rank
+              FROM nodes
+              CROSS JOIN nn
+              CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dmass
+                          FROM r{k - 1} r
+                          LEFT JOIN deg ON deg.src = r.node
+                          WHERE deg.src IS NULL) dg
+              LEFT JOIN (SELECT e.dst AS node,
+                                sum(r.rank / deg.out_deg) AS contrib
+                         FROM e
+                         JOIN r{k - 1} r ON e.src = r.node
+                         JOIN deg ON deg.src = e.src
+                         GROUP BY e.dst) c ON c.node = nodes.node)"""
+        )
+    parts.append(
+        f" SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_r"
+        f" FROM r{iters}"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1962,6 +2127,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'src/' || source AS subj, 'CONTAINS' AS pred,
                    CAST(count(*) AS BIGINT) AS out_deg
             FROM documents GROUP BY source
+        """,
+        "kg_pagerank": _kg_pagerank_sql(iters=3, damping=0.85),
+        # plain 3-way-join enumeration on the canonical (a < b) edge
+        # set — each triangle x<y<z appears exactly once as the row
+        # pair (x,y),(y,z) closed by (x,z)
+        "kg_triangles": f"""
+            WITH {_KG_EDGE_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM und e1
+                  JOIN und e2 ON e2.a = e1.b
+                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            nu AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+            memb AS (SELECT x AS node FROM t
+                     UNION ALL SELECT y FROM t
+                     UNION ALL SELECT z FROM t),
+            cnt AS (SELECT node, count(*) AS n FROM memb GROUP BY node)
+            SELECT nu.node, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles
+            FROM nu LEFT JOIN cnt ON cnt.node = nu.node
+        """,
+        # closed form BY CONSTRUCTION: the ring + hub spokes make each
+        # residue group one component; comp = lexicographically
+        # smallest member (the engine's min-label fixpoint)
+        "kg_components": f"""
+            WITH {_KG_EDGE_CTE},
+            syms AS (
+              SELECT g, 'sym:f_' || r AS node FROM mem
+              UNION ALL
+              SELECT DISTINCT g, 'sym:f_missing_' || g FROM mem),
+            cm AS (SELECT g, min(node) AS comp FROM syms GROUP BY g)
+            SELECT syms.node, cm.comp FROM syms JOIN cm ON cm.g = syms.g
         """,
     }
     # the indexed path is bit-identical to the brute path by

@@ -68,6 +68,9 @@ HEADLINE = [
     "bm25_indexed",
     "c4_filters",
     "kg_degrees",
+    "kg_pagerank",
+    "kg_triangles",
+    "kg_components",
 ]
 
 

@@ -1,0 +1,202 @@
+"""Graph analytics over KG edge tables: PageRank, triangle counting,
+and the undirected-projection helper they share.
+
+The reference engine stops at building the graph (segments -> triples);
+these operators answer the questions a KG consumer asks next — which
+symbols matter (PageRank over the call graph), how clustered the code
+is (triangles), which symbols form one translation unit (connected
+components, :func:`pawpaw_spark.operators.canon.connected_components`).
+
+Scale notes (100 TB corpus -> billions of edges):
+
+* PageRank keeps one (node, rank) row per node and one
+  (src, dst, out_deg) row per edge; each iteration is a co-partitioned
+  join on the source node plus one aggregation shuffle on the
+  destination — the textbook 2-shuffle round. The dangling-mass term is
+  a 1-row aggregate broadcast back in, never a driver action, so an
+  iteration adds NO job boundary; ``checkpoint_every`` bounds lineage
+  for deep iteration counts exactly as the CC loop does.
+* Triangle counting uses the degree-ordered orientation (each
+  undirected edge directed from its lower-(degree, id) endpoint), which
+  bounds every node's out-neighborhood by O(sqrt(m)) regardless of
+  in-degree skew — a star of n leaves produces n wedges, not n^2. Both
+  joins are equi-joins on node ids, so AQE can split stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(
+    edges: DataFrame, a_col: str = "src", b_col: str = "dst"
+) -> DataFrame:
+    """Canonical undirected simple edge set: (a, b) with a < b, self
+    loops dropped, duplicates collapsed. One shuffle (the distinct)."""
+    return (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank -> (node, rank).
+
+    Semantics (the classic formulation, so any textbook implementation
+    is an oracle):
+
+    * edge multiplicities are collapsed first (``distinct``) — a call
+      site repeated in one body votes once;
+    * self loops count: a node with an edge to itself keeps a share of
+      its own rank;
+    * dangling nodes (no out-edges) spread their rank uniformly:
+      ``rank' = (1-d)/N + d * (sum_in rank/out_deg + dangling_mass/N)``.
+
+    A FIXED iteration count (no convergence probe) keeps the operator a
+    single lazy plan and makes results reproducible across engines —
+    callers wanting convergence run it again with a larger ``iters``.
+    ``N`` comes from one metadata-sized ``count()``; everything else is
+    joins/aggs on the edge and rank tables.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # (src, dst, out_deg): built once, reused every iteration — persist
+    # so the distinct + degree agg don't rerun per round. Released
+    # before return; rank tables are checkpointed, not cached.
+    links = e.join(deg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for it in range(iters):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # rank mass sitting on dangling nodes, as a 1-row broadcast —
+        # an expression input, not a driver-side scalar, so the whole
+        # iteration stays one lazy plan
+        dangling = F.broadcast(
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.localCheckpoint(eager=True) if iters > 0 else ranks
+    links.unpersist()
+    # node count, for callers normalizing ranks (attribute does not
+    # survive further DataFrame transformations — read it first)
+    out._pagerank_n = n_nodes
+    return out
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "src", b_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle membership count -> (node, n_triangles), one
+    row for EVERY node of the undirected simple projection (0 for
+    triangle-free nodes).
+
+    Degree-ordered orientation (Suri & Vassilvitskii's MR-friendly
+    scheme): direct each undirected edge from its lower-(degree, id)
+    endpoint to the higher one. Every triangle {x, y, z} (ordered so
+    x -> y -> z in the total order) is then found exactly once, as the
+    wedge (y, z) out of x joined against the oriented edge y -> z. The
+    orientation bounds out-neighborhoods by O(sqrt(m)) — high-degree
+    hubs collect IN-edges, so hub skew caps wedge fan-out instead of
+    squaring it.
+    """
+    und = undirected_edges(edges, a_col, b_col).persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("vdeg"),
+    )
+    # wedges (u; v -> w) with v before w in the (deg, id) order, closed
+    # by the oriented edge v -> w
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("vdeg").alias("d1"))
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("vdeg").alias("d2")
+    )
+    wedges = e1.join(e2, e1["u"] == e2["u2"]).filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closer, ["v1", "v2"]).select(
+        F.col("u").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z")
+    )
+    per_node = (
+        tris.select(F.col("x").alias("node"))
+        .union(tris.select(F.col("y")))
+        .union(tris.select(F.col("z")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out

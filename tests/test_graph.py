@@ -1,0 +1,164 @@
+"""Graph analytics: PageRank vs a numpy power-method reference,
+triangle counting vs brute-force enumeration, on fixed and
+property-generated graphs."""
+
+import itertools
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pawpaw_spark.operators.graph import pagerank, triangle_count, undirected_edges
+
+
+def np_pagerank(edges, iters=3, damping=0.85):
+    """Dense power method with dangling-mass redistribution — the
+    textbook formulation pagerank() documents."""
+    e = sorted(set(edges))
+    nodes = sorted({x for p in e for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = {u: 0 for u in nodes}
+    for u, _ in e:
+        out_deg[u] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in e:
+            contrib[idx[v]] += r[idx[u]] / out_deg[u]
+        dmass = sum(r[idx[u]] for u in nodes if out_deg[u] == 0)
+        r = (1.0 - damping) / n + damping * (contrib + dmass / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def py_triangles(edges):
+    und = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    nodes = sorted({x for p in und for x in p})
+    count = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            count[x] += 1
+            count[y] += 1
+            count[z] += 1
+    return count
+
+
+def _edge_df(spark, edges):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+
+
+RING_HUB = (
+    # two components: a 5-ring with chords + hub, and a 3-path
+    [(i, (i + 1) % 5) for i in range(5)]
+    + [(i, (i + 2) % 5) for i in range(5)]
+    + [(i, 99) for i in range(5)]
+    + [(10, 11), (11, 12)]
+)
+
+
+class TestPagerank:
+    def test_matches_numpy_ring_hub(self, spark):
+        got = {
+            r.node: r.rank
+            for r in pagerank(_edge_df(spark, RING_HUB), iters=4).collect()
+        }
+        want = np_pagerank([(str(a), str(b)) for a, b in RING_HUB], iters=4)
+        assert set(got) == set(want)
+        for n in got:
+            assert got[n] == pytest.approx(want[n], rel=1e-12)
+
+    def test_dangling_and_self_loop(self, spark):
+        # 0 -> 0 (self loop), 0 -> 1, 1 has no out-edges (dangling)
+        edges = [(0, 0), (0, 1)]
+        got = {
+            r.node: r.rank
+            for r in pagerank(_edge_df(spark, edges), iters=5).collect()
+        }
+        want = np_pagerank([(str(a), str(b)) for a, b in edges], iters=5)
+        for n in got:
+            assert got[n] == pytest.approx(want[n], rel=1e-12)
+        # mass is conserved: ranks sum to 1
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+    def test_zero_iters_is_uniform(self, spark):
+        got = {
+            r.node: r.rank
+            for r in pagerank(_edge_df(spark, [(0, 1), (1, 2)]), iters=0).collect()
+        }
+        assert got == {"0": pytest.approx(1 / 3), "1": pytest.approx(1 / 3),
+                       "2": pytest.approx(1 / 3)}
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=20, deadline=None, derandomize=True)
+    def test_property_matches_numpy(self, spark, edges):
+        got = {
+            r.node: r.rank
+            for r in pagerank(_edge_df(spark, edges), iters=3).collect()
+        }
+        want = np_pagerank([(str(a), str(b)) for a, b in edges], iters=3)
+        assert set(got) == set(want)
+        for n in got:
+            assert got[n] == pytest.approx(want[n], rel=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+class TestTriangles:
+    def test_ring_hub(self, spark):
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_count(_edge_df(spark, RING_HUB)).collect()
+        }
+        want = py_triangles([(str(a), str(b)) for a, b in RING_HUB])
+        assert got == want
+
+    def test_triangle_free_nodes_present_as_zero(self, spark):
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_count(_edge_df(spark, [(0, 1), (1, 2)])).collect()
+        }
+        assert got == {"0": 0, "1": 0, "2": 0}
+
+    def test_complete_k5(self, spark):
+        edges = list(itertools.combinations(range(5), 2))
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_count(_edge_df(spark, edges)).collect()
+        }
+        # every node sits in C(4,2) = 6 triangles of K5
+        assert got == {str(i): 6 for i in range(5)}
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=20, deadline=None, derandomize=True)
+    def test_property_matches_bruteforce(self, spark, edges):
+        sedges = [(str(a), str(b)) for a, b in edges]
+        want = py_triangles(sedges)
+        if not want:  # all self-loops -> empty projection, no rows
+            assert triangle_count(_edge_df(spark, edges)).count() == 0
+            return
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_count(_edge_df(spark, edges)).collect()
+        }
+        assert got == want
+
+
+class TestUndirected:
+    def test_canonicalizes(self, spark):
+        rows = undirected_edges(
+            _edge_df(spark, [(1, 2), (2, 1), (3, 3), (2, 3)])
+        ).collect()
+        assert {(r.a, r.b) for r in rows} == {("1", "2"), ("2", "3")}
