@@ -1259,6 +1259,48 @@ def q_kg_components(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over a constructed corpus (the q_c4_filters pattern):
+    each order becomes a doc whose email/phone/IP/card insertions are
+    keyed to order-key residues, so counts AND the fully redacted text
+    have a closed form. Shuffle-free: construction and scrub are column
+    expressions over one scan."""
+    from pawpaw_spark.operators.text import pii_scrub
+
+    o = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet")).select(
+        F.col("o_orderkey").cast("long").alias("ok"),
+        F.col("o_custkey").cast("long").alias("ck"),
+    )
+    ok, ck = F.col("ok"), F.col("ck")
+    dirty = F.concat(
+        F.lit("Order "), ok, F.lit(" for cust"), ck, F.lit("."),
+        F.when(
+            ok % 2 == 0,
+            F.concat(F.lit(" Contact user"), ck, F.lit("@example.com.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ok % 6 == 0,
+            F.concat(F.lit(" Backup user"), ck, F.lit("b@example.org.")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ok % 3 == 0,
+            F.concat(F.lit(" Call +1-555-"), ok % 9000 + 1000, F.lit(".")),
+        ).otherwise(F.lit("")),
+        F.when(
+            ok % 5 == 0,
+            F.concat(
+                F.lit(" Server 10."), ck % 256, F.lit("."), ok % 256, F.lit(".7.")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            ok % 7 == 0,
+            F.concat(F.lit(" Card 4111-2222-3333-"), ck % 9000 + 1000, F.lit(".")),
+        ).otherwise(F.lit("")),
+    )
+    docs = o.select(ok.cast("string").alias("doc_id"), dirty.alias("text"))
+    return pii_scrub(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1317,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_components": q_kg_components,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2160,6 +2203,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT g, 'sym:f_missing_' || g FROM mem),
             cm AS (SELECT g, min(node) AS comp FROM syms GROUP BY g)
             SELECT syms.node, cm.comp FROM syms JOIN cm ON cm.g = syms.g
+        """,
+        # counts and the redacted text are closed-form in the keys that
+        # drive the injections (see q_pii_scrub); the oracle never runs
+        # a regex, so it independently pins the engine's match spans
+        "pii_scrub": r"""
+            SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_emails,
+                   CAST(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_cards,
+                   CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_phones,
+                   CAST(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+                      AS BIGINT) AS n_ipv4s,
+                   'Order ' || o_orderkey || ' for cust' || o_custkey || '.'
+                   || CASE WHEN o_orderkey % 2 = 0
+                           THEN ' Contact [EMAIL].' ELSE '' END
+                   || CASE WHEN o_orderkey % 6 = 0
+                           THEN ' Backup [EMAIL].' ELSE '' END
+                   || CASE WHEN o_orderkey % 3 = 0
+                           THEN ' Call [PHONE].' ELSE '' END
+                   || CASE WHEN o_orderkey % 5 = 0
+                           THEN ' Server [IP].' ELSE '' END
+                   || CASE WHEN o_orderkey % 7 = 0
+                           THEN ' Card [CARD].' ELSE '' END AS clean
+            FROM orders
         """,
     }
     # the indexed path is bit-identical to the brute path by

@@ -71,6 +71,7 @@ HEADLINE = [
     "kg_pagerank",
     "kg_triangles",
     "kg_components",
+    "pii_scrub",
 ]
 
 

@@ -51,6 +51,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank -> (node, rank).
 
@@ -124,8 +125,15 @@ def pagerank(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    out = ranks.localCheckpoint(eager=True) if iters > 0 else ranks
-    links.unpersist()
+    # materialize=False keeps the full lazy plan (plan-shape tests);
+    # the links cache is then left for the caller's first action
+    out = (
+        ranks.localCheckpoint(eager=True)
+        if materialize and iters > 0
+        else ranks
+    )
+    if materialize:
+        links.unpersist()
     # node count, for callers normalizing ranks (attribute does not
     # survive further DataFrame transformations — read it first)
     out._pagerank_n = n_nodes
@@ -133,7 +141,10 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, a_col: str = "src", b_col: str = "dst"
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle membership count -> (node, n_triangles), one
     row for EVERY node of the undirected simple projection (0 for
@@ -197,6 +208,7 @@ def triangle_count(
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
-    out = out.localCheckpoint(eager=True)
-    und.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        und.unpersist()
     return out

@@ -335,3 +335,40 @@ def c4_filters(
         ).alias("keep"),
         clean.alias("clean_text"),
     )
+
+
+# --- PII detection / redaction ----------------------------------------------
+# The standard pre-training scrub pass (C4/Dolma-style): regex families
+# for emails, E.164-ish phone numbers, IPv4 addresses, and 16-digit
+# card numbers. Pure JVM column expressions — counting and redaction
+# ride the scan inside whole-stage codegen; at 100 TB this is a
+# shuffle-free map over the corpus. Patterns use only syntax shared by
+# Java regex and RE2 (character classes, bounded repeats, \b), so an
+# external auditor can re-run them in any engine.
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("card", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "[CARD]"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII counts + redacted text -> (id, n_<kind>..., clean).
+
+    Redaction applies the patterns IN ORDER (emails first: their local
+    parts may contain digit runs other families would then misread).
+    Matches are leftmost-non-overlapping in every mainstream engine, so
+    the output is reproducible outside Spark.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{k}s")
+        for k, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), *counts, clean.alias("clean"))

@@ -843,3 +843,53 @@ class TestIVF:
         c1 = ivf_fit(emb.repartition(1), n_centroids=8, iters=3, quantize=6)
         c2 = ivf_fit(emb.repartition(13), n_centroids=8, iters=3, quantize=6)
         assert (c1 == c2).all()
+
+
+class TestPiiScrub:
+    CASES = [
+        "plain text, nothing to find",
+        "mail me at jo.doe+spam@sub.example.co.uk. thanks",
+        "two mails: a@b.io and c_d%e@f-g.org!",
+        "call +1-555-0199 or +44-123-4567 now",
+        "server at 10.0.255.7 and 192.168.1.1.",
+        "card 4111-1111-1111-1234 expires soon",
+        "combo u@v.de +1-555-1234 8.8.8.8 0000-9999-0000-9999",
+        "not-an-ip 1.2.3 and 1.2.3.4.5 edge",
+        "trailing dot ip 10.1.2.3.",
+        "",
+        "digits 12345-6789 and 1234-5678 only",
+    ]
+
+    def _py_scrub(self, text):
+        import re
+
+        from pawpaw_spark.operators.text import PII_PATTERNS
+
+        counts = [len(re.findall(p, text)) for _, p, _ in PII_PATTERNS]
+        clean = text
+        for _, p, repl in PII_PATTERNS:
+            clean = re.sub(p, repl.replace("\\", "\\\\"), clean)
+        return (*counts, clean)
+
+    def test_matches_python_re(self, spark):
+        from pawpaw_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame(
+            list(enumerate(self.CASES)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_emails, r.n_cards, r.n_phones, r.n_ipv4s, r.clean)
+            for r in pii_scrub(df).collect()
+        }
+        want = {i: self._py_scrub(t) for i, t in enumerate(self.CASES)}
+        assert got == want
+
+    def test_ip_substring_of_longer_quad_run(self, spark):
+        # "1.2.3.4.5": leftmost match takes 1.2.3.4 — documents the
+        # (python-re-identical) behavior rather than pretending it away
+        from pawpaw_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame([(0, "x 1.2.3.4.5 y")], "doc_id long, text string")
+        row = pii_scrub(df).collect()[0]
+        assert row.n_ipv4s == 1
+        assert row.clean == "x [IP].5 y"

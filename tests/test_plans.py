@@ -186,6 +186,46 @@ class TestExpensiveQueryPlanShape:
         assert plan.count("Exchange hashpartitioning") <= 1, plan
         assert "partial_count" in plan, plan
 
+    def test_kg_pagerank_broadcast_dangling_kernel_edges(self, spark):
+        # materialize=False: the contract query checkpoints the result,
+        # which would hide the internals behind a checkpoint scan
+        from pawpaw_spark.operators.graph import pagerank
+
+        plan = _plan(
+            pagerank(E._call_edges(spark, SF), iters=2, materialize=False)
+        )
+        # edges come from the one-pass Arrow kernel; the dangling-mass
+        # term rides a 1-row broadcast (BNLJ), NEVER a cartesian; rank
+        # updates are equi-joins + partial aggs
+        assert "MapInArrow" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "partial" in plan.lower(), plan
+
+    def test_kg_triangles_equi_joins_only(self, spark):
+        from pawpaw_spark.operators.graph import triangle_count
+
+        plan = _plan(
+            triangle_count(E._call_edges(spark, SF), materialize=False)
+        )
+        # wedge closure is equi-joins on node ids — a naive rewrite
+        # would surface as a cartesian or a theta-join explosion
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "MapInArrow" in plan, plan
+
+    def test_pii_scrub_is_pure_jvm_scan(self, spark):
+        plan = self._p(spark, "pii_scrub")
+        # construction + 4 regex families + redaction chain are column
+        # expressions over ONE scan: no shuffle, no Python workers
+        import re as _re
+
+        stripped = _re.sub(r"Exchange RoundRobinPartitioning[^\n]*", "", plan)
+        assert "Exchange" not in stripped, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
     def test_minhash_delta_blocked_joins_only(self, spark):
         plan = self._p(spark, "minhash_delta")
         # delta candidates come from (band, bucket) equi-joins against
