@@ -35,6 +35,12 @@ def main() -> None:
         help="edge derivation: fused one-pass kernel (default) or from the "
         "materialized segments table (single content scan)",
     )
+    p.add_argument(
+        "--analytics", action="store_true",
+        help="also materialize node_metrics (degrees, PageRank, components) "
+        "over the canonical symbol graph",
+    )
+    p.add_argument("--pagerank-iters", type=int, default=5)
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -56,6 +62,7 @@ def main() -> None:
     res = build_kg(
         spark, source, args.output, n_buckets=args.buckets,
         link_threshold=args.link_threshold, edges_mode=args.edges_mode,
+        analytics=args.analytics, pagerank_iters=args.pagerank_iters,
     )
     stats = {
         "wall_sec": round(time.time() - t0, 2),
@@ -63,6 +70,8 @@ def main() -> None:
         "edges": res["edges"].count(),
         "nodes": res["nodes"].count(),
     }
+    if args.analytics:
+        stats["node_metrics"] = res["node_metrics"].count()
     stats["triples_per_sec"] = round(stats["edges"] / stats["wall_sec"], 1)
     print(json.dumps(stats))
     spark.stop()

@@ -212,3 +212,58 @@ def triangle_count(
         out = out.localCheckpoint(eager=True)
         und.unpersist()
     return out
+
+
+def kg_node_metrics(
+    edges: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    pred_col: str = "pred",
+    pred: str = "REFERENCES",
+    iters: int = 5,
+) -> DataFrame:
+    """Per-symbol analytics over a canonical KG edge table ->
+    (node, out_deg, in_deg, rank, comp).
+
+    Restricts to ``pred`` edges between symbol nodes (the call graph —
+    span/file/repo edges are tree-shaped and carry no graph signal),
+    then computes degrees, fixed-iteration PageRank, and the connected
+    component label. One persisted edge projection feeds all four; the
+    joins are equi-joins on the node id, so the whole stage is
+    partition-aligned on one key.
+    """
+    sym = (
+        edges.filter(
+            (F.col(pred_col) == pred)
+            & F.col(subj_col).startswith("sym:")
+            & F.col(obj_col).startswith("sym:")
+        )
+        .select(F.col(subj_col).alias("src"), F.col(obj_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    from pawpaw_spark.operators.canon import connected_components
+
+    pr = pagerank(sym, iters=iters)
+    out_deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    in_deg = sym.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    comp = connected_components(sym, "src", "dst")
+    out = (
+        pr.join(out_deg, "node", "left")
+        .join(in_deg, "node", "left")
+        .join(comp, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.col("rank"),
+            F.coalesce("comp", F.col("node")).alias("comp"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sym.unpersist()
+    return out

@@ -28,8 +28,14 @@ def build_kg(
     n_buckets: int = 64,
     link_threshold: float = 0.82,
     edges_mode: str = "fused",
+    analytics: bool = False,
+    pagerank_iters: int = 5,
 ) -> dict[str, DataFrame]:
-    """Returns {'segments', 'edges', 'nodes', 'edges_canonical'}.
+    """Returns {'segments', 'edges', 'nodes', 'edges_canonical'} and,
+    with ``analytics=True``, a ``'node_metrics'`` table
+    (node, out_deg, in_deg, rank, comp) over the canonical symbol
+    call graph — degrees, fixed-iteration PageRank, and component
+    labels, checkpoint-resumable like the canon stage.
 
     Resume: rerunning with the same out_dir skips completed buckets
     (lineage anti-join); changed input rows invalidate exactly their
@@ -164,9 +170,57 @@ def build_kg(
             ],
         )
 
-    return {
+    result = {
         "segments": segments,
         "edges": edges,
         "nodes": nodes_canon,
         "edges_canonical": edges_canon,
     }
+
+    if analytics:
+        # global stage over the canonical edges; its checkpoint key is
+        # the canon fingerprint + its own parameters, so an unchanged
+        # graph (and unchanged iters) skips the whole computation
+        metrics_out = f"{out_dir}/node_metrics"
+        metrics_fp = f"{canon_fp}:pr{pagerank_iters}"
+        analytics_done = {
+            (r["partition_key"], r["input_fingerprint"])
+            for r in lineage.completed(spark, "analytics").collect()
+        }
+        if cat is not None:
+            metrics_exist = spark.catalog.tableExists(f"{cat}.pawpaw.node_metrics")
+        else:
+            metrics_exist = _has_output(metrics_out)
+        if ("__global__", metrics_fp) in analytics_done and metrics_exist:
+            if cat is not None:
+                metrics = spark.table(f"{cat}.pawpaw.node_metrics")
+            else:
+                metrics = spark.read.parquet(metrics_out)
+        else:
+            from pawpaw_spark.operators.graph import kg_node_metrics
+
+            t0 = time.time()
+            metrics = kg_node_metrics(edges_canon, iters=pagerank_iters)
+            metrics = write_partitioned(
+                metrics.withColumn("salt", bucket_key(F.col("node"), 64)),
+                "pawpaw.node_metrics",
+                metrics_out,
+                ("salt",),
+            )
+            lineage.record(
+                spark,
+                [
+                    {
+                        "stage": "analytics",
+                        "partition_key": "__global__",
+                        "input_fingerprint": metrics_fp,
+                        "rows_in": int(sum(r["rows_in"] for r in fp_rows)),
+                        "rows_out": int(metrics.count()),
+                        "wall_ms": int((time.time() - t0) * 1000),
+                        "status": "ok",
+                    }
+                ],
+            )
+        result["node_metrics"] = metrics
+
+    return result

@@ -198,3 +198,61 @@ class TestPipeline:
         assert canon.select("input_fingerprint").distinct().count() == 2
         build_kg(spark, changed, out, n_buckets=8)
         assert LineageLog(out).read(spark).filter(F.col("stage") == "canon").count() == 2
+
+
+class TestAnalyticsStage:
+    def test_node_metrics_written_and_resumed(self, spark, src, tmp_path_factory):
+        import pytest as _pytest
+
+        from pawpaw_spark.lineage import LineageLog
+
+        out = str(tmp_path_factory.mktemp("kg_an"))
+        res = build_kg(spark, src, out, n_buckets=8, analytics=True,
+                       pagerank_iters=3)
+        m = res["node_metrics"]
+        rows = m.collect()
+        assert rows, "no node metrics on a corpus with call edges"
+        # metrics cover exactly the sym->sym call-graph nodes
+        assert all(r.node.startswith("sym:") for r in rows)
+        # PageRank mass is conserved over the whole graph
+        assert sum(r["rank"] for r in rows) == _pytest.approx(1.0, abs=1e-9)
+        # degrees consistent: total out == total in == #edges
+        assert sum(r.out_deg for r in rows) == sum(r.in_deg for r in rows) > 0
+        # every component label is a member node
+        nodes = {r.node for r in rows}
+        assert {r.comp for r in rows} <= nodes
+
+        # metrics match the operators applied directly to the written edges
+        from pawpaw_spark.operators.graph import kg_node_metrics
+
+        direct = {
+            r.node: (r.out_deg, r.in_deg, r["rank"], r.comp)
+            for r in kg_node_metrics(res["edges_canonical"], iters=3).collect()
+        }
+        got = {r.node: (r.out_deg, r.in_deg, r["rank"], r.comp) for r in rows}
+        assert set(got) == set(direct)
+        for k in got:
+            assert got[k][0] == direct[k][0] and got[k][1] == direct[k][1]
+            assert got[k][3] == direct[k][3]
+            assert got[k][2] == _pytest.approx(direct[k][2], rel=1e-12)
+
+        # resume: same params -> the analytics stage is skipped wholesale
+        log1 = LineageLog(out).read(spark).filter(
+            F.col("stage") == "analytics"
+        ).count()
+        assert log1 == 1
+        res2 = build_kg(spark, src, out, n_buckets=8, analytics=True,
+                        pagerank_iters=3)
+        log2 = LineageLog(out).read(spark).filter(
+            F.col("stage") == "analytics"
+        ).count()
+        assert log2 == log1, "analytics stage re-ran on unchanged input"
+        assert res2["node_metrics"].count() == len(rows)
+
+        # changed parameters invalidate the checkpoint
+        build_kg(spark, src, out, n_buckets=8, analytics=True,
+                 pagerank_iters=4)
+        log3 = LineageLog(out).read(spark).filter(
+            F.col("stage") == "analytics"
+        ).count()
+        assert log3 == log1 + 1, "iters change did not recompute analytics"
