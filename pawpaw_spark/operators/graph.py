@@ -83,7 +83,9 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        out._pagerank_n = 0
+        return out
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # (src, dst, out_deg): built once, reused every iteration — persist
     # so the distinct + degree agg don't rerun per round. Released
@@ -134,6 +136,12 @@ def pagerank(
     )
     if materialize:
         links.unpersist()
+    else:
+        # caller consumes the lazy plan; the links cache is released by
+        # release_session_caches()/cached_scope like every operator cache
+        from pawpaw_spark.operators.dedup import _attach_caches
+
+        _attach_caches(out, [links])
     # node count, for callers normalizing ranks (attribute does not
     # survive further DataFrame transformations — read it first)
     out._pagerank_n = n_nodes
@@ -211,6 +219,10 @@ def triangle_count(
     if materialize:
         out = out.localCheckpoint(eager=True)
         und.unpersist()
+    else:
+        from pawpaw_spark.operators.dedup import _attach_caches
+
+        _attach_caches(out, [und])
     return out
 
 

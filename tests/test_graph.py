@@ -162,3 +162,25 @@ class TestUndirected:
             _edge_df(spark, [(1, 2), (2, 1), (3, 3), (2, 3)])
         ).collect()
         assert {(r.a, r.b) for r in rows} == {("1", "2"), ("2", "3")}
+
+
+class TestCacheHygiene:
+    def test_empty_graph_pagerank(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        out = pagerank(df, iters=3)
+        assert out.count() == 0
+        assert out._pagerank_n == 0
+
+    def test_unmaterialized_caches_registered(self, spark):
+        from pawpaw_spark.operators.dedup import release_session_caches
+
+        release_session_caches(spark)
+        df = _edge_df(spark, RING_HUB)
+        pr = pagerank(df, iters=2, materialize=False)
+        tc = triangle_count(df, materialize=False)
+        pr.count(), tc.count()
+        # both operators registered their internal persists; releasing
+        # leaves no cached RDDs behind
+        assert release_session_caches(spark) >= 2
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() == 0
