@@ -1301,6 +1301,26 @@ def q_pii_scrub(spark, sf_dir):
     return pii_scrub(docs)
 
 
+MIX_WEIGHTS = {"src1": 5.0, "src2": 3.0, "src3": 2.0}
+
+
+def q_weighted_mix(spark, sf_dir):
+    """Mixture-ordering keys (stride-style training mix): any prefix of
+    the corpus sorted by mix_key holds the sources in weight proportion,
+    independent of source sizes. One metadata-sized count broadcast +
+    pure column math; the md5-prefix -> integer -> float chain is
+    engine-portable and mirrored digit-for-digit in the oracle."""
+    from pawpaw_spark.operators.sampling import weighted_mix_keys
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    out = weighted_mix_keys(d, MIX_WEIGHTS, key_col="doc_id")
+    return out.select(
+        "doc_id", "source", F.round("mix_key", 6).alias("mix_key_r")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1360,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_components": q_kg_components,
         "pii_scrub": q_pii_scrub,
+        "weighted_mix": q_weighted_mix,
     }
 
 
@@ -2230,6 +2251,29 @@ def oracle_sql() -> dict[str, str]:
                    || CASE WHEN o_orderkey % 7 = 0
                            THEN ' Card [CARD].' ELSE '' END AS clean
             FROM orders
+        """,
+        # md5-prefix -> integer (digit-by-digit, exact in double for 8
+        # hex chars) -> uniform -> stride key; weights mirrored from
+        # MIX_WEIGHTS by construction of this f-string
+        "weighted_mix": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+              FROM documents
+              WHERE source IN ({", ".join(repr(s) for s in sorted(MIX_WEIGHTS))})),
+            n AS (SELECT source, count(*) AS ns FROM d GROUP BY source),
+            u AS (
+              SELECT doc_id, d.source, ns,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (strpos('0123456789abcdef',
+                                    substr(md5(doc_id), i, 1)) - 1)
+                            * (16 ** (8 - i)))) / 4294967296.0 AS uu,
+                     CASE d.source {" ".join(
+                         f"WHEN '{s}' THEN {float(w)!r}"
+                         for s, w in sorted(MIX_WEIGHTS.items())
+                     )} END AS w
+              FROM d JOIN n ON n.source = d.source)
+            SELECT doc_id, source, round(uu * ns / w, 6) AS mix_key_r
+            FROM u
         """,
     }
     # the indexed path is bit-identical to the brute path by

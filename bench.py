@@ -72,6 +72,7 @@ HEADLINE = [
     "kg_triangles",
     "kg_components",
     "pii_scrub",
+    "weighted_mix",
 ]
 
 

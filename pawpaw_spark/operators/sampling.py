@@ -69,3 +69,62 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(_threshold_hex(fraction))
         ).otherwise(thr)
     return df.where(sample_key(F.col(key_col)) < thr)
+
+
+def weighted_mix_keys(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture-ordering key -> (key, source, mix_key).
+
+    Gives every document a sortable key such that ANY prefix of the
+    corpus ordered by ``mix_key`` contains the sources in proportion to
+    ``weights`` — independent of how many documents each source has
+    (the property a training-mix schedule needs; per-doc sampling rates
+    cannot express it without knowing source sizes).
+
+    Mechanism: ``u = md5-uniform(key) in [0, 1)``; ``mix_key =
+    u * n_source / weight``. Documents of source s with mix_key <= K
+    number ~ K * weight_s, so the prefix ratio is weight_s /
+    sum(weights). Expected-proportion (hash-uniform) rather than exact
+    stride interleave: the deviation in a prefix of k docs is
+    O(sqrt(k)), and in exchange the operator is one metadata-sized
+    count aggregate broadcast back onto a pure column expression — no
+    window over a source's documents (a per-source row_number would put
+    a billion-doc source into one window partition at 100 TB).
+
+    Rows whose source is absent from ``weights`` are dropped; weights
+    must be positive. The full computation is mirrored in the DuckDB
+    contract oracle (md5 prefix -> integer -> float is identical in
+    both engines).
+    """
+    for s, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {w}")
+    w_col: Column = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        w_col = F.when(
+            F.col(source_col) == F.lit(value), F.lit(float(w))
+        ).otherwise(w_col)
+    counts = (
+        df.filter(F.col(source_col).isin(*weights))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_source"))
+    )
+    # md5-uniform in [0, 1): same fixed-width-prefix trick as sampling
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(_SPACE))
+    )
+    return (
+        df.filter(F.col(source_col).isin(*weights))
+        .join(F.broadcast(counts), source_col)
+        .select(
+            F.col(key_col),
+            F.col(source_col),
+            (u * F.col("__n_source") / w_col).alias("mix_key"),
+        )
+    )

@@ -893,3 +893,53 @@ class TestPiiScrub:
         row = pii_scrub(df).collect()[0]
         assert row.n_ipv4s == 1
         assert row.clean == "x [IP].5 y"
+
+
+class TestWeightedMix:
+    def _docs(self, spark, sizes):
+        rows = [
+            (f"{s}_{i}", s) for s, n in sizes.items() for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id string, source string")
+
+    def test_prefix_proportions_independent_of_source_size(self, spark):
+        from pawpaw_spark.operators.sampling import weighted_mix_keys
+
+        # source a has 10x the documents of b; equal weights must still
+        # mix them ~50/50 in any prefix
+        df = self._docs(spark, {"a": 2000, "b": 200})
+        keys = weighted_mix_keys(df, {"a": 1.0, "b": 1.0}).collect()
+        prefix = sorted(keys, key=lambda r: r.mix_key)[:200]
+        n_a = sum(1 for r in prefix if r.source == "a")
+        assert 70 <= n_a <= 130, n_a  # ~100 ± sampling noise
+
+    def test_weighted_proportions(self, spark):
+        from pawpaw_spark.operators.sampling import weighted_mix_keys
+
+        df = self._docs(spark, {"a": 1500, "b": 1500})
+        keys = weighted_mix_keys(df, {"a": 3.0, "b": 1.0}).collect()
+        prefix = sorted(keys, key=lambda r: r.mix_key)[:400]
+        n_a = sum(1 for r in prefix if r.source == "a")
+        assert 240 <= n_a <= 360, n_a  # ~300 = 3/4 of 400
+
+    def test_deterministic_across_partitioning(self, spark):
+        from pawpaw_spark.operators.sampling import weighted_mix_keys
+
+        df = self._docs(spark, {"a": 300, "b": 100})
+        w = {"a": 2.0, "b": 1.0}
+        one = {r.doc_id: r.mix_key
+               for r in weighted_mix_keys(df.repartition(1), w).collect()}
+        many = {r.doc_id: r.mix_key
+                for r in weighted_mix_keys(df.repartition(13), w).collect()}
+        assert one == many
+
+    def test_unlisted_sources_dropped_bad_weight_raises(self, spark):
+        import pytest as _pytest
+
+        from pawpaw_spark.operators.sampling import weighted_mix_keys
+
+        df = self._docs(spark, {"a": 10, "b": 10})
+        out = weighted_mix_keys(df, {"a": 1.0})
+        assert {r.source for r in out.collect()} == {"a"}
+        with _pytest.raises(ValueError):
+            weighted_mix_keys(df, {"a": 0.0})

@@ -226,6 +226,15 @@ class TestExpensiveQueryPlanShape:
         assert "Exchange" not in stripped, plan
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
 
+    def test_weighted_mix_broadcast_no_window(self, spark):
+        plan = self._p(spark, "weighted_mix")
+        # per-source counts ride a broadcast; the key is pure column
+        # math — NO window (a per-source row_number would funnel a
+        # billion-doc source into one partition at 100 TB)
+        assert "Window" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
     def test_minhash_delta_blocked_joins_only(self, spark):
         plan = self._p(spark, "minhash_delta")
         # delta candidates come from (band, bucket) equi-joins against
