@@ -488,3 +488,47 @@ class TestStreamingNearDup:
         # the index folded every streamed doc in
         n_rows = spark.read.parquet(f"{index}/rows").count()
         assert n_rows == len(hist) + len(b1) + len(b2)
+
+
+class TestStreamingScrub:
+    def test_pii_and_c4_are_streaming_safe(self, spark, tmp_path_factory):
+        """pii_scrub / c4_filters are pure per-row column expressions, so
+        the SAME operator applies to a streaming DataFrame unchanged —
+        the streaming ingest-scrub path needs no parallel implementation.
+        Verified: streamed results == batch results row-for-row."""
+        from pawpaw_spark.operators.text import c4_filters, pii_scrub
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail a@b.io now.\nshort {"),
+                (2, "Call +1-555-0101 today.\nA proper line ends here sir."),
+                (3, "Server 10.0.0.1 card 4111-1111-1111-1111.\nlorem ipsum"),
+                (4, "Nothing special at all.\nFive good words right here sir."),
+            ],
+            "doc_id long, text string",
+        )
+        src_dir = str(tmp_path_factory.mktemp("scrub_stream"))
+        docs.write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+
+        for name, op in [("pii_out", pii_scrub), ("c4_out", c4_filters)]:
+            q = (
+                op(stream)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option(
+                    "checkpointLocation",
+                    str(tmp_path_factory.mktemp(f"ckpt_{name}")),
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        streamed = {r.doc_id: r for r in spark.sql("SELECT * FROM pii_out").collect()}
+        batch = {r.doc_id: r for r in pii_scrub(docs).collect()}
+        assert streamed == batch
+        streamed_c4 = {r.doc_id: r for r in spark.sql("SELECT * FROM c4_out").collect()}
+        batch_c4 = {r.doc_id: r for r in c4_filters(docs).collect()}
+        assert streamed_c4 == batch_c4
