@@ -100,6 +100,8 @@ def weighted_mix_keys(
     contract oracle (md5 prefix -> integer -> float is identical in
     both engines).
     """
+    if not weights:
+        raise ValueError("weights must name at least one source")
     for s, w in weights.items():
         if not w > 0:
             raise ValueError(f"weight for {s!r} must be > 0, got {w}")
