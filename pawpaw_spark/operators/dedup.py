@@ -50,9 +50,19 @@ def _attach_caches(out: DataFrame, handles: list) -> DataFrame:
 
 def unpersist_attached(df: DataFrame) -> None:
     """Release every cache handle an operator attached to ``df`` as
-    ``_pawpaw_cached``. Safe on any DataFrame (no-op without handles)."""
-    for h in getattr(df, "_pawpaw_cached", []) or []:
+    ``_pawpaw_cached``. Safe on any DataFrame (no-op without handles).
+    Released handles are also dropped from the session registry, so a
+    long-lived session's registry stays bounded by LIVE caches, not by
+    the total number of operator calls ever made."""
+    handles = getattr(df, "_pawpaw_cached", []) or []
+    reg = getattr(df.sparkSession, "_pawpaw_cache_registry", None) if handles else None
+    for h in handles:
         h.unpersist()
+        if reg is not None:
+            try:
+                reg.remove(h)
+            except ValueError:
+                pass
 
 
 def release_session_caches(spark) -> int:
@@ -128,9 +138,13 @@ def paragraph_dedup(
     paragraph in one task. Two shuffles on the paragraph string, both
     skew-tolerant.
     """
+    # F.split takes a REGEX; the separator is a literal (it is re-used
+    # verbatim by concat_ws below), so \Q...\E-quote it — an unescaped
+    # '|||' or '...' would otherwise mis-split silently.
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(sep_re), -1)).alias(
             "__pos", "__para"
         ),
     )
@@ -522,14 +536,31 @@ def minhash_index_write(
     :func:`minhash_dedup_delta` validates them and raises instead.
 
     ``mode='append'`` is how a daily job folds yesterday's new docs in
-    after deduplicating them (index grows by the delta only).
+    after deduplicating them (index grows by the delta only). Append
+    VALIDATES the call's parameters against the existing sidecar and
+    raises on mismatch — silently appending signatures from a different
+    hash family would corrupt the index (delta passes would band old
+    and new rows with incompatible permutations and find nothing).
     """
     spark = df.sparkSession
+    params = dict(zip(_INDEX_PARAMS, (n_hashes, bands, shingle_k, seed)))
+    if mode == "append":
+        try:
+            existing = spark.read.parquet(f"{path}/params").first().asDict()
+        except Exception:
+            existing = None  # cold start: no index yet, append == create
+        if existing is not None:
+            old = {k: int(existing[k]) for k in _INDEX_PARAMS}
+            if old != params:
+                raise ValueError(
+                    f"minhash_index_write(mode='append'): parameters {params} "
+                    f"do not match the existing index sidecar {old}; appending "
+                    "would mix incompatible hash families"
+                )
     df = df.withColumn(id_col, F.col(id_col).cast("string"))
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
     grams = _gram_array(df, text_col, id_col, shingle_k)
     sigs.join(grams, "id").write.mode(mode).parquet(f"{path}/rows")
-    params = dict(zip(_INDEX_PARAMS, (n_hashes, bands, shingle_k, seed)))
     spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
         f"{path}/params"
     )
@@ -755,4 +786,24 @@ def neardup_groups(
     out = ids.join(comps, ids["doc"] == comps["node"], "left").select(
         "doc", F.coalesce("comp", "doc").alias("group_id")
     )
-    return out.withColumn("is_canonical", F.col("group_id") == F.col("doc"))
+    # The keeper is the minimum member PRESENT IN df, not the graph
+    # minimum: pairs may have been computed on a superset (e.g. before
+    # a quality cut), and `group_id == doc` would then mark NO canonical
+    # row for a cluster whose graph-minimum was filtered out. Present-
+    # member minima come from df ⋈ comps — a broadcast join (comps only
+    # holds near-dup nodes) followed by an agg on that tiny result.
+    keepers = (
+        ids.join(F.broadcast(comps), ids["doc"] == comps["node"])
+        .groupBy("comp")
+        .agg(F.min("doc").alias("__keeper"))
+        .withColumnRenamed("comp", "group_id")
+    )
+    return (
+        out.join(F.broadcast(keepers), "group_id", "left")
+        .withColumn(
+            "is_canonical",
+            F.coalesce(F.col("doc") == F.col("__keeper"), F.col("doc") == F.col("group_id")),
+        )
+        .drop("__keeper")
+        .select("doc", "group_id", "is_canonical")
+    )

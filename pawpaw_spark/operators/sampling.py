@@ -25,10 +25,16 @@ _SPACE = 16**8  # first 8 hex chars of md5
 
 
 def _threshold_hex(fraction: float) -> str:
-    """Fixed-width lowercase hex threshold for a keep-fraction."""
+    """Fixed-width lowercase hex threshold for a keep-fraction.
+
+    ``fraction == 1.0`` returns ``"g"``: every 8-hex-char key compares
+    strictly below it ('f' < 'g'), so keep-100% keeps ALL rows — a
+    clamped "ffffffff" under the strict ``<`` would silently drop the
+    ~1-in-4.3e9 keys whose md5 prefix is exactly ffffffff."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+    t = int(fraction * _SPACE)
+    return "g" if t >= _SPACE else format(t, "08x")
 
 
 def sample_key(key_col: Column) -> Column:

@@ -68,9 +68,9 @@ def streaming_exact_dedup(
     reconciliation job's problem by design (state O(unique digests per
     horizon), not O(corpus))."""
     d = (
-        docs.withColumn("ts", F.col(ts_col).cast("timestamp"))
+        docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withColumn("__digest", F.sha2(F.col(text_col).cast("binary"), 256))
-        .withWatermark("ts", watermark)
+        .withWatermark(ts_col, watermark)
     )
     return d.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
 
@@ -190,11 +190,13 @@ def streaming_neardup_sink(
     through its (band, bucket)-pruned signature rows.
 
     Exactly-once: Structured Streaming replays a failed batch with the
-    same batch_id; the index append and pairs append are both
-    idempotent-per-batch only if the batch is not half-applied, so the
-    fold runs AFTER the pairs write and re-running a batch whose docs
-    already made it into the index raises the delta's id-collision
-    guard rather than double-counting — fail loud, reconcile in batch.
+    same batch_id. The pairs write is idempotent under replay — it is
+    partitioned by batch_id with dynamic overwrite, so a crash between
+    the pairs write and the index fold replays into a rewrite of the
+    same partition, not a duplicate append. A crash AFTER the index
+    fold (but before the checkpoint commit) replays into the delta's
+    id-collision guard, which raises rather than double-counting —
+    fail loud, reconcile in batch.
 
     Bootstrap: the index (with its params sidecar) must exist before
     the stream starts — ``minhash_index_write`` it from the historical
@@ -221,9 +223,18 @@ def streaming_neardup_sink(
                     text_col=text_col, id_col=id_col,
                 )
             ) as pairs:
-                pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                    "append"
-                ).parquet(pairs_path)
+                # partition by batch_id + DYNAMIC overwrite: a replayed
+                # batch (crash after this write, before the index fold)
+                # rewrites ITS OWN partition instead of appending the
+                # same pairs twice — the delta is deterministic given
+                # (batch, index), so the rewrite is byte-identical.
+                (
+                    pairs.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(pairs_path)
+                )
             minhash_index_write(
                 batch, index_path, text_col=text_col, id_col=id_col,
                 n_hashes=int(p["n_hashes"]), bands=int(p["bands"]),

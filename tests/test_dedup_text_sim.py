@@ -943,3 +943,106 @@ class TestWeightedMix:
         assert {r.source for r in out.collect()} == {"a"}
         with _pytest.raises(ValueError):
             weighted_mix_keys(df, {"a": 0.0})
+
+
+class TestReviewFixes:
+    """Regression tests for the round-3 code-review findings."""
+
+    def test_fraction_one_keeps_every_row(self, spark):
+        """fraction=1.0 must keep ALL rows, including keys whose md5
+        prefix is exactly 'ffffffff' (strict '<' vs a clamped max
+        threshold used to drop them)."""
+        from pawpaw_spark.operators.sampling import (
+            _threshold_hex, deterministic_sample,
+        )
+
+        assert _threshold_hex(1.0) == "g"
+        # every 8-hex key sorts strictly below "g"
+        assert "ffffffff" < "g"
+        df = spark.createDataFrame(
+            [(f"k{i}",) for i in range(200)], "doc_id string"
+        )
+        assert deterministic_sample(df, "doc_id", 1.0).count() == 200
+
+    def test_paragraph_dedup_metachar_separator(self, spark):
+        """A separator containing regex metacharacters ('|||') must be
+        treated literally by the split, matching the literal rejoin."""
+        from pawpaw_spark.operators.dedup import paragraph_dedup
+
+        docs = spark.createDataFrame(
+            [("a", "alpha|||beta"), ("b", "beta|||gamma")],
+            "doc_id string, text string",
+        )
+        got = {
+            r.doc_id: (r.clean_text, r.n_paras, r.n_kept)
+            for r in paragraph_dedup(docs, sep="|||").collect()
+        }
+        # 'beta' first arrives in doc a; doc b keeps only 'gamma'
+        assert got == {
+            "a": ("alpha|||beta", 2, 2),
+            "b": ("gamma", 2, 1),
+        }
+
+    def test_neardup_groups_absent_graph_minimum(self, spark):
+        """Pairs computed on a superset of df: a cluster whose graph-
+        minimum member was filtered out of df must still elect exactly
+        one canonical keeper among the PRESENT members."""
+        from pawpaw_spark.operators.dedup import neardup_groups
+
+        docs = spark.createDataFrame(
+            [("b2", ""), ("c3", ""), ("z9", "")], "doc_id string, text string"
+        )
+        # a1 (the min of the cluster) is NOT in docs
+        pairs = spark.createDataFrame(
+            [("a1", "b2"), ("b2", "c3")], "a string, b string"
+        )
+        got = {
+            r.doc: (r.group_id, r.is_canonical)
+            for r in neardup_groups(docs, pairs).collect()
+        }
+        assert got == {
+            "b2": ("a1", True),   # min PRESENT member is the keeper
+            "c3": ("a1", False),
+            "z9": ("z9", True),
+        }
+
+    def test_index_append_param_mismatch_raises(self, spark, tmp_path):
+        """Appending with different LSH parameters must fail loudly
+        instead of mixing incompatible hash families in one index."""
+        import pytest as _pytest
+
+        from pawpaw_spark.operators.dedup import minhash_index_write
+
+        docs = spark.createDataFrame(
+            [("d1", "the quick brown fox jumps over the lazy dog")],
+            "doc_id string, text string",
+        )
+        path = str(tmp_path / "idx")
+        minhash_index_write(docs, path, n_hashes=16, bands=4, seed=42)
+        with _pytest.raises(ValueError, match="do not match"):
+            minhash_index_write(
+                docs, path, n_hashes=32, bands=4, seed=42, mode="append"
+            )
+        # same params append is fine
+        minhash_index_write(
+            docs, path, n_hashes=16, bands=4, seed=42, mode="append"
+        )
+        assert spark.read.parquet(f"{path}/rows").count() == 2
+
+    def test_registry_bounded_after_release(self, spark):
+        """unpersist_attached/cached_scope must REMOVE released handles
+        from the session registry, not leave dead entries forever."""
+        from pawpaw_spark.operators.dedup import (
+            cached_scope, ngram_jaccard_pairs, release_session_caches,
+        )
+
+        release_session_caches(spark)
+        docs = spark.createDataFrame(
+            [(f"d{i}", f"some text body number {i} with words") for i in range(30)],
+            "doc_id string, text string",
+        )
+        for _ in range(4):
+            with cached_scope(ngram_jaccard_pairs(docs, threshold=0.5)) as p:
+                p.count()
+        reg = getattr(spark, "_pawpaw_cache_registry", [])
+        assert len(reg) == 0

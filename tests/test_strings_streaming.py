@@ -532,3 +532,103 @@ class TestStreamingScrub:
         streamed_c4 = {r.doc_id: r for r in spark.sql("SELECT * FROM c4_out").collect()}
         batch_c4 = {r.doc_id: r for r in c4_filters(docs).collect()}
         assert streamed_c4 == batch_c4
+
+
+class TestStreamingReviewFixes:
+    def test_exact_dedup_custom_ts_col_preserves_schema(
+        self, spark, tmp_path_factory
+    ):
+        """ts_col != 'ts' must watermark on THAT column: no clobbering
+        of an unrelated existing 'ts' column, no extra column leaked
+        into the output schema."""
+        from pawpaw_spark.streaming.events import streaming_exact_dedup
+
+        src_dir = str(tmp_path_factory.mktemp("dedup_ts_stream"))
+        rows = [
+            ("dup", "2024-01-01 00:00:00", "keep-me-0"),
+            ("dup", "2024-01-01 00:01:00", "keep-me-1"),
+            ("solo", "2024-01-01 00:02:00", "keep-me-2"),
+        ]
+        df = spark.createDataFrame(
+            rows, "text string, event_time string, ts string"
+        )
+        df.coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(df.schema).parquet(src_dir)
+        out = streaming_exact_dedup(stream, ts_col="event_time")
+        assert out.columns == ["text", "event_time", "ts"]
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_ts_out")
+            .option(
+                "checkpointLocation", str(tmp_path_factory.mktemp("ckpt_ts"))
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.text: r.ts for r in spark.sql("SELECT * FROM dedup_ts_out").collect()
+        }
+        # one survivor per digest; the caller's string 'ts' data intact
+        assert set(got) == {"dup", "solo"}
+        assert got["solo"] == "keep-me-2"
+
+    def test_neardup_sink_replay_is_idempotent(
+        self, spark, tmp_path_factory, monkeypatch
+    ):
+        """Crash AFTER the pairs write but BEFORE the index fold, then
+        restart from checkpoint: the replayed batch must rewrite its
+        batch_id partition, not append the same pairs twice."""
+        import pawpaw_spark.operators.dedup as dd
+        from pawpaw_spark.streaming.events import streaming_neardup_sink
+
+        words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+        mk = lambda i: " ".join(words[(i + j) % 8] for j in range(8)) + f" t{i}"
+        hist = [(f"h{i}", mk(i)) for i in range(4)]
+        b1 = [("a0", mk(30)), ("a_dup_h0", hist[0][1])]
+
+        base = tmp_path_factory.mktemp("nd_replay")
+        index, pairs_out, ckpt, src = (
+            str(base / p) for p in ("idx", "pairs", "ckpt", "src")
+        )
+        schema = "doc_id string, text string"
+        dd.minhash_index_write(
+            spark.createDataFrame(hist, schema), index, n_hashes=64, bands=16
+        )
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        real = dd.minhash_index_write
+        calls = {"n": 0}
+
+        def crash_once(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash between pairs write and fold")
+            return real(*a, **k)
+
+        monkeypatch.setattr(dd, "minhash_index_write", crash_once)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = streaming_neardup_sink(stream, index, pairs_out, ckpt)
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        q.stop()
+        # pairs landed, index fold did not
+        assert spark.read.parquet(pairs_out).count() >= 1
+        assert spark.read.parquet(f"{index}/rows").count() == len(hist)
+
+        # restart from the SAME checkpoint -> Structured Streaming
+        # replays the failed batch with the same batch_id
+        stream2 = spark.readStream.schema(schema).parquet(src)
+        q2 = streaming_neardup_sink(stream2, index, pairs_out, ckpt)
+        q2.processAllAvailable()
+        q2.stop()
+        pairs = spark.read.parquet(pairs_out)
+        assert pairs.count() == pairs.dropDuplicates(["a", "b", "batch_id"]).count()
+        assert {(r.a, r.b) for r in pairs.collect()} == {("a_dup_h0", "h0")}
+        # the replay folded the batch into the index exactly once
+        assert spark.read.parquet(f"{index}/rows").count() == len(hist) + len(b1)
