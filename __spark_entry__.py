@@ -1223,15 +1223,14 @@ def _call_edges(spark, sf_dir):
 def q_kg_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank over the kernel-extracted call graph.
     Hubs (in-degree ~ group size) separate from ring members; the
-    per-group missing symbol exercises the dangling-mass term. Ranks
-    are N-normalized (~1.0) before rounding so the 6-decimal match is
-    ~1e-6 relative everywhere."""
+    per-group missing symbol exercises the dangling-mass term. The
+    contract compares the fixed-point int64 ranks (units of 1e-15) —
+    EXACT integers, so no distributed-float-sum ordering or rounding-
+    mode difference can flip the check at any SF or parallelism."""
     from pawpaw_spark.operators.graph import pagerank
 
     ranks = pagerank(_call_edges(spark, sf_dir), iters=3, damping=0.85)
-    return ranks.select(
-        "node", F.round(F.col("rank") * ranks._pagerank_n, 6).alias("rank_r")
-    )
+    return ranks.select("node", F.col("rank_fp"))
 
 
 def q_kg_triangles(spark, sf_dir):
@@ -1451,37 +1450,42 @@ _KG_EDGE_CTE = f"""
 
 def _kg_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled power-method iterations — generated by the same loop
-    count the engine query passes, so iteration drift is impossible."""
+    count the engine query passes, so iteration drift is impossible.
+    Mirrors the engine's FIXED-POINT integer recurrence (units 1e-15,
+    damping as per-mille, `//` = Spark's `div` for non-negative ints):
+    exact integers end-to-end, no float anywhere."""
+    scale = 10**15
+    d1000 = int(round(damping * 1000))
     parts = [
         f"WITH {_KG_EDGE_CTE},",
         "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),",
         "nn AS (SELECT count(*) AS n FROM nodes),",
-        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+        f"r0 AS (SELECT node, {scale} // nn.n AS rank_fp FROM nodes, nn)",
     ]
     for k in range(1, iters + 1):
         parts.append(
             f""",
             r{k} AS (
               SELECT nodes.node,
-                     (1.0 - {damping}) / nn.n
-                     + {damping} * (coalesce(c.contrib, 0) + dg.dmass / nn.n)
-                       AS rank
+                     ({1000 - d1000} * {scale}) // (1000 * nn.n)
+                     + ({d1000} * (coalesce(c.contrib, 0)
+                                   + dg.dmass // nn.n)) // 1000
+                       AS rank_fp
               FROM nodes
               CROSS JOIN nn
-              CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS dmass
+              CROSS JOIN (SELECT coalesce(sum(r.rank_fp), 0) AS dmass
                           FROM r{k - 1} r
                           LEFT JOIN deg ON deg.src = r.node
                           WHERE deg.src IS NULL) dg
               LEFT JOIN (SELECT e.dst AS node,
-                                sum(r.rank / deg.out_deg) AS contrib
+                                sum(r.rank_fp // deg.out_deg) AS contrib
                          FROM e
                          JOIN r{k - 1} r ON e.src = r.node
                          JOIN deg ON deg.src = e.src
                          GROUP BY e.dst) c ON c.node = nodes.node)"""
         )
     parts.append(
-        f" SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_r"
-        f" FROM r{iters}"
+        f" SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
     )
     return "".join(parts)
 
@@ -1611,12 +1615,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         # exact integer quantization mirror (see quality_q4): N/D in
-        # pure int64, half-up via (20000N + D) // (2D) — no float round
-        # boundary can diverge between engines at any SF
+        # pure integers, half-up via (20000N + D) // (2D) — no float
+        # round boundary can diverge between engines at any SF. HUGEINT
+        # (int128) mirrors the engine's DECIMAL(38,0): the dominant
+        # term ~2.4e7*c*w wraps int64 on multi-MB documents.
         "quality": rf"""
             WITH m AS (
               SELECT doc_id,
-                     greatest(length(text), 1) AS c,
+                     greatest(length(text), 1)::HUGEINT AS c,
                      len(regexp_extract_all(text, '[A-Za-z]+')) AS w_raw,
                      greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS w,
                      len(regexp_extract_all(text, '[^\sA-Za-z\d]')) AS p,

@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# PageRank fixed-point unit: ranks live in int64 multiples of 1e-15.
+# Sized so the largest recurrence term, d1000 * (contrib + dmass/N)
+# <= 1000 * 2 * _PR_SCALE = 2e18, stays inside int64 (2^63 ~ 9.2e18).
+_PR_SCALE = 10**15
+
+
 def undirected_edges(
     edges: DataFrame, a_col: str = "src", b_col: str = "dst"
 ) -> DataFrame:
@@ -70,9 +76,29 @@ def pagerank(
     callers wanting convergence run it again with a larger ``iters``.
     ``N`` comes from one metadata-sized ``count()``; everything else is
     joins/aggs on the edge and rank tables.
+
+    Determinism: ranks are carried in FIXED-POINT int64 (``rank_fp``,
+    units of 1e-15). Integer sums are exact and order-independent, so
+    the result is bit-identical at ANY partitioning, cluster size, or
+    engine — a distributed float64 sum accumulates in plan-dependent
+    order and drifts in the last ulp, which flips rounded values
+    non-deterministically (round-3 review finding). The float ``rank``
+    column is one exact final division ``rank_fp / 1e15``; floor losses
+    in the integer recurrence are <= ~(E+N) units (1e-15 each) per
+    iteration, far below float64 noise for any graph that fits a
+    cluster. ``damping`` must have at most 3 decimal places — it enters
+    the integer recurrence as a parts-per-1000 factor (850 for 0.85),
+    sized so every intermediate stays inside int64: the largest term is
+    1000 * 2e15 = 2e18 < 2^63.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    d1000 = int(round(damping * 1000))
+    if not 0 <= d1000 <= 1000 or abs(d1000 - damping * 1000) > 1e-9:
+        raise ValueError(
+            f"damping={damping} must be a multiple of 0.001 in [0, 1] — it "
+            "enters the exact fixed-point recurrence as an integer per-mille"
+        )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -83,7 +109,9 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
-        out = nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).withColumn(
+            "rank_fp", F.lit(0).cast("long")
+        )
         out._pagerank_n = 0
         return out
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -91,13 +119,18 @@ def pagerank(
     # so the distinct + degree agg don't rerun per round. Released
     # before return; rank tables are checkpointed, not cached.
     links = e.join(deg, "src").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ranks = nodes.withColumn(
+        "rank_fp", F.lit(_PR_SCALE // n_nodes).cast("long")
+    )
+    # (1-d)/N teleport share, exact in Python ints (metadata-sized)
+    base = (1000 - d1000) * _PR_SCALE // (1000 * n_nodes)
     for it in range(iters):
         contribs = (
             links.join(ranks, links["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+                # `div` = integral division: exact, order-independent
+                F.expr("rank_fp div out_deg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
@@ -107,7 +140,7 @@ def pagerank(
         # iteration stays one lazy plan
         dangling = F.broadcast(
             ranks.join(deg, ranks["node"] == deg["src"], "left_anti").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+                F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("dmass")
             )
         )
         ranks = (
@@ -116,17 +149,19 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dmass") / F.lit(float(n_nodes))
+                    F.lit(base)
+                    + F.expr(
+                        f"({d1000} * (coalesce(contrib, 0L) "
+                        f"+ dmass div {n_nodes})) div 1000"
                     )
-                ).alias("rank"),
+                ).cast("long").alias("rank_fp"),
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.withColumn(
+        "rank", (F.col("rank_fp") / F.lit(float(_PR_SCALE))).alias("rank")
+    ).select("node", "rank", "rank_fp")
     # materialize=False keeps the full lazy plan (plan-shape tests);
     # the links cache is then left for the caller's first action
     out = (

@@ -118,7 +118,14 @@ def quality_q4(text_col: str = "text") -> Column:
       + 200*w*max(c - 5*punct, 0)       # 0.2 * (1 - min(5p/c, 1))
       + 300*c*min(3*stops, w)           # 0.3 * min(3s/w, 1)
       + 40*c*max(5*w - |alpha - 5*w|,0) # 0.2 * (1 - min(|a/w-5|/5,1))
-    with c, w clamped to >= 1 exactly as the float form clamps."""
+    with c, w clamped to >= 1 exactly as the float form clamps.
+
+    Intermediates are DECIMAL(38,0), not int64: the dominant term is
+    ~2.4e7 * c * w, which wraps int64 once c*w > ~3.8e11 (a multi-MB
+    document — routine in a pre-training corpus). Spark strings cap at
+    2 GiB so num <= ~1.1e26, well inside 38 digits; the DuckDB oracle
+    mirrors with HUGEINT (int128). Still exact integer arithmetic —
+    no float enters until the final exact division."""
     t = F.col(text_col)
     c = F.greatest(F.length(t).cast("long"), F.lit(1))
     w_raw = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+"), F.lit(0))).cast("long")
@@ -127,17 +134,18 @@ def quality_q4(text_col: str = "text") -> Column:
     all_stops = sorted({x for ws in STOPWORDS.values() for x in ws})
     s = _word_hits(t, all_stops).cast("long")
     a = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("long")
+    dec = lambda col: col.cast("decimal(38,0)")
     n = (
-        F.lit(3) * c * w * F.least(w_raw, F.lit(100))
-        + F.lit(200) * w * F.greatest(c - 5 * p, F.lit(0))
-        + F.lit(300) * c * F.least(3 * s, w)
-        + F.lit(40) * c * F.greatest(5 * w - F.abs(a - 5 * w), F.lit(0))
+        F.lit(3) * dec(c) * w * F.least(w_raw, F.lit(100))
+        + F.lit(200) * dec(w) * F.greatest(c - 5 * p, F.lit(0))
+        + F.lit(300) * dec(c) * F.least(3 * s, w)
+        + F.lit(40) * dec(c) * F.greatest(5 * w - F.abs(a - 5 * w), F.lit(0))
     )
-    d = F.lit(1000) * c * w
+    d = F.lit(1000) * dec(c) * w
     num = F.lit(20000) * n + d
     den = F.lit(2) * d
-    # (num - num % den) / den: numerator exactly divisible, so the one
-    # float division is exact (quotient <= 10000, inside 2^53)
+    # (num - num % den) / den: numerator exactly divisible, decimal
+    # division of exact multiples is exact (quotient <= 10000)
     return ((num - num % den) / den).cast("long")
 
 
@@ -361,14 +369,18 @@ def pii_scrub(
 
     Redaction applies the patterns IN ORDER (emails first: their local
     parts may contain digit runs other families would then misread).
-    Matches are leftmost-non-overlapping in every mainstream engine, so
-    the output is reproducible outside Spark.
+    Each family is COUNTED on the text with the previous families
+    already redacted — i.e. ``n_<kind>`` is exactly the number of
+    ``[KIND]`` tokens this family contributed to ``clean``. Counting on
+    the raw text instead would overcount when families overlap (an
+    email local-part that also looks like a phone number would report a
+    phone that no [PHONE] token corresponds to). Matches are
+    leftmost-non-overlapping in every mainstream engine, so the output
+    is reproducible outside Spark.
     """
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{k}s")
-        for k, pat, _ in PII_PATTERNS
-    ]
+    counts = []
     clean = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
+    for k, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{k}s"))
         clean = F.regexp_replace(clean, pat, repl)
     return df.select(F.col(id_col), *counts, clean.alias("clean"))

@@ -1046,3 +1046,35 @@ class TestReviewFixes:
                 p.count()
         reg = getattr(spark, "_pawpaw_cache_registry", [])
         assert len(reg) == 0
+
+    def test_quality_q4_no_int64_overflow_on_multi_mb_doc(self, spark):
+        """c*w > ~3.8e11 wraps the old int64 form; DECIMAL(38,0) must
+        return the exact Python-int value."""
+        from pawpaw_spark.operators.text import quality_q4
+
+        big = "word " * 300_000  # c=1.5e6, w=3e5 -> c*w = 4.5e11
+        df = spark.createDataFrame([("d1", big)], "doc_id string, text string")
+        got = df.select(quality_q4().alias("q")).first().q
+        c, w = len(big), 300_000
+        p, s, a = 0, 0, 4 * w
+        n = (3 * c * w * min(w, 100) + 200 * w * max(c - 5 * p, 0)
+             + 300 * c * min(3 * s, w) + 40 * c * max(5 * w - abs(a - 5 * w), 0))
+        d = 1000 * c * w
+        assert got == (20000 * n + d) // (2 * d)
+        assert got > 0  # the wrapped int64 form went negative here
+
+    def test_pii_counts_match_redactions_when_families_overlap(self, spark):
+        """An email whose local part looks like a phone number: exactly
+        one [EMAIL] token, and n_phones must be 0 because nothing was
+        left for the phone family to redact."""
+        from pawpaw_spark.operators.text import pii_scrub
+
+        df = spark.createDataFrame(
+            [("d1", "mail +1-555-1234@example.com")],
+            "doc_id string, text string",
+        )
+        r = pii_scrub(df).first()
+        assert r.clean == "mail [EMAIL]"
+        assert (r.n_emails, r.n_phones, r.n_cards, r.n_ipv4s) == (1, 0, 0, 0)
+        # counts == tokens actually present in clean, per family
+        assert r.clean.count("[PHONE]") == r.n_phones

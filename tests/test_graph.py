@@ -66,8 +66,11 @@ class TestPagerank:
         }
         want = np_pagerank([(str(a), str(b)) for a, b in RING_HUB], iters=4)
         assert set(got) == set(want)
+        # rel=1e-9: the engine's exact fixed-point (1e-15 unit)
+        # recurrence floor-quantizes each term, so it sits within
+        # ~1e-11 of the float oracle, never bit-equal to it
         for n in got:
-            assert got[n] == pytest.approx(want[n], rel=1e-12)
+            assert got[n] == pytest.approx(want[n], rel=1e-9)
 
     def test_dangling_and_self_loop(self, spark):
         # 0 -> 0 (self loop), 0 -> 1, 1 has no out-edges (dangling)
@@ -78,9 +81,10 @@ class TestPagerank:
         }
         want = np_pagerank([(str(a), str(b)) for a, b in edges], iters=5)
         for n in got:
-            assert got[n] == pytest.approx(want[n], rel=1e-12)
-        # mass is conserved: ranks sum to 1
-        assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+            assert got[n] == pytest.approx(want[n], rel=1e-9)
+        # mass is conserved up to fixed-point floor losses (<= a few
+        # hundred 1e-15 units per iteration)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-10)
 
     def test_zero_iters_is_uniform(self, spark):
         got = {
@@ -106,8 +110,8 @@ class TestPagerank:
         want = np_pagerank([(str(a), str(b)) for a, b in edges], iters=3)
         assert set(got) == set(want)
         for n in got:
-            assert got[n] == pytest.approx(want[n], rel=1e-12)
-        assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+            assert got[n] == pytest.approx(want[n], rel=1e-9)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-10)
 
 
 class TestTriangles:
@@ -175,12 +179,41 @@ class TestCacheHygiene:
         from pawpaw_spark.operators.dedup import release_session_caches
 
         release_session_caches(spark)
+        jsc = spark.sparkContext._jsc.sc()
+        # delta-based, not == 0: earlier tests' localCheckpoint RDDs
+        # linger until the JVM ContextCleaner collects them, which is
+        # GC-timing dependent (observed flake under load)
+        base = jsc.getPersistentRDDs().size()
         df = _edge_df(spark, RING_HUB)
         pr = pagerank(df, iters=2, materialize=False)
         tc = triangle_count(df, materialize=False)
         pr.count(), tc.count()
         # both operators registered their internal persists; releasing
-        # leaves no cached RDDs behind
+        # leaves no NEW cached RDDs behind
         assert release_session_caches(spark) >= 2
-        jsc = spark.sparkContext._jsc.sc()
-        assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() <= base
+
+
+class TestPagerankDeterminism:
+    def test_rank_fp_invariant_under_partitioning(self, spark):
+        """The fixed-point ranks must be BIT-IDENTICAL regardless of
+        input partitioning — the property float sums cannot give (sum
+        order varies with the plan, flipping rounded last digits)."""
+        df = _edge_df(spark, RING_HUB)
+        one = {
+            r.node: r.rank_fp
+            for r in pagerank(df.repartition(1), iters=4).collect()
+        }
+        many = {
+            r.node: r.rank_fp
+            for r in pagerank(df.repartition(13), iters=4).collect()
+        }
+        assert one == many
+        assert all(isinstance(v, int) for v in one.values())
+
+    def test_damping_must_be_per_mille(self, spark):
+        import pytest as _pytest
+
+        df = _edge_df(spark, [(0, 1)])
+        with _pytest.raises(ValueError, match="multiple of 0.001"):
+            pagerank(df, iters=1, damping=0.8567)
