@@ -1258,6 +1258,20 @@ def q_kg_components(spark, sf_dir):
     )
 
 
+def q_kg_reachability(spark, sf_dir):
+    """Multi-source BFS depths from the group-0 hub symbol over the
+    kernel-extracted call graph, truncated at depth 6: ring steps of
+    +1/+2 give members of group 0 nontrivial shortest-path depths (the
+    +2 chord halves distances), and other residue groups stay
+    unreachable. Depths are exact integers — the DuckDB oracle is a
+    recursive CTE over the same edge set, so the match is bit-level at
+    any SF or parallelism."""
+    from pawpaw_spark.operators.graph import reachability
+
+    seeds = spark.createDataFrame([("sym:f_0",)], "node string")
+    return reachability(_call_edges(spark, sf_dir), seeds, max_depth=6)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub over a constructed corpus (the q_c4_filters pattern):
     each order becomes a doc whose email/phone/IP/card insertions are
@@ -1378,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
         "kg_components": q_kg_components,
+        "kg_reachability": q_kg_reachability,
         "pii_scrub": q_pii_scrub,
         "weighted_mix": q_weighted_mix,
     }
@@ -2230,6 +2245,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT g, 'sym:f_missing_' || g FROM mem),
             cm AS (SELECT g, min(node) AS comp FROM syms GROUP BY g)
             SELECT syms.node, cm.comp FROM syms JOIN cm ON cm.g = syms.g
+        """,
+        # BFS as a recursive CTE: UNION (not UNION ALL) dedups
+        # (node, depth) pairs, so cycles terminate and row count is
+        # bounded by |nodes| * max_depth; min(depth) = shortest path
+        "kg_reachability": f"""
+            WITH RECURSIVE {_KG_EDGE_CTE},
+            r AS (
+              SELECT 'sym:f_0' AS node, 0 AS depth
+              UNION
+              SELECT e.dst, r.depth + 1
+              FROM r JOIN e ON e.src = r.node
+              WHERE r.depth < 6)
+            SELECT node, CAST(min(depth) AS BIGINT) AS depth
+            FROM r GROUP BY node
         """,
         # counts and the redacted text are closed-form in the keys that
         # drive the injections (see q_pii_scrub); the oracle never runs

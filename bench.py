@@ -71,6 +71,7 @@ HEADLINE = [
     "kg_pagerank",
     "kg_triangles",
     "kg_components",
+    "kg_reachability",
     "pii_scrub",
     "weighted_mix",
 ]

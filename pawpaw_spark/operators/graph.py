@@ -183,6 +183,64 @@ def pagerank(
     return out
 
 
+def reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Multi-source BFS -> (node, depth): length of the shortest
+    DIRECTED path from any seed (0 for seeds themselves), truncated at
+    ``max_depth``; unreachable nodes are absent. The KG use: transitive
+    dependencies/dependents of a symbol set ("what does f touch within
+    k calls"), impact analysis for a changed file.
+
+    Depths are exact small integers, so results are bit-identical on
+    any cluster size or engine — the DuckDB contract oracle is a
+    recursive CTE over the same edge set.
+
+    Scale shape: per level, one equi-join frontier⋈edges (frontier is
+    the NEW nodes only, so each edge is expanded at most once per
+    appearance of its source in a frontier) + one anti-join against the
+    visited set (the classic Pregel-style BFS cost; both are
+    AQE-handled shuffles on the node id). Each level is eagerly
+    localCheckpoint-ed: lineage stays O(1) per level and the
+    empty-frontier early exit reads a materialized count, not a
+    recompute. ``seeds`` is a DataFrame (column ``node``), never a
+    driver-side list — seed sets can be query results (e.g. "all
+    symbols defined in this repo")."""
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    visited = (
+        seeds.select(F.col("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
 def triangle_count(
     edges: DataFrame,
     a_col: str = "src",

@@ -217,3 +217,53 @@ class TestPagerankDeterminism:
         df = _edge_df(spark, [(0, 1)])
         with _pytest.raises(ValueError, match="multiple of 0.001"):
             pagerank(df, iters=1, damping=0.8567)
+
+
+class TestReachability:
+    def _seeds(self, spark, *nodes):
+        return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+    def test_line_graph_depths_and_cutoff(self, spark):
+        from pawpaw_spark.operators.graph import reachability
+
+        e = _edge_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+        got = {
+            r.node: r.depth
+            for r in reachability(e, self._seeds(spark, "0"), max_depth=2).collect()
+        }
+        assert got == {"0": 0, "1": 1, "2": 2}  # 3, 4 beyond the cutoff
+
+    def test_cycle_terminates_and_min_depth_wins(self, spark):
+        from pawpaw_spark.operators.graph import reachability
+
+        # 0 -> 1 -> 2 -> 0 (cycle) plus a shortcut 0 -> 2
+        e = _edge_df(spark, [(0, 1), (1, 2), (2, 0), (0, 2)])
+        got = {
+            r.node: r.depth
+            for r in reachability(e, self._seeds(spark, "0"), max_depth=8).collect()
+        }
+        assert got == {"0": 0, "1": 1, "2": 1}
+
+    def test_multi_seed_and_unreachable(self, spark):
+        from pawpaw_spark.operators.graph import reachability
+
+        # two components; seeds in both; 9 -> 0 edge direction means 9
+        # reaches 0's component but nothing reaches 5
+        e = _edge_df(spark, [(0, 1), (1, 2), (5, 6)])
+        got = {
+            r.node: r.depth
+            for r in reachability(
+                e, self._seeds(spark, "0", "5"), max_depth=8
+            ).collect()
+        }
+        assert got == {"0": 0, "5": 0, "1": 1, "6": 1, "2": 2}
+
+    def test_directed_not_undirected(self, spark):
+        from pawpaw_spark.operators.graph import reachability
+
+        e = _edge_df(spark, [(1, 0)])  # edge INTO the seed only
+        got = {
+            r.node: r.depth
+            for r in reachability(e, self._seeds(spark, "0"), max_depth=4).collect()
+        }
+        assert got == {"0": 0}
