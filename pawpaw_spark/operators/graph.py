@@ -119,14 +119,23 @@ def pagerank(
     # so the distinct + degree agg don't rerun per round. Released
     # before return; rank tables are checkpointed, not cached.
     links = e.join(deg, "src").persist()
-    ranks = nodes.withColumn(
+    # rank table CARRIES the node's own out_deg (null = dangling): the
+    # dangling mass then falls out of a plain aggregate over the rank
+    # table instead of a per-iteration anti-join shuffle against deg
+    nodes_deg = nodes.join(
+        deg, nodes["node"] == deg["src"], "left"
+    ).select("node", "out_deg").persist()
+    ranks = nodes_deg.withColumn(
         "rank_fp", F.lit(_PR_SCALE // n_nodes).cast("long")
     )
     # (1-d)/N teleport share, exact in Python ints (metadata-sized)
     base = (1000 - d1000) * _PR_SCALE // (1000 * n_nodes)
     for it in range(iters):
         contribs = (
-            links.join(ranks, links["src"] == ranks["node"])
+            links.join(
+                ranks.select("node", "rank_fp"),
+                links["src"] == F.col("node"),
+            )
             .select(
                 F.col("dst").alias("node"),
                 # `div` = integral division: exact, order-independent
@@ -139,15 +148,22 @@ def pagerank(
         # an expression input, not a driver-side scalar, so the whole
         # iteration stays one lazy plan
         dangling = F.broadcast(
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti").agg(
-                F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("dmass")
+            ranks.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("out_deg").isNull(), F.col("rank_fp"))
+                        .otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("dmass")
             )
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes_deg.join(contribs, "node", "left")
             .crossJoin(dangling)
             .select(
                 "node",
+                "out_deg",
                 (
                     F.lit(base)
                     + F.expr(
@@ -171,12 +187,13 @@ def pagerank(
     )
     if materialize:
         links.unpersist()
+        nodes_deg.unpersist()
     else:
-        # caller consumes the lazy plan; the links cache is released by
+        # caller consumes the lazy plan; the caches are released by
         # release_session_caches()/cached_scope like every operator cache
         from pawpaw_spark.operators.dedup import _attach_caches
 
-        _attach_caches(out, [links])
+        _attach_caches(out, [links, nodes_deg])
     # node count, for callers normalizing ranks (attribute does not
     # survive further DataFrame transformations — read it first)
     out._pagerank_n = n_nodes
