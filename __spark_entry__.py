@@ -1282,16 +1282,19 @@ def q_kg_components(spark, sf_dir):
 
 
 def q_kg_reachability(spark, sf_dir):
-    """Multi-source BFS depths from the group-0 hub symbol over the
-    kernel-extracted call graph, truncated at depth 6: ring steps of
-    +1/+2 give members of group 0 nontrivial shortest-path depths (the
-    +2 chord halves distances), and other residue groups stay
-    unreachable. Depths are exact integers — the DuckDB oracle is a
-    recursive CTE over the same edge set, so the match is bit-level at
-    any SF or parallelism."""
+    """Multi-source BFS depths seeded at EVERY group hub symbol over
+    the kernel-extracted call graph, truncated at depth 6: ring steps
+    of +1/+2 give members nontrivial shortest-path depths (the +2
+    chord halves distances), each hub covers only its own residue
+    group, and the depth-6 cutoff leaves most of each ring unreached.
+    Depths are exact integers — the DuckDB oracle is a recursive CTE
+    over the same edge set, so the match is bit-level at any SF or
+    parallelism."""
     from pawpaw_spark.operators.graph import reachability
 
-    seeds = spark.createDataFrame([("sym:f_0",)], "node string")
+    seeds = spark.createDataFrame(
+        [(f"sym:f_{g}",) for g in range(_KG_GROUPS)], "node string"
+    )
     return reachability(_call_edges(spark, sf_dir), seeds, max_depth=6)
 
 
@@ -2275,7 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_reachability": f"""
             WITH RECURSIVE {_KG_EDGE_CTE},
             r AS (
-              SELECT 'sym:f_0' AS node, 0 AS depth
+              SELECT DISTINCT 'sym:f_' || g AS node, 0 AS depth FROM mem
               UNION
               SELECT e.dst, r.depth + 1
               FROM r JOIN e ON e.src = r.node
