@@ -267,3 +267,93 @@ class TestReachability:
             for r in reachability(e, self._seeds(spark, "0"), max_depth=4).collect()
         }
         assert got == {"0": 0}
+
+
+def py_pagerank_fp(edges, iters, damping=0.85, scale=10**15):
+    """Pure-Python-int mirror of the engine's fixed-point recurrence —
+    EXACT expected values, not a float approximation."""
+    e = sorted({(str(a), str(b)) for a, b in edges})
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    out_deg = {}
+    for u, _ in e:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    d1000 = int(round(damping * 1000))
+    r = {v: scale // n for v in nodes}
+    base = (1000 - d1000) * scale // (1000 * n)
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for u, v in e:
+            contrib[v] += r[u] // out_deg[u]
+        dmass = sum(r[u] for u in nodes if u not in out_deg)
+        r = {
+            v: base + (d1000 * (contrib[v] + dmass // n)) // 1000
+            for v in nodes
+        }
+    return r
+
+
+class TestPagerankExactness:
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        ),
+        iters=st.integers(0, 4),
+    )
+    @settings(max_examples=15, deadline=None, derandomize=True)
+    def test_rank_fp_bit_equals_python_int_recurrence(self, spark, edges, iters):
+        got = {
+            r.node: r.rank_fp
+            for r in pagerank(_edge_df(spark, edges), iters=iters).collect()
+        }
+        want = py_pagerank_fp(edges, iters)
+        assert got == want  # EXACT integer equality, no tolerance
+
+
+def py_bfs(edges, seeds, max_depth):
+    e = {(str(a), str(b)) for a, b in edges}
+    adj = {}
+    for u, v in e:
+        adj.setdefault(u, set()).add(v)
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_depth + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    nxt.add(v)
+        for v in nxt:
+            depth[v] = d
+        if not nxt:
+            break
+        frontier = nxt
+    return depth
+
+
+class TestReachabilityProperty:
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        ),
+        n_seeds=st.integers(1, 3),
+        max_depth=st.integers(0, 5),
+    )
+    @settings(max_examples=15, deadline=None, derandomize=True)
+    def test_matches_python_bfs(self, spark, edges, n_seeds, max_depth):
+        from pawpaw_spark.operators.graph import reachability
+
+        seeds = sorted({str(a) for a, _ in edges})[:n_seeds]
+        got = {
+            r.node: r.depth
+            for r in reachability(
+                _edge_df(spark, edges),
+                spark.createDataFrame([(s,) for s in seeds], "node string"),
+                max_depth=max_depth,
+            ).collect()
+        }
+        assert got == py_bfs(edges, seeds, max_depth)
