@@ -1223,11 +1223,20 @@ def _call_edges(spark, sf_dir):
     materializes the edge table once (pipeline.build_kg does exactly
     that) and fans analytics out from it. The handle is registered in
     the session cache registry so release_session_caches() frees it."""
+    from pawpaw_spark.operators.dedup import _attach_caches
+
     key = (id(spark), sf_dir)
     cached = _CALL_EDGES_CACHE.get(key)
     if cached is not None:
+        # harnesses (bench.py, check_contract.py) release_session_caches
+        # after every query, which unpersists the memoized handle — a
+        # memo hit must RE-persist and re-register, or every later graph
+        # query silently re-runs the segmentation kernel per consumer
+        sl = cached.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            cached.persist()
+            _attach_caches(cached, [cached])
         return cached
-    from pawpaw_spark.operators.dedup import _attach_caches
     from pawpaw_spark.operators.triples import build_edges_fused
 
     e = build_edges_fused(_call_docs(spark, sf_dir))

@@ -545,11 +545,30 @@ def minhash_index_write(
     spark = df.sparkSession
     params = dict(zip(_INDEX_PARAMS, (n_hashes, bands, shingle_k, seed)))
     if mode == "append":
+        from pyspark.errors import AnalysisException
+
         try:
-            existing = spark.read.parquet(f"{path}/params").first().asDict()
-        except Exception:
-            existing = None  # cold start: no index yet, append == create
-        if existing is not None:
+            row = spark.read.parquet(f"{path}/params").first()
+            # sidecar readable but empty: an index we cannot validate
+            # against — refuse rather than silently re-stamp it
+            if row is None:
+                raise ValueError(
+                    f"minhash_index_write(mode='append'): params sidecar "
+                    f"at {path}/params exists but holds no row — refusing "
+                    "to append against an unvalidatable index"
+                )
+        except AnalysisException as ex:
+            # ONLY a missing sidecar means cold start (append == create);
+            # any other failure (corrupt file, permissions) must fail
+            # loudly — treating it as cold start would skip validation
+            # AND overwrite the sidecar, permanently masking a
+            # hash-family mismatch
+            msg = str(ex)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise
+            row = None
+        if row is not None:
+            existing = row.asDict()
             old = {k: int(existing[k]) for k in _INDEX_PARAMS}
             if old != params:
                 raise ValueError(
@@ -774,29 +793,27 @@ def neardup_groups(
     and the one keeper per cluster — the step a training pipeline runs
     AFTER pair detection to actually drop duplicates. Clusters are
     connected components over the pair graph (transitive: A~B, B~C
-    puts A and C in one group even if A!~C); group_id = min member id;
-    the keeper is the group minimum. Unpaired docs form singleton
-    groups. Scale shape: the pair graph is tiny relative to the corpus
-    (it only holds near-dups), so the CC runs on pairs only and joins
-    back to the corpus once, broadcast when small."""
+    puts A and C in one group even if A!~C); group_id = min member id
+    ACROSS THE PAIR GRAPH; the keeper is the minimum member PRESENT IN
+    ``df`` — pairs may have been computed on a superset (e.g. before a
+    quality cut), and a graph-minimum keeper would then mark NO
+    canonical row for a cluster whose minimum was filtered out.
+    Unpaired docs form singleton groups. Scale shape: the pair graph is
+    tiny relative to the corpus (it only holds near-dups), so the CC
+    runs on pairs only; the corpus side is scanned twice, each time
+    through a narrow broadcast join (persisting the first join to scan
+    once would cost corpus-sized executor storage — the two pipelined
+    scans are the cheaper trade at 100 TB)."""
     from pawpaw_spark.operators.canon import connected_components
 
     comps = connected_components(pairs, a_col=a_col, b_col=b_col)
     ids = df.select(F.col(id_col).alias("doc"))
-    out = ids.join(comps, ids["doc"] == comps["node"], "left").select(
-        "doc", F.coalesce("comp", "doc").alias("group_id")
-    )
-    # The keeper is the minimum member PRESENT IN df, not the graph
-    # minimum: pairs may have been computed on a superset (e.g. before
-    # a quality cut), and `group_id == doc` would then mark NO canonical
-    # row for a cluster whose graph-minimum was filtered out. Present-
-    # member minima come from df ⋈ comps — a broadcast join (comps only
-    # holds near-dup nodes) followed by an agg on that tiny result.
+    joined = ids.join(F.broadcast(comps), ids["doc"] == comps["node"], "left")
+    out = joined.select("doc", "comp", F.coalesce("comp", "doc").alias("group_id"))
     keepers = (
-        ids.join(F.broadcast(comps), ids["doc"] == comps["node"])
-        .groupBy("comp")
+        out.where(F.col("comp").isNotNull())
+        .groupBy("group_id")
         .agg(F.min("doc").alias("__keeper"))
-        .withColumnRenamed("comp", "group_id")
     )
     return (
         out.join(F.broadcast(keepers), "group_id", "left")
@@ -804,6 +821,5 @@ def neardup_groups(
             "is_canonical",
             F.coalesce(F.col("doc") == F.col("__keeper"), F.col("doc") == F.col("group_id")),
         )
-        .drop("__keeper")
         .select("doc", "group_id", "is_canonical")
     )

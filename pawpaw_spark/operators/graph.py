@@ -234,27 +234,35 @@ def reachability(
         .distinct()
         .persist()
     )
-    visited = (
-        seeds.select(F.col("node"))
-        .distinct()
-        .withColumn("depth", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            e.join(frontier, e["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
+    try:
+        visited = (
+            seeds.select(F.col("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
-            .withColumn("depth", F.lit(d).cast("long"))
+            .withColumn("depth", F.lit(0).cast("long"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    e.unpersist()
+        frontier = visited
+        for d in range(1, max_depth + 1):
+            nxt = (
+                e.join(frontier, e["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("depth", F.lit(d).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            # visited is a LAZY union of the (already materialized)
+            # per-level frontiers: each node's row is checkpointed
+            # exactly once; re-checkpointing the union here would
+            # rewrite the near-full visited set at EVERY level —
+            # O(V * depth) I/O where O(V) suffices. Plan depth is
+            # bounded by max_depth, so lineage stays shallow.
+            visited = visited.union(nxt)
+            frontier = nxt
+    finally:
+        e.unpersist()
     return visited
 
 

@@ -75,3 +75,23 @@ def test_entry_smoke(spark):
     assert len(rows) >= 1
     preds = {r.pred for r in rows}
     assert "CONTAINS" in preds and "HAS_SEGMENT" in preds
+
+
+class TestCallEdgesMemo:
+    def test_memo_repersists_after_session_release(self, spark):
+        """bench/check_contract release session caches after every
+        query; a memo hit must re-persist the shared edge table or the
+        kernel silently re-runs per consumer in every later query."""
+        import __spark_entry__ as E
+        from pawpaw_spark.operators.dedup import release_session_caches
+
+        sf = "/root/testdata/sf0.001"
+        e1 = E._call_edges(spark, sf)
+        e1.count()
+        assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
+        release_session_caches(spark)
+        assert not (e1.storageLevel.useMemory or e1.storageLevel.useDisk)
+        e2 = E._call_edges(spark, sf)
+        assert e2 is e1  # memo hit
+        assert e2.storageLevel.useMemory or e2.storageLevel.useDisk
+        release_session_caches(spark)
