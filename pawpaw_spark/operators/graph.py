@@ -286,11 +286,18 @@ def triangle_count(
     squaring it.
     """
     und = undirected_edges(edges, a_col, b_col).persist()
+    # deg feeds da, db, and the final full-node join; oriented feeds
+    # e1, e2, and closer — both are recomputed per consumer without a
+    # persist (the alias chains defeat ReusedExchange), which re-runs
+    # the und⋈da⋈db double join three times. O(n) and O(m) storage
+    # respectively — the standard trade for distributed triangle
+    # counting.
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
@@ -302,7 +309,7 @@ def triangle_count(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("vdeg"),
-    )
+    ).persist()
     # wedges (u; v -> w) with v before w in the (deg, id) order, closed
     # by the oriented edge v -> w
     e1 = oriented.select("u", F.col("v").alias("v1"), F.col("vdeg").alias("d1"))
@@ -337,10 +344,12 @@ def triangle_count(
     if materialize:
         out = out.localCheckpoint(eager=True)
         und.unpersist()
+        deg.unpersist()
+        oriented.unpersist()
     else:
         from pawpaw_spark.operators.dedup import _attach_caches
 
-        _attach_caches(out, [und])
+        _attach_caches(out, [und, deg, oriented])
     return out
 
 

@@ -78,20 +78,22 @@ def test_entry_smoke(spark):
 
 
 class TestCallEdgesMemo:
-    def test_memo_repersists_after_session_release(self, spark):
+    def test_memo_survives_session_cache_release(self, spark):
         """bench/check_contract release session caches after every
-        query; a memo hit must re-persist the shared edge table or the
-        kernel silently re-runs per consumer in every later query."""
+        query; the shared edge table is a localCheckpoint OUTSIDE the
+        registry, so it stays materialized across releases — otherwise
+        every later graph query re-runs the kernel per consumer."""
         import __spark_entry__ as E
         from pawpaw_spark.operators.dedup import release_session_caches
 
         sf = "/root/testdata/sf0.001"
         e1 = E._call_edges(spark, sf)
-        e1.count()
-        assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
+        e1.count()  # materializes the lazy checkpoint
         release_session_caches(spark)
-        assert not (e1.storageLevel.useMemory or e1.storageLevel.useDisk)
         e2 = E._call_edges(spark, sf)
         assert e2 is e1  # memo hit
-        assert e2.storageLevel.useMemory or e2.storageLevel.useDisk
-        release_session_caches(spark)
+        # the plan is truncated to the checkpointed RDD (no kernel
+        # re-run), and the registry release did not invalidate it
+        plan = e2._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in plan, plan
+        assert "mapInArrow" not in plan
