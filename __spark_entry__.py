@@ -1255,7 +1255,13 @@ def q_kg_pagerank(spark, sf_dir):
     mode difference can flip the check at any SF or parallelism."""
     from pawpaw_spark.operators.graph import pagerank
 
-    ranks = pagerank(_call_edges(spark, sf_dir), iters=3, damping=0.85)
+    # materialize=False: the contract consumes the result exactly once
+    # (one toPandas/count), so the eager localCheckpoint would be a
+    # full extra materialization pass (measured 8.0 s -> 2.4 s at
+    # sf0.1); the internal caches ride the session registry
+    ranks = pagerank(
+        _call_edges(spark, sf_dir), iters=3, damping=0.85, materialize=False
+    )
     return ranks.select("node", F.col("rank_fp"))
 
 
@@ -1266,7 +1272,8 @@ def q_kg_triangles(spark, sf_dir):
     enumeration in DuckDB."""
     from pawpaw_spark.operators.graph import triangle_count
 
-    return triangle_count(_call_edges(spark, sf_dir))
+    # materialize=False: single consumption, skip the checkpoint pass
+    return triangle_count(_call_edges(spark, sf_dir), materialize=False)
 
 
 def q_kg_components(spark, sf_dir):
