@@ -163,6 +163,40 @@ def connected_components(
     return labels.select("node", "comp")
 
 
+def incremental_components(
+    mapping: DataFrame,
+    new_edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold NEW match edges into an existing ``(node, comp)`` mapping
+    without re-running union-find over the full historical edge set —
+    the daily-ingest companion to
+    :func:`pawpaw_spark.operators.dedup.minhash_dedup_delta`.
+
+    Correctness: a components mapping is itself an edge set (every node
+    connected to its label) that generates exactly the same partition
+    of the nodes as the original match edges did; CC over
+    ``mapping-as-edges ∪ new_edges`` therefore equals CC over
+    ``historical_edges ∪ new_edges``. Cost: the mapping is a depth-1
+    forest, so the min-label + pointer-jumping loop runs over
+    ``|nodes| + |new_edges|`` rows and converges in rounds bounded by
+    the diameter of the NEW bridges only — independent of how many
+    historical edges produced the mapping. Component labels are
+    min-ids, so a label only ever changes when components merge; the
+    changed-mapping set that drives
+    :func:`rewrite_edges_canonical`-style delta rewrites stays
+    proportional to the merges, not the corpus."""
+    m_edges = mapping.select(
+        F.col("node").alias(a_col), F.col("comp").alias(b_col)
+    )
+    ne = new_edges.select(a_col, b_col)
+    return connected_components(
+        m_edges.unionByName(ne), a_col=a_col, b_col=b_col, **cc_kwargs
+    )
+
+
 def canonicalize_nodes(
     nodes: DataFrame, match_edges: DataFrame, salt_buckets: int = 64
 ) -> DataFrame:

@@ -3,6 +3,8 @@
 import os
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pawpaw_spark.corpus import source_df
@@ -256,3 +258,59 @@ class TestAnalyticsStage:
             F.col("stage") == "analytics"
         ).count()
         assert log3 == log1 + 1, "iters change did not recompute analytics"
+
+
+class TestIncrementalComponents:
+    def _cc(self, spark, edges):
+        from pawpaw_spark.operators.canon import connected_components
+
+        return connected_components(
+            spark.createDataFrame(edges, "a string, b string")
+        )
+
+    def test_equals_full_recompute(self, spark):
+        """CC(mapping(old) ∪ new) == CC(old ∪ new) — bridging edges
+        merge historical components; brand-new nodes join in."""
+        from pawpaw_spark.operators.canon import incremental_components
+
+        old = [("a", "b"), ("c", "d"), ("e", "f"), ("g", "g2")]
+        new = [("b", "c"), ("x", "y"), ("f", "x")]
+        mapping = self._cc(spark, old)
+        got = {
+            r.node: r.comp
+            for r in incremental_components(
+                mapping, spark.createDataFrame(new, "a string, b string")
+            ).collect()
+        }
+        want = {r.node: r.comp for r in self._cc(spark, old + new).collect()}
+        assert got == want
+        # the bridge really merged: a..d share one label
+        assert len({got[n] for n in "abcd"}) == 1
+        # untouched historical component kept its label
+        assert got["g"] == "g"
+
+    @given(
+        old=st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1, max_size=20,
+        ),
+        new=st.lists(
+            st.tuples(st.integers(0, 16), st.integers(0, 16)),
+            min_size=1, max_size=10,
+        ),
+    )
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    def test_property_equivalence(self, spark, old, new):
+        from pawpaw_spark.operators.canon import incremental_components
+
+        old = [(str(a), str(b)) for a, b in old]
+        new = [(str(a), str(b)) for a, b in new]
+        mapping = self._cc(spark, old)
+        got = {
+            r.node: r.comp
+            for r in incremental_components(
+                mapping, spark.createDataFrame(new, "a string, b string")
+            ).collect()
+        }
+        want = {r.node: r.comp for r in self._cc(spark, old + new).collect()}
+        assert got == want
