@@ -1232,18 +1232,22 @@ def _call_edges(spark, sf_dir):
     cached = _CALL_EDGES_CACHE.get(key)
     if cached is not None:
         return cached
+    e = _raw_call_edges(spark, sf_dir).localCheckpoint(eager=False)
+    _CALL_EDGES_CACHE[key] = e
+    return e
+
+
+def _raw_call_edges(spark, sf_dir):
+    """The un-checkpointed kernel plan behind :func:`_call_edges` —
+    split out so plan-shape tests can pin the MapInArrow provenance
+    (``localCheckpoint`` truncates the logical plan to a LogicalRDD the
+    moment it wraps, even before materialization)."""
     from pawpaw_spark.operators.triples import build_edges_fused
 
     e = build_edges_fused(_call_docs(spark, sf_dir))
-    e = (
-        e.filter(
-            (F.col("pred") == "REFERENCES") & F.col("subj").startswith("sym:")
-        )
-        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
-        .localCheckpoint(eager=False)
-    )
-    _CALL_EDGES_CACHE[key] = e
-    return e
+    return e.filter(
+        (F.col("pred") == "REFERENCES") & F.col("subj").startswith("sym:")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
 
 
 def q_kg_pagerank(spark, sf_dir):

@@ -87,13 +87,22 @@ class TestCallEdgesMemo:
         from pawpaw_spark.operators.dedup import release_session_caches
 
         sf = "/root/testdata/sf0.001"
+        # the UNDERLYING build must come from the Arrow kernel — the
+        # checkpointed wrapper truncates its own plan, so provenance is
+        # pinned on the raw builder the memo wraps
+        raw_plan = E._raw_call_edges(spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInArrow" in raw_plan, raw_plan
+        E._CALL_EDGES_CACHE.clear()
         e1 = E._call_edges(spark, sf)
         e1.count()  # materializes the lazy checkpoint
         release_session_caches(spark)
         e2 = E._call_edges(spark, sf)
         assert e2 is e1  # memo hit
-        # the plan is truncated to the checkpointed RDD (no kernel
-        # re-run), and the registry release did not invalidate it
+        # after materialization the plan is truncated to the
+        # checkpointed RDD (kernel gone from the plan), and the
+        # registry release did not strip the checkpoint blocks
         plan = e2._jdf.queryExecution().optimizedPlan().toString()
         assert "LogicalRDD" in plan, plan
-        assert "mapInArrow" not in plan
+        assert "MapInArrow" not in plan, plan
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() >= 1

@@ -314,3 +314,28 @@ class TestIncrementalComponents:
         }
         want = {r.node: r.comp for r in self._cc(spark, old + new).collect()}
         assert got == want
+
+    def test_distributed_loop_with_mapping_self_loops(self, spark):
+        """driver_threshold=0 forces the distributed min-label loop —
+        the path real above-threshold delta ingests take. Singleton
+        mappings contribute (node, node) self-loop edges; deep new
+        bridge chains must still converge."""
+        from pawpaw_spark.operators.canon import incremental_components
+
+        old = [("a", "b"), ("c", "d"), ("s", "s")]  # s: singleton self-map
+        # chain bridging a-b ... c-d through 6 new nodes
+        chain = [("b", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+                 ("n4", "n5"), ("n5", "c")]
+        mapping = self._cc(spark, old)
+        got = {
+            r.node: r.comp
+            for r in incremental_components(
+                mapping,
+                spark.createDataFrame(chain, "a string, b string"),
+                driver_threshold=0,
+            ).collect()
+        }
+        want = {r.node: r.comp for r in self._cc(spark, old + chain).collect()}
+        assert got == want
+        assert len({got[n] for n in ("a", "b", "c", "d", "n3")}) == 1
+        assert got["s"] == "s"

@@ -191,14 +191,17 @@ class TestExpensiveQueryPlanShape:
         # which would hide the internals behind a checkpoint scan
         from pawpaw_spark.operators.graph import pagerank
 
+        # use the RAW (un-checkpointed) edge builder so the plan shows
+        # the TRUE edge provenance (both the memo and a fresh lazy
+        # checkpoint truncate to LogicalRDD; TestCallEdgesMemo covers
+        # the memo path)
         plan = _plan(
-            pagerank(E._call_edges(spark, SF), iters=2, materialize=False)
+            pagerank(E._raw_call_edges(spark, SF), iters=2, materialize=False)
         )
-        # edges come from the one-pass Arrow kernel (or its memoized
-        # session checkpoint); the dangling-mass term rides a 1-row
-        # broadcast (BNLJ), NEVER a cartesian; rank updates are
-        # equi-joins + partial aggs
-        assert "MapInArrow" in plan or "ExistingRDD" in plan, plan
+        # edges come from the one-pass Arrow kernel; the dangling-mass
+        # term rides a 1-row broadcast (BNLJ), NEVER a cartesian; rank
+        # updates are equi-joins + partial aggs
+        assert "MapInArrow" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
         assert "BatchEvalPython" not in plan, plan
@@ -208,14 +211,14 @@ class TestExpensiveQueryPlanShape:
         from pawpaw_spark.operators.graph import triangle_count
 
         plan = _plan(
-            triangle_count(E._call_edges(spark, SF), materialize=False)
+            triangle_count(E._raw_call_edges(spark, SF), materialize=False)
         )
         # wedge closure is equi-joins on node ids — a naive rewrite
         # would surface as a cartesian or a theta-join explosion
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
-        assert "MapInArrow" in plan or "ExistingRDD" in plan, plan
+        assert "MapInArrow" in plan, plan
 
     def test_pii_scrub_is_pure_jvm_scan(self, spark):
         plan = self._p(spark, "pii_scrub")
