@@ -339,3 +339,52 @@ class TestIncrementalComponents:
         assert got == want
         assert len({got[n] for n in ("a", "b", "c", "d", "n3")}) == 1
         assert got["s"] == "s"
+
+
+class TestDay2Ingest:
+    def test_new_repo_appends_one_bucket_and_matches_fresh_build(
+        self, spark, src, tmp_path_factory
+    ):
+        """Corpus GROWTH (not same-input resume): day 2 adds a new
+        repo. Only the new repo's bucket recomputes (old buckets skip
+        via lineage), canon re-runs globally (fingerprint changed), and
+        the resulting canonical tables are row-identical to a
+        from-scratch build over the grown corpus."""
+        from pawpaw_spark.lineage import LineageLog
+
+        out = str(tmp_path_factory.mktemp("kg_day2"))
+        res1 = build_kg(spark, src, out, n_buckets=8)
+        res1["edges_canonical"].count()
+        seg_rows_1 = (
+            LineageLog(out).read(spark).filter(F.col("stage") == "segments").count()
+        )
+
+        delta = source_df(spark, n_files=20, seed=77).withColumn(
+            "repo", F.lit("org9/new_repo")
+        )
+        full = src.unionByName(delta)
+        res2 = build_kg(spark, full, out, n_buckets=8)
+        got = sorted(
+            (r.subj, r.pred, r.obj, r.doc_id)
+            for r in res2["edges_canonical"]
+            .select("subj", "pred", "obj", "doc_id")
+            .collect()
+        )
+
+        # exactly ONE bucket re-ran in the segments stage (the new
+        # repo's; every old bucket's fingerprint was unchanged)
+        seg_rows_2 = (
+            LineageLog(out).read(spark).filter(F.col("stage") == "segments").count()
+        )
+        assert seg_rows_2 == seg_rows_1 + 1, (seg_rows_1, seg_rows_2)
+
+        fresh = str(tmp_path_factory.mktemp("kg_fresh"))
+        res3 = build_kg(spark, full, fresh, n_buckets=8)
+        want = sorted(
+            (r.subj, r.pred, r.obj, r.doc_id)
+            for r in res3["edges_canonical"]
+            .select("subj", "pred", "obj", "doc_id")
+            .collect()
+        )
+        assert got == want
+        assert len(got) > 0
