@@ -388,3 +388,57 @@ class TestDay2Ingest:
         )
         assert got == want
         assert len(got) > 0
+
+    def test_daily_ingest_trilogy_matches_full_batch(
+        self, spark, tmp_path_factory
+    ):
+        """Index day-1 docs, find day-2 near-dup pairs via the delta
+        pass, fold the NEW pairs into day-1's components mapping with
+        incremental_components — the result must equal connected
+        components over ALL pairs computed in one batch over the full
+        corpus. This is the composition a production daily ingest runs
+        (minhash_index_write -> minhash_dedup_delta ->
+        incremental_components)."""
+        from pawpaw_spark.operators.canon import (
+            connected_components, incremental_components,
+        )
+        from pawpaw_spark.operators.dedup import (
+            minhash_dedup_pairs, minhash_dedup_delta, minhash_index_write,
+        )
+
+        words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+        mk = lambda i: " ".join(words[(i + j) % 8] for j in range(8)) + f" t{i}"
+        day1 = [(f"h{i}", mk(i)) for i in range(8)] + [("h_dup0", mk(0))]
+        day2 = [(f"n{i}", mk(i + 40)) for i in range(4)] + [
+            ("n_dup_h1", mk(1)),      # links to history
+            ("n_dup_n0", mk(40)),     # links within the delta
+        ]
+        schema = "doc_id string, text string"
+        idx = str(tmp_path_factory.mktemp("trilogy") / "idx")
+        d1 = spark.createDataFrame(day1, schema)
+        d2 = spark.createDataFrame(day2, schema)
+
+        minhash_index_write(d1, idx, n_hashes=64, bands=16)
+        day1_pairs = minhash_dedup_pairs(
+            d1, threshold=0.8, n_hashes=64, bands=16, verify="exact"
+        )
+        mapping1 = connected_components(day1_pairs, "a", "b")
+        new_pairs = minhash_dedup_delta(d2, idx, threshold=0.8)
+        got = {
+            r.node: r.comp
+            for r in incremental_components(
+                mapping1, new_pairs.select("a", "b")
+            ).collect()
+        }
+
+        full_pairs = minhash_dedup_pairs(
+            spark.createDataFrame(day1 + day2, schema),
+            threshold=0.8, n_hashes=64, bands=16, verify="exact",
+        )
+        want = {
+            r.node: r.comp
+            for r in connected_components(full_pairs, "a", "b").collect()
+        }
+        assert got == want
+        # the cross-day link really merged: h1 and n_dup_h1 share a label
+        assert got["h1"] == got["n_dup_h1"]
