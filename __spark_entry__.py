@@ -523,6 +523,60 @@ def q_media_dimensions(spark, sf_dir):
     return decode_image_meta(media)
 
 
+def q_media_av(spark, sf_dir):
+    """Audio/video container metadata (the q_media_dimensions analog):
+    construct honest WAV (RIFF chunk framing) and MP4 (ISO-BMFF box
+    framing) header bytes per document, then parse duration / sample
+    rate / channels / dimensions back out of the BYTES with the pure-
+    Python container reader (parse_av_header). WAV duration_ms is the
+    spec formula data_size*1000 // byte_rate; the oracle mirrors the
+    identical integer arithmetic from the generating keys, so a
+    misread of either wire format fails the check."""
+    import pandas as pd
+
+    from pawpaw_spark.operators.multimodal import decode_av_meta, make_av_bytes
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.concat(F.lit("a"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.pmod("doc_id", F.lit(2)).cast("int").alias("is_wav"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(44100), F.lit(48000)),
+            (F.pmod("doc_id", F.lit(4)) + 1).cast("int"),
+        ).cast("int").alias("rate"),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int").alias("ch"),
+        ((F.pmod("doc_id", F.lit(997)) + 1) * 64).cast("int").alias("nsamp"),
+        (F.pmod("doc_id", F.lit(100000)) + 1).cast("int").alias("dur"),
+        (F.pmod("doc_id", F.lit(1920)) + 1).cast("int").alias("w"),
+        (F.pmod("doc_id", F.lit(1080)) + 1).cast("int").alias("h"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples(index=False):
+                if r.is_wav:
+                    payloads.append(
+                        make_av_bytes(
+                            "wav", n_samples=int(r.nsamp),
+                            sample_rate=int(r.rate), channels=int(r.ch),
+                        )
+                    )
+                else:
+                    payloads.append(
+                        make_av_bytes(
+                            "mp4", duration_ms=int(r.dur),
+                            width=int(r.w), height=int(r.h),
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(gen, schema="media_id string, payload binary")
+    return decode_av_meta(media)
+
+
 # vocabulary the synthetic corpus actually contains (round 1 used a
 # legal/math vocabulary that matched nothing -> 0-row vacuous pass)
 _ONTO_PATTERNS = {
@@ -1408,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "media_frames": q_media_frames,
         "media_dimensions": q_media_dimensions,
+        "media_av": q_media_av,
         "ontology_counts": q_ontology_counts,
         "ontology_doc_hits": q_ontology_doc_hits,
         "windowed_merge": q_windowed_merge,
@@ -1740,6 +1795,26 @@ def oracle_sql() -> dict[str, str]:
                    ['png', 'jpeg', 'gif', 'bmp'][CAST(doc_id % 4 AS INT) + 1] AS format,
                    CAST(doc_id % 1920 + 1 AS INT) AS width,
                    CAST(doc_id % 1080 + 1 AS INT) AS height
+            FROM documents
+        """,
+        # AV container metadata recovered from the payload BYTES must
+        # equal the relational arithmetic it was generated from; WAV
+        # duration mirrors the engine's exact data_size*1000//byte_rate
+        # integer formula (n and rate only — channels cancel exactly)
+        "media_av": """
+            SELECT 'a' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE WHEN doc_id % 2 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+                   CAST(CASE WHEN doc_id % 2 = 1
+                        THEN ((doc_id % 997 + 1) * 64 * ((doc_id % 3 + 1) * 2) * 1000)
+                             // ([8000, 16000, 44100, 48000][CAST(doc_id % 4 AS INT) + 1]
+                                 * ((doc_id % 3 + 1) * 2))
+                        ELSE doc_id % 100000 + 1 END AS BIGINT) AS duration_ms,
+                   CAST(CASE WHEN doc_id % 2 = 1
+                        THEN [8000, 16000, 44100, 48000][CAST(doc_id % 4 AS INT) + 1]
+                        END AS INT) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 3 + 1 END AS INT) AS channels,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1920 + 1 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1080 + 1 END AS INT) AS height
             FROM documents
         """,
         "ontology_counts": (

@@ -47,6 +47,7 @@ HEADLINE = [
     "kg_triples_by_pred",
     "media_frames",
     "media_dimensions",
+    "media_av",
     "ontology_counts",
     "ontology_doc_hits",
     "windowed_merge",

@@ -1078,3 +1078,71 @@ class TestReviewFixes:
         assert (r.n_emails, r.n_phones, r.n_cards, r.n_ipv4s) == (1, 0, 0, 0)
         # counts == tokens actually present in clean, per family
         assert r.clean.count("[PHONE]") == r.n_phones
+
+
+class TestAvHeaders:
+    def test_wav_round_trip_and_duration_formula(self):
+        from pawpaw_spark.operators.multimodal import (
+            make_av_bytes, parse_av_header,
+        )
+
+        b = make_av_bytes("wav", n_samples=48000, sample_rate=16000, channels=2)
+        assert parse_av_header(b) == ("wav", 3000, 16000, 2, None, None)
+        # non-divisible rate: floor semantics of data*1000 // byte_rate
+        b = make_av_bytes("wav", n_samples=12345, sample_rate=44100, channels=1)
+        assert parse_av_header(b) == ("wav", 279, 44100, 1, None, None)
+
+    def test_wav_odd_chunk_padding(self):
+        """RIFF chunks are word-aligned: an odd-sized chunk before
+        'fmt ' must not desynchronize the walk."""
+        from pawpaw_spark.operators.multimodal import (
+            make_av_bytes, parse_av_header,
+        )
+
+        good = make_av_bytes("wav", n_samples=64, sample_rate=8000, channels=1)
+        # splice an odd-length LIST chunk right after the WAVE tag
+        odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+        spliced = good[:12] + odd + good[12:]
+        body_len = len(spliced) - 8
+        spliced = b"RIFF" + body_len.to_bytes(4, "little") + spliced[8:]
+        assert parse_av_header(spliced) == ("wav", 8, 8000, 1, None, None)
+
+    def test_mp4_round_trip_and_no_video_track(self):
+        from pawpaw_spark.operators.multimodal import (
+            make_av_bytes, parse_av_header,
+        )
+
+        b = make_av_bytes("mp4", duration_ms=61500, width=1920, height=1080)
+        assert parse_av_header(b) == ("mp4", 61500, None, None, 1920, 1080)
+        audio_only = make_av_bytes("mp4", duration_ms=7, width=0, height=0)
+        assert parse_av_header(audio_only) == ("mp4", 7, None, None, None, None)
+
+    def test_garbage_and_truncation_yield_none(self):
+        from pawpaw_spark.operators.multimodal import (
+            make_av_bytes, parse_av_header,
+        )
+
+        assert parse_av_header(None) is None
+        assert parse_av_header(b"") is None
+        assert parse_av_header(b"\x00\x01\x02") is None
+        assert parse_av_header(b"RIFFxxxxWAVE") is None  # no chunks
+        full = make_av_bytes("mp4", duration_ms=5, width=10, height=20)
+        assert parse_av_header(full[:20]) is None  # moov truncated away
+
+    def test_decode_av_meta_distributed(self, spark):
+        from pawpaw_spark.operators.multimodal import (
+            decode_av_meta, make_av_bytes,
+        )
+
+        rows = [
+            ("w1", make_av_bytes("wav", n_samples=8000, sample_rate=8000, channels=1)),
+            ("v1", make_av_bytes("mp4", duration_ms=1234, width=640, height=480)),
+            ("bad", b"\xde\xad\xbe\xef"),
+        ]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        got = {r.media_id: r.asDict() for r in decode_av_meta(df).collect()}
+        assert got["w1"]["format"] == "wav" and got["w1"]["duration_ms"] == 1000
+        assert got["w1"]["sample_rate"] == 8000 and got["w1"]["channels"] == 1
+        assert got["v1"]["format"] == "mp4" and got["v1"]["duration_ms"] == 1234
+        assert (got["v1"]["width"], got["v1"]["height"]) == (640, 480)
+        assert got["bad"]["format"] is None and got["bad"]["duration_ms"] is None
