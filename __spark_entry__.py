@@ -1428,6 +1428,94 @@ def q_weighted_mix(spark, sf_dir):
     )
 
 
+def _winnow_corpus(spark, sf_dir):
+    """Winnowing contract corpus: every 5th document capped at 600
+    chars, plus a PLANTED copy per base doc (id + 1,000,000) that lifts
+    a 220-char passage from char offset 31 behind a 13-char prefix —
+    the prefix shifts alignment, which fixed-stride sampling would miss
+    and winnowing's local-min selection must not (Schleimer et al.
+    SIGMOD 2003, Thm. 2). The cap and the 1-in-5 sample bound the
+    per-position md5 work at ANY SF; the oracle rebuilds the identical
+    corpus in SQL."""
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.expr("substring(text, 1, 600)").alias("text"))
+    )
+    planted = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("copy notice: "), F.expr("substring(text, 31, 220)")
+        ).alias("text"),
+    )
+    return base.unionByName(planted)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Exact-substring duplicate pairs via winnowing fingerprints
+    (k=24, w=8: any shared passage >= 31 chars is guaranteed a shared
+    fingerprint). Every planted (doc, doc+1e6) pair surfaces with
+    n_shared ~ 2*197/9 despite the alignment shift; the n_shared >= 10
+    floor keeps incidental phrase-level collisions between unrelated
+    docs out of the contract rows, and max_df=50 exercises the
+    boilerplate guard ON the contract path (mirrored in the oracle).
+    k is 24 (not the library default 16) because this SMALL-VOCABULARY
+    templated corpus repeats 2-3-word runs corpus-wide: at sf0.01 a
+    16-char gram's expected doc frequency already brushes the cap and
+    at sf0.1 it exceeds it, silently vacating the planted pairs —
+    ~4-word 24-char grams stay sparse at every SF (measured: 94 pairs
+    at sf0.01 with k=16 vs full planted coverage with k=24). The
+    fingerprint stage itself is shuffle-free (array-native winnow,
+    tests/test_substring.py plan guard); only selected fingerprints —
+    ~2/(w+1) of positions — reach the pairing join."""
+    from pawpaw_spark.operators.substring import shared_fingerprint_pairs
+
+    pairs = shared_fingerprint_pairs(
+        _winnow_corpus(spark, sf_dir), k=24, w=8, max_df=50
+    )
+    return pairs.filter(F.col("n_shared") >= 10)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Duplicated char ranges per document (the spans Lee et al.'s
+    exact-substring dedup would cut): fingerprints appearing in >= 2
+    docs, covers [pos, pos+k) merged into maximal islands by a per-doc
+    gaps-and-islands window. The planted copies guarantee non-vacuous
+    islands in both the source doc (around chars 30..250) and the copy
+    (behind its 13-char prefix); the oracle replays fingerprinting,
+    frequency filter, and island merge in SQL. k=24 for the same
+    corpus-sparsity reason as q_winnow_pairs."""
+    from pawpaw_spark.operators.substring import duplicated_spans
+
+    return duplicated_spans(_winnow_corpus(spark, sf_dir), k=24, w=8, max_df=50)
+
+
+def q_kg_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (min tie-break,
+    4 rounds) over the kernel-extracted call graph: hub spokes pull
+    group members toward the hub's label while ring chords propagate
+    low ids around the ring, so after 4 rounds the label table carries
+    a nontrivial mix (not one label per component — that's
+    kg_components' job). Bit-exact at any parallelism; the oracle runs
+    the same recurrence as a recursive CTE."""
+    from pawpaw_spark.operators.graph import label_propagation
+
+    return label_propagation(_call_edges(spark, sf_dir), iters=4)
+
+
+def q_kg_kcore(spark, sf_dir):
+    """4-core of the undirected call graph via synchronized peeling:
+    the per-group missing symbols (degree 1) peel in round one, ring
+    members and hubs (degree >= 4 by the +1/+2 chord construction)
+    survive with their in-core degrees — non-vacuous in both
+    directions. The oracle peels the same schedule in a bounded
+    recursive CTE and recomputes survivor degrees from the surviving
+    adjacency."""
+    from pawpaw_spark.operators.graph import kcore
+
+    return kcore(_call_edges(spark, sf_dir), k=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1490,6 +1578,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reachability": q_kg_reachability,
         "pii_scrub": q_pii_scrub,
         "weighted_mix": q_weighted_mix,
+        "winnow_pairs": q_winnow_pairs,
+        "dup_spans": q_dup_spans,
+        "kg_communities": q_kg_communities,
+        "kg_kcore": q_kg_kcore,
     }
 
 
@@ -1556,6 +1648,42 @@ _KG_EDGE_CTE = f"""
               FROM mem WHERE p = sg - 1),
             e AS (SELECT DISTINCT src, dst FROM raw),
             nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)"""
+
+
+# winnowing fingerprint pipeline (operators/substring.py) replayed in
+# SQL: the same corpus construction as _winnow_corpus, md5 k-grams,
+# min-(h, -pos) selection per w-window (rightmost minimal — the
+# lexicographic struct min both engines share), distinct selected
+# fingerprints. Doubled braces keep the struct literal out of the
+# f-string interpolation.
+def _winnow_cte(k: int, w: int) -> str:
+    return f"""
+            base AS (
+              SELECT doc_id, substr(text, 1, 600) AS t
+              FROM documents WHERE doc_id % 5 = 0),
+            corpus AS (
+              SELECT doc_id, t FROM base
+              UNION ALL
+              SELECT doc_id + 1000000, 'copy notice: ' || substr(t, 31, 220)
+              FROM base),
+            g AS (
+              SELECT doc_id, i AS pos,
+                     md5(substr(t, i::int + 1, {k})) AS h,
+                     len(t) - {k - 1} AS ng
+              FROM corpus,
+                   unnest(range(0, greatest(len(t) - {k - 1}, 0))) AS u(i)),
+            sel AS (
+              SELECT doc_id, ng, pos,
+                     min({{'h': h, 'np': -pos}}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS s
+              FROM g),
+            fpp AS (
+              SELECT DISTINCT doc_id, s.h AS h, -s.np AS pos
+              FROM sel WHERE pos <= greatest(ng - {w}, 0))"""
+
+
+_WINNOW_CTE = _winnow_cte(k=24, w=8)
 
 
 def _kg_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
@@ -2424,6 +2552,99 @@ def oracle_sql() -> dict[str, str]:
               FROM d JOIN n ON n.source = d.source)
             SELECT doc_id, source, round(uu * ns / w, 6) AS mix_key_r
             FROM u
+        """,
+        # shared-fingerprint pairs: df <= 50 boilerplate guard and the
+        # n_shared >= 10 floor mirrored from q_winnow_pairs
+        "winnow_pairs": "WITH"
+        + _WINNOW_CTE
+        + """,
+            fpd AS (SELECT DISTINCT doc_id AS d, h FROM fpp),
+            keep AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 50),
+            fpk AS (SELECT d, h FROM fpd JOIN keep USING (h))
+            SELECT a.d AS doc_a, b.d AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fpk a JOIN fpk b USING (h)
+            WHERE a.d < b.d
+            GROUP BY 1, 2
+            HAVING count(*) >= 10
+        """,
+        # duplicated islands: fingerprints in 2..50 docs cover
+        # [pos, pos+24); running-max gaps-and-islands merge per doc
+        "dup_spans": "WITH"
+        + _WINNOW_CTE
+        + """,
+            dfreq AS (SELECT h, count(DISTINCT doc_id) AS df
+                      FROM fpp GROUP BY h),
+            dup AS (SELECT f.doc_id, f.pos, f.pos + 24 AS e
+                    FROM fpp f JOIN dfreq USING (h)
+                    WHERE df >= 2 AND df <= 50),
+            m AS (SELECT doc_id, pos, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                  FROM dup),
+            b AS (SELECT doc_id, pos, e,
+                         CASE WHEN pm IS NULL OR pos > pm
+                              THEN 1 ELSE 0 END AS brk
+                  FROM m)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS start,
+                   CAST(max(e) AS BIGINT) AS stop
+            FROM (SELECT doc_id, pos, e,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+                  FROM b)
+            GROUP BY doc_id, island
+        """,
+        # the engine's synchronous min-tie-break LPA recurrence as a
+        # recursive CTE: the working table is exactly the previous
+        # round's labels, so iteration semantics match by construction
+        "kg_communities": f"""
+            WITH RECURSIVE {_KG_EDGE_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            adj AS (SELECT a AS node, b AS nbr FROM und
+                    UNION ALL SELECT b, a FROM und),
+            lp(it, node, label) AS (
+              SELECT 0, node, node FROM (SELECT DISTINCT node FROM adj)
+              UNION ALL
+              SELECT it + 1, node, label FROM (
+                SELECT c.it AS it, a.node AS node, c.label AS label,
+                       row_number() OVER (PARTITION BY c.it, a.node
+                         ORDER BY count(*) DESC, c.label ASC) AS rn
+                FROM lp c JOIN adj a ON a.nbr = c.node
+                GROUP BY c.it, a.node, c.label
+              ) WHERE rn = 1 AND it < 4
+            )
+            SELECT node, label FROM lp WHERE it = 4
+        """,
+        # synchronized peeling, 32 bounded rounds (>= the cascade depth
+        # here; past the fixpoint each round re-emits the same set, so
+        # it = 32 IS the fixpoint); survivor degrees recomputed from
+        # the surviving adjacency
+        "kg_kcore": f"""
+            WITH RECURSIVE {_KG_EDGE_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            adj AS (SELECT a AS node, b AS nbr FROM und
+                    UNION ALL SELECT b, a FROM und),
+            core(it, node) AS (
+              SELECT 0, node FROM (SELECT DISTINCT node FROM adj)
+              UNION ALL
+              SELECT it + 1, node FROM (
+                SELECT c.it AS it, c.node AS node, count(*) AS d
+                FROM core c JOIN adj a ON a.node = c.node
+                            JOIN core c2 ON c2.node = a.nbr
+                GROUP BY c.it, c.node
+              ) WHERE d >= 4 AND it < 32
+            ),
+            fin AS (SELECT node FROM core WHERE it = 32)
+            SELECT a.node, CAST(count(*) AS BIGINT) AS core_deg
+            FROM adj a JOIN fin f1 ON f1.node = a.node
+                       JOIN fin f2 ON f2.node = a.nbr
+            GROUP BY a.node
         """,
     }
     # the indexed path is bit-identical to the brute path by

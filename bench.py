@@ -75,6 +75,10 @@ HEADLINE = [
     "kg_reachability",
     "pii_scrub",
     "weighted_mix",
+    "winnow_pairs",
+    "dup_spans",
+    "kg_communities",
+    "kg_kcore",
 ]
 
 

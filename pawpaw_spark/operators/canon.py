@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pawpaw_spark.session import truncated_checkpoint
+
 
 def _driver_union_find(spark, rows, node_field) -> DataFrame:
     """Exact union-find on collected (src, dst) pairs; comp = min member
@@ -100,7 +102,7 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("comp", F.col("node"))
 
-    labels = labels.localCheckpoint(eager=True)
+    labels = truncated_checkpoint(labels)
     converged = False
     for it in range(max_iters):
         # neighbor labels: for each edge (src,dst), dst hears src's comp
@@ -132,7 +134,7 @@ def connected_components(
         # checkpoints (measured 35s for a tiny edge set). The label
         # table is one row per node; eager localCheckpoint keeps each
         # iteration O(1) passes and the lineage flat.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = truncated_checkpoint(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

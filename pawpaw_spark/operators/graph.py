@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pawpaw_spark.session import truncated_checkpoint
+
 
 # PageRank fixed-point unit: ranks live in int64 multiples of 1e-15.
 # Sized so the largest recurrence term, d1000 * (contrib + dmass/N)
@@ -174,7 +176,7 @@ def pagerank(
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = truncated_checkpoint(ranks)
     ranks = ranks.withColumn(
         "rank", (F.col("rank_fp") / F.lit(float(_PR_SCALE))).alias("rank")
     ).select("node", "rank", "rank_fp")
@@ -351,6 +353,123 @@ def triangle_count(
 
         _attach_caches(out, [und, deg, oriented])
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    iters: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the
+    deterministic variant) -> (node, label): community detection over
+    the undirected simple projection.
+
+    Each round, EVERY node simultaneously adopts the most frequent
+    label among its neighbors, breaking count ties by the smallest
+    label — the two places the published algorithm is nondeterministic
+    (update order, random tie-break) are fixed to synchronous +
+    min-label, so results are bit-identical at any partitioning,
+    cluster size, or engine (the DuckDB contract oracle runs the same
+    recurrence as a recursive CTE). Initial label = the node id.
+    A FIXED iteration count keeps the operator one lazy plan per round
+    and reproducible; synchronous LPA can 2-cycle on bipartite
+    structures, so a fixpoint probe would not terminate anyway —
+    callers pick ``iters`` (community diameter) like PageRank callers
+    pick theirs.
+
+    Scale shape per round: one equi-join (adjacency x labels, shuffle
+    on the neighbor id) + one count aggregation + one min aggregation
+    (both shuffle on the node id — AQE-splittable; a hub's incident
+    rows all carry the hub's id, the same skew profile as PageRank's
+    contribution agg). ``checkpoint_every`` bounds lineage depth.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    und = undirected_edges(edges, a_col, b_col).persist()
+    adj = und.selectExpr("a as node", "b as nbr").union(
+        und.selectExpr("b as node", "a as nbr")
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    for it in range(iters):
+        nbr_labels = adj.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        ).select("node", "label")
+        counts = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l")))
+            .getField("l")
+            .alias("label")
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            labels = truncated_checkpoint(labels)
+    out = labels.localCheckpoint(eager=True) if iters > 0 else labels
+    und.unpersist()
+    return out
+
+
+def kcore(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    k: int = 3,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core of the undirected simple projection -> (node, core_deg):
+    the maximal subgraph where every node has degree >= ``k``, with
+    each survivor's degree INSIDE the core. The KG use: separating the
+    densely cross-referenced symbol core from leaf utilities before
+    running expensive analytics on it.
+
+    Synchronized peeling: every round drops ALL nodes whose degree
+    within the current survivor set is < k, simultaneously, until a
+    fixpoint. The fixpoint is the k-core regardless of peel order (the
+    classic invariant), and the synchronized schedule makes the round
+    count ~ the cascade depth, not the node count — a chain that
+    unravels one node per round is the worst case, bounded by
+    ``max_rounds`` with a hard raise (silent truncation would return a
+    superset of the core; the union-find convergence rule applied
+    here).
+
+    Scale shape per round: restrict adjacency to survivors (two
+    equi-joins on node id) + one degree aggregation; the survivor set
+    is localCheckpoint-ed so lineage stays O(1) per round and the
+    fixpoint probe (one metadata ``count()``) reads materialized data.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    und = undirected_edges(edges, a_col, b_col).persist()
+    adj = und.selectExpr("a as node", "b as nbr").union(
+        und.selectExpr("b as node", "a as nbr")
+    )
+    try:
+        cur = truncated_checkpoint(adj.select("node").distinct())
+        n_cur = cur.count()
+        for _ in range(max_rounds):
+            deg = (
+                adj.join(cur, "node")
+                .join(cur.select(F.col("node").alias("nbr")), "nbr")
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+            )
+            survivors = truncated_checkpoint(
+                deg.filter(F.col("core_deg") >= k)
+            )
+            n_next = survivors.count()
+            if n_next == n_cur:
+                return survivors.select("node", "core_deg")
+            cur, n_cur = survivors.select("node"), n_next
+            if n_cur == 0:
+                return survivors.select("node", "core_deg")
+        raise RuntimeError(
+            f"kcore did not reach a fixpoint in {max_rounds} rounds — "
+            "raise max_rounds (deep peel cascades unravel one layer per round)"
+        )
+    finally:
+        und.unpersist()
 
 
 def kg_node_metrics(

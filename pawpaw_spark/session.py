@@ -68,3 +68,42 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def truncated_checkpoint(df):
+    """``localCheckpoint(eager=True)`` that also RESETS plan statistics.
+
+    Spark's ``localCheckpoint`` truncates the logical plan to a
+    ``LogicalRDD`` but carries the pre-checkpoint ``sizeInBytes``
+    forward as origin stats. An iterative operator whose round output
+    consumes the previous round's checkpoint TWICE (k-core's two
+    survivor restrictions, PageRank's contribution + dangling-mass
+    reads) therefore SQUARES the size estimate every round —
+    double-exponential BigInteger growth that OOMs the driver inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` after ~30 rounds (observed on a
+    30-round peel cascade; digit count doubles per round). Rebuilding
+    the DataFrame from the checkpointed InternalRow RDD drops the
+    origin stats, so every round starts from ``defaultSizeInBytes``
+    again: estimates stay O(1) while AQE's runtime statistics (exact,
+    post-shuffle) still drive broadcast/skew decisions where they
+    matter.
+
+    Uses ``SparkSession.internalCreateDataFrame`` (the same JVM entry
+    point PySpark's own Arrow ingestion rides); falls back to the plain
+    checkpoint if the internal surface moves.
+    """
+    cp = df.localCheckpoint(eager=True)
+    try:
+        from pyspark.sql import DataFrame
+
+        spark = df.sparkSession
+        jrdd = cp._jdf.queryExecution().toRdd()
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            cp.schema.json()
+        )
+        return DataFrame(
+            spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False),
+            spark,
+        )
+    except Exception:  # pragma: no cover - internal-API drift guard
+        return cp

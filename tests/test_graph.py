@@ -357,3 +357,165 @@ class TestReachabilityProperty:
             ).collect()
         }
         assert got == py_bfs(edges, seeds, max_depth)
+
+
+# --- label propagation ------------------------------------------------------
+
+
+def py_lpa(edges, iters):
+    """Synchronous min-tie-break LPA over the undirected simple
+    projection — the deterministic recurrence label_propagation()
+    documents."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        labels = new
+    return labels
+
+
+class TestLabelPropagation:
+    def test_matches_python_reference(self, spark):
+        from pawpaw_spark.operators.graph import label_propagation
+
+        for iters in (0, 1, 3):
+            got = {
+                r.node: r.label
+                for r in label_propagation(
+                    _edge_df(spark, RING_HUB), iters=iters
+                ).collect()
+            }
+            want = {
+                str(n): str(l)
+                for n, l in py_lpa([(str(a), str(b)) for a, b in RING_HUB], iters).items()
+            }
+            assert got == want, f"iters={iters}"
+
+    def test_two_cliques_bridge(self, spark):
+        from pawpaw_spark.operators.graph import label_propagation
+
+        cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        cl2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        edges = cl1 + cl2 + [(3, 10)]
+        out = {
+            r.node: r.label
+            for r in label_propagation(_edge_df(spark, edges), iters=4).collect()
+        }
+        # each clique converges to one label; they differ
+        lab1 = {out[str(n)] for n in range(4)}
+        lab2 = {out[str(n)] for n in range(10, 14)}
+        assert len(lab1) == 1 and len(lab2) == 1 and lab1 != lab2
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 12)),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(1, 3),
+    )
+    def test_property_random_graphs(self, spark, edges, iters):
+        from pawpaw_spark.operators.graph import label_propagation
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        got = {
+            r.node: r.label
+            for r in label_propagation(_edge_df(spark, edges), iters=iters).collect()
+        }
+        want = {
+            str(n): str(l)
+            for n, l in py_lpa([(str(a), str(b)) for a, b in edges], iters).items()
+        }
+        assert got == want
+
+
+# --- k-core -----------------------------------------------------------------
+
+
+def py_kcore(edges, k):
+    """Sequential peeling reference (order-independent fixpoint)."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            if len(adj[n] & alive) < k:
+                alive.discard(n)
+                changed = True
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+class TestKCore:
+    def test_matches_python_reference(self, spark):
+        from pawpaw_spark.operators.graph import kcore
+
+        sedges = [(str(a), str(b)) for a, b in RING_HUB]
+        for k in (0, 1, 2, 3, 4):
+            got = {
+                r.node: r.core_deg
+                for r in kcore(_edge_df(spark, RING_HUB), k=k).collect()
+            }
+            want = {n: d for n, d in py_kcore(sedges, k).items()}
+            assert got == want, f"k={k}"
+
+    def test_deep_cascade_chain(self, spark):
+        from pawpaw_spark.operators.graph import kcore
+
+        # a 30-chain hanging off a 4-clique: 2-core peeling unravels
+        # the chain one layer per synchronized round (here, from the
+        # free end only), exercising many rounds before the fixpoint
+        clique = [(100, 101), (100, 102), (100, 103), (101, 102), (101, 103), (102, 103)]
+        chain = [(100, 0)] + [(i, i + 1) for i in range(29)]
+        got = {
+            r.node: r.core_deg
+            for r in kcore(_edge_df(spark, clique + chain), k=2).collect()
+        }
+        want = py_kcore([(str(a), str(b)) for a, b in clique + chain], 2)
+        assert got == want
+        assert set(got) == {"100", "101", "102", "103"}
+
+    def test_max_rounds_raise(self, spark):
+        from pawpaw_spark.operators.graph import kcore
+
+        chain = [(i, i + 1) for i in range(12)]
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            kcore(_edge_df(spark, chain), k=2, max_rounds=3)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10), st.integers(0, 10)),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(1, 4),
+    )
+    def test_property_random_graphs(self, spark, edges, k):
+        from pawpaw_spark.operators.graph import kcore
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        got = {
+            r.node: r.core_deg
+            for r in kcore(_edge_df(spark, edges), k=k).collect()
+        }
+        want = py_kcore([(str(a), str(b)) for a, b in edges], k)
+        assert got == want

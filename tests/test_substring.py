@@ -1,0 +1,166 @@
+"""Winnowing exact-substring dedup (operators/substring.py).
+
+Three layers: a pure-Python reference implementation of Schleimer et
+al.'s winnowing (the published algorithm, written here from the paper's
+definition) as the differential oracle; the SIGMOD-2003 detection
+guarantee on planted copies; and plan-shape guards (fingerprinting must
+stay shuffle-free)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pawpaw_spark.operators.substring import (
+    duplicated_spans,
+    shared_fingerprint_pairs,
+    winnow_fingerprints,
+)
+
+
+def py_winnow(text: str, k: int, w: int) -> set[tuple[str, int]]:
+    """Reference winnowing: min (hash, -pos) per window of w k-gram
+    hashes (rightmost minimal), truncated single window for short docs."""
+    n = len(text)
+    if n < k:
+        return set()
+    grams = [
+        (hashlib.md5(text[i : i + k].encode()).hexdigest(), -i)
+        for i in range(n - k + 1)
+    ]
+    out = set()
+    for p in range(max(len(grams) - w, 0) + 1):
+        h, np_ = min(grams[p : p + w])
+        out.add((h, -np_))
+    return out
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "XX the quick brown fox jumps over the lazy dog YY other tail text"),
+    (3, "completely unrelated content with nothing shared at all zzz"),
+    (4, "tiny"),
+    (5, ""),
+    (6, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # degenerate: one repeated gram
+    (7, "abcdefghij"),  # fewer grams than w at k=8, w=4
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+class TestFingerprints:
+    def test_matches_python_reference(self, spark, docs_df):
+        got = {
+            (r.doc_id, r.h, r.pos)
+            for r in winnow_fingerprints(docs_df, k=8, w=4).collect()
+        }
+        want = {
+            (d, h, p) for d, t in DOCS for (h, p) in py_winnow(t, 8, 4)
+        }
+        assert got == want
+
+    @pytest.mark.parametrize("k,w", [(3, 2), (5, 5), (16, 8)])
+    def test_matches_python_reference_params(self, spark, docs_df, k, w):
+        got = {
+            (r.doc_id, r.h, r.pos)
+            for r in winnow_fingerprints(docs_df, k=k, w=w).collect()
+        }
+        want = {(d, h, p) for d, t in DOCS for (h, p) in py_winnow(t, k, w)}
+        assert got == want
+
+    def test_density(self, spark):
+        # expected fingerprint density ~2/(w+1) of positions on random text
+        import random
+
+        rng = random.Random(7)
+        text = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(4000))
+        df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+        n_fp = winnow_fingerprints(df, k=8, w=8).count()
+        positions = len(text) - 8 + 1
+        density = n_fp / positions
+        assert 0.5 * 2 / 9 < density < 2.0 * 2 / 9
+
+    def test_xxhash64_variant(self, spark, docs_df):
+        fp = winnow_fingerprints(docs_df, k=8, w=4, hash_fn="xxhash64")
+        assert dict(fp.dtypes)["h"] == "bigint"
+        assert fp.count() > 0
+
+    def test_fingerprinting_is_shuffle_free(self, spark, docs_df):
+        plan = winnow_fingerprints(docs_df, k=8, w=4)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestGuarantee:
+    def test_planted_copy_detected_at_any_alignment(self, spark):
+        # SIGMOD 2003 Thm 2: shared substring of length >= w + k - 1
+        # (= 23 here) yields a shared fingerprint hash at ANY offset
+        import random
+
+        rng = random.Random(11)
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        passage = "".join(rng.choice(alpha) for _ in range(23))
+        rows = []
+        for i, prefix_len in enumerate([0, 1, 7, 13, 50]):
+            noise = "".join(rng.choice("0123456789") for _ in range(prefix_len))
+            tail = "".join(rng.choice("0123456789") for _ in range(17))
+            rows.append((i, noise + passage + tail))
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        pairs = shared_fingerprint_pairs(df, k=16, w=8, max_df=None)
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        want = {(a, b) for a in range(5) for b in range(a + 1, 5)}
+        assert want <= got
+
+    def test_max_df_drops_boilerplate(self, spark):
+        # 10 byte-identical docs: EVERY fingerprint has df=10, so the
+        # df > 5 guard removes all 45 pairs (docs with unique affixes
+        # would keep some low-df shared fingerprints from boundary
+        # windows — winnowing selection near a boundary is context-
+        # dependent, which is why the guard keys on doc frequency, not
+        # on position)
+        rows = [(i, "shared license header text, identical everywhere") for i in range(10)]
+        rows += [(100, "one completely different document body here"), (101, "another unrelated document")]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        n_uncapped = shared_fingerprint_pairs(df, k=16, w=4, max_df=None).count()
+        n_capped = shared_fingerprint_pairs(df, k=16, w=4, max_df=5).count()
+        assert n_uncapped == 45 and n_capped == 0
+
+
+class TestSpans:
+    def test_islands_merge_and_cover(self, spark, docs_df):
+        spans = {
+            (r.doc_id, r.start, r.stop)
+            for r in duplicated_spans(docs_df, k=8, w=4, max_df=None).collect()
+        }
+        by_doc = {}
+        for d, s, e in spans:
+            by_doc.setdefault(d, []).append((s, e))
+        # docs 1 and 2 share the 44-char passage; each gets ONE island
+        # covering it (alignment differs by the 'XX ' prefix)
+        assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+        (s1, e1), (s2, e2) = by_doc[1][0], by_doc[2][0]
+        assert e1 - s1 >= 23 and e2 - s2 >= 23
+        assert s2 - s1 == 3  # prefix shift visible in anchor positions
+        assert 3 not in by_doc and 4 not in by_doc and 5 not in by_doc
+
+    def test_spans_disjoint_and_sorted(self, spark, docs_df):
+        rows = duplicated_spans(docs_df, k=8, w=4, max_df=None).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append((r.start, r.stop))
+        for d, sp in by_doc.items():
+            sp.sort()
+            for (s1, e1), (s2, e2) in zip(sp, sp[1:]):
+                assert e1 < s2, f"overlapping islands in doc {d}"
+
+
+class TestValidation:
+    def test_bad_params(self, spark, docs_df):
+        with pytest.raises(ValueError):
+            winnow_fingerprints(docs_df, k=0, w=4)
+        with pytest.raises(ValueError):
+            winnow_fingerprints(docs_df, k=4, w=0)
+        with pytest.raises(ValueError):
+            winnow_fingerprints(docs_df, k=4, w=4, hash_fn="sha1")
