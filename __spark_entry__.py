@@ -1490,6 +1490,20 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_spans(_winnow_corpus(spark, sf_dir), k=24, w=8, max_df=50)
 
 
+def q_dup_cut_text(spark, sf_dir):
+    """The full Lee-et-al exact-substring dedup loop, end to end:
+    winnow -> duplicated islands -> surgical span removal. Returns the
+    CLEANED TEXT itself (not just stats) per corpus doc, so the value
+    hash pins every kept char — complement-interval arithmetic, piece
+    ordering, and clipping all verified against the oracle's
+    lag-window + ordered string_agg reconstruction."""
+    from pawpaw_spark.operators.substring import duplicated_spans, remove_spans
+
+    corpus = _winnow_corpus(spark, sf_dir)
+    spans = duplicated_spans(corpus, k=24, w=8, max_df=50)
+    return remove_spans(corpus, spans).select("doc_id", "clean_text", "n_cut")
+
+
 def q_kg_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (min tie-break,
     4 rounds) over the kernel-extracted call graph: hub spokes pull
@@ -1580,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix": q_weighted_mix,
         "winnow_pairs": q_winnow_pairs,
         "dup_spans": q_dup_spans,
+        "dup_cut_text": q_dup_cut_text,
         "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
     }
@@ -2595,6 +2610,59 @@ def oracle_sql() -> dict[str, str]:
                            AND CURRENT ROW) AS island
                   FROM b)
             GROUP BY doc_id, island
+        """,
+        # islands (as in dup_spans) -> complement intervals via a lag
+        # window -> ordered string_agg rebuild; docs without islands
+        # pass through verbatim
+        "dup_cut_text": "WITH"
+        + _WINNOW_CTE
+        + """,
+            dfreq AS (SELECT h, count(DISTINCT doc_id) AS df
+                      FROM fpp GROUP BY h),
+            dup AS (SELECT f.doc_id, f.pos, f.pos + 24 AS e
+                    FROM fpp f JOIN dfreq USING (h)
+                    WHERE df >= 2 AND df <= 50),
+            m AS (SELECT doc_id, pos, e,
+                         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                  FROM dup),
+            b AS (SELECT doc_id, pos, e,
+                         CASE WHEN pm IS NULL OR pos > pm
+                              THEN 1 ELSE 0 END AS brk
+                  FROM m),
+            isl AS (SELECT doc_id, min(pos) AS start, max(e) AS stop
+                    FROM (SELECT doc_id, pos, e,
+                                 sum(brk) OVER (PARTITION BY doc_id
+                                   ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+                          FROM b)
+                    GROUP BY doc_id, island),
+            pieces AS (
+              SELECT doc_id,
+                     lag(stop, 1, 0) OVER (PARTITION BY doc_id
+                       ORDER BY start) AS lo,
+                     start AS hi
+              FROM isl
+              UNION ALL
+              SELECT i.doc_id, max(i.stop), max(len(c.t))
+              FROM isl i JOIN corpus c USING (doc_id)
+              GROUP BY i.doc_id),
+            cleaned AS (
+              SELECT p.doc_id,
+                     string_agg(substr(c.t, p.lo::int + 1,
+                                       greatest(p.hi - p.lo, 0)::int),
+                                '' ORDER BY p.lo) AS clean_text
+              FROM pieces p JOIN corpus c USING (doc_id)
+              GROUP BY p.doc_id),
+            ncut AS (SELECT doc_id, count(*) AS n FROM isl GROUP BY doc_id)
+            SELECT c.doc_id,
+                   coalesce(cl.clean_text, c.t) AS clean_text,
+                   CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cut
+            FROM corpus c
+            LEFT JOIN cleaned cl USING (doc_id)
+            LEFT JOIN ncut nc USING (doc_id)
         """,
         # the engine's synchronous min-tie-break LPA recurrence as a
         # recursive CTE: the working table is exactly the previous

@@ -77,6 +77,7 @@ HEADLINE = [
     "weighted_mix",
     "winnow_pairs",
     "dup_spans",
+    "dup_cut_text",
     "kg_communities",
     "kg_kcore",
 ]

@@ -206,3 +206,59 @@ def duplicated_spans(
         )
         .select(id_col, "start", "stop")
     )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut char ranges out of documents -> input columns plus
+    ``clean_text`` and ``n_cut`` (ranges removed). The second half of
+    Lee et al.'s exact-substring dedup: :func:`duplicated_spans` finds
+    the verbatim-duplicated ranges, this surgically removes them while
+    keeping the rest of the document.
+
+    ``spans`` is (``id_col``, start, stop) with NON-OVERLAPPING ranges
+    per document (duplicated_spans' islands are disjoint by
+    construction); [start, stop) clipped to the text. Documents with no
+    spans pass through with ``clean_text = text``.
+
+    Shape: spans collapse to one array per doc (a partial-agg groupBy),
+    one broadcast-or-shuffle join back to the docs, then the kept-piece
+    extraction is pure per-row column math — complement intervals via
+    a sorted-array walk, no window, no Python.
+    """
+    per_doc = (
+        spans.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("start"), F.col("stop")))
+            ).alias("_cuts")
+        )
+    )
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    cuts = F.col("_cuts")
+    # kept piece BEFORE cut i runs from the previous cut's stop (0 for
+    # the first) to this cut's start; the tail after the last cut is
+    # appended separately. Clipping keeps out-of-range spans harmless.
+    clip = lambda x: F.greatest(F.lit(0).cast("long"), F.least(n, x.cast("long")))
+    pieces = F.zip_with(
+        F.concat(F.array(F.lit(0).cast("long")), F.transform(cuts, lambda c: clip(c["stop"]))),
+        F.concat(F.transform(cuts, lambda c: clip(c["start"])), F.array(n)),
+        lambda lo, hi: F.when(hi > lo, t.substr(lo + 1, hi - lo)).otherwise(F.lit("")),
+    )
+    clean = F.concat_ws("", pieces)
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            "clean_text", F.when(cuts.isNull(), t).otherwise(clean)
+        )
+        .withColumn(
+            "n_cut",
+            F.coalesce(F.size("_cuts"), F.lit(0)).cast("long"),
+        )
+        .drop("_cuts")
+    )

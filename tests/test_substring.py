@@ -164,3 +164,47 @@ class TestValidation:
             winnow_fingerprints(docs_df, k=4, w=0)
         with pytest.raises(ValueError):
             winnow_fingerprints(docs_df, k=4, w=4, hash_fn="sha1")
+
+
+def py_remove_spans(text: str, spans: list[tuple[int, int]]) -> str:
+    keep, pos = [], 0
+    for s, e in sorted(spans):
+        s, e = max(0, min(len(text), s)), max(0, min(len(text), e))
+        if s > pos:
+            keep.append(text[pos:s])
+        pos = max(pos, e)
+    keep.append(text[pos:])
+    return "".join(keep)
+
+
+class TestRemoveSpans:
+    def test_matches_python_reference(self, spark):
+        from pawpaw_spark.operators.substring import remove_spans
+
+        docs = [(1, "abcdefghij"), (2, "hello world"), (3, "short"), (4, "")]
+        spans = [(1, 2, 5), (1, 7, 9), (2, 0, 6), (2, 50, 60), (4, 0, 3)]
+        ddf = spark.createDataFrame(docs, "doc_id: long, text: string")
+        sdf = spark.createDataFrame(spans, "doc_id: long, start: long, stop: long")
+        got = {
+            r.doc_id: (r.clean_text, r.n_cut)
+            for r in remove_spans(ddf, sdf).collect()
+        }
+        for d, t in docs:
+            sp = [(s, e) for (i, s, e) in spans if i == d]
+            assert got[d] == (py_remove_spans(t, sp), len(sp)), f"doc {d}"
+
+    def test_roundtrip_with_duplicated_spans(self, spark, docs_df):
+        # cutting the duplicated spans must remove the shared passage:
+        # the cleaned docs 1 and 2 share no fingerprints at the original
+        # parameters any more
+        from pawpaw_spark.operators.substring import (
+            duplicated_spans,
+            remove_spans,
+            shared_fingerprint_pairs,
+        )
+
+        spans = duplicated_spans(docs_df, k=8, w=4, max_df=None)
+        cleaned = remove_spans(docs_df, spans).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        assert shared_fingerprint_pairs(cleaned, k=8, w=4, max_df=None).count() == 0
