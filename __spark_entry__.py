@@ -1490,6 +1490,38 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_spans(_winnow_corpus(spark, sf_dir), k=24, w=8, max_df=50)
 
 
+_WINNOW_DELTA_INDEX: set = set()
+
+
+def q_winnow_delta(spark, sf_dir):
+    """Incremental exact-substring dedup (daily-ingest path): the base
+    docs are the INDEXED history (winnowing fingerprints at rest,
+    (k, w) in a sidecar), the planted copies (+1e6 ids) are the NEW
+    slice. The delta finds every shared-passage pair involving a new
+    doc — new-vs-index and new-vs-new — without re-reading history
+    text. Oracle: the full winnowing pair set in DuckDB restricted to
+    pairs touching a planted id; ids compare as VARCHAR in both engines
+    (the index stores string ids), so the a < b normalization is
+    byte-identical."""
+    from pawpaw_spark.operators.substring import (
+        winnow_delta_pairs,
+        winnow_index_write,
+    )
+
+    corpus = _winnow_corpus(spark, sf_dir)
+    hist = corpus.filter(F.col("doc_id") < 1000000)
+    new = corpus.filter(F.col("doc_id") >= 1000000)
+    path = "/tmp/pawpaw_winnow_index_" + os.path.basename(os.path.normpath(sf_dir))
+    key = (id(spark), path)
+    if key not in _WINNOW_DELTA_INDEX:
+        winnow_index_write(hist, path, k=24, w=8)
+        _WINNOW_DELTA_INDEX.add(key)
+    pairs = winnow_delta_pairs(new, path, max_df=50)
+    out = pairs.select("a", "b", "n_shared")
+    out._pawpaw_cached = getattr(pairs, "_pawpaw_cached", [])
+    return out
+
+
 def q_dup_cut_text(spark, sf_dir):
     """The full Lee-et-al exact-substring dedup loop, end to end:
     winnow -> duplicated islands -> surgical span removal. Returns the
@@ -1595,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "dup_spans": q_dup_spans,
         "dup_cut_text": q_dup_cut_text,
+        "winnow_delta": q_winnow_delta,
         "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
     }
@@ -2610,6 +2643,23 @@ def oracle_sql() -> dict[str, str]:
                            AND CURRENT ROW) AS island
                   FROM b)
             GROUP BY doc_id, island
+        """,
+        # full pair set restricted to pairs touching a planted (new)
+        # id — history-vs-history pairs are the index's past output;
+        # VARCHAR id comparison mirrors the engine's string index ids
+        "winnow_delta": "WITH"
+        + _WINNOW_CTE
+        + """,
+            fpd AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d,
+                           doc_id AS nid, h
+                    FROM fpp),
+            keep AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 50),
+            fpk AS (SELECT d, nid, h FROM fpd JOIN keep USING (h))
+            SELECT a.d AS a, b.d AS b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM fpk a JOIN fpk b USING (h)
+            WHERE a.d < b.d
+              AND (a.nid >= 1000000 OR b.nid >= 1000000)
+            GROUP BY 1, 2
         """,
         # islands (as in dup_spans) -> complement intervals via a lag
         # window -> ordered string_agg rebuild; docs without islands

@@ -78,6 +78,7 @@ HEADLINE = [
     "winnow_pairs",
     "dup_spans",
     "dup_cut_text",
+    "winnow_delta",
     "kg_communities",
     "kg_kcore",
 ]

@@ -262,3 +262,146 @@ def remove_spans(
         )
         .drop("_cuts")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (daily-ingest) exact-substring dedup
+# ---------------------------------------------------------------------------
+
+_WINNOW_INDEX_PARAMS = ("k", "w")
+
+
+def winnow_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus winnowing-fingerprint index: one parquet row
+    per (doc, fingerprint) with its position, parameters in a
+    ``<path>/params`` sidecar — the exact-substring analog of
+    :func:`pawpaw_spark.operators.dedup.minhash_index_write`, with the
+    same contract: a delta pass derives its parameters FROM the
+    sidecar, and ``mode='append'`` (the daily fold-in) validates the
+    call's parameters against it and raises on mismatch — appending
+    fingerprints winnowed under different (k, w) would silently break
+    the shared-substring guarantee for every cross-era pair.
+
+    The index hash is fixed to md5: the at-rest format must stay
+    comparable across engine versions and to external tools, which the
+    seedless public digest guarantees and xxhash64's implementation
+    detail does not.
+    """
+    spark = df.sparkSession
+    params = dict(zip(_WINNOW_INDEX_PARAMS, (k, w)))
+    if mode == "append":
+        from pyspark.errors import AnalysisException
+
+        try:
+            row = spark.read.parquet(f"{path}/params").first()
+            if row is None:
+                raise ValueError(
+                    f"winnow_index_write(mode='append'): params sidecar at "
+                    f"{path}/params exists but holds no row — refusing to "
+                    "append against an unvalidatable index"
+                )
+        except AnalysisException as ex:
+            # only a MISSING sidecar is a cold start; any other read
+            # failure must surface (see minhash_index_write)
+            msg = str(ex)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise
+            row = None
+        if row is not None:
+            old = {p: int(row.asDict()[p]) for p in _WINNOW_INDEX_PARAMS}
+            if old != params:
+                raise ValueError(
+                    f"winnow_index_write(mode='append'): parameters {params} "
+                    f"do not match the existing index sidecar {old}"
+                )
+    df = df.withColumn(id_col, F.col(id_col).cast("string"))
+    fp = winnow_fingerprints(df, text_col, id_col, k, w, hash_fn="md5")
+    fp.write.mode(mode).parquet(f"{path}/rows")
+    df.sparkSession.createDataFrame([params]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def winnow_delta_pairs(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Shared-passage pairs INVOLVING AT LEAST ONE NEW DOC -> (a, b,
+    n_shared): new-vs-index and new-vs-new, never history-vs-history
+    (those were emitted when history was new) — cost scales with
+    |delta| x fingerprint density, and historical TEXT is never
+    re-read, only its at-rest fingerprints.
+
+    (k, w) come from the index sidecar (not caller-suppliable: a
+    mismatch would silently find nothing). The ``max_df`` boilerplate
+    guard counts doc frequency over the WHOLE corpus (index + delta),
+    matching what a full recompute would see; as with the n-gram/
+    minhash caps, a fingerprint pushed over the cap by the delta
+    suppresses its pairs from here on, while pre-cap history pairs
+    stand as emitted.
+    """
+    spark = new_docs.sparkSession
+    new_docs = new_docs.withColumn(id_col, F.col(id_col).cast("string"))
+    spark.read.parquet(f"{index_path}/params").first()  # existence check
+    idx = spark.read.parquet(f"{index_path}/rows")
+    new_ids = new_docs.select(F.col(id_col).alias("_nid")).distinct()
+    if (
+        idx.join(new_ids, idx[idx.columns[0]] == F.col("_nid"), "left_semi")
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise ValueError("new_docs contains ids already present in the index")
+    p = spark.read.parquet(f"{index_path}/params").first().asDict()
+    fp_new = (
+        winnow_fingerprints(
+            new_docs, text_col, id_col, int(p["k"]), int(p["w"]), hash_fn="md5"
+        )
+        .select(F.col(id_col).alias("id"), "h")
+        .distinct()
+        .persist()
+    )
+    fp_old = idx.select(F.col(idx.columns[0]).alias("id"), "h").distinct()
+    if max_df is not None:
+        dfreq = (
+            fp_old.unionByName(fp_new)
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        hot = F.broadcast(dfreq.filter(F.col("df") > max_df).select("h"))
+        fp_new_k = fp_new.join(hot, "h", "left_anti")
+        fp_old_k = fp_old.join(hot, "h", "left_anti")
+    else:
+        fp_new_k, fp_old_k = fp_new, fp_old
+    no = (
+        fp_new_k.select(F.col("id").alias("n"), "h")
+        .join(fp_old_k.select(F.col("id").alias("o"), "h"), "h")
+        .select(F.least("n", "o").alias("a"), F.greatest("n", "o").alias("b"), "h")
+    )
+    nn = (
+        fp_new_k.select(F.col("id").alias("a"), "h")
+        .join(fp_new_k.select(F.col("id").alias("b"), "h"), "h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "h")
+    )
+    out = (
+        no.unionByName(nn)
+        .groupBy("a", "b")
+        .agg(F.count_distinct(F.col("h")).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    from pawpaw_spark.operators.dedup import _attach_caches
+
+    return _attach_caches(out, [fp_new])  # see dedup.cached_scope

@@ -208,3 +208,84 @@ class TestRemoveSpans:
             "doc_id", F.col("clean_text").alias("text")
         )
         assert shared_fingerprint_pairs(cleaned, k=8, w=4, max_df=None).count() == 0
+
+
+class TestIncrementalWinnow:
+    def _pairs(self, df):
+        return {(r.a, r.b, r.n_shared) for r in df.collect()}
+
+    def test_delta_equals_full_restricted_to_new(self, spark, tmp_path):
+        from pawpaw_spark.operators.substring import (
+            winnow_delta_pairs,
+            winnow_index_write,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog near the river"
+        rows = [(i, f"{i:03d} {base} tail{i}") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        hist = df.filter(F.col("doc_id") % 2 == 0)
+        new = df.filter(F.col("doc_id") % 2 == 1)
+        path = str(tmp_path / "widx")
+        winnow_index_write(hist, path, k=16, w=4)
+        got = self._pairs(winnow_delta_pairs(new, path, max_df=None))
+        full = shared_fingerprint_pairs(
+            df.withColumn("doc_id", F.col("doc_id").cast("string")),
+            k=16, w=4, max_df=None,
+        )
+        want = {
+            (r.doc_a, r.doc_b, r.n_shared)
+            for r in full.collect()
+            if int(r.doc_a) % 2 == 1 or int(r.doc_b) % 2 == 1
+        }
+        assert got == want and len(got) > 0
+
+    def test_append_folds_delta_and_validates(self, spark, tmp_path):
+        from pawpaw_spark.operators.substring import (
+            winnow_delta_pairs,
+            winnow_index_write,
+        )
+
+        base = "shared passage that is long enough to fingerprint reliably"
+        d1 = spark.createDataFrame([(1, f"one {base}")], "doc_id: long, text: string")
+        d2 = spark.createDataFrame([(2, f"two {base}")], "doc_id: long, text: string")
+        d3 = spark.createDataFrame([(3, f"ccc {base}")], "doc_id: long, text: string")
+        path = str(tmp_path / "widx2")
+        winnow_index_write(d1, path, k=16, w=4)
+        assert {p[:2] for p in self._pairs(winnow_delta_pairs(d2, path, max_df=None))} == {("1", "2")}
+        winnow_index_write(d2, path, k=16, w=4, mode="append")
+        # day 3 sees BOTH eras
+        assert {p[:2] for p in self._pairs(winnow_delta_pairs(d3, path, max_df=None))} == {
+            ("1", "3"), ("2", "3")
+        }
+        with pytest.raises(ValueError, match="sidecar"):
+            winnow_index_write(d3, path, k=8, w=4, mode="append")
+        with pytest.raises(ValueError, match="already present"):
+            winnow_delta_pairs(d2, path)
+
+    def test_max_df_counts_whole_corpus(self, spark, tmp_path):
+        from pawpaw_spark.operators.substring import (
+            winnow_delta_pairs,
+            winnow_index_write,
+        )
+
+        # 3 indexed + 2 new docs share one passage: whole-corpus df = 5,
+        # so max_df=4 suppresses the pairs even though the NEW slice
+        # alone (df=2) would pass — the guard must see index + delta
+        # SAME-LENGTH, non-containing prefixes: boundary grams are then
+        # unique per doc (df=1) and every shared-passage fingerprint is
+        # selected identically by all 5 docs (df=5) — numeric prefixes
+        # of different lengths would make doc "10..." CONTAIN doc
+        # "0..." as a suffix, a genuine df=2 pair that survives the cap
+        base = "boilerplate license header shared by every document body"
+        hist = spark.createDataFrame(
+            [(i, f"{p} {base}") for i, p in enumerate(["aa", "bb", "cc"])],
+            "doc_id: long, text: string",
+        )
+        new = spark.createDataFrame(
+            [(i, f"{p} {base}") for i, p in [(10, "xx"), (11, "yy")]],
+            "doc_id: long, text: string",
+        )
+        path = str(tmp_path / "widx3")
+        winnow_index_write(hist, path, k=16, w=4)
+        assert len(self._pairs(winnow_delta_pairs(new, path, max_df=None))) == 7
+        assert len(self._pairs(winnow_delta_pairs(new, path, max_df=4))) == 0
