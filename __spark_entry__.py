@@ -1490,6 +1490,61 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_spans(_winnow_corpus(spark, sf_dir), k=24, w=8, max_df=50)
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join — the temporal primitive Spark's DataFrame API lacks
+    (an inequality theta-join naively, a BroadcastNestedLoopJoin or
+    cartesian plan): every purchase event enriched with the LATEST
+    prior view by the same user, via the union-then-window formulation
+    (ONE shuffle by user, no join node — plan-guarded in
+    tests/test_temporal.py). Oracle: DuckDB's native ASOF LEFT JOIN
+    over the same split, with the engine's deterministic tie collapse
+    (max payload at equal ts) mirrored as a QUALIFY dedupe. 16 of the
+    202 purchases have no prior view — the left-join nulls are part of
+    the checked values."""
+    from pawpaw_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        l, r, on="user_id", left_ts="ts",
+        right_cols=["event_id", "value"], prefix="view_",
+    )
+
+
+def q_events_range(spark, sf_dir):
+    """Interval containment join as an EQUI-join: signup events open a
+    3-day attribution window; every purchase inside a window of the
+    same user matches. Intervals replicate onto 1-day bins, points key
+    into exactly one bin, and the residual predicate runs after the
+    (user, bin) hash join — the distributed range-join design, vs the
+    nested-loop plan a raw inequality join gets (absence of
+    NestedLoop/Cartesian is plan-guarded). Oracle: the plain
+    inequality join DuckDB executes natively."""
+    from pawpaw_spark.operators.temporal import range_join_binned
+
+    ev = _events(spark, sf_dir)
+    ints = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("s_start"),
+        F.expr("ts + INTERVAL 3 DAYS").alias("s_stop"),
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    return range_join_binned(
+        pts, ints, on="user_id", point_col="p_ts",
+        start_col="s_start", stop_col="s_stop", bin_width_seconds=86400,
+    )
+
+
 _WINNOW_DELTA_INDEX: set = set()
 
 
@@ -1628,6 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_cut_text": q_dup_cut_text,
         "winnow_delta": q_winnow_delta,
+        "events_asof": q_events_asof,
+        "events_range": q_events_range,
         "kg_communities": q_kg_communities,
         "kg_kcore": q_kg_kcore,
     }
@@ -2643,6 +2700,35 @@ def oracle_sql() -> dict[str, str]:
                            AND CURRENT ROW) AS island
                   FROM b)
             GROUP BY doc_id, island
+        """,
+        # DuckDB's native ASOF LEFT JOIN; QUALIFY dedupe mirrors the
+        # engine's max-payload tie collapse at equal (user, ts)
+        "events_asof": """
+            WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+            r0 AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'view'),
+            r AS (SELECT * FROM r0
+                  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                    ORDER BY event_id DESC, value DESC) = 1)
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS view_ts, r.event_id AS view_event_id,
+                   r.value AS view_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # the inequality join DuckDB runs natively; the engine reaches
+        # the same pairs through (user, day-bin) equi-join + residual
+        "events_range": """
+            WITH s AS (SELECT event_id AS signup_id, user_id,
+                              ts AS s_start, ts + INTERVAL 3 DAY AS s_stop
+                       FROM events WHERE event_type = 'signup'),
+            p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                  FROM events WHERE event_type = 'purchase')
+            SELECT p.purchase_id, p.user_id, p.p_ts,
+                   s.signup_id, s.s_start, s.s_stop
+            FROM p JOIN s ON p.user_id = s.user_id
+               AND p.p_ts >= s.s_start AND p.p_ts < s.s_stop
         """,
         # full pair set restricted to pairs touching a planted (new)
         # id — history-vs-history pairs are the index's past output;

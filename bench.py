@@ -79,6 +79,8 @@ HEADLINE = [
     "dup_spans",
     "dup_cut_text",
     "winnow_delta",
+    "events_asof",
+    "events_range",
     "kg_communities",
     "kg_kcore",
 ]
