@@ -79,6 +79,7 @@ HEADLINE = [
     "dup_spans",
     "dup_cut_text",
     "winnow_delta",
+    "ann_pq_topk",
     "events_asof",
     "events_range",
     "kg_communities",
@@ -150,6 +151,9 @@ def main() -> None:
     # count() the first probe would still pay the assignment scan.
     _, clustered = E._ivf_index(spark, sf_dir)
     clustered.count()
+    # PQ codebooks + byte-code table: the same build-once artifact
+    # (ann_pq_topk times the ADC probe, not the k-means fit)
+    E._pq_index(spark, sf_dir)
     # same build-once argument for the two at-rest parquet indexes:
     # history MinHash index (minhash_delta times the DELTA pass) and
     # the BM25 inverted index (bm25_indexed times the pruned probe)

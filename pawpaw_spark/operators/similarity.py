@@ -243,3 +243,180 @@ def topk_per_group(
     oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = W.partitionBy(group_col).orderBy(oc)
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (ANN scale path #3: byte codes instead of floats)
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: int | None = 6,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) ->
+    (m, n_codes, dim/m): unit-normalize, split the dimension into ``m``
+    subspaces, k-means each subspace to ``n_codes`` centroids.
+
+    ALL subspaces train in one distributed pass per iteration: the
+    encode UDF emits every subspace's assignment at once and the update
+    is a single (subspace, code, dim)-keyed aggregation — m * n_codes *
+    dim/m = dim * n_codes rows, metadata-sized at any corpus scale.
+    Init and determinism follow :func:`ivf_fit`: id-hash-ordered seed
+    vectors, per-iteration centroid quantization so the fit is
+    bit-identical across runs/partitionings.
+    """
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    init = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")))
+        .limit(n_codes)
+        .collect()
+    )
+    seeds = np.array([r["v"] for r in init], dtype=float)
+    seeds /= np.maximum(np.linalg.norm(seeds, axis=1, keepdims=True), 1e-12)
+    # (m, n_codes, dsub)
+    books = np.stack([seeds[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+    for _ in range(iters):
+        enc = emb.withColumn("__codes", _pq_encode_udf(books)(F.col(vec_col)))
+        norm = _norm(F.col(vec_col))
+        unit = F.transform(F.col(vec_col), lambda x: x / norm)
+        sums = (
+            enc.withColumn("__unit", unit)
+            .select(F.explode(F.col("__codes")).alias("code_struct"), "__unit")
+            .select(
+                F.col("code_struct.sub").alias("sub"),
+                F.col("code_struct.code").alias("code"),
+                F.col("__unit"),
+            )
+            .select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.slice(
+                        F.col("__unit"),
+                        F.col("sub") * dsub + 1,
+                        dsub,
+                    )
+                ).alias("pos", "x"),
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = books.copy()
+        acc = np.zeros_like(books)
+        cnt = np.zeros((m, n_codes))
+        for r in sums:
+            acc[int(r["sub"]), int(r["code"]), int(r["pos"])] = r["s"]
+            cnt[int(r["sub"]), int(r["code"])] = r["n"]
+        nz = cnt > 0
+        for s in range(m):
+            for c in range(n_codes):
+                if nz[s, c]:
+                    new[s, c] = acc[s, c] / cnt[s, c]
+        books = np.round(new, quantize) if quantize is not None else new
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """All-subspace PQ assignment as one Arrow-batched numpy pass ->
+    array<struct<sub:int,code:int>> (same compile-cost argument as
+    :func:`_assign_udf`)."""
+    B = np.asarray(books, dtype=float)  # (m, k, dsub)
+    m, k, dsub = B.shape
+
+    @F.pandas_udf("array<struct<sub:int,code:int>>")
+    def enc(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=float)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        out = []
+        codes = np.empty((len(M), m), dtype=int)
+        for s in range(m):
+            sub = M[:, s * dsub : (s + 1) * dsub]  # (n, dsub)
+            # argmin ||x - c||^2 == argmax (x.c - |c|^2/2)
+            scores = sub @ B[s].T - 0.5 * (B[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmax(scores, axis=1)
+        for row in codes:
+            out.append([{"sub": int(s), "code": int(c)} for s, c in enumerate(row)])
+        return pd.Series(out)
+
+    return enc
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "codes",
+) -> DataFrame:
+    """-> (id, codes): ``codes`` is an array<int> of length m — the
+    byte-code table that REPLACES the float vectors in the hot path
+    (m bytes vs dim*4; at dim=64, m=8 that is a 32x column shrink —
+    the whole point of PQ at 100 TB)."""
+    enc = _pq_encode_udf(books)(F.col(vec_col))
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(enc, lambda s: s["code"]).alias(out_col),
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    raw: DataFrame,
+    books: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via asymmetric distance computation: the query builds
+    an (m x n_codes) inner-product lookup table driver-side, ADC score
+    = sum of m table lookups per row (pure codegen arithmetic over the
+    byte codes — the float vectors are NOT read), the best ``rerank``
+    candidates join back to the raw table for exact cosine re-rank.
+
+    The candidate set is rerank rows — the re-rank join broadcasts it,
+    so the raw table is touched only by a broadcast-semi-join probe.
+    """
+    q = np.asarray(query_vec, dtype=float)
+    qu = q / max(np.linalg.norm(q), 1e-12)
+    B = np.asarray(books, dtype=float)  # (m, kc, dsub)
+    m, kc, dsub = B.shape
+    # T[s, c] = qu_s . B[s, c]
+    T = np.stack([B[s] @ qu[s * dsub : (s + 1) * dsub] for s in range(m)])
+    tflat = F.array(*[F.lit(float(x)) for x in T.ravel()])
+    codes = F.col("codes")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(tflat, (s * kc + F.element_at(codes, s + 1) + 1).cast("int")),
+    )
+    cands = (
+        encoded.select("id", adc.alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("id"))
+        .limit(rerank)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    qn = float(np.linalg.norm(q))
+    cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * F.lit(qn))
+    return (
+        raw.join(F.broadcast(cands), raw[id_col] == cands["id"])
+        .select(F.col(id_col).alias("id_out"), cos.alias("cosine"))
+        .select(F.col("id_out").alias("id"), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -845,6 +845,53 @@ class TestIVF:
         assert (c1 == c2).all()
 
 
+class TestPQ:
+    def test_encode_matches_numpy_reference(self, spark, emb):
+        from pawpaw_spark.operators.similarity import pq_encode, pq_fit
+
+        books = pq_fit(emb, m=8, n_codes=8, iters=2)
+        m, kc, dsub = books.shape
+        got = {r.id: list(r.codes) for r in pq_encode(emb, books).collect()}
+        rows = emb.collect()
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=float)
+            v = v / max(np.linalg.norm(v), 1e-12)
+            want = [
+                int(np.argmax(v[s * dsub:(s + 1) * dsub] @ books[s].T
+                              - 0.5 * (books[s] ** 2).sum(axis=1)))
+                for s in range(m)
+            ]
+            assert got[r.vec_id] == want
+
+    def test_fit_bit_identical_across_partitionings(self, spark, emb):
+        from pawpaw_spark.operators.similarity import pq_fit
+
+        b1 = pq_fit(emb.repartition(1), m=4, n_codes=8, iters=3, quantize=6)
+        b2 = pq_fit(emb.repartition(13), m=4, n_codes=8, iters=3, quantize=6)
+        assert (b1 == b2).all()
+
+    def test_adc_topk_recall_with_rerank(self, spark, emb):
+        from pawpaw_spark.operators.similarity import (
+            cosine_topk, pq_encode, pq_fit, pq_topk,
+        )
+
+        books = pq_fit(emb, m=8, n_codes=16, iters=3)
+        enc = pq_encode(emb, books).cache()
+        q = emb.first().embedding
+        exact = [r.id for r in cosine_topk(emb, q, k=5).collect()]
+        n = emb.count()
+        approx = [
+            r.id for r in pq_topk(enc, emb, books, q, k=5, rerank=max(100, n // 4)).collect()
+        ]
+        assert approx == exact  # re-rank is exact cosine, order included
+
+    def test_dim_not_divisible_raises(self, spark, emb):
+        from pawpaw_spark.operators.similarity import pq_fit
+
+        with pytest.raises(ValueError, match="divisible"):
+            pq_fit(emb, m=7, n_codes=8, iters=1)
+
+
 class TestPiiScrub:
     CASES = [
         "plain text, nothing to find",
