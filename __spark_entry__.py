@@ -1638,6 +1638,26 @@ def q_dup_cut_text(spark, sf_dir):
     return remove_spans(corpus, spans).select("doc_id", "clean_text", "n_cut")
 
 
+def q_kg_linkpred(spark, sf_dir):
+    """Link prediction over the call graph (Liben-Nowell & Kleinberg
+    2003): common-neighbor count, neighborhood Jaccard, Adamic-Adar for
+    every non-adjacent pair sharing a neighbor — "which symbols are
+    likely to reference each other next" / missing-edge candidates for
+    KG completion. max_hub_deg=100 exercises the wedge-explosion guard
+    ON the contract path (hubs exceed it at sf0.1, where a group hub
+    would otherwise emit C(940, 2) wedges); the oracle applies the
+    identical cap. Integer counts exact; the two float scores are one
+    expression over them, rounded (the bm25 convention)."""
+    from pawpaw_spark.operators.graph import link_prediction
+
+    out = link_prediction(_call_edges(spark, sf_dir), max_hub_deg=100)
+    return out.select(
+        "a", "b", "common",
+        F.round("jaccard", 6).alias("jaccard_r"),
+        F.round("adamic_adar", 6).alias("adamic_adar_r"),
+    )
+
+
 def q_kg_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (min tie-break,
     4 rounds) over the kernel-extracted call graph: hub spokes pull
@@ -1734,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range": q_events_range,
         "kg_communities": q_kg_communities,
+        "kg_linkpred": q_kg_linkpred,
         "kg_kcore": q_kg_kcore,
     }
 
@@ -2859,6 +2880,35 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c
             LEFT JOIN cleaned cl USING (doc_id)
             LEFT JOIN ncut nc USING (doc_id)
+        """,
+        # same wedge enumeration + hub cap + existing-edge anti-join;
+        # 1/ln(deg) is safe (a common neighbor has deg >= 2)
+        "kg_linkpred": f"""
+            WITH {_KG_EDGE_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            adj AS (SELECT a AS node, b AS nbr FROM und
+                    UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+            mid AS (SELECT adj.node AS w, adj.nbr, deg.deg AS wdeg
+                    FROM adj JOIN deg USING (node)
+                    WHERE deg.deg <= 100),
+            wed AS (SELECT w1.nbr AS a, w2.nbr AS b, w1.wdeg
+                    FROM mid w1 JOIN mid w2
+                      ON w1.w = w2.w AND w1.nbr < w2.nbr),
+            p AS (SELECT a, b, count(*) AS common,
+                         sum(1.0 / ln(wdeg)) AS aa
+                  FROM wed GROUP BY a, b),
+            px AS (SELECT p.* FROM p LEFT JOIN und
+                     ON und.a = p.a AND und.b = p.b
+                   WHERE und.a IS NULL)
+            SELECT px.a, px.b, CAST(common AS BIGINT) AS common,
+                   round(CAST(common AS DOUBLE)
+                         / (da.deg + db.deg - common), 6) AS jaccard_r,
+                   round(aa, 6) AS adamic_adar_r
+            FROM px JOIN deg da ON da.node = px.a
+                    JOIN deg db ON db.node = px.b
         """,
         # the engine's synchronous min-tie-break LPA recurrence as a
         # recursive CTE: the working table is exactly the previous

@@ -83,6 +83,7 @@ HEADLINE = [
     "events_asof",
     "events_range",
     "kg_communities",
+    "kg_linkpred",
     "kg_kcore",
 ]
 

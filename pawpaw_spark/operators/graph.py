@@ -472,6 +472,74 @@ def kcore(
         und.unpersist()
 
 
+def link_prediction(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    max_hub_deg: int | None = 100,
+    min_common: int = 1,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """Neighborhood link-prediction scores over the undirected simple
+    projection -> (a, b, common, jaccard, adamic_adar) with a < b:
+    the classic KG-completion signals (Liben-Nowell & Kleinberg 2003)
+    — common-neighbor count, neighborhood Jaccard, and Adamic-Adar
+    (sum of 1/ln(deg w) over shared neighbors w; rarer bridges weigh
+    more).
+
+    Shape: candidate pairs come from a WEDGE self-join of the
+    adjacency on the middle node — the only quadratic risk is a hub's
+    C(deg, 2) wedge fan-out, so ``max_hub_deg`` drops nodes above that
+    degree from the MIDDLE position only (their neighbors still score
+    through other shared neighbors; the standard guard — a 10^6-degree
+    hub would otherwise emit 10^12 wedges). Degrees for the Jaccard
+    denominator stay UNCAPPED. ``exclude_existing`` anti-joins pairs
+    already connected (prediction, not re-scoring).
+
+    Determinism: counts and degrees are exact integers; jaccard and
+    adamic_adar are one float expression over them (round before
+    hash-comparing across engines, the bm25 convention).
+    """
+    und = undirected_edges(edges, a_col, b_col).persist()
+    adj = und.selectExpr("a as node", "b as nbr").union(
+        und.selectExpr("b as node", "a as nbr")
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    mid = adj.join(deg, "node")
+    if max_hub_deg is not None:
+        mid = mid.filter(F.col("deg") <= max_hub_deg)
+    w1 = mid.select(
+        F.col("node").alias("w"), F.col("nbr").alias("a"), F.col("deg").alias("wdeg")
+    )
+    w2 = mid.select(F.col("node").alias("w"), F.col("nbr").alias("b"))
+    wedges = w1.join(w2, "w").filter(F.col("a") < F.col("b"))
+    pairs = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common"),
+        F.sum(1.0 / F.log(F.col("wdeg"))).alias("adamic_adar"),
+    )
+    if exclude_existing:
+        pairs = pairs.join(und, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    out = (
+        pairs.filter(F.col("common") >= min_common)
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            (F.col("common") / (F.col("da") + F.col("db") - F.col("common"))).alias(
+                "jaccard"
+            ),
+            "adamic_adar",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
 def kg_node_metrics(
     edges: DataFrame,
     subj_col: str = "subj",

@@ -519,3 +519,93 @@ class TestKCore:
         }
         want = py_kcore([(str(a), str(b)) for a, b in edges], k)
         assert got == want
+
+
+# --- link prediction ---------------------------------------------------------
+
+
+def py_linkpred(edges, max_hub_deg=None, exclude_existing=True):
+    import math
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    out = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if exclude_existing and (u, v) in und:
+                continue
+            mids = [
+                w for w in adj[u] & adj[v]
+                if max_hub_deg is None or deg[w] <= max_hub_deg
+            ]
+            if not mids:
+                continue
+            c = len(mids)
+            out[(u, v)] = (
+                c,
+                c / (deg[u] + deg[v] - c),
+                sum(1.0 / math.log(deg[w]) for w in mids),
+            )
+    return out
+
+
+class TestLinkPrediction:
+    def test_matches_python_reference(self, spark):
+        from pawpaw_spark.operators.graph import link_prediction
+
+        got = {
+            (r.a, r.b): (r.common, r.jaccard, r.adamic_adar)
+            for r in link_prediction(_edge_df(spark, RING_HUB), max_hub_deg=None).collect()
+        }
+        want = py_linkpred([(str(a), str(b)) for a, b in RING_HUB])
+        assert set(got) == set(want)
+        for k, (c, j, aa) in want.items():
+            gc, gj, gaa = got[k]
+            assert gc == c and abs(gj - j) < 1e-12 and abs(gaa - aa) < 1e-12
+
+    def test_hub_cap_drops_middle_only(self, spark):
+        from pawpaw_spark.operators.graph import link_prediction
+
+        star = [(99, i) for i in range(6)] + [(0, 1), (1, 2)]
+        uncapped = {
+            (r.a, r.b) for r in link_prediction(_edge_df(spark, star), max_hub_deg=None).collect()
+        }
+        capped = {
+            (r.a, r.b)
+            for r in link_prediction(_edge_df(spark, star), max_hub_deg=3).collect()
+        }
+        # via the hub every leaf pair scores; capped keeps only wedges
+        # through low-degree middles (0-2 via 1, 1's nbrs via 0/2, 99-x via leaves)
+        want_capped = py_linkpred([(str(a), str(b)) for a, b in star], max_hub_deg=3)
+        assert capped == set(want_capped) and len(capped) < len(uncapped)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1, max_size=20,
+        ),
+        st.sampled_from([None, 3]),
+    )
+    def test_property_random_graphs(self, spark, edges, cap):
+        from pawpaw_spark.operators.graph import link_prediction
+
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        got = {
+            (r.a, r.b): (r.common, round(r.jaccard, 9), round(r.adamic_adar, 9))
+            for r in link_prediction(_edge_df(spark, edges), max_hub_deg=cap).collect()
+        }
+        want = {
+            k: (c, round(j, 9), round(aa, 9))
+            for k, (c, j, aa) in py_linkpred(
+                [(str(a), str(b)) for a, b in edges], max_hub_deg=cap
+            ).items()
+        }
+        assert got == want
