@@ -508,6 +508,10 @@ def link_prediction(
     mid = adj.join(deg, "node")
     if max_hub_deg is not None:
         mid = mid.filter(F.col("deg") <= max_hub_deg)
+    # mid feeds BOTH sides of the wedge self-join and deg feeds the
+    # final denominators: persist, or the adj⋈deg stage (two shuffles)
+    # reruns per consumer — the triangle_count deg/oriented argument
+    mid = mid.persist()
     w1 = mid.select(
         F.col("node").alias("w"), F.col("nbr").alias("a"), F.col("deg").alias("wdeg")
     )
@@ -537,6 +541,7 @@ def link_prediction(
     )
     out = out.localCheckpoint(eager=True)
     und.unpersist()
+    mid.unpersist()
     return out
 
 
