@@ -406,17 +406,16 @@ def pq_topk(
         + F.element_at(tflat, (s * kc + F.element_at(codes, s + 1) + 1).cast("int")),
     )
     cands = (
-        encoded.select("id", adc.alias("adc"))
-        .orderBy(F.col("adc").desc(), F.col("id"))
+        encoded.select(F.col("id").alias("_cand_id"), adc.alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("_cand_id"))
         .limit(rerank)
     )
     qcol = F.array(*[F.lit(float(x)) for x in q])
     qn = float(np.linalg.norm(q))
     cos = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * F.lit(qn))
     return (
-        raw.join(F.broadcast(cands), raw[id_col] == cands["id"])
-        .select(F.col(id_col).alias("id_out"), cos.alias("cosine"))
-        .select(F.col("id_out").alias("id"), "cosine")
+        raw.join(F.broadcast(cands), raw[id_col] == cands["_cand_id"])
+        .select(F.col(id_col).alias("id"), cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("id"))
         .limit(k)
     )

@@ -64,6 +64,9 @@ def asof_join(
     right_ts = right_ts or left_ts
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys]
+    # the matched timestamp is always emitted as {prefix}{right_ts};
+    # leaving it in right_cols would emit that column twice
+    right_cols = [c for c in right_cols if c != right_ts]
     payload = F.struct(
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(c) for c in right_cols],

@@ -138,3 +138,13 @@ class TestRangeJoin:
         iv = spark.createDataFrame([(1, 0, 10, 2)], "k: long, s: long, e: long, x: long")
         with pytest.raises(ValueError, match="alias"):
             range_join_binned(p, iv, on="k", point_col="x", start_col="s", stop_col="e")
+
+
+class TestAsofDefaults:
+    def test_default_right_cols_excludes_ts(self, spark):
+        l = spark.createDataFrame([(1, 10, "a")], "k: long, ts: long, v: string")
+        r = spark.createDataFrame([(1, 5, "x")], "k: long, ts: long, rv: string")
+        out = asof_join(l, r, on="k", left_ts="ts")
+        assert out.columns == ["k", "ts", "v", "right_ts", "right_rv"]
+        row = out.collect()[0]
+        assert row.right_ts == 5 and row.right_rv == "x"
