@@ -250,3 +250,70 @@ def streaming_neardup_sink(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_substring_sink(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+    min_shared: int = 1,
+):
+    """Continuous EXACT-SUBSTRING duplicate detection — the winnowing
+    twin of :func:`streaming_neardup_sink`: each micro-batch runs the
+    incremental fingerprint delta
+    (:func:`pawpaw_spark.operators.substring.winnow_delta_pairs`,
+    new-vs-history + new-vs-new shared-passage pairs), appends the
+    pairs partitioned by batch_id (dynamic overwrite = idempotent
+    replay), then folds the batch's fingerprints into the at-rest
+    index so the next batch dedups against them.
+
+    Same exactly-once analysis as the MinHash sink: replay before the
+    index fold rewrites the same pairs partition byte-identically;
+    replay after it hits the delta's id-collision guard and fails loud.
+    Bootstrap by :func:`winnow_index_write` on history (or an empty
+    slice). State is the parquet fingerprint index — outlives any
+    watermark, shared with batch jobs.
+    """
+    from pawpaw_spark.operators.substring import (
+        winnow_delta_pairs,
+        winnow_index_write,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.select(id_col, text_col).persist()
+        try:
+            p = batch.sparkSession.read.parquet(f"{index_path}/params").first()
+            from pawpaw_spark.operators.dedup import cached_scope
+
+            with cached_scope(
+                winnow_delta_pairs(
+                    batch, index_path, text_col=text_col, id_col=id_col,
+                    max_df=max_df, min_shared=min_shared,
+                )
+            ) as pairs:
+                (
+                    pairs.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(pairs_path)
+                )
+            winnow_index_write(
+                batch, index_path, text_col=text_col, id_col=id_col,
+                k=int(p["k"]), w=int(p["w"]), mode="append",
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

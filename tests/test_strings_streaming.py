@@ -490,6 +490,56 @@ class TestStreamingNearDup:
         assert n_rows == len(hist) + len(b1) + len(b2)
 
 
+class TestStreamingSubstring:
+    def test_cross_batch_shared_passage_pairs(self, spark, tmp_path_factory):
+        """Exact-substring pairs accumulate across microbatches against
+        the at-rest winnow index: a batch-2 doc lifting a passage from
+        an indexed history doc is found, as is a batch2-vs-batch1 lift;
+        the final pair set equals a one-shot batch run minus
+        history-vs-history (emitted before the stream by contract)."""
+        from pawpaw_spark.operators.substring import (
+            shared_fingerprint_pairs,
+            winnow_index_write,
+        )
+        from pawpaw_spark.streaming.events import streaming_substring_sink
+
+        base_text = "the quick brown fox jumps over the lazy dog near the river"
+        mk = lambda i: f"{i:03d} unique preamble {i:03d} " + base_text[: 20 + i]
+        hist = [(f"h{i}", mk(i)) for i in range(3)]
+        b1 = [("a0", "XY " + hist[0][1])] + [(f"a{i}", mk(i + 20)) for i in (1, 2)]
+        b2 = [("b0", "PQR " + b1[0][1])] + [(f"b{i}", mk(i + 30)) for i in (1, 2)]
+
+        base = tmp_path_factory.mktemp("ss_stream")
+        index, pairs_out, ckpt, src = (
+            str(base / p) for p in ("idx", "pairs", "ckpt", "src")
+        )
+        schema = "doc_id string, text string"
+        winnow_index_write(spark.createDataFrame(hist, schema), index, k=16, w=4)
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = streaming_substring_sink(stream, index, pairs_out, ckpt, max_df=None)
+        q.processAllAvailable()
+        q.stop()
+
+        got = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
+        full = spark.createDataFrame(hist + b1 + b2, schema)
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in shared_fingerprint_pairs(full, k=16, w=4, max_df=None).collect()
+            if not (r.doc_a.startswith("h") and r.doc_b.startswith("h"))
+        }
+        assert got == want
+        assert ("a0", "h0") in got
+        assert ("a0", "b0") in got
+        n_rows_docs = (
+            spark.read.parquet(f"{index}/rows").select("doc_id").distinct().count()
+        )
+        assert n_rows_docs == len(hist) + len(b1) + len(b2)
+
+
 class TestStreamingScrub:
     def test_pii_and_c4_are_streaming_safe(self, spark, tmp_path_factory):
         """pii_scrub / c4_filters are pure per-row column expressions, so
