@@ -170,6 +170,13 @@ def main() -> None:
         ).filter(F.col("doc_id").cast("long") % 2 == 0)
         minhash_index_write(hist, mh_key[1], n_hashes=64, bands=16)
         E._MH_DELTA_INDEX.add(mh_key)
+    wn_key = (id(spark), "/tmp/pawpaw_winnow_index_" + sf_tag)
+    if wn_key not in E._WINNOW_DELTA_INDEX:
+        from pawpaw_spark.operators.substring import winnow_index_write
+
+        wb = E._winnow_corpus(spark, sf_dir).filter(F.col("doc_id") < 1000000)
+        winnow_index_write(wb, wn_key[1], k=24, w=8)
+        E._WINNOW_DELTA_INDEX.add(wn_key)
     inv_key = (id(spark), "/tmp/pawpaw_inv_index_" + sf_tag)
     if inv_key not in E._INV_INDEX_BUILT:
         from pawpaw_spark.operators.search import build_inverted_index
