@@ -1658,6 +1658,27 @@ def q_kg_linkpred(spark, sf_dir):
     )
 
 
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank seeded at every group hub: importance
+    RELATIVE to the declared entry points — teleport and dangling mass
+    flow only to the 16 hub symbols, so ring members score by their
+    call distance from hubs and the per-group missing symbols exercise
+    the seeded dangling term. Same exact fixed-point int64 recurrence
+    as kg_pagerank (bit-identical at any parallelism); the oracle is
+    the same unrolled-SQL generator with the seed predicate threaded
+    through init, teleport, and dangling redistribution."""
+    from pawpaw_spark.operators.graph import pagerank
+
+    seeds = spark.createDataFrame(
+        [(f"sym:f_{g}",) for g in range(_KG_GROUPS)], "node string"
+    )
+    ranks = pagerank(
+        _call_edges(spark, sf_dir), iters=3, damping=0.85,
+        materialize=False, teleport_to=seeds,
+    )
+    return ranks.select("node", F.col("rank_fp"))
+
+
 def q_kg_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (min tie-break,
     4 rounds) over the kernel-extracted call graph: hub spokes pull
@@ -1754,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range": q_events_range,
         "kg_communities": q_kg_communities,
+        "kg_ppr": q_kg_ppr,
         "kg_linkpred": q_kg_linkpred,
         "kg_kcore": q_kg_kcore,
     }
@@ -1895,6 +1917,54 @@ def _kg_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
                          JOIN r{k - 1} r ON e.src = r.node
                          JOIN deg ON deg.src = e.src
                          GROUP BY e.dst) c ON c.node = nodes.node)"""
+        )
+    parts.append(
+        f" SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+def _kg_ppr_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PERSONALIZED power-method mirror of _kg_pagerank_sql:
+    seeds = the group hubs; teleport share, initial mass, and dangling
+    redistribution restricted to them, exact integers end-to-end."""
+    scale = 10**15
+    d1000 = int(round(damping * 1000))
+    parts = [
+        f"WITH {_KG_EDGE_CTE},",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),",
+        "sd AS (SELECT DISTINCT 'sym:f_' || g AS node FROM mem),",
+        "sn AS (SELECT count(*) AS ns FROM sd),",
+        f"""r0 AS (SELECT nodes.node,
+                  CASE WHEN sd.node IS NOT NULL
+                       THEN {scale} // sn.ns ELSE 0 END AS rank_fp
+           FROM nodes CROSS JOIN sn
+           LEFT JOIN sd ON sd.node = nodes.node)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+            r{k} AS (
+              SELECT nodes.node,
+                     CASE WHEN sd.node IS NOT NULL
+                          THEN ({1000 - d1000} * {scale}) // (1000 * sn.ns)
+                               + ({d1000} * (coalesce(c.contrib, 0)
+                                             + dg.dmass // sn.ns)) // 1000
+                          ELSE ({d1000} * coalesce(c.contrib, 0)) // 1000
+                     END AS rank_fp
+              FROM nodes
+              CROSS JOIN sn
+              CROSS JOIN (SELECT coalesce(sum(r.rank_fp), 0) AS dmass
+                          FROM r{k - 1} r
+                          LEFT JOIN deg ON deg.src = r.node
+                          WHERE deg.src IS NULL) dg
+              LEFT JOIN (SELECT e.dst AS node,
+                                sum(r.rank_fp // deg.out_deg) AS contrib
+                         FROM e
+                         JOIN r{k - 1} r ON e.src = r.node
+                         JOIN deg ON deg.src = e.src
+                         GROUP BY e.dst) c ON c.node = nodes.node
+              LEFT JOIN sd ON sd.node = nodes.node)"""
         )
     parts.append(
         f" SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
@@ -2643,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "kg_pagerank": _kg_pagerank_sql(iters=3, damping=0.85),
+        "kg_ppr": _kg_ppr_sql(iters=3, damping=0.85),
         # plain 3-way-join enumeration on the canonical (a < b) edge
         # set — each triangle x<y<z appears exactly once as the row
         # pair (x,y),(y,z) closed by (x,z)

@@ -84,6 +84,7 @@ HEADLINE = [
     "events_range",
     "kg_communities",
     "kg_linkpred",
+    "kg_ppr",
     "kg_kcore",
 ]
 

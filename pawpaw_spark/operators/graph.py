@@ -60,6 +60,7 @@ def pagerank(
     damping: float = 0.85,
     checkpoint_every: int = 8,
     materialize: bool = True,
+    teleport_to: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank -> (node, rank).
 
@@ -92,6 +93,15 @@ def pagerank(
     the integer recurrence as a parts-per-1000 factor (850 for 0.85),
     sized so every intermediate stays inside int64: the largest term is
     1000 * 2e15 = 2e18 < 2^63.
+
+    ``teleport_to`` (a DataFrame with a ``node`` column) switches to
+    PERSONALIZED PageRank: the teleport share and the dangling mass
+    flow only to the seed set (restricted to nodes present in the
+    graph), initial rank is uniform over the seeds, non-seeds start at
+    0 — importance RELATIVE to the seeds ("what matters from these
+    entry points"). Same exact integer recurrence; ``teleport_to``
+    covering every node reproduces classic PageRank bit-for-bit
+    (tests pin this).
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -110,6 +120,16 @@ def pagerank(
         .distinct()
     )
     n_nodes = nodes.count()
+    seeds = None
+    if teleport_to is not None:
+        seeds = teleport_to.select("node").distinct().join(nodes, "node")
+        n_teleport = seeds.count()
+        if n_teleport == 0 and n_nodes > 0:
+            raise ValueError(
+                "teleport_to contains no node present in the graph"
+            )
+    else:
+        n_teleport = n_nodes
     if n_nodes == 0:
         out = nodes.withColumn("rank", F.lit(0.0)).withColumn(
             "rank_fp", F.lit(0).cast("long")
@@ -126,12 +146,22 @@ def pagerank(
     # table instead of a per-iteration anti-join shuffle against deg
     nodes_deg = nodes.join(
         deg, nodes["node"] == deg["src"], "left"
-    ).select("node", "out_deg").persist()
+    ).select("node", "out_deg")
+    if seeds is not None:
+        nodes_deg = nodes_deg.join(
+            seeds.withColumn("_seed", F.lit(True)), "node", "left"
+        ).withColumn("is_seed", F.coalesce("_seed", F.lit(False))).drop("_seed")
+    else:
+        nodes_deg = nodes_deg.withColumn("is_seed", F.lit(True))
+    nodes_deg = nodes_deg.persist()
     ranks = nodes_deg.withColumn(
-        "rank_fp", F.lit(_PR_SCALE // n_nodes).cast("long")
+        "rank_fp",
+        F.when(
+            F.col("is_seed"), F.lit(_PR_SCALE // n_teleport)
+        ).otherwise(F.lit(0)).cast("long"),
     )
-    # (1-d)/N teleport share, exact in Python ints (metadata-sized)
-    base = (1000 - d1000) * _PR_SCALE // (1000 * n_nodes)
+    # (1-d)/|S| teleport share, exact in Python ints (metadata-sized)
+    base = (1000 - d1000) * _PR_SCALE // (1000 * n_teleport)
     for it in range(iters):
         contribs = (
             links.join(
@@ -166,13 +196,19 @@ def pagerank(
             .select(
                 "node",
                 "out_deg",
-                (
+                "is_seed",
+                F.when(
+                    F.col("is_seed"),
                     F.lit(base)
                     + F.expr(
                         f"({d1000} * (coalesce(contrib, 0L) "
-                        f"+ dmass div {n_nodes})) div 1000"
-                    )
-                ).cast("long").alias("rank_fp"),
+                        f"+ dmass div {n_teleport})) div 1000"
+                    ),
+                )
+                .otherwise(
+                    F.expr(f"({d1000} * coalesce(contrib, 0L)) div 1000")
+                )
+                .cast("long").alias("rank_fp"),
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:

@@ -609,3 +609,110 @@ class TestLinkPrediction:
             ).items()
         }
         assert got == want
+
+
+# --- personalized PageRank ----------------------------------------------------
+
+
+def py_ppr_fp(edges, seeds, iters, damping=0.85, scale=10**15):
+    """Exact integer mirror of the engine's PERSONALIZED recurrence:
+    teleport + dangling mass flow only to the seed set."""
+    e = sorted({(str(a), str(b)) for a, b in edges})
+    nodes = sorted({x for p in e for x in p})
+    S = {str(s) for s in seeds} & set(nodes)
+    ns = len(S)
+    out_deg = {}
+    for u, _ in e:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    d1000 = int(round(damping * 1000))
+    r = {v: (scale // ns if v in S else 0) for v in nodes}
+    base = (1000 - d1000) * scale // (1000 * ns)
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for u, v in e:
+            contrib[v] += r[u] // out_deg[u]
+        dmass = sum(r[u] for u in nodes if u not in out_deg)
+        r = {
+            v: (base + (d1000 * (contrib[v] + dmass // ns)) // 1000)
+            if v in S
+            else (d1000 * contrib[v]) // 1000
+            for v in nodes
+        }
+    return r
+
+
+class TestPersonalizedPagerank:
+    def _seeds(self, spark, ids):
+        return spark.createDataFrame([(str(s),) for s in ids], "node string")
+
+    def test_matches_python_reference(self, spark):
+        got = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                _edge_df(spark, RING_HUB), iters=3,
+                teleport_to=self._seeds(spark, [99, 10]),
+            ).collect()
+        }
+        want = py_ppr_fp(RING_HUB, ["99", "10"], iters=3)
+        assert got == want
+
+    def test_all_nodes_seed_equals_classic(self, spark):
+        all_nodes = {str(x) for p in RING_HUB for x in p}
+        classic = {
+            r.node: r.rank_fp
+            for r in pagerank(_edge_df(spark, RING_HUB), iters=3).collect()
+        }
+        ppr = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                _edge_df(spark, RING_HUB), iters=3,
+                teleport_to=self._seeds(spark, sorted(all_nodes)),
+            ).collect()
+        }
+        assert ppr == classic
+
+    def test_mass_localizes_near_seeds(self, spark):
+        # two disjoint components; seeding only one keeps the other at 0
+        comp_a = [(0, 1), (1, 2), (2, 0)]
+        comp_b = [(10, 11), (11, 12), (12, 10)]
+        out = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                _edge_df(spark, comp_a + comp_b), iters=4,
+                teleport_to=self._seeds(spark, [0]),
+            ).collect()
+        }
+        assert all(out[str(n)] > 0 for n in (0, 1, 2))
+        assert all(out[str(n)] == 0 for n in (10, 11, 12))
+
+    def test_seeds_outside_graph_raise(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no node present"):
+            pagerank(
+                _edge_df(spark, RING_HUB), iters=1,
+                teleport_to=self._seeds(spark, ["zzz"]),
+            )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 8)),
+            min_size=1, max_size=20,
+        ),
+        st.sets(st.integers(0, 8), min_size=1, max_size=3),
+    )
+    def test_property_exact_integers(self, spark, edges, seeds):
+        edges = [(a, b) for a, b in edges]
+        nodes = {str(x) for p in edges for x in p}
+        seeds = {str(s) for s in seeds} & nodes
+        if not seeds:
+            return
+        got = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                _edge_df(spark, edges), iters=2,
+                teleport_to=self._seeds(spark, sorted(seeds)),
+            ).collect()
+        }
+        assert got == py_ppr_fp(edges, seeds, iters=2)
