@@ -1279,6 +1279,15 @@ def q_kg_degrees(spark, sf_dir):
 _KG_GROUPS = 16
 
 
+def _kg_hub_seeds(spark):
+    """The 16 ring-hub symbols (one per group) used as seed sets by the
+    reachability and personalized-PageRank contract queries — single
+    source for the seed definition, mirrored by the oracles' seed CTE."""
+    return spark.createDataFrame(
+        [(f"sym:f_{g}",) for g in range(_KG_GROUPS)], "node string"
+    )
+
+
 def _call_docs(spark, sf_dir):
     G = _KG_GROUPS
     c = _fan(spark.read.parquet(f"{sf_dir}/customer.parquet")).select(
@@ -1407,10 +1416,9 @@ def q_kg_reachability(spark, sf_dir):
     parallelism."""
     from pawpaw_spark.operators.graph import reachability
 
-    seeds = spark.createDataFrame(
-        [(f"sym:f_{g}",) for g in range(_KG_GROUPS)], "node string"
+    return reachability(
+        _call_edges(spark, sf_dir), _kg_hub_seeds(spark), max_depth=6
     )
-    return reachability(_call_edges(spark, sf_dir), seeds, max_depth=6)
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -1669,12 +1677,9 @@ def q_kg_ppr(spark, sf_dir):
     through init, teleport, and dangling redistribution."""
     from pawpaw_spark.operators.graph import pagerank
 
-    seeds = spark.createDataFrame(
-        [(f"sym:f_{g}",) for g in range(_KG_GROUPS)], "node string"
-    )
     ranks = pagerank(
         _call_edges(spark, sf_dir), iters=3, damping=0.85,
-        materialize=False, teleport_to=seeds,
+        materialize=False, teleport_to=_kg_hub_seeds(spark),
     )
     return ranks.select("node", F.col("rank_fp"))
 

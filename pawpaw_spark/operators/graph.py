@@ -61,6 +61,7 @@ def pagerank(
     checkpoint_every: int = 8,
     materialize: bool = True,
     teleport_to: DataFrame | None = None,
+    strict_seeds: bool = True,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank -> (node, rank).
 
@@ -101,7 +102,11 @@ def pagerank(
     0 — importance RELATIVE to the seeds ("what matters from these
     entry points"). Same exact integer recurrence; ``teleport_to``
     covering every node reproduces classic PageRank bit-for-bit
-    (tests pin this).
+    (tests pin this). ``strict_seeds=True`` (default) raises when any
+    requested seed is absent from the graph — a typo'd id would
+    otherwise silently renormalize every other seed's share;
+    ``strict_seeds=False`` opts into renormalizing over the present
+    seeds (still raising if NONE are present).
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -119,23 +124,6 @@ def pagerank(
         .union(e.select(F.col("dst")))
         .distinct()
     )
-    n_nodes = nodes.count()
-    seeds = None
-    if teleport_to is not None:
-        seeds = teleport_to.select("node").distinct().join(nodes, "node")
-        n_teleport = seeds.count()
-        if n_teleport == 0 and n_nodes > 0:
-            raise ValueError(
-                "teleport_to contains no node present in the graph"
-            )
-    else:
-        n_teleport = n_nodes
-    if n_nodes == 0:
-        out = nodes.withColumn("rank", F.lit(0.0)).withColumn(
-            "rank_fp", F.lit(0).cast("long")
-        )
-        out._pagerank_n = 0
-        return out
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     # (src, dst, out_deg): built once, reused every iteration — persist
     # so the distinct + degree agg don't rerun per round. Released
@@ -143,17 +131,52 @@ def pagerank(
     links = e.join(deg, "src").persist()
     # rank table CARRIES the node's own out_deg (null = dangling): the
     # dangling mass then falls out of a plain aggregate over the rank
-    # table instead of a per-iteration anti-join shuffle against deg
+    # table instead of a per-iteration anti-join shuffle against deg.
+    # is_seed is folded in BEFORE the (single) counting action so the
+    # node-distinct / degree shuffles run once against the persisted
+    # table, not once per scalar probe (round-3 review finding).
     nodes_deg = nodes.join(
         deg, nodes["node"] == deg["src"], "left"
     ).select("node", "out_deg")
-    if seeds is not None:
+    n_requested = None
+    if teleport_to is not None:
+        tele = teleport_to.select("node").distinct()
+        n_requested = tele.count()  # metadata-sized seed list
         nodes_deg = nodes_deg.join(
-            seeds.withColumn("_seed", F.lit(True)), "node", "left"
+            tele.withColumn("_seed", F.lit(True)), "node", "left"
         ).withColumn("is_seed", F.coalesce("_seed", F.lit(False))).drop("_seed")
     else:
         nodes_deg = nodes_deg.withColumn("is_seed", F.lit(True))
     nodes_deg = nodes_deg.persist()
+    counts = nodes_deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.col("is_seed").cast("long")), F.lit(0)
+        ).alias("s"),
+    ).first()
+    n_nodes, n_teleport = int(counts["n"]), int(counts["s"])
+    if teleport_to is not None and n_nodes > 0:
+        if n_teleport == 0:
+            raise ValueError(
+                "teleport_to contains no node present in the graph"
+            )
+        if strict_seeds and n_teleport < n_requested:
+            # a silently-dropped seed renormalizes every survivor's
+            # teleport share — a typo'd seed id must fail loud, not
+            # quietly reshape all ranks (round-3 review finding)
+            raise ValueError(
+                f"teleport_to has {n_requested - n_teleport} node(s) absent "
+                f"from the graph ({n_teleport}/{n_requested} matched); pass "
+                "strict_seeds=False to renormalize over the present seeds"
+            )
+    if n_nodes == 0:
+        links.unpersist()
+        nodes_deg.unpersist()
+        out = nodes.withColumn("rank", F.lit(0.0)).withColumn(
+            "rank_fp", F.lit(0).cast("long")
+        )
+        out._pagerank_n = 0
+        return out
     ranks = nodes_deg.withColumn(
         "rank_fp",
         F.when(

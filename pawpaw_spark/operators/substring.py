@@ -322,9 +322,44 @@ def winnow_index_write(
                     f"winnow_index_write(mode='append'): parameters {params} "
                     f"do not match the existing index sidecar {old}"
                 )
+            # pre-sidecar index (rows exist, dfreq absent): backfill the
+            # dfreq era from the at-rest rows BEFORE appending, else the
+            # appended era alone would undercount history's frequencies
+            try:
+                spark.read.parquet(f"{path}/dfreq").schema
+            except AnalysisException as ex:
+                msg = str(ex)
+                if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                    raise
+                hist = spark.read.parquet(f"{path}/rows")
+                (
+                    hist.select(F.col(hist.columns[0]).alias("id"), "h")
+                    .distinct()
+                    .groupBy("h")
+                    .agg(F.count(F.lit(1)).cast("long").alias("df"))
+                    .write.mode("overwrite")
+                    .parquet(f"{path}/dfreq")
+                )
     df = df.withColumn(id_col, F.col(id_col).cast("string"))
     fp = winnow_fingerprints(df, text_col, id_col, k, w, hash_fn="md5")
+    fp = fp.persist()
     fp.write.mode(mode).parquet(f"{path}/rows")
+    # per-h document-frequency sidecar: PARTIAL counts per write era,
+    # aggregated by readers (sum is exact because doc ids never repeat
+    # across eras — the delta pass raises on id collision). Keeps the
+    # delta's max_df guard proportional to the sidecar (pre-aggregated,
+    # 2 narrow columns) instead of re-counting every (doc, h, pos) row
+    # in the index each micro-batch (round-3 review finding); a
+    # mode='overwrite' rebuild compacts it back to one era.
+    (
+        fp.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .write.mode(mode)
+        .parquet(f"{path}/dfreq")
+    )
+    fp.unpersist()
     df.sparkSession.createDataFrame([params]).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/params")
@@ -375,10 +410,29 @@ def winnow_delta_pairs(
     )
     fp_old = idx.select(F.col(idx.columns[0]).alias("id"), "h").distinct()
     if max_df is not None:
+        # corpus-wide doc frequency = at-rest sidecar (pre-aggregated
+        # per-era partials, summed) + the delta's own counts — O(sidecar
+        # + delta), NOT a re-count of every index row per call. Indexes
+        # written before the sidecar existed fall back to the full
+        # recount, same result by construction.
+        from pyspark.errors import AnalysisException
+
+        new_cnt = fp_new.groupBy("h").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        try:
+            old_cnt = spark.read.parquet(f"{index_path}/dfreq")
+        except AnalysisException as ex:
+            msg = str(ex)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise
+            old_cnt = fp_old.groupBy("h").agg(
+                F.count(F.lit(1)).cast("long").alias("df")
+            )
         dfreq = (
-            fp_old.unionByName(fp_new)
+            old_cnt.unionByName(new_cnt)
             .groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.sum("df").alias("df"))
         )
         hot = F.broadcast(dfreq.filter(F.col("df") > max_df).select("h"))
         fp_new_k = fp_new.join(hot, "h", "left_anti")

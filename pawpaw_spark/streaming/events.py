@@ -166,6 +166,58 @@ def stateful_sessions(
     )
 
 
+def _dedup_index_sink(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str,
+    id_col: str,
+    delta_fn,
+    index_fold_fn,
+):
+    """Shared exactly-once harness for the dedup-index streaming sinks
+    (MinHash near-dup and winnowing exact-substring): per micro-batch,
+    run ``delta_fn(batch, params_row) -> pairs``, write the pairs
+    partitioned by batch_id with DYNAMIC overwrite (a replayed batch —
+    crash after the write, before the index fold — rewrites ITS OWN
+    partition instead of appending the same pairs twice; the delta is
+    deterministic given (batch, index), so the rewrite is
+    byte-identical), then ``index_fold_fn(batch, params_row)`` appends
+    the batch into the at-rest index. A crash AFTER the fold replays
+    into the delta's id-collision guard, which raises rather than
+    double-counting — fail loud, reconcile in batch. One body, so the
+    two sinks' crash-recovery guarantees cannot silently diverge.
+    """
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.select(id_col, text_col).persist()
+        try:
+            p = batch.sparkSession.read.parquet(f"{index_path}/params").first()
+            from pawpaw_spark.operators.dedup import cached_scope
+
+            with cached_scope(delta_fn(batch, p)) as pairs:
+                (
+                    pairs.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(pairs_path)
+                )
+            index_fold_fn(batch, p)
+        finally:
+            batch.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
 def streaming_neardup_sink(
     docs: DataFrame,
     index_path: str,
@@ -209,46 +261,18 @@ def streaming_neardup_sink(
         minhash_index_write,
     )
 
-    def fold(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch = batch.select(id_col, text_col).persist()
-        try:
-            p = batch.sparkSession.read.parquet(f"{index_path}/params").first()
-            from pawpaw_spark.operators.dedup import cached_scope
-
-            with cached_scope(
-                minhash_dedup_delta(
-                    batch, index_path, threshold=threshold,
-                    text_col=text_col, id_col=id_col,
-                )
-            ) as pairs:
-                # partition by batch_id + DYNAMIC overwrite: a replayed
-                # batch (crash after this write, before the index fold)
-                # rewrites ITS OWN partition instead of appending the
-                # same pairs twice — the delta is deterministic given
-                # (batch, index), so the rewrite is byte-identical.
-                (
-                    pairs.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(pairs_path)
-                )
-            minhash_index_write(
-                batch, index_path, text_col=text_col, id_col=id_col,
-                n_hashes=int(p["n_hashes"]), bands=int(p["bands"]),
-                shingle_k=int(p["shingle_k"]), seed=int(p["seed"]),
-                mode="append",
-            )
-        finally:
-            batch.unpersist()
-
-    return (
-        docs.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .start()
+    return _dedup_index_sink(
+        docs, index_path, pairs_path, checkpoint, text_col, id_col,
+        delta_fn=lambda batch, p: minhash_dedup_delta(
+            batch, index_path, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        ),
+        index_fold_fn=lambda batch, p: minhash_index_write(
+            batch, index_path, text_col=text_col, id_col=id_col,
+            n_hashes=int(p["n_hashes"]), bands=int(p["bands"]),
+            shingle_k=int(p["shingle_k"]), seed=int(p["seed"]),
+            mode="append",
+        ),
     )
 
 
@@ -283,37 +307,14 @@ def streaming_substring_sink(
         winnow_index_write,
     )
 
-    def fold(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        batch = batch.select(id_col, text_col).persist()
-        try:
-            p = batch.sparkSession.read.parquet(f"{index_path}/params").first()
-            from pawpaw_spark.operators.dedup import cached_scope
-
-            with cached_scope(
-                winnow_delta_pairs(
-                    batch, index_path, text_col=text_col, id_col=id_col,
-                    max_df=max_df, min_shared=min_shared,
-                )
-            ) as pairs:
-                (
-                    pairs.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(pairs_path)
-                )
-            winnow_index_write(
-                batch, index_path, text_col=text_col, id_col=id_col,
-                k=int(p["k"]), w=int(p["w"]), mode="append",
-            )
-        finally:
-            batch.unpersist()
-
-    return (
-        docs.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("append")
-        .start()
+    return _dedup_index_sink(
+        docs, index_path, pairs_path, checkpoint, text_col, id_col,
+        delta_fn=lambda batch, p: winnow_delta_pairs(
+            batch, index_path, text_col=text_col, id_col=id_col,
+            max_df=max_df, min_shared=min_shared,
+        ),
+        index_fold_fn=lambda batch, p: winnow_index_write(
+            batch, index_path, text_col=text_col, id_col=id_col,
+            k=int(p["k"]), w=int(p["w"]), mode="append",
+        ),
     )

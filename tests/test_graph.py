@@ -694,6 +694,28 @@ class TestPersonalizedPagerank:
                 teleport_to=self._seeds(spark, ["zzz"]),
             )
 
+    def test_partially_missing_seeds_raise_by_default(self, spark):
+        # a typo'd seed must fail loud, not silently renormalize the
+        # survivors' teleport share (round-3 review finding)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="absent from the graph"):
+            pagerank(
+                _edge_df(spark, RING_HUB), iters=1,
+                teleport_to=self._seeds(spark, [99, "zzz"]),
+            )
+
+    def test_lenient_seeds_renormalize_over_present(self, spark):
+        got = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                _edge_df(spark, RING_HUB), iters=2,
+                teleport_to=self._seeds(spark, [99, 10, "zzz"]),
+                strict_seeds=False,
+            ).collect()
+        }
+        assert got == py_ppr_fp(RING_HUB, ["99", "10"], iters=2)
+
     @settings(max_examples=6, deadline=None)
     @given(
         st.lists(
@@ -703,7 +725,6 @@ class TestPersonalizedPagerank:
         st.sets(st.integers(0, 8), min_size=1, max_size=3),
     )
     def test_property_exact_integers(self, spark, edges, seeds):
-        edges = [(a, b) for a, b in edges]
         nodes = {str(x) for p in edges for x in p}
         seeds = {str(s) for s in seeds} & nodes
         if not seeds:

@@ -289,3 +289,57 @@ class TestIncrementalWinnow:
         winnow_index_write(hist, path, k=16, w=4)
         assert len(self._pairs(winnow_delta_pairs(new, path, max_df=None))) == 7
         assert len(self._pairs(winnow_delta_pairs(new, path, max_df=4))) == 0
+
+    def test_dfreq_sidecar_exact_fallback_and_backfill(self, spark, tmp_path):
+        import shutil
+
+        from pawpaw_spark.operators.substring import (
+            winnow_delta_pairs,
+            winnow_index_write,
+        )
+
+        base = "boilerplate license header shared by every document body"
+        mk = lambda rows: spark.createDataFrame(
+            rows, "doc_id: long, text: string"
+        )
+        hist = mk([(i, f"{p} {base}") for i, p in enumerate(["aa", "bb", "cc"])])
+        era2 = mk([(i, f"{p} {base}") for i, p in [(20, "dd"), (21, "ee")]])
+        new = mk([(i, f"{p} {base}") for i, p in [(10, "xx"), (11, "yy")]])
+        path = str(tmp_path / "widx4")
+        winnow_index_write(hist, path, k=16, w=4)
+        winnow_index_write(era2, path, k=16, w=4, mode="append")
+        # sidecar partials (2 eras) sum to the exact per-h recount of rows
+        rows = spark.read.parquet(f"{path}/rows")
+        recount = {
+            r.h: r.df
+            for r in rows.select(F.col(rows.columns[0]).alias("id"), "h")
+            .distinct().groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+        sidecar = {
+            r.h: r.df
+            for r in spark.read.parquet(f"{path}/dfreq")
+            .groupBy("h").agg(F.sum("df").alias("df")).collect()
+        }
+        assert sidecar == recount and len(sidecar) > 0
+        # the max_df guard gives identical pairs through the sidecar and
+        # through the pre-sidecar full-recount fallback (dfreq deleted)
+        with_sidecar = self._pairs(winnow_delta_pairs(new, path, max_df=6))
+        shutil.rmtree(f"{path}/dfreq")
+        assert self._pairs(winnow_delta_pairs(new, path, max_df=6)) == with_sidecar
+        # appending to a pre-sidecar index backfills dfreq from rows
+        # first — the sidecar must cover history, not just the new era
+        winnow_index_write(new, path, k=16, w=4, mode="append")
+        rows2 = spark.read.parquet(f"{path}/rows")
+        recount2 = {
+            r.h: r.df
+            for r in rows2.select(F.col(rows2.columns[0]).alias("id"), "h")
+            .distinct().groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+        sidecar2 = {
+            r.h: r.df
+            for r in spark.read.parquet(f"{path}/dfreq")
+            .groupBy("h").agg(F.sum("df").alias("df")).collect()
+        }
+        assert sidecar2 == recount2
