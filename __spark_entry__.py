@@ -1710,6 +1710,64 @@ def q_kg_kcore(spark, sf_dir):
     return kcore(_call_edges(spark, sf_dir), k=4)
 
 
+_SCC_GROUPS = 64
+
+
+def _scc_edges(spark, sf_dir):
+    """Directed call graph with CLOSED-FORM SCC structure, built by
+    pure column arithmetic over the dense customer keys: 64 disjoint
+    mutual-recursion groups. Within group g (members r ≡ g mod 64,
+    position p = r // 64, size sg) every member calls p+1 mod sg (the
+    cycle that makes the group one SCC), 2p and 2p+1 mod sg (doubling
+    chords — O(log sg) diameter, so the coloring fixpoint converges in
+    ~log rounds, the small-world shape real call graphs have), and
+    position 0 (the hub). The LAST position also calls an undefined external
+    symbol sym:x_g, which has no out-edges and must come out of the
+    trim phase as a singleton SCC."""
+    S = _SCC_GROUPS
+    c = _fan(spark.read.parquet(f"{sf_dir}/customer.parquet")).select(
+        F.col("c_custkey").cast("long").alias("r")
+    )
+    m = c.count()  # metadata-sized; keys are dense 0..m-1
+    g = F.col("r") % S
+    p = F.floor(F.col("r") / F.lit(S)).cast("long")
+    sg = F.floor((F.lit(m - 1) - g) / S).cast("long") + 1
+    src = F.concat(F.lit("sym:f_"), F.col("r"))
+    mem = lambda pos: F.concat(F.lit("sym:f_"), g + S * pos)
+    ring = c.select(src.alias("src"), mem((p + 1) % sg).alias("dst"))
+    # 2p AND 2p+1 chords: from the hub, any position is reachable in
+    # <= ceil(log2(sg)) steps (its binary digits), so both coloring
+    # fixpoint and backward collect run in ~log2(sg) rounds
+    chord = c.select(src.alias("src"), mem((p * 2) % sg).alias("dst"))
+    chord2 = c.select(src.alias("src"), mem((p * 2 + 1) % sg).alias("dst"))
+    hub = c.select(src.alias("src"), mem(F.lit(0)).alias("dst"))
+    tail = c.filter(p == sg - 1).select(
+        src.alias("src"), F.concat(F.lit("sym:x_"), g).alias("dst")
+    )
+    return ring.union(chord).union(chord2).union(hub).union(tail)
+
+
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components of the directed call graph ->
+    (node, scc, scc_size): mutual-recursion groups, the question the
+    UNDIRECTED kg_components cannot answer (a -> b alone must not merge
+    a with b). Runs the full distributed coloring algorithm
+    (trim -> forward-max color fixpoint -> same-color backward collect,
+    operators/graph.py) over the constructed 64-group graph; the
+    closed-form oracle knows each group IS one SCC labeled by its
+    lexicographic-max member with size sg, plus one trim singleton per
+    group for the undefined external symbol. Node ids are strings, so
+    the max-member label is the LEXICOGRAPHIC max — the oracle mirrors
+    with MAX(node) OVER (PARTITION BY g)."""
+    from pawpaw_spark.operators.graph import strongly_connected_components
+
+    scc = strongly_connected_components(_scc_edges(spark, sf_dir))
+    sizes = scc.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size")
+    )
+    return scc.join(sizes, "scc").select("node", "scc", "scc_size")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1783,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": q_kg_ppr,
         "kg_linkpred": q_kg_linkpred,
         "kg_kcore": q_kg_kcore,
+        "kg_scc": q_kg_scc,
     }
 
 
@@ -3035,6 +3094,26 @@ def oracle_sql() -> dict[str, str]:
             FROM adj a JOIN fin f1 ON f1.node = a.node
                        JOIN fin f2 ON f2.node = a.nbr
             GROUP BY a.node
+        """,
+        # closed form for the constructed 64-group mutual-recursion
+        # graph (_scc_edges): the +1 ring makes each group ONE SCC, so
+        # scc = lexicographic MAX member and scc_size = the group size;
+        # the per-group undefined external symbol sym:x_g (in-edges
+        # only) is a trim singleton
+        "kg_scc": f"""
+            WITH params AS (SELECT count(*) AS m FROM customer),
+            r AS (SELECT c_custkey AS r, c_custkey % {_SCC_GROUPS} AS g
+                  FROM customer),
+            grp AS (SELECT 'sym:f_' || r AS node,
+                           MAX('sym:f_' || r) OVER (PARTITION BY g) AS scc,
+                           COUNT(*) OVER (PARTITION BY g) AS scc_size
+                    FROM r),
+            ext AS (SELECT DISTINCT 'sym:x_' || g AS node,
+                           'sym:x_' || g AS scc, 1 AS scc_size
+                    FROM r)
+            SELECT node, scc, CAST(scc_size AS BIGINT) AS scc_size FROM grp
+            UNION ALL
+            SELECT node, scc, CAST(scc_size AS BIGINT) AS scc_size FROM ext
         """,
     }
     # the indexed path is bit-identical to the brute path by

@@ -86,6 +86,7 @@ HEADLINE = [
     "kg_linkpred",
     "kg_ppr",
     "kg_kcore",
+    "kg_scc",
 ]
 
 

@@ -414,6 +414,210 @@ def triangle_count(
     return out
 
 
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outer: int = 64,
+    max_color_rounds: int = 512,
+) -> DataFrame:
+    """Exact SCC decomposition of a DIRECTED graph -> (node, scc),
+    where ``scc`` is the LARGEST member id of the node's strongly
+    connected component (the coloring root — see below; a canonical,
+    deterministic label). The KG use the undirected
+    :func:`pawpaw_spark.operators.canon.connected_components` cannot
+    serve: mutual-recursion groups and cyclic import/dependency
+    clusters in a call graph, where a -> b alone must NOT merge a with
+    b. The condensation (SCCs contracted) is the dependency DAG a
+    build scheduler topo-sorts — see :func:`condensation`.
+
+    Algorithm — the distributed forward-max coloring scheme (the
+    FW-BW/coloring family of Orzan and Slota-Rajamanickam-Madduri,
+    rebuilt on DataFrame joins):
+
+    1. TRIM: a node with no in-edges or no out-edges inside the active
+       subgraph cannot lie on a cycle — assign it its own singleton
+       SCC and peel; repeat to fixpoint (a DAG region unravels
+       entirely here, one round per peel layer).
+    2. COLOR: every active node starts with its own id; each round
+       takes ``greatest(own, max over in-edges)`` until no color
+       changes. Colors only grow, so the fixpoint is exact: color(u)
+       = the max id that reaches u.
+    3. COLLECT: roots are nodes whose color is their own id (the max
+       id of an SCC always roots: any larger member would have flooded
+       it). Backward-BFS from each root over SAME-COLOR nodes gathers
+       exactly its SCC — if u reaches root c and color(u) = c, every
+       intermediate node also has color c, so the restriction loses
+       nothing (standard coloring-SCC argument). All roots collect in
+       the same pass (the BFS carries the root id per row).
+    4. Peel the collected SCCs, repeat from 1 on the remainder.
+
+    Exactness and determinism: membership is a pure reachability fact
+    and the label is the max member id — bit-identical at any
+    partitioning or cluster size, so a closed-form or Tarjan oracle
+    can check it row-for-row.
+
+    Scale shape: every step is an equi-join or agg on node ids (AQE
+    shuffles); per-round state is O(V + E_active) and each round's
+    output is truncated-checkpointed, so lineage stays O(1). Rounds:
+    trim <= peel depth, color/collect <= active diameter, outer
+    rounds <= condensation chain length of same-round-surviving SCCs
+    (1 for disjoint SCC families, O(chain) for pathological
+    cycle-chains — ``max_outer`` caps it and RAISES rather than
+    returning a partial answer, like union-find's convergence guard).
+    """
+    def _restrict(ae: DataFrame, active: DataFrame) -> DataFrame:
+        # edges with BOTH endpoints active; aliased copies sidestep
+        # self-join attribute ambiguity (ae/active are checkpointed
+        # leaves reused across rounds)
+        a1 = active.select(F.col("node").alias("_a1"))
+        a2 = active.select(F.col("node").alias("_a2"))
+        return truncated_checkpoint(
+            ae.join(a1, ae["src"] == F.col("_a1"), "left_semi").join(
+                a2, F.col("dst") == F.col("_a2"), "left_semi"
+            )
+        )
+
+    e_all = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    active = truncated_checkpoint(
+        e_all.select(F.col("src").alias("node"))
+        .union(e_all.select(F.col("dst")))
+        .distinct()
+    )
+    ae = truncated_checkpoint(e_all)
+    e_all.unpersist()
+    assigned: list[DataFrame] = []
+    spark = edges.sparkSession
+    empty = spark.createDataFrame([], "node string, scc string")
+    for _outer in range(max_outer):
+        if active.isEmpty():
+            break
+        # -- trim to fixpoint ------------------------------------------
+        while True:
+            live = truncated_checkpoint(
+                ae.select(F.col("src").alias("node"))
+                .distinct()
+                .join(ae.select(F.col("dst").alias("node")).distinct(), "node")
+            )
+            trimmed = active.join(live, "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned.append(
+                truncated_checkpoint(
+                    trimmed.select("node", F.col("node").alias("scc"))
+                )
+            )
+            active = live
+            ae = _restrict(ae, active)
+        if active.isEmpty():
+            break
+        # -- forward max-color propagation to fixpoint -----------------
+        colors = truncated_checkpoint(
+            active.select("node", F.col("node").alias("color"))
+        )
+        for _r in range(max_color_rounds):
+            inc = (
+                ae.join(colors, ae["src"] == colors["node"])
+                .select(F.col("dst").alias("node"), "color")
+                .groupBy("node")
+                .agg(F.max("color").alias("cin"))
+            )
+            nxt = truncated_checkpoint(
+                colors.join(inc, "node", "left").select(
+                    "node",
+                    F.greatest(
+                        F.col("color"), F.coalesce("cin", F.col("color"))
+                    ).alias("color"),
+                    (F.coalesce("cin", F.col("color")) > F.col("color")).alias(
+                        "_chg"
+                    ),
+                )
+            )
+            changed = nxt.filter(F.col("_chg")).limit(1).count()
+            colors = nxt.select("node", "color")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"strongly_connected_components: color propagation did not "
+                f"converge within max_color_rounds={max_color_rounds} "
+                "(active-subgraph diameter exceeds the cap)"
+            )
+        # -- backward collect within color, all roots at once ----------
+        members = truncated_checkpoint(
+            colors.filter(F.col("color") == F.col("node")).select(
+                "node", F.col("color").alias("scc")
+            )
+        )
+        frontier = members
+        collected = members
+        col_pairs = colors.select(
+            F.col("node").alias("_cn"), F.col("color").alias("_cc")
+        )
+        while True:
+            preds = truncated_checkpoint(
+                ae.join(frontier, ae["dst"] == frontier["node"])
+                .select(F.col("src").alias("node"), "scc")
+                .distinct()
+                .join(
+                    col_pairs,
+                    (F.col("node") == F.col("_cn"))
+                    & (F.col("scc") == F.col("_cc")),
+                    "left_semi",
+                )
+                .join(collected, "node", "left_anti")
+            )
+            if preds.isEmpty():
+                break
+            collected = collected.union(preds)
+            frontier = preds
+        collected = truncated_checkpoint(collected)
+        assigned.append(collected)
+        active = truncated_checkpoint(
+            active.join(collected, "node", "left_anti")
+        )
+        ae = _restrict(ae, active)
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"strongly_connected_components: did not assign every node "
+                f"within max_outer={max_outer} rounds (pathologically "
+                "chained cycle structure — raise max_outer)"
+            )
+    out = empty
+    for part in assigned:
+        out = out.union(part)
+    return out
+
+
+def condensation(
+    edges: DataFrame,
+    scc: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Contract each SCC to one node -> the condensation DAG
+    (scc_src, scc_dst), self-edges dropped, distinct. Feeding it a
+    ``scc`` mapping from :func:`strongly_connected_components` yields
+    the acyclic dependency graph a scheduler can topo-sort; two
+    broadcast-able joins against the (node, scc) mapping when the SCC
+    table is dimension-sized, plain equi-joins otherwise."""
+    m_src = scc.select(F.col("node").alias("src"), F.col("scc").alias("scc_src"))
+    m_dst = scc.select(F.col("node").alias("dst"), F.col("scc").alias("scc_dst"))
+    return (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .join(m_src, "src")
+        .join(m_dst, "dst")
+        .select("scc_src", "scc_dst")
+        .filter(F.col("scc_src") != F.col("scc_dst"))
+        .distinct()
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     a_col: str = "src",

@@ -737,3 +737,131 @@ class TestPersonalizedPagerank:
             ).collect()
         }
         assert got == py_ppr_fp(edges, seeds, iters=2)
+
+
+def py_scc(edges):
+    """Iterative Tarjan -> {node: max member of its SCC} — the exact
+    labeling contract of strongly_connected_components()."""
+    adj: dict = {}
+    nodes = sorted({str(x) for p in edges for x in p})
+    for a, b in edges:
+        adj.setdefault(str(a), []).append(str(b))
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    out: dict = {}
+    counter = [0]
+    for s in nodes:
+        if s in index:
+            continue
+        index[s] = low[s] = counter[0]
+        counter[0] += 1
+        stk.append(s)
+        onstk.add(s)
+        work = [(s, iter(adj.get(s, [])))]
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stk.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = max(comp)
+                for w in comp:
+                    out[w] = m
+    return out
+
+
+# two 2-cycles chained by a DAG edge; the UPSTREAM cycle carries the
+# larger ids, so round 1's max color ('d') floods the downstream cycle
+# but only collects {c, d} — the canonical 2-outer-round graph
+CHAINED_CYCLES = [("c", "d"), ("d", "c"), ("c", "a"), ("a", "b"), ("b", "a")]
+
+
+class TestStronglyConnectedComponents:
+    def _run(self, spark, edges, **kw):
+        from pawpaw_spark.operators.graph import strongly_connected_components
+
+        return {
+            r.node: r.scc
+            for r in strongly_connected_components(
+                _edge_df(spark, edges), **kw
+            ).collect()
+        }
+
+    def test_chained_cycles_two_rounds(self, spark):
+        assert self._run(spark, CHAINED_CYCLES) == py_scc(CHAINED_CYCLES)
+
+    def test_figure_eight_is_one_scc(self, spark):
+        edges = [(0, 1), (1, 0), (1, 2), (2, 1)]
+        got = self._run(spark, edges)
+        assert got == {"0": "2", "1": "2", "2": "2"} == py_scc(edges)
+
+    def test_chain_all_singletons_via_trim(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3)]
+        assert self._run(spark, edges) == {str(i): str(i) for i in range(4)}
+
+    def test_self_loop_survives_trim(self, spark):
+        edges = [(0, 0), (0, 1)]
+        assert self._run(spark, edges) == {"0": "0", "1": "1"}
+
+    def test_max_outer_guard_raises(self, spark):
+        from pawpaw_spark.operators.graph import strongly_connected_components
+
+        with pytest.raises(RuntimeError, match="max_outer"):
+            strongly_connected_components(
+                _edge_df(spark, CHAINED_CYCLES), max_outer=1
+            ).collect()
+
+    def test_condensation_is_the_dag(self, spark):
+        from pawpaw_spark.operators.graph import (
+            condensation,
+            strongly_connected_components,
+        )
+
+        e = _edge_df(spark, CHAINED_CYCLES)
+        scc = strongly_connected_components(e)
+        got = {(r.scc_src, r.scc_dst) for r in condensation(e, scc).collect()}
+        assert got == {("d", "b")}
+
+    def test_empty_edges(self, spark):
+        from pawpaw_spark.operators.graph import strongly_connected_components
+
+        assert (
+            strongly_connected_components(
+                spark.createDataFrame([], "src string, dst string")
+            ).count()
+            == 0
+        )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 8), st.integers(0, 8)),
+            min_size=1, max_size=20,
+        )
+    )
+    def test_property_matches_tarjan(self, spark, edges):
+        assert self._run(spark, edges) == py_scc(edges)
