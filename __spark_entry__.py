@@ -1768,6 +1768,36 @@ def q_kg_scc(spark, sf_dir):
     return scc.join(sizes, "scc").select("node", "scc", "scc_size")
 
 
+def q_kg_ntriples(spark, sf_dir):
+    """N-Triples serialization of (doc, HAS_TEXT, text-literal) triples
+    (operators/ntriples.py) — pins the exact W3C line format
+    byte-for-byte, INCLUDING the literal escape chain (backslash first,
+    then quote/LF/CR), against a DuckDB replace-chain mirror. The
+    documents corpus contains NO quotes/newlines/backslashes (measured
+    — a raw-text literal would leave the escapes vacuous, the round-2
+    degenerate-oracle class), so the literal is CONSTRUCTED from
+    relational data with every escape-relevant character injected:
+    quoted comment, embedded newline, trailing backslash, and a literal
+    backslash-n lookalike that breaks naive reverse-order unescaping.
+    Parsing is the inverse; roundtrip identity is property-tested in
+    tests/test_ntriples.py."""
+    from pawpaw_spark.operators.ntriples import to_ntriples
+
+    o = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    d = o.select(
+        F.concat(
+            F.lit("order/"), F.col("o_orderkey").cast("string")
+        ).alias("subj"),
+        F.lit("HAS_TEXT").alias("pred"),
+        F.concat(
+            F.lit('priority "'), F.col("o_orderpriority"), F.lit('"\n'),
+            F.lit("status: "), F.col("o_orderstatus"), F.lit(" \\n raw\r"),
+            F.lit("tail\\"),
+        ).alias("obj"),
+    )
+    return to_ntriples(d, obj_literal=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1842,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linkpred": q_kg_linkpred,
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
+        "kg_ntriples": q_kg_ntriples,
     }
 
 
@@ -3114,6 +3145,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, scc, CAST(scc_size AS BIGINT) AS scc_size FROM grp
             UNION ALL
             SELECT node, scc, CAST(scc_size AS BIGINT) AS scc_size FROM ext
+        """,
+        # byte-level N-Triples format mirror: same constructed literal
+        # (quote + LF + literal backslash-n + CR + trailing backslash),
+        # same escape chain, backslash first (single-quoted SQL strings
+        # — backslash is literal in DuckDB)
+        "kg_ntriples": r"""
+            WITH payload AS (
+              SELECT o_orderkey,
+                     'priority "' || o_orderpriority || '"' || chr(10)
+                       || 'status: ' || o_orderstatus || ' \n raw' || chr(13)
+                       || 'tail\' AS t
+              FROM orders)
+            SELECT '<pawpaw:order/' || CAST(o_orderkey AS VARCHAR)
+                || '> <pawpaw:HAS_TEXT> "'
+                || replace(replace(replace(replace(t,
+                     '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r')
+                || '" .' AS line
+            FROM payload
         """,
     }
     # the indexed path is bit-identical to the brute path by

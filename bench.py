@@ -87,6 +87,7 @@ HEADLINE = [
     "kg_ppr",
     "kg_kcore",
     "kg_scc",
+    "kg_ntriples",
 ]
 
 

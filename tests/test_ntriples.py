@@ -1,0 +1,117 @@
+"""N-Triples serialization: format pinned against a pure-Python
+serializer, parse pinned as the exact inverse (roundtrip identity on
+hypothesis-generated nasty strings), guards raise."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pawpaw_spark.operators.ntriples import from_ntriples, to_ntriples
+
+
+def py_ntriple(subj, pred, obj, base="pawpaw:", obj_literal=False):
+    def esc(s):
+        return (
+            s.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+
+    o = f'"{esc(obj)}"' if obj_literal else f"<{base}{obj}>"
+    return f"<{base}{subj}> <{base}{pred}> {o} ."
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
+NASTY = [
+    'he said "hi\\there"\nnew\rline\\n end',
+    "",
+    "\\\\n double-escaped lookalike",
+    "tab\tallowed raw",
+    "unicode: ǅ µ 語",
+    'trailing backslash \\',
+    '\\"',
+]
+
+
+class TestSerialize:
+    def test_matches_python_serializer_literal(self, spark):
+        rows = [(f"doc/{i}", "HAS_TEXT", t) for i, t in enumerate(NASTY)]
+        got = {
+            r.line
+            for r in to_ntriples(_df(spark, rows), obj_literal=True).collect()
+        }
+        want = {py_ntriple(*r, obj_literal=True) for r in rows}
+        assert got == want
+
+    def test_matches_python_serializer_iri(self, spark):
+        rows = [("a", "CALLS", "b"), ("sym:f_1", "DEFINES", "doc/2#3-9")]
+        got = {r.line for r in to_ntriples(_df(spark, rows)).collect()}
+        assert got == {py_ntriple(*r) for r in rows}
+
+    def test_unsafe_iri_raises(self, spark):
+        with pytest.raises(Exception, match="IRI-safe"):
+            to_ntriples(_df(spark, [("bad id", "P", "o")])).collect()
+        with pytest.raises(Exception, match="IRI-safe"):
+            to_ntriples(_df(spark, [("s", "P", 'o"quote')])).collect()
+
+
+class TestParse:
+    def test_roundtrip_fixed(self, spark):
+        rows = [(f"doc/{i}", "HAS_TEXT", t) for i, t in enumerate(NASTY)]
+        back = from_ntriples(
+            to_ntriples(_df(spark, rows), obj_literal=True)
+        )
+        got = {(r.subj, r.pred, r.obj, r.obj_is_literal) for r in back.collect()}
+        assert got == {(s, p, o, True) for s, p, o in rows}
+
+    def test_roundtrip_iri_and_foreign_base(self, spark):
+        line = '<http://x/a> <http://x/P> <http://x/b> .'
+        r = from_ntriples(
+            spark.createDataFrame([(line,)], "line string")
+        ).first()
+        # foreign base is preserved verbatim, not stripped
+        assert (r.subj, r.pred, r.obj, r.obj_is_literal) == (
+            "http://x/a", "http://x/P", "http://x/b", False
+        )
+
+    def test_strict_raises_lenient_filters(self, spark):
+        bad = spark.createDataFrame([("not a triple",)], "line string")
+        with pytest.raises(Exception, match="malformed"):
+            from_ntriples(bad).collect()
+        assert from_ntriples(bad, strict=False).count() == 0
+
+    def test_empty_literal_vs_empty_iri(self, spark):
+        lines = spark.createDataFrame(
+            [('<pawpaw:s> <pawpaw:p> "" .',), ("<pawpaw:s> <pawpaw:p> <> .",)],
+            "line string",
+        )
+        got = {(r.obj, r.obj_is_literal) for r in from_ntriples(lines).collect()}
+        assert got == {("", True), ("", False)}
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                # printable-ish plus the escape-relevant chars; NUL
+                # excluded (documented: cannot occur in N-Triples)
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), blacklist_characters="\x00"
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_property_roundtrip(self, spark, texts):
+        rows = [(f"d/{i}", "T", t) for i, t in enumerate(texts)]
+        back = from_ntriples(
+            to_ntriples(_df(spark, rows), obj_literal=True)
+        )
+        got = sorted((r.subj, r.obj) for r in back.collect())
+        assert got == sorted((s, o) for s, _, o in rows)
