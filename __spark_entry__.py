@@ -1798,6 +1798,30 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(d, obj_literal=True)
 
 
+def q_kg_build_order(spark, sf_dir):
+    """Cyclic-dependency-aware build order — the full composition the
+    SCC docstring promises: strongly_connected_components over the
+    directed call graph, condensation to the dependency DAG, then
+    topo_layers (Kahn longest-path layering, raises on any residual
+    cycle) -> (node, scc, layer). On the constructed graph every
+    mutual-recursion group is one layer-0 unit and each group's
+    undefined external symbol is its layer-1 dependent; the closed-form
+    oracle knows both. The layer column is an exact small integer —
+    bit-identical at any parallelism."""
+    from pawpaw_spark.operators.graph import (
+        condensation,
+        strongly_connected_components,
+        topo_layers,
+    )
+
+    e = _scc_edges(spark, sf_dir)
+    scc = strongly_connected_components(e)
+    layers = topo_layers(condensation(e, scc), "scc_src", "scc_dst")
+    return scc.join(layers, scc["scc"] == layers["node"]).select(
+        scc["node"].alias("node"), "scc", "layer"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -1873,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
         "kg_ntriples": q_kg_ntriples,
+        "kg_build_order": q_kg_build_order,
     }
 
 
@@ -3163,6 +3188,23 @@ def oracle_sql() -> dict[str, str]:
                      '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r')
                 || '" .' AS line
             FROM payload
+        """,
+        # closed form for the SCC+condensation+topo composition on the
+        # constructed graph: every group SCC is a layer-0 build unit,
+        # its undefined external symbol the layer-1 dependent
+        "kg_build_order": f"""
+            WITH r AS (SELECT c_custkey AS r, c_custkey % {_SCC_GROUPS} AS g
+                       FROM customer),
+            grp AS (SELECT 'sym:f_' || r AS node,
+                           MAX('sym:f_' || r) OVER (PARTITION BY g) AS scc,
+                           0 AS layer
+                    FROM r),
+            ext AS (SELECT DISTINCT 'sym:x_' || g AS node,
+                           'sym:x_' || g AS scc, 1 AS layer
+                    FROM r)
+            SELECT node, scc, CAST(layer AS BIGINT) AS layer FROM grp
+            UNION ALL
+            SELECT node, scc, CAST(layer AS BIGINT) AS layer FROM ext
         """,
     }
     # the indexed path is bit-identical to the brute path by

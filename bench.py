@@ -88,6 +88,7 @@ HEADLINE = [
     "kg_kcore",
     "kg_scc",
     "kg_ntriples",
+    "kg_build_order",
 ]
 
 

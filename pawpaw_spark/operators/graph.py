@@ -618,6 +618,74 @@ def condensation(
     )
 
 
+def topo_layers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_layers: int = 1024,
+) -> DataFrame:
+    """Topological layering of a DAG -> (node, layer), where ``layer``
+    is the length of the LONGEST path from any source (zero-in-degree
+    node) — Kahn peeling, the parallel-build schedule: every node in a
+    layer can run once all earlier layers finished, and the layer count
+    is the critical-path length. RAISES on a cycle (a partial order
+    with a cycle has no schedule; feed cyclic graphs through
+    :func:`strongly_connected_components` + :func:`condensation`
+    first — that composition is the cyclic-dependency-aware build
+    order).
+
+    Layers are exact small integers, so results are bit-identical at
+    any parallelism. Scale shape: per layer, one in-degree agg over the
+    remaining edges + two anti-joins, all equi-joins on node ids;
+    remaining-edge/node tables are truncated-checkpointed per round, so
+    lineage stays O(1). Rounds = DAG depth (the schedule's critical
+    path — anything that computes longest paths pays it)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    if not e.filter(F.col("src") == F.col("dst")).isEmpty():
+        raise ValueError(
+            "topo_layers: self-loop found — a self-dependency is a cycle"
+        )
+    remaining = truncated_checkpoint(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+    )
+    re = truncated_checkpoint(e)
+    spark = edges.sparkSession
+    out = spark.createDataFrame([], "node string, layer long")
+    for layer in range(max_layers):
+        if remaining.isEmpty():
+            return out
+        zero = truncated_checkpoint(
+            remaining.join(
+                re.select(F.col("dst").alias("node")).distinct(),
+                "node",
+                "left_anti",
+            )
+        )
+        if zero.isEmpty():
+            raise ValueError(
+                f"topo_layers: cycle detected at layer {layer} — the graph "
+                "is not a DAG (run strongly_connected_components + "
+                "condensation first)"
+            )
+        out = out.union(
+            zero.select("node", F.lit(layer).cast("long").alias("layer"))
+        )
+        remaining = truncated_checkpoint(
+            remaining.join(zero, "node", "left_anti")
+        )
+        re = truncated_checkpoint(
+            re.join(zero, re["src"] == zero["node"], "left_anti")
+        )
+    raise ValueError(
+        f"topo_layers: DAG depth exceeds max_layers={max_layers}"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     a_col: str = "src",

@@ -865,3 +865,85 @@ class TestStronglyConnectedComponents:
     )
     def test_property_matches_tarjan(self, spark, edges):
         assert self._run(spark, edges) == py_scc(edges)
+
+
+def py_topo_layers(edges):
+    """Kahn peeling -> {node: longest-path-from-source length}."""
+    e = {(str(a), str(b)) for a, b in edges}
+    nodes = {x for p in e for x in p}
+    out = {}
+    layer = 0
+    while nodes:
+        dsts = {b for a, b in e if a in nodes and b in nodes}
+        zero = {n for n in nodes if n not in dsts}
+        if not zero:
+            raise ValueError("cycle")
+        for n in zero:
+            out[n] = layer
+        nodes -= zero
+        layer += 1
+    return out
+
+
+class TestTopoLayers:
+    def _run(self, spark, edges, **kw):
+        from pawpaw_spark.operators.graph import topo_layers
+
+        return {
+            r.node: r.layer
+            for r in topo_layers(_edge_df(spark, edges), **kw).collect()
+        }
+
+    def test_diamond(self, spark):
+        edges = [(0, 1), (0, 2), (1, 3), (2, 3)]
+        assert self._run(spark, edges) == {"0": 0, "1": 1, "2": 1, "3": 2}
+
+    def test_longest_path_not_shortest(self, spark):
+        # 3 is reachable in 1 hop from 0 but sits at layer 3 (via 1, 2)
+        edges = [(0, 3), (0, 1), (1, 2), (2, 3)]
+        assert self._run(spark, edges)["3"] == 3
+
+    def test_cycle_raises(self, spark):
+        with pytest.raises(ValueError, match="cycle detected"):
+            self._run(spark, [(0, 1), (1, 0)])
+
+    def test_self_loop_raises(self, spark):
+        with pytest.raises(ValueError, match="self-loop"):
+            self._run(spark, [(0, 0), (0, 1)])
+
+    def test_max_layers_raises(self, spark):
+        with pytest.raises(ValueError, match="max_layers"):
+            self._run(spark, [(0, 1), (1, 2)], max_layers=2)
+
+    def test_scc_condensation_topo_composition(self, spark):
+        """The cyclic-dependency-aware build order: SCCs contracted,
+        then layered — CHAINED_CYCLES gives upstream cycle at layer 0,
+        downstream at layer 1."""
+        from pawpaw_spark.operators.graph import (
+            condensation,
+            strongly_connected_components,
+            topo_layers,
+        )
+
+        e = _edge_df(spark, CHAINED_CYCLES)
+        scc = strongly_connected_components(e)
+        got = {
+            r.node: r.layer
+            for r in topo_layers(
+                condensation(e, scc), "scc_src", "scc_dst"
+            ).collect()
+        }
+        assert got == {"d": 0, "b": 1}
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            # a < b forces acyclicity
+            st.tuples(st.integers(0, 8), st.integers(0, 8)).map(
+                lambda t: (min(t), max(t) + 1)
+            ),
+            min_size=1, max_size=20,
+        )
+    )
+    def test_property_matches_kahn(self, spark, edges):
+        assert self._run(spark, edges) == py_topo_layers(edges)
