@@ -1046,6 +1046,23 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 tf-idf keywords (operators/text.py) — doc
+    tagging for a training-data pipeline. The LINEAR idf (N+1)/(df+1)
+    keeps the score one correctly-rounded IEEE division of exact
+    integers, so score AND ranking are bit-identical cross-engine (the
+    log-idf variant is libm-dependent and unit-tested instead); the
+    oracle mirrors tokenizer, score, and row_number tiebreak (score
+    desc, token asc) exactly."""
+    from pawpaw_spark.operators.text import tfidf_keywords
+
+    d = _docs(spark, sf_dir)
+    return tfidf_keywords(d, "text", "doc_id", k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "token", "tf", "df", "score", "rank",
+    )
+
+
 def q_corpus_profile(spark, sf_dir):
     """Per-language corpus profile with EXACT R-7 percentiles (the
     same interpolation as DuckDB quantile_cont) — the profiling pass
@@ -1869,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
+        "tfidf_keywords": q_tfidf_keywords,
         "corpus_profile": q_corpus_profile,
         "pack_bins": q_pack_bins,
         "decontaminate": q_decontaminate,
@@ -2646,6 +2664,40 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs
             FROM per_doc GROUP BY token
             ORDER BY n_total DESC, token ASC LIMIT 50
+        """,
+        # same tokenizer CTE; score = tf*(N+1)/(df+1) is one IEEE
+        # double division of exact integers in BOTH engines, so the
+        # double column and the (score desc, token asc) ranking are
+        # bit-identical
+        "tfidf_keywords": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '[^0-9a-z_]+'),
+                           t -> t <> '')) AS token
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT doc_id, token, count(*)::BIGINT AS tf
+                FROM tok GROUP BY doc_id, token
+            ),
+            dfreq AS (
+                SELECT token, count(*)::BIGINT AS df
+                FROM per_doc GROUP BY token
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT p.doc_id, p.token, p.tf, d.df,
+                       (p.tf * ((SELECT n FROM n) + 1))
+                         / CAST(d.df + 1 AS DOUBLE) AS score
+                FROM per_doc p JOIN dfreq d USING (token)
+            )
+            SELECT doc_id, token, tf, df, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token ASC
+                )::BIGINT AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         # quantile_cont == Spark's exact percentile (R-7 interpolation)
         "corpus_profile": """

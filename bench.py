@@ -89,6 +89,7 @@ HEADLINE = [
     "kg_scc",
     "kg_ntriples",
     "kg_build_order",
+    "tfidf_keywords",
 ]
 
 

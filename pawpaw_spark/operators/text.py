@@ -302,6 +302,66 @@ def vocab_topk(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    log_idf: bool = False,
+) -> DataFrame:
+    """Per-document top-k salient terms by tf-idf -> (doc_id, token,
+    tf, df, score, rank) — document tagging / keyword fingerprinting
+    for a training-data pipeline (what is this doc ABOUT, as opposed
+    to :func:`vocab_topk`'s corpus-global vocabulary).
+
+    The default idf is the LINEAR rational (N+1)/(df+1): score =
+    tf * (N+1) / (df+1), computed as ONE IEEE-754 double division of
+    exact integers — division is correctly rounded, so the score (and
+    therefore the ranking) is bit-identical on any engine, which is
+    what lets a DuckDB oracle check it value-level. ``log_idf=True``
+    switches to the classic smooth ln((N+1)/(df+1)) + 1 for in-engine
+    ranking — transcendental, so its last ulp is libm-dependent and it
+    is deliberately NOT the cross-engine contract path. Both idfs are
+    monotone decreasing in df, so they agree that rarer is saltier;
+    rank ties break on token asc, deterministically.
+
+    Scale shape: tf rows are pre-aggregated per (doc, distinct token)
+    map-side; the df table is a token-keyed agg joined back on token
+    (AQE handles hot-token skew); the top-k is a per-doc window over
+    the doc-partitioned tf rows — no global sort, no driver state.
+    """
+    n = df.count()  # corpus size: one metadata-sized action
+    per_doc = df.select(
+        F.col(id_col),
+        F.explode(_lower_tokens(F.col(text_col))).alias("token"),
+    ).groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    joined = per_doc.join(dfreq, "token")
+    if log_idf:
+        score = F.col("tf") * (
+            F.log((F.col("df") + F.lit(1)).cast("double")) * F.lit(-1)
+            + F.log(F.lit(float(n + 1)))
+            + F.lit(1.0)
+        )
+    else:
+        score = (F.col("tf") * F.lit(n + 1)) / (F.col("df") + F.lit(1))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        joined.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
+
+
 def c4_filters(
     df: DataFrame,
     text_col: str = "text",

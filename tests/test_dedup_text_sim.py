@@ -1193,3 +1193,78 @@ class TestAvHeaders:
         assert got["v1"]["format"] == "mp4" and got["v1"]["duration_ms"] == 1234
         assert (got["v1"]["width"], got["v1"]["height"]) == (640, 480)
         assert got["bad"]["format"] is None and got["bad"]["duration_ms"] is None
+
+
+class TestTfidfKeywords:
+    def _py(self, rows, k, log_idf=False):
+        import math
+        import re
+        from collections import Counter
+
+        n = len(rows)
+        tf = {}
+        dfreq = Counter()
+        for doc_id, text in rows:
+            toks = [t for t in re.split(r"[^0-9a-z_]+", text.lower()) if t]
+            c = Counter(toks)
+            tf[doc_id] = c
+            dfreq.update(set(toks))
+        out = set()
+        for doc_id, c in tf.items():
+            if log_idf:
+                scored = [
+                    (t, cnt, dfreq[t],
+                     cnt * (math.log((n + 1) / (dfreq[t] + 1)) + 1))
+                    for t, cnt in c.items()
+                ]
+            else:
+                scored = [
+                    (t, cnt, dfreq[t], cnt * (n + 1) / (dfreq[t] + 1))
+                    for t, cnt in c.items()
+                ]
+            scored.sort(key=lambda x: (-x[3], x[0]))
+            for rank, (t, cnt, d, s) in enumerate(scored[:k], 1):
+                out.add((doc_id, t, cnt, d, rank))
+        return out
+
+    def test_matches_python_linear(self, spark):
+        from pawpaw_spark.operators.text import tfidf_keywords
+
+        rows = [
+            ("a", "spark spark shuffle join the the the"),
+            ("b", "the join graph graph graph"),
+            ("c", "the the spark graph"),
+            ("d", "unique_token only here; the rest are common the"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            (r.doc_id, r.token, r.tf, r.df, r.rank)
+            for r in tfidf_keywords(df, k=3).collect()
+        }
+        assert got == self._py(rows, k=3)
+
+    def test_log_idf_variant(self, spark):
+        from pawpaw_spark.operators.text import tfidf_keywords
+
+        rows = [
+            ("a", "alpha alpha beta the"),
+            ("b", "beta gamma the the"),
+            ("c", "gamma gamma alpha delta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            (r.doc_id, r.token, r.tf, r.df, r.rank)
+            for r in tfidf_keywords(df, k=2, log_idf=True).collect()
+        }
+        assert got == self._py(rows, k=2, log_idf=True)
+
+    def test_rare_beats_common_at_equal_tf(self, spark):
+        from pawpaw_spark.operators.text import tfidf_keywords
+
+        rows = [("a", "rare common"), ("b", "common"), ("c", "common")]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        top = {
+            r.doc_id: r.token
+            for r in tfidf_keywords(df, k=1).collect()
+        }
+        assert top["a"] == "rare"
