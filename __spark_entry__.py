@@ -1046,6 +1046,21 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (width 24, stride 16 — docs
+    run 10-99 tokens, so counts span 1 to ~6 chunks and every branch of
+    the ceil arithmetic fires). Shuffle-free: one split + sequence
+    explode + slice per row; the oracle mirrors tokenize, integer chunk
+    count, 1-based slice, and single-space rejoin."""
+    from pawpaw_spark.operators.packing import chunk_tokens
+
+    d = _docs(spark, sf_dir)
+    return chunk_tokens(d, "text", "doc_id", width=24, stride=16).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx", "n_tokens", "chunk_text",
+    )
+
+
 def q_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 tf-idf keywords (operators/text.py) — doc
     tagging for a training-data pipeline. The LINEAR idf (N+1)/(df+1)
@@ -1887,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "tfidf_keywords": q_tfidf_keywords,
+        "doc_chunks": q_doc_chunks,
         "corpus_profile": q_corpus_profile,
         "pack_bins": q_pack_bins,
         "decontaminate": q_decontaminate,
@@ -2698,6 +2714,36 @@ def oracle_sql() -> dict[str, str]:
                 )::BIGINT AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        # same tokenize (non-whitespace runs, case preserved), same
+        # integer ceil via (n - w + s - 1) // s, same 1-based inclusive
+        # slice bounds, same single-space rejoin
+        "doc_chunks": """
+            WITH tokd AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents
+            ),
+            sized AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 24 THEN 1
+                            ELSE (len(toks) - 24 + 16 - 1) // 16 + 1
+                       END AS n_chunks
+                FROM tokd
+            ),
+            k AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(n_chunks)) AS chunk_idx
+                FROM sized
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(greatest(least(24, n - chunk_idx * 16), 0)
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     toks[(chunk_idx * 16 + 1):(chunk_idx * 16 + 24)],
+                     ' ') AS chunk_text
+            FROM k
         """,
         # quantile_cont == Spark's exact percentile (R-7 interpolation)
         "corpus_profile": """

@@ -90,6 +90,7 @@ HEADLINE = [
     "kg_ntriples",
     "kg_build_order",
     "tfidf_keywords",
+    "doc_chunks",
 ]
 
 

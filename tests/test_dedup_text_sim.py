@@ -3,6 +3,7 @@ multimodal plumbing — over the driver-provided testdata tables."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -1268,3 +1269,79 @@ class TestTfidfKeywords:
             for r in tfidf_keywords(df, k=1).collect()
         }
         assert top["a"] == "rare"
+
+
+class TestChunkTokens:
+    def _py(self, rows, width, stride):
+        out = set()
+        for doc_id, text in rows:
+            toks = text.split()
+            n = len(toks)
+            if n <= width:
+                n_chunks = 1
+            else:
+                n_chunks = (n - width + stride - 1) // stride + 1
+            for k in range(n_chunks):
+                s = k * stride
+                window = toks[s : s + width]
+                out.add((doc_id, k, len(window), " ".join(window)))
+        return out
+
+    def test_matches_python(self, spark):
+        from pawpaw_spark.operators.packing import chunk_tokens
+
+        rows = [
+            ("a", " ".join(f"t{i}" for i in range(10))),
+            ("exact", " ".join(f"t{i}" for i in range(4))),
+            ("short", "one two"),
+            ("empty", "   "),
+            ("one_over", " ".join(f"t{i}" for i in range(5))),
+            ("punct", "Keep, CASE! and  multi   spaces\ttabs\nnewlines"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+            for r in chunk_tokens(df, width=4, stride=3).collect()
+        }
+        assert got == self._py(rows, 4, 3)
+
+    def test_full_coverage_and_overlap(self, spark):
+        from pawpaw_spark.operators.packing import chunk_tokens
+
+        text = " ".join(str(i) for i in range(100))
+        df = spark.createDataFrame([("d", text)], "doc_id string, text string")
+        chunks = chunk_tokens(df, width=16, stride=12).collect()
+        seen = set()
+        for r in chunks:
+            seen.update(r.chunk_text.split())
+        assert seen == {str(i) for i in range(100)}
+        # consecutive chunks share width - stride tokens
+        by_idx = {r.chunk_idx: r.chunk_text.split() for r in chunks}
+        for k in range(len(by_idx) - 2):  # last window may overlap more
+            assert by_idx[k][12:] == by_idx[k + 1][:4]
+
+    def test_guards(self, spark):
+        from pawpaw_spark.operators.packing import chunk_tokens
+
+        df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+        with pytest.raises(ValueError, match="positive"):
+            chunk_tokens(df, width=0, stride=1)
+        with pytest.raises(ValueError, match="DROP"):
+            chunk_tokens(df, width=4, stride=5)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.integers(0, 60), st.integers(1, 20), st.integers(1, 20)
+    )
+    def test_property_matches_python(self, spark, n, width, stride):
+        from pawpaw_spark.operators.packing import chunk_tokens
+
+        if stride > width:
+            return
+        rows = [("d", " ".join(f"w{i}" for i in range(n)))]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = {
+            (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+            for r in chunk_tokens(df, width=width, stride=stride).collect()
+        }
+        assert got == self._py(rows, width, stride)
