@@ -1046,6 +1046,23 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Reproducible epoch-shuffle keys for the documents corpus, top-100
+    of epoch 7's order (operators/sampling.epoch_shuffle_key) — a pure
+    md5 function of (seed, doc_id), so the permutation is bit-identical
+    across engines, reruns, and partitionings; the oracle recomputes the
+    same md5 and the same (key, doc_id) order."""
+    from pawpaw_spark.operators.sampling import epoch_shuffle_key
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return (
+        epoch_shuffle_key(d, seed=7)
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+        .select("doc_id", "shuffle_key")
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Overlapping token-window chunking (width 24, stride 16 — docs
     run 10-99 tokens, so counts span 1 to ~6 chunks and every branch of
@@ -1903,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_keywords": q_tfidf_keywords,
         "doc_chunks": q_doc_chunks,
+        "epoch_shuffle": q_epoch_shuffle,
         "corpus_profile": q_corpus_profile,
         "pack_bins": q_pack_bins,
         "decontaminate": q_decontaminate,
@@ -2744,6 +2762,13 @@ def oracle_sql() -> dict[str, str]:
                      toks[(chunk_idx * 16 + 1):(chunk_idx * 16 + 24)],
                      ' ') AS chunk_text
             FROM k
+        """,
+        # identical md5 over the identical '7:' || id string; the
+        # (key, doc_id) order and top-100 cut are therefore identical
+        "epoch_shuffle": """
+            SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id LIMIT 100
         """,
         # quantile_cont == Spark's exact percentile (R-7 interpolation)
         "corpus_profile": """

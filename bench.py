@@ -91,6 +91,7 @@ HEADLINE = [
     "kg_build_order",
     "tfidf_keywords",
     "doc_chunks",
+    "epoch_shuffle",
 ]
 
 

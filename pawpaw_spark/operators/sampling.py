@@ -136,3 +136,41 @@ def weighted_mix_keys(
             (u * F.col("__n_source") / w_col).alias("mix_key"),
         )
     )
+
+
+def epoch_shuffle_key(
+    df: DataFrame,
+    seed: int | str,
+    key_col: str = "doc_id",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Reproducible corpus shuffle order -> the input plus a
+    ``shuffle_key`` column: sorting by (shuffle_key, key) IS the
+    epoch's pseudorandom document order. Training runs need a shuffle
+    that is (a) different every epoch, (b) bit-identical when the job
+    reruns, resumes, or recomputes a lost partition, and (c) writable
+    as a range-partitioned sort — none of which ``orderBy(rand())``
+    gives (rand() is seeded per task attempt: a retried task silently
+    reshuffles its partition).
+
+    Key = md5(seed || ':' || key): a pure function of the data, so the
+    order is engine-independent (DuckDB mirrors it verbatim) and a new
+    ``seed`` value (e.g. the epoch number) derives a fresh independent
+    permutation. The tie-break on the raw key matters only for md5
+    prefix collisions between distinct docs (the full 32-hex key makes
+    that vanishingly rare, but determinism must not rest on "rare").
+
+    Scale: a projection; the downstream sort is Spark's range-partition
+    sort (``df.sortWithinPartitions`` after ``repartitionByRange`` on
+    the key), never a single-reducer window — this operator
+    deliberately emits the KEY, not a global row_number, because a
+    global rank is a serial bottleneck a 100 TB corpus cannot pay.
+    """
+    return df.withColumn(
+        out_col,
+        F.md5(
+            F.concat(
+                F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string")
+            )
+        ),
+    )

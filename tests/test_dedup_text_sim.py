@@ -1345,3 +1345,37 @@ class TestChunkTokens:
             for r in chunk_tokens(df, width=width, stride=stride).collect()
         }
         assert got == self._py(rows, width, stride)
+
+
+class TestEpochShuffle:
+    def test_matches_python_md5_and_epochs_differ(self, spark):
+        import hashlib
+
+        from pawpaw_spark.operators.sampling import epoch_shuffle_key
+
+        df = spark.createDataFrame(
+            [(str(i),) for i in range(50)], "doc_id string"
+        )
+        got0 = {
+            r.doc_id: r.shuffle_key
+            for r in epoch_shuffle_key(df, seed=0).collect()
+        }
+        want0 = {
+            str(i): hashlib.md5(f"0:{i}".encode()).hexdigest()
+            for i in range(50)
+        }
+        assert got0 == want0
+        # epoch 1 is an independent permutation: order differs
+        got1 = {
+            r.doc_id: r.shuffle_key
+            for r in epoch_shuffle_key(df, seed=1).collect()
+        }
+        order0 = sorted(got0, key=lambda d: (got0[d], d))
+        order1 = sorted(got1, key=lambda d: (got1[d], d))
+        assert order0 != order1
+        # rerun is bit-identical (pure function of the data)
+        again = {
+            r.doc_id: r.shuffle_key
+            for r in epoch_shuffle_key(df, seed=0).collect()
+        }
+        assert again == got0
