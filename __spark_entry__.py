@@ -1847,6 +1847,62 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(d, obj_literal=True)
 
 
+def _wpr_edges(spark, sf_dir):
+    """Weighted call graph by pure column arithmetic: the _call_docs
+    ring/chord/hub shape (16 groups) with DISTINCT integer weights per
+    edge family — w=1+r%7 (ring), 1+r%5 (chord), 1+r%3 (hub) — plus a
+    dangling external sink per group (last position -> sym:ext_g, w=2)
+    so the weighted recurrence's dangling term is non-zero. Some rows'
+    families coincide (e.g. hub == ring when (p+1)%sg == 0); the
+    weighted contract SUMS those parallel weights, and the oracle
+    mirrors the raw edge list so both sides sum identically."""
+    G = _KG_GROUPS
+    c = _fan(spark.read.parquet(f"{sf_dir}/customer.parquet")).select(
+        F.col("c_custkey").cast("long").alias("r")
+    )
+    m = c.count()
+    g = F.col("r") % G
+    p = F.floor(F.col("r") / F.lit(G)).cast("long")
+    sg = F.floor((F.lit(m - 1) - g) / G).cast("long") + 1
+    src = F.concat(F.lit("sym:f_"), F.col("r"))
+    mem = lambda pos: F.concat(F.lit("sym:f_"), g + G * pos)
+    e1 = c.select(
+        src.alias("src"), mem((p + 1) % sg).alias("dst"),
+        (F.lit(1) + F.col("r") % 7).cast("long").alias("w"),
+    )
+    e2 = c.select(
+        src.alias("src"), mem((p + 2) % sg).alias("dst"),
+        (F.lit(1) + F.col("r") % 5).cast("long").alias("w"),
+    )
+    e3 = c.select(
+        src.alias("src"), mem(F.lit(0)).alias("dst"),
+        (F.lit(1) + F.col("r") % 3).cast("long").alias("w"),
+    )
+    e4 = c.filter(p == sg - 1).select(
+        src.alias("src"), F.concat(F.lit("sym:ext_"), g).alias("dst"),
+        F.lit(2).cast("long").alias("w"),
+    )
+    return e1.union(e2).union(e3).union(e4)
+
+
+def q_kg_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED fixed-point PageRank over the constructed weighted call
+    graph: rank splits across out-edges in proportion weight /
+    out-strength, parallel edges sum their weights, the per-group
+    external sinks exercise the dangling term. Exact integers
+    end-to-end (DECIMAL(38,0) product widening in the engine, HUGEINT
+    in the DuckDB mirror), so rank_fp is bit-identical at any
+    parallelism — the oracle is the same recurrence unrolled by the
+    same loop count."""
+    from pawpaw_spark.operators.graph import pagerank
+
+    ranks = pagerank(
+        _wpr_edges(spark, sf_dir), iters=3, damping=0.85,
+        materialize=False, weight_col="w",
+    )
+    return ranks.select("node", F.col("rank_fp"))
+
+
 def q_kg_build_order(spark, sf_dir):
     """Cyclic-dependency-aware build order — the full composition the
     SCC docstring promises: strongly_connected_components over the
@@ -1950,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc": q_kg_scc,
         "kg_ntriples": q_kg_ntriples,
         "kg_build_order": q_kg_build_order,
+        "kg_pagerank_weighted": q_kg_pagerank_weighted,
     }
 
 
@@ -2085,6 +2142,72 @@ def _kg_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
                           WHERE deg.src IS NULL) dg
               LEFT JOIN (SELECT e.dst AS node,
                                 sum(r.rank_fp // deg.out_deg) AS contrib
+                         FROM e
+                         JOIN r{k - 1} r ON e.src = r.node
+                         JOIN deg ON deg.src = e.src
+                         GROUP BY e.dst) c ON c.node = nodes.node)"""
+        )
+    parts.append(
+        f" SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+def _kg_wpr_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED power-method mirror (_wpr_edges graph): raw
+    weighted edge list rebuilt by the same arithmetic, parallel weights
+    summed, contribution = rank * w // out_strength in HUGEINT (the
+    engine widens to DECIMAL(38,0) — both exact integers, same floor),
+    dangling mass from the per-group external sinks. Unrolled by the
+    same loop count as the engine query."""
+    scale = 10**15
+    d1000 = int(round(damping * 1000))
+    G = _KG_GROUPS
+    parts = [
+        f"""WITH params AS (SELECT count(*) AS m FROM customer),
+        mem AS (SELECT c_custkey AS r, c_custkey % {G} AS g,
+                       c_custkey // {G} AS p,
+                       ((SELECT m FROM params) - 1 - c_custkey % {G})
+                         // {G} + 1 AS sg
+                FROM customer),
+        raw AS (
+          SELECT 'sym:f_' || r AS src,
+                 'sym:f_' || (g + {G} * ((p + 1) % sg)) AS dst,
+                 1 + r % 7 AS w FROM mem
+          UNION ALL
+          SELECT 'sym:f_' || r, 'sym:f_' || (g + {G} * ((p + 2) % sg)),
+                 1 + r % 5 FROM mem
+          UNION ALL
+          SELECT 'sym:f_' || r, 'sym:f_' || g, 1 + r % 3 FROM mem
+          UNION ALL
+          SELECT 'sym:f_' || r, 'sym:ext_' || g, 2 FROM mem
+          WHERE p = sg - 1
+        ),
+        e AS (SELECT src, dst, SUM(w) AS w FROM raw GROUP BY src, dst),
+        deg AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+        nodes AS (SELECT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, {scale} // nn.n AS rank_fp FROM nodes, nn)""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+            r{k} AS (
+              SELECT nodes.node,
+                     CAST(({1000 - d1000} * {scale}) // (1000 * nn.n)
+                     + ({d1000} * (coalesce(c.contrib, 0)
+                                   + dg.dmass // nn.n)) // 1000
+                       AS BIGINT) AS rank_fp
+              FROM nodes
+              CROSS JOIN nn
+              CROSS JOIN (SELECT coalesce(sum(r.rank_fp), 0) AS dmass
+                          FROM r{k - 1} r
+                          LEFT JOIN deg ON deg.src = r.node
+                          WHERE deg.src IS NULL) dg
+              LEFT JOIN (SELECT e.dst AS node,
+                                sum((CAST(r.rank_fp AS HUGEINT) * e.w)
+                                    // deg.ow) AS contrib
                          FROM e
                          JOIN r{k - 1} r ON e.src = r.node
                          JOIN deg ON deg.src = e.src
@@ -2957,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _kg_pagerank_sql(iters=3, damping=0.85),
         "kg_ppr": _kg_ppr_sql(iters=3, damping=0.85),
+        "kg_pagerank_weighted": _kg_wpr_sql(iters=3, damping=0.85),
         # plain 3-way-join enumeration on the canonical (a < b) edge
         # set — each triangle x<y<z appears exactly once as the row
         # pair (x,y),(y,z) closed by (x,z)

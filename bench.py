@@ -92,6 +92,7 @@ HEADLINE = [
     "tfidf_keywords",
     "doc_chunks",
     "epoch_shuffle",
+    "kg_pagerank_weighted",
 ]
 
 

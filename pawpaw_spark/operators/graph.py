@@ -62,6 +62,7 @@ def pagerank(
     materialize: bool = True,
     teleport_to: DataFrame | None = None,
     strict_seeds: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank -> (node, rank).
 
@@ -107,6 +108,16 @@ def pagerank(
     otherwise silently renormalize every other seed's share;
     ``strict_seeds=False`` opts into renormalizing over the present
     seeds (still raising if NONE are present).
+
+    ``weight_col`` switches to WEIGHTED PageRank: parallel edges SUM
+    their integer weights (a call site repeated 10x votes 10x — the
+    opposite of the unweighted distinct), and a node's rank splits
+    across out-edges in proportion weight / out-strength. Weights must
+    be integers >= 1 (raises per offending row); the rank_fp * w
+    product is widened to DECIMAL(38,0) before the floor division, so
+    the recurrence stays exact integers end-to-end and the bit-identity
+    guarantee carries over — the weighted oracle is the same recurrence
+    with HUGEINT/decimal arithmetic.
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
@@ -116,18 +127,53 @@ def pagerank(
             f"damping={damping} must be a multiple of 0.001 in [0, 1] — it "
             "enters the exact fixed-point recurrence as an integer per-mille"
         )
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct()
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        # `div` = integral division: exact, order-independent
+        contrib_expr = "rank_fp div out_deg"
+    else:
+        wv = F.col(weight_col).cast("long")
+        e = (
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.when(wv >= 1, wv)
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("pagerank: edge weights must be integers "
+                                  ">= 1, got "),
+                            F.col(weight_col).cast("string"),
+                        )
+                    )
+                )
+                .alias("w"),
+            )
+            # parallel edges SUM their weights (a call site repeated in
+            # one body votes its multiplicity — the weighted contract,
+            # unlike the unweighted distinct)
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+        deg = e.groupBy("src").agg(F.sum("w").alias("out_deg"))
+        # rank mass splits in proportion w / out-strength; the product
+        # is widened to DECIMAL(38,0) so rank_fp * w cannot overflow
+        # int64, then floored by div — still exact integers end-to-end
+        contrib_expr = (
+            "CAST(CAST(rank_fp AS DECIMAL(38,0)) * w AS DECIMAL(38,0))"
+            " div out_deg"
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst")))
         .distinct()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # (src, dst, out_deg): built once, reused every iteration — persist
-    # so the distinct + degree agg don't rerun per round. Released
-    # before return; rank tables are checkpointed, not cached.
+    # (src, dst[, w], out_deg): built once, reused every iteration —
+    # persist so the dedup/weight-sum + degree agg don't rerun per
+    # round. Released before return; rank tables are checkpointed.
     links = e.join(deg, "src").persist()
     # rank table CARRIES the node's own out_deg (null = dangling): the
     # dangling mass then falls out of a plain aggregate over the rank
@@ -193,8 +239,7 @@ def pagerank(
             )
             .select(
                 F.col("dst").alias("node"),
-                # `div` = integral division: exact, order-independent
-                F.expr("rank_fp div out_deg").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))

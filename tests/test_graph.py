@@ -947,3 +947,107 @@ class TestTopoLayers:
     )
     def test_property_matches_kahn(self, spark, edges):
         assert self._run(spark, edges) == py_topo_layers(edges)
+
+
+def py_wpr_fp(wedges, iters, damping=0.85, scale=10**15):
+    """Exact integer mirror of the WEIGHTED recurrence: parallel edges
+    sum weights, contribution = rank * w // out_strength (python ints
+    are arbitrary precision — the engine's DECIMAL(38,0) widening)."""
+    agg = {}
+    for a, b, w in wedges:
+        agg[(str(a), str(b))] = agg.get((str(a), str(b)), 0) + w
+    nodes = sorted({x for p in agg for x in p})
+    out_w = {}
+    for (u, _), w in agg.items():
+        out_w[u] = out_w.get(u, 0) + w
+    d1000 = int(round(damping * 1000))
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    base = (1000 - d1000) * scale // (1000 * n)
+    for _ in range(iters):
+        contrib = {v: 0 for v in nodes}
+        for (u, v), w in agg.items():
+            contrib[v] += r[u] * w // out_w[u]
+        dmass = sum(r[u] for u in nodes if u not in out_w)
+        r = {
+            v: base + (d1000 * (contrib[v] + dmass // n)) // 1000
+            for v in nodes
+        }
+    return r
+
+
+class TestWeightedPagerank:
+    def _wdf(self, spark, wedges):
+        return spark.createDataFrame(
+            [(str(a), str(b), w) for a, b, w in wedges],
+            "src string, dst string, w long",
+        )
+
+    def test_matches_python_reference(self, spark):
+        wedges = [(0, 1, 10), (0, 2, 1), (1, 2, 3), (2, 0, 5), (3, 0, 7)]
+        got = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                self._wdf(spark, wedges), iters=3, weight_col="w"
+            ).collect()
+        }
+        assert got == py_wpr_fp(wedges, iters=3)
+
+    def test_parallel_edges_sum(self, spark):
+        # (0 -> 1) twice with weight 2 == once with weight 4
+        a = self._wdf(spark, [(0, 1, 2), (0, 1, 2), (0, 2, 4)])
+        b = self._wdf(spark, [(0, 1, 4), (0, 2, 4)])
+        ra = {r.node: r.rank_fp for r in pagerank(a, iters=3, weight_col="w").collect()}
+        rb = {r.node: r.rank_fp for r in pagerank(b, iters=3, weight_col="w").collect()}
+        assert ra == rb
+
+    def test_unit_weights_equal_unweighted(self, spark):
+        wedges = [(a, b, 1) for a, b in RING_HUB]
+        w = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                self._wdf(spark, wedges), iters=4, weight_col="w"
+            ).collect()
+        }
+        u = {
+            r.node: r.rank_fp
+            for r in pagerank(_edge_df(spark, RING_HUB), iters=4).collect()
+        }
+        assert w == u
+
+    def test_nonpositive_weight_raises(self, spark):
+        with pytest.raises(Exception, match="must be integers"):
+            pagerank(
+                self._wdf(spark, [(0, 1, 0)]), iters=1, weight_col="w"
+            ).collect()
+
+    def test_heavy_edge_dominates(self, spark):
+        # 0 splits 99:1 between 1 and 2 — rank(1) >> rank(2)
+        out = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                self._wdf(spark, [(0, 1, 99), (0, 2, 1), (1, 0, 1), (2, 0, 1)]),
+                iters=4, weight_col="w",
+            ).collect()
+        }
+        # the (1-d)/N teleport floor props node 2 up, so the ratio is
+        # bounded by ~d/(1-d) ≈ 5.7x per hop, not the raw 99x
+        assert out["1"] > 5 * out["2"]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 6), st.integers(0, 6), st.integers(1, 1000)
+            ),
+            min_size=1, max_size=15,
+        )
+    )
+    def test_property_matches_python(self, spark, wedges):
+        got = {
+            r.node: r.rank_fp
+            for r in pagerank(
+                self._wdf(spark, wedges), iters=2, weight_col="w"
+            ).collect()
+        }
+        assert got == py_wpr_fp(wedges, iters=2)
