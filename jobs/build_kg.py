@@ -41,6 +41,12 @@ def main() -> None:
         "over the canonical symbol graph",
     )
     p.add_argument("--pagerank-iters", type=int, default=5)
+    p.add_argument(
+        "--ntriples", action="store_true",
+        help="also export the edge table as W3C N-Triples text under "
+        "<output>/ntriples (subj/pred/obj as IRIs; interchange with "
+        "any RDF toolchain)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -72,6 +78,15 @@ def main() -> None:
     }
     if args.analytics:
         stats["node_metrics"] = res["node_metrics"].count()
+    if args.ntriples:
+        from pawpaw_spark.operators.ntriples import to_ntriples
+
+        # projection over the already-materialized edge table — rides
+        # the scan, no shuffle; mode=overwrite keeps the job rerunnable
+        to_ntriples(res["edges"]).write.mode("overwrite").text(
+            f"{args.output}/ntriples"
+        )
+        stats["ntriples"] = stats["edges"]
     stats["triples_per_sec"] = round(stats["edges"] / stats["wall_sec"], 1)
     print(json.dumps(stats))
     spark.stop()

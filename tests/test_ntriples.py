@@ -3,6 +3,7 @@ serializer, parse pinned as the exact inverse (roundtrip identity on
 hypothesis-generated nasty strings), guards raise."""
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from pawpaw_spark.operators.ntriples import from_ntriples, to_ntriples
@@ -115,3 +116,23 @@ class TestParse:
         )
         got = sorted((r.subj, r.obj) for r in back.collect())
         assert got == sorted((s, o) for s, _, o in rows)
+
+
+class TestKgPipelineRoundtrip:
+    def test_real_edge_table_roundtrips(self, spark):
+        """The actual KG edge vocabulary (CONTAINS / HAS_SEGMENT /
+        DEFINES / REFERENCES node ids with @commit and #span suffixes)
+        survives serialize -> parse identically — the interchange path
+        jobs/build_kg.py --ntriples exports."""
+        from pawpaw_spark.corpus import source_df
+        from pawpaw_spark.operators.triples import build_edges_fused
+
+        edges = (
+            build_edges_fused(source_df(spark, n_files=8, seed=7))
+            .select("subj", "pred", "obj")
+        )
+        want = {(r.subj, r.pred, r.obj) for r in edges.collect()}
+        back = from_ntriples(to_ntriples(edges))
+        got = {(r.subj, r.pred, r.obj) for r in back.collect()}
+        assert got == want and len(got) > 100
+        assert back.filter(F.col("obj_is_literal")).count() == 0
