@@ -1847,6 +1847,42 @@ def q_kg_ntriples(spark, sf_dir):
     return to_ntriples(d, obj_literal=True)
 
 
+def q_kg_motif(spark, sf_dir):
+    """Basic-graph-pattern (motif) query over the FUSED kernel triples
+    (operators/graph_query.py): the cross-file dependency motif
+    ``(?f DEFINES ?s) (?s REFERENCES ?t) (?g DEFINES ?t), ?f != ?g``
+    aggregated per file — which files does each file's code depend on.
+    Exercises the full matcher path end-to-end from segmentation:
+    constant-predicate slicing, greedy-connected join ordering, the
+    early inequality filter (a doc calling its own hub symbol binds
+    f == g and must drop), and the implicit anti-effect of joins (the
+    dangling ``f_missing_g`` call targets bind no DEFINES triple and
+    vanish). The oracle replays the identical joins over the
+    arithmetically reconstructed edge + definition CTEs. Scale shape:
+    three equi-joins on symbol ids over pred-sliced edge partitions —
+    no cross product anywhere (asserted by plan test)."""
+    from pawpaw_spark.operators.graph_query import match_pattern
+    from pawpaw_spark.operators.triples import build_edges_fused
+
+    edges = build_edges_fused(_call_docs(spark, sf_dir))
+    bindings = match_pattern(
+        edges,
+        [
+            ("?f", "DEFINES", "?s"),
+            ("?s", "REFERENCES", "?t"),
+            ("?g", "DEFINES", "?t"),
+        ],
+        neq=[("?f", "?g")],
+    )
+    return (
+        bindings.groupBy(F.col("f").alias("file"))
+        .agg(
+            F.countDistinct("g").alias("n_dep_files"),
+            F.countDistinct("t").alias("n_dep_syms"),
+        )
+    )
+
+
 def _wpr_edges(spark, sf_dir):
     """Weighted call graph by pure column arithmetic: the _call_docs
     ring/chord/hub shape (16 groups) with DISTINCT integer weights per
@@ -2005,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_scc": q_kg_scc,
         "kg_ntriples": q_kg_ntriples,
+        "kg_motif": q_kg_motif,
         "kg_build_order": q_kg_build_order,
         "kg_pagerank_weighted": q_kg_pagerank_weighted,
     }
@@ -3435,6 +3472,26 @@ def oracle_sql() -> dict[str, str]:
                      '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r')
                 || '" .' AS line
             FROM payload
+        """,
+        # the motif's three equi-joins replayed verbatim: defs from the
+        # same mem arithmetic (doc r defines sym:f_r; doc_id scheme
+        # repo/path@commit), call edges from the shared e CTE
+        "kg_motif": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            b AS (
+              SELECT DISTINCT d1.f AS f, d1.s AS s, e.dst AS t, d2.f AS g
+              FROM defs d1
+              JOIN e ON e.src = d1.s
+              JOIN defs d2 ON d2.s = e.dst
+              WHERE d1.f <> d2.f)
+            SELECT f AS file,
+                   count(DISTINCT g) AS n_dep_files,
+                   count(DISTINCT t) AS n_dep_syms
+            FROM b GROUP BY f
         """,
         # closed form for the SCC+condensation+topo composition on the
         # constructed graph: every group SCC is a layer-0 build unit,

@@ -92,6 +92,7 @@ HEADLINE = [
     "tfidf_keywords",
     "doc_chunks",
     "epoch_shuffle",
+    "kg_motif",
     "kg_pagerank_weighted",
 ]
 
@@ -198,11 +199,13 @@ def main() -> None:
     # kg_build / kg_triples_by_pred already time directly)
     E._call_edges(spark, sf_dir).count()
     timings["warmup"] = round(time.time() - t0, 3)
+    print(f"[bench] warmup {timings['warmup']}s", file=sys.stderr, flush=True)
 
     for name in HEADLINE:
         t0 = time.time()
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name} {timings[name]}s", file=sys.stderr, flush=True)
 
     # --- KG triple throughput on the input_hint-shaped corpus -------------
     try:

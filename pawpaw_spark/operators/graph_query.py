@@ -1,0 +1,200 @@
+"""Basic-graph-pattern (motif) matching over KG triple tables.
+
+The reference stops at emitting (subj, pred, obj) rows; the question a
+knowledge-graph consumer asks next is conjunctive: "files that DEFINE a
+symbol which REFERENCES a symbol DEFINED elsewhere", "pairs of callers
+of the same hub".  :func:`match_pattern` is a tiny SPARQL-BGP-style
+matcher: a pattern is a list of (subject, predicate, object) terms where
+``?name`` terms are variables and everything else is a constant; the
+result is one row per satisfying binding, one column per variable.
+
+Compilation is a left-deep tree of equi-joins over per-triple slices of
+the edge table — declarative DataFrame ops end to end, so Catalyst owns
+the physical strategy:
+
+* every constant (predicate or endpoint) becomes a ``filter`` on the
+  slice, which reaches the parquet/Iceberg scan as a pushed predicate —
+  with the edge table partitioned by ``pred`` (storage.write_partitioned
+  does exactly that for KG edge tables) a constant-predicate triple
+  reads ONLY its partition;
+* join order is greedy-connected: start from the most-constrained
+  triple (most constants), then repeatedly attach a triple sharing a
+  variable with the bound set.  Disconnected patterns raise rather than
+  silently cross-join (``allow_product=True`` opts in);
+* every join is an equi-join on node-id columns — AQE handles skewed
+  hubs (mega-symbols) by splitting stragglers, and a slice whose
+  filters make it metadata-small is broadcast by Catalyst's size
+  estimate without a hint.
+
+Cyclic patterns (triangles) are where left-deep binary joins are
+asymptotically beatable — the worst-case-optimal-join literature (see
+PAPERS.md: NPRR / Leapfrog Triejoin) binds one VARIABLE at a time
+instead of one EDGE at a time.  For the common triangle case this
+module is honest about the limit: :func:`pawpaw_spark.operators.graph.
+triangle_count`'s degree-ordered orientation is the specialized plan
+(out-neighborhoods bounded by O(sqrt(m))), and its docstring is the
+scale guidance; `match_pattern` still answers cyclic patterns correctly
+because the last closing edge is applied as a semijoin-style equi-join
+on BOTH endpoints at once, never a filtered cross product.
+
+Reference parity: the reference has no query language over its emitted
+triples (consumers iterate `find_all` over the Ito tree,
+``/root/reference/pawpaw/query/_query.py`` — a per-document axis
+language, not a graph one); this operator is part of the beyond-parity
+KG-consumer surface like graph.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Triple = tuple[str, str | None, str]
+
+
+def _is_var(term: str | None) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _vars_of(t: Triple) -> set[str]:
+    return {x[1:] for x in t if _is_var(x)}
+
+
+def _slice(
+    edges: DataFrame, t: Triple, subj_col: str, pred_col: str, obj_col: str
+) -> DataFrame:
+    """One pattern triple -> the edge slice with variable-named columns.
+
+    Constants become filters (pushed to the scan); a variable repeated
+    inside the triple (e.g. ``('?a', 'CALLS', '?a')`` self loops)
+    becomes an intra-row equality filter.
+    """
+    s, p, o = t
+    df = edges
+    cols = []
+    if _is_var(p):
+        cols.append(F.col(pred_col).alias(p[1:]))
+    elif p is not None:
+        df = df.filter(F.col(pred_col) == p)
+    if _is_var(s):
+        cols.append(F.col(subj_col).alias(s[1:]))
+    else:
+        df = df.filter(F.col(subj_col) == s)
+    if _is_var(o):
+        if _is_var(s) and o == s:
+            # self-loop pattern: both ends the same variable; keep the
+            # subj binding only
+            df = df.filter(F.col(subj_col) == F.col(obj_col))
+        else:
+            cols.append(F.col(obj_col).alias(o[1:]))
+    else:
+        df = df.filter(F.col(obj_col) == o)
+    if _is_var(p) and (p == s or p == o):
+        raise ValueError(f"predicate variable {p} reused as an endpoint")
+    if not cols:
+        raise ValueError(f"pattern triple {t} binds no variables")
+    return df.select(*cols)
+
+
+def _order_triples(pattern: Sequence[Triple], allow_product: bool) -> list[Triple]:
+    """Greedy-connected ordering: most-constrained first, then always a
+    triple sharing a variable with the already-bound set."""
+
+    def n_const(t: Triple) -> int:
+        return sum(0 if _is_var(x) else 1 for x in t)
+
+    remaining = sorted(range(len(pattern)), key=lambda i: -n_const(pattern[i]))
+    order: list[Triple] = []
+    bound: set[str] = set()
+    while remaining:
+        pick = None
+        for i in remaining:
+            if not order or (_vars_of(pattern[i]) & bound):
+                pick = i
+                break
+        if pick is None:
+            if not allow_product:
+                raise ValueError(
+                    "pattern is disconnected (would require a cross "
+                    "product); pass allow_product=True to opt in"
+                )
+            pick = remaining[0]
+        remaining.remove(pick)
+        order.append(pattern[pick])
+        bound |= _vars_of(pattern[pick])
+    return order
+
+
+def match_pattern(
+    edges: DataFrame,
+    pattern: Sequence[Triple],
+    *,
+    neq: Sequence[tuple[str, str]] = (),
+    distinct: bool = True,
+    allow_product: bool = False,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Conjunctive pattern match -> one row per binding, one column per
+    ``?variable`` (column name without the ``?``).
+
+    ``pattern``: triples of terms; ``?x`` terms are variables, ``None``
+    as predicate matches any predicate without binding it, anything
+    else is a constant.  ``neq`` lists variable pairs that must bind to
+    different values (applied as soon as both are bound, so the filter
+    runs at the earliest join, not on the final result).
+
+    ``distinct=True`` (default) returns set semantics — two distinct
+    edges producing the same variable binding collapse, matching
+    SPARQL ``SELECT DISTINCT`` and making results independent of edge
+    multiplicity.
+    """
+    if not pattern:
+        raise ValueError("pattern must contain at least one triple")
+    for a, b in neq:
+        if not (_is_var(a) and _is_var(b)):
+            raise ValueError(f"neq terms must be variables: ({a}, {b})")
+    all_vars: set[str] = set()
+    for t in pattern:
+        all_vars |= _vars_of(t)
+    for a, b in neq:
+        if a[1:] not in all_vars or b[1:] not in all_vars:
+            raise ValueError(f"neq variable not in pattern: ({a}, {b})")
+
+    ordered = _order_triples(pattern, allow_product)
+    out = _slice(edges, ordered[0], subj_col, pred_col, obj_col)
+    bound = _vars_of(ordered[0])
+    applied: set[tuple[str, str]] = set()
+
+    def apply_neq(df: DataFrame, bound: set[str]) -> DataFrame:
+        for a, b in neq:
+            key = (a[1:], b[1:])
+            if key in applied:
+                continue
+            if key[0] in bound and key[1] in bound:
+                df = df.filter(F.col(key[0]) != F.col(key[1]))
+                applied.add(key)
+        return df
+
+    out = apply_neq(out, bound)
+    for t in ordered[1:]:
+        sl = _slice(edges, t, subj_col, pred_col, obj_col)
+        shared = sorted(bound & _vars_of(t))
+        if shared:
+            out = out.join(sl, on=shared, how="inner")
+        else:
+            out = out.crossJoin(sl)
+        bound |= _vars_of(t)
+        out = apply_neq(out, bound)
+
+    # stable column order: first mention in the ORIGINAL pattern
+    seen: list[str] = []
+    for t in pattern:
+        for x in t:
+            if _is_var(x) and x[1:] not in seen:
+                seen.append(x[1:])
+    out = out.select(*seen)
+    return out.distinct() if distinct else out

@@ -1,0 +1,218 @@
+"""Basic-graph-pattern matcher vs a brute-force pure-Python binder:
+fixed motifs (paths, wedges, triangles, constants, self loops) and a
+hypothesis sweep over random graphs × random connected patterns."""
+
+import itertools
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pawpaw_spark.operators.graph_query import match_pattern
+
+
+def py_match(triples, pattern, neq=(), distinct=True):
+    """Brute-force: enumerate every assignment of edges to pattern
+    triples, keep consistent variable bindings."""
+    is_var = lambda t: isinstance(t, str) and t.startswith("?")
+    var_order = []
+    for t in pattern:
+        for x in t:
+            if is_var(x) and x[1:] not in var_order:
+                var_order.append(x[1:])
+    out = []
+    for combo in itertools.product(triples, repeat=len(pattern)):
+        env = {}
+        ok = True
+        for (ps, pp, po), (es, ep, eo) in zip(pattern, combo):
+            for term, val in ((ps, es), (pp, ep), (po, eo)):
+                if term is None:
+                    continue
+                if is_var(term):
+                    v = term[1:]
+                    if env.setdefault(v, val) != val:
+                        ok = False
+                elif term != val:
+                    ok = False
+            if not ok:
+                break
+        if not ok:
+            continue
+        if any(env[a[1:]] == env[b[1:]] for a, b in neq):
+            continue
+        out.append(tuple(env[v] for v in var_order))
+    return set(out) if distinct else sorted(out)
+
+
+def edges_df(spark, triples):
+    return spark.createDataFrame(
+        list(triples), "subj string, pred string, obj string"
+    )
+
+
+G1 = [
+    ("f1", "DEFINES", "a"),
+    ("f1", "DEFINES", "b"),
+    ("f2", "DEFINES", "c"),
+    ("a", "CALLS", "c"),
+    ("b", "CALLS", "c"),
+    ("c", "CALLS", "a"),
+    ("c", "CALLS", "c"),
+]
+
+
+class TestFixedMotifs:
+    def run(self, spark, pattern, neq=(), **kw):
+        got = {
+            tuple(r)
+            for r in match_pattern(
+                edges_df(spark, G1), pattern, neq=neq, **kw
+            ).collect()
+        }
+        want = py_match(G1, pattern, neq=neq)
+        assert got == want and got  # non-vacuous
+
+    def test_two_hop_path(self, spark):
+        self.run(spark, [("?x", "CALLS", "?y"), ("?y", "CALLS", "?z")])
+
+    def test_wedge_neq(self, spark):
+        self.run(
+            spark,
+            [("?a", "CALLS", "?s"), ("?b", "CALLS", "?s")],
+            neq=[("?a", "?b")],
+        )
+
+    def test_cross_file_dependency(self, spark):
+        self.run(
+            spark,
+            [
+                ("?f", "DEFINES", "?s"),
+                ("?s", "CALLS", "?t"),
+                ("?g", "DEFINES", "?t"),
+            ],
+            neq=[("?f", "?g")],
+        )
+
+    def test_constant_endpoint(self, spark):
+        self.run(spark, [("?f", "DEFINES", "?s"), ("?s", "CALLS", "c")])
+
+    def test_pred_variable(self, spark):
+        self.run(spark, [("f1", "?p", "?x")])
+
+    def test_pred_wildcard_unbound(self, spark):
+        got = {
+            tuple(r)
+            for r in match_pattern(
+                edges_df(spark, G1), [("c", None, "?x")]
+            ).collect()
+        }
+        assert got == {("a",), ("c",)}
+
+    def test_self_loop_var(self, spark):
+        got = {
+            tuple(r)
+            for r in match_pattern(
+                edges_df(spark, G1), [("?x", "CALLS", "?x")]
+            ).collect()
+        }
+        assert got == {("c",)}
+
+    def test_cyclic_triangle(self, spark):
+        tri = [("a", "E", "b"), ("b", "E", "c"), ("c", "E", "a"),
+               ("a", "E", "c")]
+        pattern = [("?x", "E", "?y"), ("?y", "E", "?z"), ("?z", "E", "?x")]
+        got = {
+            tuple(r)
+            for r in match_pattern(edges_df(spark, tri), pattern).collect()
+        }
+        assert got == py_match(tri, pattern)
+
+    def test_multiplicity_collapses_when_distinct(self, spark):
+        dup = [("a", "E", "b"), ("a", "E", "b")]
+        df = edges_df(spark, dup)
+        assert match_pattern(df, [("?x", "E", "?y")]).count() == 1
+        assert (
+            match_pattern(df, [("?x", "E", "?y")], distinct=False).count()
+            == 2
+        )
+
+
+class TestValidation:
+    def test_disconnected_raises(self, spark):
+        with pytest.raises(ValueError, match="disconnected"):
+            match_pattern(
+                edges_df(spark, G1),
+                [("?a", "CALLS", "?b"), ("?c", "DEFINES", "?d")],
+            )
+
+    def test_disconnected_opt_in(self, spark):
+        pattern = [("?a", "CALLS", "?s"), ("?f", "DEFINES", "?d")]
+        got = {
+            tuple(r)
+            for r in match_pattern(
+                edges_df(spark, G1), pattern, allow_product=True
+            ).collect()
+        }
+        assert got == py_match(G1, pattern)
+
+    def test_empty_pattern_raises(self, spark):
+        with pytest.raises(ValueError, match="at least one"):
+            match_pattern(edges_df(spark, G1), [])
+
+    def test_all_constant_triple_raises(self, spark):
+        with pytest.raises(ValueError, match="binds no variables"):
+            match_pattern(edges_df(spark, G1), [("a", "CALLS", "c")])
+
+    def test_neq_unknown_var_raises(self, spark):
+        with pytest.raises(ValueError, match="not in pattern"):
+            match_pattern(
+                edges_df(spark, G1),
+                [("?a", "CALLS", "?b")],
+                neq=[("?a", "?zz")],
+            )
+
+    def test_no_cartesian_in_connected_plan(self, spark):
+        df = match_pattern(
+            edges_df(spark, G1),
+            [("?f", "DEFINES", "?s"), ("?s", "CALLS", "?t")],
+        )
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in physical
+        assert "BroadcastNestedLoopJoin" not in physical
+
+
+@st.composite
+def graph_and_pattern(draw):
+    nodes = ["a", "b", "c", "d"]
+    preds = ["P", "Q"]
+    triples = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(nodes),
+                st.sampled_from(preds),
+                st.sampled_from(nodes),
+            ),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        )
+    )
+    # connected 2-triple pattern sharing ?m
+    shapes = [
+        [("?x", "P", "?m"), ("?m", "Q", "?y")],
+        [("?x", "P", "?m"), ("?y", "P", "?m")],
+        [("?m", "P", "?x"), ("?m", "Q", "?y")],
+        [("?x", "?p", "?m"), ("?m", "Q", "?y")],
+    ]
+    return triples, draw(st.sampled_from(shapes))
+
+
+class TestProperty:
+    @settings(max_examples=12, deadline=None)
+    @given(gp=graph_and_pattern())
+    def test_matches_bruteforce(self, spark, gp):
+        triples, pattern = gp
+        got = {
+            tuple(r)
+            for r in match_pattern(edges_df(spark, triples), pattern).collect()
+        }
+        assert got == py_match(triples, pattern)
