@@ -98,12 +98,27 @@ def _slice(
     return df.select(*cols)
 
 
+def _const_slice(
+    edges: DataFrame, t: Triple, subj_col: str, pred_col: str, obj_col: str
+) -> DataFrame:
+    """A fully-constant triple -> the (possibly empty) matching edge
+    slice, used as an existence semijoin: the pattern matches iff the
+    slice is non-empty. All three filters push to the scan."""
+    s, p, o = t
+    df = edges.filter(F.col(subj_col) == s).filter(F.col(obj_col) == o)
+    if p is not None:
+        df = df.filter(F.col(pred_col) == p)
+    return df
+
+
 def _order_triples(pattern: Sequence[Triple], allow_product: bool) -> list[Triple]:
     """Greedy-connected ordering: most-constrained first, then always a
     triple sharing a variable with the already-bound set."""
 
     def n_const(t: Triple) -> int:
-        return sum(0 if _is_var(x) else 1 for x in t)
+        # None is an any-predicate wildcard, not a constant: it doesn't
+        # constrain the slice, so it must not raise the seed score.
+        return sum(1 for x in t if x is not None and not _is_var(x))
 
     remaining = sorted(range(len(pattern)), key=lambda i: -n_const(pattern[i]))
     order: list[Triple] = []
@@ -147,6 +162,14 @@ def match_pattern(
     different values (applied as soon as both are bound, so the filter
     runs at the earliest join, not on the final result).
 
+    A fully-constant triple (a SPARQL-BGP existential constraint, e.g.
+    ``('a', 'CALLS', 'c')`` alongside variable triples) is applied as
+    an existence semijoin: the result is unchanged if at least one edge
+    matches it and empty otherwise.  It is excluded from the
+    connectivity check (it shares no variables by construction).  A
+    pattern consisting ONLY of constant triples binds no variables and
+    raises — use a plain ``filter``/``count`` for a pure ASK.
+
     ``distinct=True`` (default) returns set semantics — two distinct
     edges producing the same variable binding collapse, matching
     SPARQL ``SELECT DISTINCT`` and making results independent of edge
@@ -164,8 +187,25 @@ def match_pattern(
         if a[1:] not in all_vars or b[1:] not in all_vars:
             raise ValueError(f"neq variable not in pattern: ({a}, {b})")
 
-    ordered = _order_triples(pattern, allow_product)
+    var_triples = [t for t in pattern if _vars_of(t)]
+    const_triples = [t for t in pattern if not _vars_of(t)]
+    if not var_triples:
+        raise ValueError(
+            "pattern binds no variables (all triples constant); use a "
+            "plain filter/count for an existence-only ASK"
+        )
+
+    ordered = _order_triples(var_triples, allow_product)
     out = _slice(edges, ordered[0], subj_col, pred_col, obj_col)
+    # existence semijoins first: each is a <=1-row broadcast side, so a
+    # failed constant constraint empties the plan before any real join
+    for i, t in enumerate(const_triples):
+        probe = (
+            _const_slice(edges, t, subj_col, pred_col, obj_col)
+            .limit(1)
+            .select(F.lit(1).alias(f"__exists_{i}__"))
+        )
+        out = out.crossJoin(probe).drop(f"__exists_{i}__")
     bound = _vars_of(ordered[0])
     applied: set[tuple[str, str]] = set()
 

@@ -158,9 +158,40 @@ class TestValidation:
         with pytest.raises(ValueError, match="at least one"):
             match_pattern(edges_df(spark, G1), [])
 
-    def test_all_constant_triple_raises(self, spark):
+    def test_all_constant_pattern_raises(self, spark):
         with pytest.raises(ValueError, match="binds no variables"):
             match_pattern(edges_df(spark, G1), [("a", "CALLS", "c")])
+
+    def test_constant_triple_existence_holds(self, spark):
+        # ('a','CALLS','c') exists in G1 -> acts as a no-op constraint
+        pattern = [("a", "CALLS", "c"), ("?f", "DEFINES", "?s")]
+        got = {
+            tuple(r)
+            for r in match_pattern(edges_df(spark, G1), pattern).collect()
+        }
+        assert got == py_match(G1, pattern) and got
+
+    def test_constant_triple_existence_fails(self, spark):
+        # no such edge -> whole pattern is unsatisfiable
+        pattern = [("a", "CALLS", "zzz"), ("?f", "DEFINES", "?s")]
+        assert match_pattern(edges_df(spark, G1), pattern).count() == 0
+
+    def test_constant_triple_wildcard_pred(self, spark):
+        pattern = [("c", None, "a"), ("?f", "DEFINES", "?s")]
+        got = {
+            tuple(r)
+            for r in match_pattern(edges_df(spark, G1), pattern).collect()
+        }
+        assert got == py_match(G1, pattern) and got
+
+    def test_wildcard_pred_not_counted_as_constant(self, spark):
+        # ('c', None, '?x') has 1 real constant; ('?f','DEFINES','s-zz')
+        # has 2 -> the latter must seed the join tree even though the
+        # wildcard triple textually has two non-var terms
+        from pawpaw_spark.operators.graph_query import _order_triples
+
+        pattern = [("c", None, "?x"), ("?x", "DEFINES", "zz")]
+        assert _order_triples(pattern, False)[0] == ("?x", "DEFINES", "zz")
 
     def test_neq_unknown_var_raises(self, spark):
         with pytest.raises(ValueError, match="not in pattern"):
