@@ -86,9 +86,11 @@ def connected_components(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # persisted on BOTH paths: the distributed loop reads sym every
+        # round — unpersisted, each round re-runs the symmetrize+distinct
+        .persist()
     )
     if driver_threshold and driver_threshold > 0:
-        sym = sym.persist()
         small = (
             sym.limit(driver_threshold + 1).count() <= driver_threshold
         )
@@ -99,53 +101,58 @@ def connected_components(
             )
             sym.unpersist()
             return out
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("comp", F.col("node"))
+    n_sym = sym.count()  # metadata action; sizes the loop shuffle width
+    from pawpaw_spark.session import fixpoint_loop_conf
 
-    labels = truncated_checkpoint(labels)
     converged = False
-    for it in range(max_iters):
-        # neighbor labels: for each edge (src,dst), dst hears src's comp
-        msgs = (
-            sym.join(labels, sym["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), F.col("comp"))
-        )
-        new_labels = (
-            labels.select("node", "comp")
-            .union(msgs)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # pointer jumping (path halving): comp <- label(comp). Labels
-        # only ever shrink toward the component min, and every comp
-        # value is itself a node (labels start as node ids), so the
-        # inner join is total. This is the step that makes long chains
-        # O(log n) rounds.
-        jump = new_labels.select(
-            F.col("node").alias("comp"), F.col("comp").alias("comp2")
-        )
-        new_labels = (
-            new_labels.join(jump, "comp")
-            .select("node", F.least("comp", "comp2").alias("comp"))
-        )
-        # materialize EVERY iteration: the convergence probe below is an
-        # action, and an unmaterialized chain re-executes from the last
-        # checkpoint on every action — quadratic work between
-        # checkpoints (measured 35s for a tiny edge set). The label
-        # table is one row per node; eager localCheckpoint keeps each
-        # iteration O(1) passes and the lineage flat.
-        new_labels = truncated_checkpoint(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+    with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_sym):
+        nodes = sym.select(F.col("src").alias("node")).distinct()
+        labels = nodes.withColumn("comp", F.col("node"))
+
+        labels = truncated_checkpoint(labels)
+        for it in range(max_iters):
+            # neighbor labels: for each edge (src,dst), dst hears src's
+            # comp
+            msgs = (
+                sym.join(labels, sym["src"] == labels["node"])
+                .select(F.col("dst").alias("node"), F.col("comp"))
+            )
+            new_labels = (
+                labels.select("node", "comp")
+                .union(msgs)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # pointer jumping (path halving): comp <- label(comp). Labels
+            # only ever shrink toward the component min, and every comp
+            # value is itself a node (labels start as node ids), so the
+            # inner join is total. This is the step that makes long chains
+            # O(log n) rounds.
+            jump = new_labels.select(
+                F.col("node").alias("comp"), F.col("comp").alias("comp2")
+            )
+            new_labels = (
+                new_labels.join(jump, "comp")
+                .select("node", F.least("comp", "comp2").alias("comp"))
+            )
+            # materialize EVERY iteration: the convergence probe below is
+            # an action, and an unmaterialized chain re-executes from the
+            # last checkpoint on every action — quadratic work between
+            # checkpoints (measured 35s for a tiny edge set). The label
+            # table is one row per node; eager localCheckpoint keeps each
+            # iteration O(1) passes and the lineage flat.
+            new_labels = truncated_checkpoint(new_labels)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
     # release the cached symmetrized edge set on the distributed path
     # too (no-op when driver_threshold==0 and it was never persisted);
     # otherwise the executor storage leaks for the session lifetime.

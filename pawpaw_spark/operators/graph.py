@@ -335,41 +335,173 @@ def reachability(
     symbols defined in this repo")."""
     if max_depth < 0:
         raise ValueError("max_depth must be >= 0")
+    from pawpaw_spark.session import fixpoint_loop_conf
+
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .persist()
     )
+    n_e = e.count()  # materializes the cache; sizes the loop width
     try:
-        visited = (
-            seeds.select(F.col("node"))
-            .distinct()
-            .withColumn("depth", F.lit(0).cast("long"))
-            .localCheckpoint(eager=True)
-        )
-        frontier = visited
-        for d in range(1, max_depth + 1):
-            nxt = (
-                e.join(frontier, e["src"] == frontier["node"])
-                .select(F.col("dst").alias("node"))
+        with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_e):
+            visited = (
+                seeds.select(F.col("node"))
                 .distinct()
-                .join(visited, "node", "left_anti")
-                .withColumn("depth", F.lit(d).cast("long"))
+                .withColumn("depth", F.lit(0).cast("long"))
                 .localCheckpoint(eager=True)
             )
-            if nxt.isEmpty():
-                break
-            # visited is a LAZY union of the (already materialized)
-            # per-level frontiers: each node's row is checkpointed
-            # exactly once; re-checkpointing the union here would
-            # rewrite the near-full visited set at EVERY level —
-            # O(V * depth) I/O where O(V) suffices. Plan depth is
-            # bounded by max_depth, so lineage stays shallow.
-            visited = visited.union(nxt)
-            frontier = nxt
+            frontier = visited
+            for d in range(1, max_depth + 1):
+                nxt = (
+                    e.join(frontier, e["src"] == frontier["node"])
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                    .join(visited, "node", "left_anti")
+                    .withColumn("depth", F.lit(d).cast("long"))
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+                # visited is a LAZY union of the (already materialized)
+                # per-level frontiers: each node's row is checkpointed
+                # exactly once; re-checkpointing the union here would
+                # rewrite the near-full visited set at EVERY level —
+                # O(V * depth) I/O where O(V) suffices. Plan depth is
+                # bounded by max_depth, so lineage stays shallow.
+                visited = visited.union(nxt)
+                frontier = nxt
     finally:
         e.unpersist()
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    max_dist: int | None = None,
+    max_rounds: int = 256,
+    rounds_per_check: int = 3,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths -> (node, dist):
+    the minimum total edge weight of any DIRECTED path from the seed
+    set (0 for seeds), distributed Bellman-Ford (min-plus relaxation).
+    The KG use :func:`reachability` (hop depths) cannot serve: call
+    graphs carry COSTS — call-site multiplicity, inlining weight, edge
+    latency — and "cheapest dependency path" ranks by accumulated
+    weight, not hop count (a 3-hop chain of weight-1 edges beats a
+    1-hop weight-5 edge).
+
+    Weights must be integers >= 1 (raises per offending row; omit
+    ``weight_col`` for unit weights = weighted BFS); parallel edges
+    keep their MINIMUM weight. Distances are exact int64 sums, so
+    results are bit-identical at any partitioning or engine — the
+    DuckDB contract oracle is a recursive CTE over the same edge set.
+
+    ``max_dist`` truncates the search: nodes whose cheapest path costs
+    more are absent (the impact-radius query; also what keeps a
+    recursive-CTE oracle finite on cyclic graphs). ``max_rounds``
+    guards convergence — rounds needed = max edge count over all
+    shortest paths, so the guard only fires on pathological
+    deep-chain graphs, and it RAISES rather than returning
+    mid-relaxation distances.
+
+    Scale shape: per round, one equi-join (frontier-less full
+    relaxation on the distance table — O(V) rows) + one min-agg, both
+    on node ids; ``rounds_per_check`` rounds batch per truncated
+    checkpoint and the loop runs under
+    :func:`pawpaw_spark.session.fixpoint_loop_conf` (see
+    :func:`strongly_connected_components` for both rationales).
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    if rounds_per_check < 1:
+        raise ValueError("rounds_per_check must be >= 1")
+    if max_dist is not None and max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    from pawpaw_spark.session import fixpoint_loop_conf
+
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        wv = F.col(weight_col).cast("long")
+        w = F.when(wv >= 1, wv).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("shortest_paths: edge weights must be integers "
+                          ">= 1, got "),
+                    F.col(weight_col).cast("string"),
+                )
+            )
+        )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    n_e = e.count()  # materializes the cache; sizes the loop width
+    try:
+        with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_e):
+            dist = truncated_checkpoint(
+                seeds.select("node")
+                .distinct()
+                .withColumn("dist", F.lit(0).cast("long"))
+            )
+            done = 0
+            while done < max_rounds:
+                k = min(rounds_per_check, max_rounds - done)
+                prev = dist
+                cur = dist
+                for _ in range(k):
+                    relaxed = cur.join(
+                        e, cur["node"] == e["src"]
+                    ).select(
+                        F.col("dst").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist"),
+                    )
+                    if max_dist is not None:
+                        relaxed = relaxed.filter(F.col("dist") <= max_dist)
+                    cur = (
+                        cur.select("node", "dist")
+                        .union(relaxed)
+                        .groupBy("node")
+                        .agg(F.min("dist").alias("dist"))
+                    )
+                # one probe per batch: a row changed iff its min dist
+                # shrank or the node is new (distances only decrease)
+                cur = truncated_checkpoint(
+                    cur.join(
+                        prev.select("node", F.col("dist").alias("_pd")),
+                        "node",
+                        "left",
+                    ).select(
+                        "node",
+                        "dist",
+                        (
+                            F.col("_pd").isNull()
+                            | (F.col("dist") < F.col("_pd"))
+                        ).alias("_chg"),
+                    )
+                )
+                changed = cur.filter(F.col("_chg")).limit(1).count()
+                dist = cur.select("node", "dist")
+                done += k
+                if changed == 0:
+                    return dist
+            raise RuntimeError(
+                f"shortest_paths: relaxation did not converge within "
+                f"max_rounds={max_rounds} (a shortest path traverses more "
+                "edges than the cap — raise max_rounds)"
+            )
+    finally:
+        e.unpersist()
 
 
 def triangle_count(
@@ -459,12 +591,109 @@ def triangle_count(
     return out
 
 
+def clustering_coefficient(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    round_to: int = 9,
+) -> DataFrame:
+    """Local clustering coefficient over the undirected simple
+    projection -> (node, deg, n_triangles, lcc) for EVERY node:
+    ``lcc = 2 * triangles / (deg * (deg - 1))``, 0.0 for deg < 2.
+    The KG use: how module-like a symbol's neighborhood is — a high-lcc
+    symbol's callers/callees also call each other (a cohesive
+    translation unit), a low-lcc high-degree symbol is a pure utility
+    hub. Watts & Strogatz's local measure, computed from
+    :func:`triangle_count`'s degree-ordered enumeration, so the same
+    O(sqrt(m)) wedge bound applies — no new quadratic risk.
+
+    ``deg``/``n_triangles`` are exact integers; ``lcc`` is ONE float
+    division rounded to ``round_to`` decimals so cross-engine value
+    hashing is stable (the bm25/link-prediction convention).
+    """
+    und = undirected_edges(edges, a_col, b_col).persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_count(und, "a", "b", materialize=False)
+    out = deg.join(tri, "node").select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0 * F.col("n_triangles")
+                / (F.col("deg") * (F.col("deg") - 1.0)),
+                round_to,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
+
+
+def cooccurrence_edges(
+    edges: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    max_fan: int | None = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Derived co-occurrence edge table -> (a, b, n_subjects) with
+    a < b: pairs of objects referenced by the same subject, weighted by
+    how many DISTINCT subjects reference both. The classic KG
+    enrichment edge — symbols co-referenced by many files are
+    coupled even when neither calls the other (shared protocol,
+    config keys, co-changed APIs); downstream analytics (communities,
+    link prediction) run on this derived table like any other edge
+    set.
+
+    Scale shape: the pair generation is a self-join of the
+    (subject, object) table on the subject — the only quadratic risk
+    is a subject referencing k objects emitting C(k, 2) pairs, so
+    ``max_fan`` drops subjects above that fan-out entirely (a
+    generated 10^5-import file would otherwise emit 5e9 pairs; the
+    link_prediction hub guard applied at the subject position).
+    Counts are exact integers: (subject, object) pairs are dedup'd
+    first, so ``count(*)`` per (a, b) IS the distinct-subject count.
+    """
+    refs = (
+        edges.select(F.col(subj_col).alias("s"), F.col(obj_col).alias("o"))
+        .distinct()
+        .persist()
+    )
+    keep = refs.groupBy("s").agg(F.count(F.lit(1)).alias("_fan"))
+    if max_fan is not None:
+        keep = keep.filter(F.col("_fan") <= max_fan)
+    bounded = refs.join(keep.select("s"), "s", "left_semi")
+    r1 = bounded.select("s", F.col("o").alias("a"))
+    r2 = bounded.select("s", F.col("o").alias("b"))
+    out = (
+        r1.join(r2, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+        .filter(F.col("n_subjects") >= min_count)
+    )
+    out = out.localCheckpoint(eager=True)
+    refs.unpersist()
+    return out
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     max_outer: int = 64,
     max_color_rounds: int = 512,
+    rounds_per_check: int = 3,
 ) -> DataFrame:
     """Exact SCC decomposition of a DIRECTED graph -> (node, scc),
     where ``scc`` is the LARGEST member id of the node's strongly
@@ -490,149 +719,203 @@ def strongly_connected_components(
        = the max id that reaches u.
     3. COLLECT: roots are nodes whose color is their own id (the max
        id of an SCC always roots: any larger member would have flooded
-       it). Backward-BFS from each root over SAME-COLOR nodes gathers
-       exactly its SCC — if u reaches root c and color(u) = c, every
-       intermediate node also has color c, so the restriction loses
-       nothing (standard coloring-SCC argument). All roots collect in
-       the same pass (the BFS carries the root id per row).
-    4. Peel the collected SCCs, repeat from 1 on the remainder.
+       it). Within each color class, propagate the REVERSE max —
+       ``rcolor(u) = greatest(u, max over out-edges within the class)``
+       to fixpoint = the max id u reaches inside its class. Then
+       ``u ∈ SCC(c)  iff  color(u) = c and rcolor(u) = c``: rcolor = c
+       means u reaches c within the class (c is its class max, so
+       nothing larger is reachable), and the class restriction loses
+       nothing — any intermediate w on a u→c path has color(w) ≥ c
+       (c reaches u reaches w) and a larger id reaching w would reach
+       c too, contradicting color(c) = c. This is the same fixpoint
+       shape as COLOR (one join + one max-agg per round), so rounds
+       batch and pipeline identically — unlike a per-level backward
+       BFS, which costs 3-4 shuffles per level plus a growing union
+       chain.
+    4. Peel the collected SCCs (survivors are exactly the rows with
+       rcolor < color), repeat from 1 on the remainder.
 
     Exactness and determinism: membership is a pure reachability fact
     and the label is the max member id — bit-identical at any
     partitioning or cluster size, so a closed-form or Tarjan oracle
     can check it row-for-row.
 
-    Scale shape: every step is an equi-join or agg on node ids (AQE
-    shuffles); per-round state is O(V + E_active) and each round's
-    output is truncated-checkpointed, so lineage stays O(1). Rounds:
-    trim <= peel depth, color/collect <= active diameter, outer
+    Scale shape: every step is an equi-join or agg on node ids;
+    per-round state is O(V + E_active), each CHECKPOINT's output is
+    truncated so lineage stays O(1), and the whole loop runs under
+    :func:`pawpaw_spark.session.fixpoint_loop_conf` — shuffle width
+    sized to the edge count (not the corpus default) and AQE off, since
+    a fixpoint loop's stages are uniform and the adaptive re-planning
+    would otherwise materialize every tiny shuffle as its own job
+    (measured 223 jobs -> ~40 for one sf0.1 decomposition).
+    ``rounds_per_check`` propagation rounds are composed lazily between
+    checkpoints, so one job executes several rounds of shuffle stages
+    back-to-back (identical subplans collapse via ReusedExchange; the
+    only cost is up to k-1 no-op rounds after the fixpoint lands).
+    Rounds: trim <= peel depth, color/collect <= active diameter, outer
     rounds <= condensation chain length of same-round-surviving SCCs
     (1 for disjoint SCC families, O(chain) for pathological
     cycle-chains — ``max_outer`` caps it and RAISES rather than
     returning a partial answer, like union-find's convergence guard).
     """
-    def _restrict(ae: DataFrame, active: DataFrame) -> DataFrame:
-        # edges with BOTH endpoints active; aliased copies sidestep
-        # self-join attribute ambiguity (ae/active are checkpointed
-        # leaves reused across rounds)
-        a1 = active.select(F.col("node").alias("_a1"))
-        a2 = active.select(F.col("node").alias("_a2"))
-        return truncated_checkpoint(
-            ae.join(a1, ae["src"] == F.col("_a1"), "left_semi").join(
-                a2, F.col("dst") == F.col("_a2"), "left_semi"
-            )
-        )
+    if rounds_per_check < 1:
+        raise ValueError("rounds_per_check must be >= 1")
+    from pawpaw_spark.session import fixpoint_loop_conf
 
     e_all = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .persist()
     )
-    active = truncated_checkpoint(
-        e_all.select(F.col("src").alias("node"))
-        .union(e_all.select(F.col("dst")))
-        .distinct()
-    )
-    ae = truncated_checkpoint(e_all)
-    e_all.unpersist()
-    assigned: list[DataFrame] = []
+    n_edges = e_all.count()  # metadata action; also sizes the loop width
     spark = edges.sparkSession
     empty = spark.createDataFrame([], "node string, scc string")
-    for _outer in range(max_outer):
-        if active.isEmpty():
-            break
-        # -- trim to fixpoint ------------------------------------------
-        while True:
-            live = truncated_checkpoint(
-                ae.select(F.col("src").alias("node"))
-                .distinct()
-                .join(ae.select(F.col("dst").alias("node")).distinct(), "node")
-            )
-            trimmed = active.join(live, "node", "left_anti")
-            if trimmed.isEmpty():
-                break
-            assigned.append(
-                truncated_checkpoint(
-                    trimmed.select("node", F.col("node").alias("scc"))
+    assigned: list[DataFrame] = []
+
+    def _propagate_max(
+        state: DataFrame,
+        adj: DataFrame,
+        from_col: str,
+        to_col: str,
+        val_col: str,
+        max_rounds: int,
+        what: str,
+    ) -> DataFrame:
+        """Monotone max-label fixpoint: each round every node takes
+        ``greatest(own, max of val over adj edges into it)``; batches
+        ``rounds_per_check`` rounds per checkpoint+probe. ``state``
+        must carry (node, val_col, ...passthrough); returns the fixed
+        point with the same columns."""
+        passthrough = [c for c in state.columns if c != val_col]
+        done = 0
+        while done < max_rounds:
+            k = min(rounds_per_check, max_rounds - done)
+            cur = state
+            for j in range(k):
+                inc = (
+                    adj.join(cur, adj[from_col] == cur["node"])
+                    .select(F.col(to_col).alias("node"), F.col(val_col))
+                    .groupBy("node")
+                    .agg(F.max(val_col).alias("_in"))
                 )
-            )
-            active = live
-            ae = _restrict(ae, active)
-        if active.isEmpty():
-            break
-        # -- forward max-color propagation to fixpoint -----------------
-        colors = truncated_checkpoint(
-            active.select("node", F.col("node").alias("color"))
-        )
-        for _r in range(max_color_rounds):
-            inc = (
-                ae.join(colors, ae["src"] == colors["node"])
-                .select(F.col("dst").alias("node"), "color")
-                .groupBy("node")
-                .agg(F.max("color").alias("cin"))
-            )
-            nxt = truncated_checkpoint(
-                colors.join(inc, "node", "left").select(
-                    "node",
+                grown = F.coalesce("_in", F.col(val_col)) > F.col(val_col)
+                cols = passthrough + [
                     F.greatest(
-                        F.col("color"), F.coalesce("cin", F.col("color"))
-                    ).alias("color"),
-                    (F.coalesce("cin", F.col("color")) > F.col("color")).alias(
-                        "_chg"
-                    ),
+                        F.col(val_col), F.coalesce("_in", F.col(val_col))
+                    ).alias(val_col)
+                ]
+                if j == k - 1:
+                    cols.append(grown.alias("_chg"))
+                cur = cur.join(inc, "node", "left").select(*cols)
+            cur = truncated_checkpoint(cur)
+            changed = cur.filter(F.col("_chg")).limit(1).count()
+            state = cur.drop("_chg")
+            done += k
+            if changed == 0:
+                return state
+        raise RuntimeError(
+            f"strongly_connected_components: {what} propagation did not "
+            f"converge within max_color_rounds={max_color_rounds} "
+            "(active-subgraph diameter exceeds the cap)"
+        )
+
+    with fixpoint_loop_conf(spark, approx_state_rows=n_edges):
+        active = truncated_checkpoint(
+            e_all.select(F.col("src").alias("node"))
+            .union(e_all.select(F.col("dst")))
+            .distinct()
+        )
+        ae = truncated_checkpoint(e_all)
+        e_all.unpersist()
+        n_active = active.count()
+        for _outer in range(max_outer):
+            if n_active == 0:
+                break
+            # -- trim to fixpoint --------------------------------------
+            # ae is restricted LAZILY by the current active set; only
+            # the shrinking live set is checkpointed per peel round
+            while True:
+                a1 = active.select(F.col("node").alias("_a1"))
+                a2 = active.select(F.col("node").alias("_a2"))
+                ae_r = ae.join(a1, ae["src"] == F.col("_a1"), "left_semi").join(
+                    a2, F.col("dst") == F.col("_a2"), "left_semi"
+                )
+                live = truncated_checkpoint(
+                    ae_r.select(F.col("src").alias("node"))
+                    .distinct()
+                    .join(
+                        ae_r.select(F.col("dst").alias("node")).distinct(),
+                        "node",
+                    )
+                )
+                n_live = live.count()
+                if n_live == n_active:
+                    break
+                # trimmed nodes are singleton SCCs; the anti-join stays
+                # lazy — both inputs are checkpointed leaves, and the
+                # final union computes it exactly once
+                assigned.append(
+                    active.join(live, "node", "left_anti").select(
+                        "node", F.col("node").alias("scc")
+                    )
+                )
+                active, n_active = live, n_live
+                if n_active == 0:
+                    break
+            if n_active == 0:
+                break
+            # one materialized restriction for the color+collect phases
+            a1 = active.select(F.col("node").alias("_a1"))
+            a2 = active.select(F.col("node").alias("_a2"))
+            ae = truncated_checkpoint(
+                ae.join(a1, ae["src"] == F.col("_a1"), "left_semi").join(
+                    a2, F.col("dst") == F.col("_a2"), "left_semi"
                 )
             )
-            changed = nxt.filter(F.col("_chg")).limit(1).count()
-            colors = nxt.select("node", "color")
-            if changed == 0:
-                break
-        else:
-            raise RuntimeError(
-                f"strongly_connected_components: color propagation did not "
-                f"converge within max_color_rounds={max_color_rounds} "
-                "(active-subgraph diameter exceeds the cap)"
+            # -- forward max-color propagation to fixpoint -------------
+            colors = _propagate_max(
+                active.select("node", F.col("node").alias("color")),
+                ae,
+                from_col="src",
+                to_col="dst",
+                val_col="color",
+                max_rounds=max_color_rounds,
+                what="color",
             )
-        # -- backward collect within color, all roots at once ----------
-        members = truncated_checkpoint(
-            colors.filter(F.col("color") == F.col("node")).select(
+            # -- collect: reverse max within each color class ----------
+            cs = colors.select(F.col("node").alias("_s"), F.col("color").alias("_cs"))
+            cd = colors.select(F.col("node").alias("_d"), F.col("color").alias("_cd"))
+            same = truncated_checkpoint(
+                ae.join(cs, ae["src"] == F.col("_s"))
+                .join(cd, ae["dst"] == F.col("_d"))
+                .filter(F.col("_cs") == F.col("_cd"))
+                .select("src", "dst")
+            )
+            rcol = _propagate_max(
+                colors.select("node", "color", F.col("node").alias("rcolor")),
+                same,
+                from_col="dst",
+                to_col="src",
+                val_col="rcolor",
+                max_rounds=max_color_rounds,
+                what="collect",
+            )
+            members = rcol.filter(F.col("rcolor") == F.col("color")).select(
                 "node", F.col("color").alias("scc")
             )
-        )
-        frontier = members
-        collected = members
-        col_pairs = colors.select(
-            F.col("node").alias("_cn"), F.col("color").alias("_cc")
-        )
-        while True:
-            preds = truncated_checkpoint(
-                ae.join(frontier, ae["dst"] == frontier["node"])
-                .select(F.col("src").alias("node"), "scc")
-                .distinct()
-                .join(
-                    col_pairs,
-                    (F.col("node") == F.col("_cn"))
-                    & (F.col("scc") == F.col("_cc")),
-                    "left_semi",
+            assigned.append(members)
+            active = truncated_checkpoint(
+                rcol.filter(F.col("rcolor") != F.col("color")).select("node")
+            )
+            n_active = active.count()
+        else:
+            if n_active > 0:
+                raise RuntimeError(
+                    f"strongly_connected_components: did not assign every "
+                    f"node within max_outer={max_outer} rounds "
+                    "(pathologically chained cycle structure — raise "
+                    "max_outer)"
                 )
-                .join(collected, "node", "left_anti")
-            )
-            if preds.isEmpty():
-                break
-            collected = collected.union(preds)
-            frontier = preds
-        collected = truncated_checkpoint(collected)
-        assigned.append(collected)
-        active = truncated_checkpoint(
-            active.join(collected, "node", "left_anti")
-        )
-        ae = _restrict(ae, active)
-    else:
-        if not active.isEmpty():
-            raise RuntimeError(
-                f"strongly_connected_components: did not assign every node "
-                f"within max_outer={max_outer} rounds (pathologically "
-                "chained cycle structure — raise max_outer)"
-            )
     out = empty
     for part in assigned:
         out = out.union(part)
@@ -685,47 +968,61 @@ def topo_layers(
     remaining-edge/node tables are truncated-checkpointed per round, so
     lineage stays O(1). Rounds = DAG depth (the schedule's critical
     path — anything that computes longest paths pays it)."""
+    from pawpaw_spark.session import fixpoint_loop_conf
+
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .persist()
     )
+    n_e = e.count()  # materializes the cache; sizes the loop width
     if not e.filter(F.col("src") == F.col("dst")).isEmpty():
+        e.unpersist()
         raise ValueError(
             "topo_layers: self-loop found — a self-dependency is a cycle"
         )
-    remaining = truncated_checkpoint(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst")))
-        .distinct()
-    )
-    re = truncated_checkpoint(e)
     spark = edges.sparkSession
     out = spark.createDataFrame([], "node string, layer long")
-    for layer in range(max_layers):
-        if remaining.isEmpty():
-            return out
-        zero = truncated_checkpoint(
-            remaining.join(
-                re.select(F.col("dst").alias("node")).distinct(),
-                "node",
-                "left_anti",
-            )
-        )
-        if zero.isEmpty():
-            raise ValueError(
-                f"topo_layers: cycle detected at layer {layer} — the graph "
-                "is not a DAG (run strongly_connected_components + "
-                "condensation first)"
-            )
-        out = out.union(
-            zero.select("node", F.lit(layer).cast("long").alias("layer"))
-        )
+    with fixpoint_loop_conf(spark, approx_state_rows=n_e):
         remaining = truncated_checkpoint(
-            remaining.join(zero, "node", "left_anti")
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst")))
+            .distinct()
         )
-        re = truncated_checkpoint(
-            re.join(zero, re["src"] == zero["node"], "left_anti")
-        )
+        n_remaining = remaining.count()
+        re = truncated_checkpoint(e)
+        e.unpersist()
+        for layer in range(max_layers):
+            if n_remaining == 0:
+                return out
+            zero = truncated_checkpoint(
+                remaining.join(
+                    re.select(F.col("dst").alias("node")).distinct(),
+                    "node",
+                    "left_anti",
+                )
+            )
+            n_zero = zero.count()
+            if n_zero == 0:
+                raise ValueError(
+                    f"topo_layers: cycle detected at layer {layer} — the "
+                    "graph is not a DAG (run strongly_connected_components "
+                    "+ condensation first)"
+                )
+            out = out.union(
+                zero.select("node", F.lit(layer).cast("long").alias("layer"))
+            )
+            if n_zero == n_remaining:
+                # the whole remainder peeled — skip the final round's
+                # restriction checkpoints and the empty-probe round
+                return out
+            remaining = truncated_checkpoint(
+                remaining.join(zero, "node", "left_anti")
+            )
+            n_remaining -= n_zero
+            re = truncated_checkpoint(
+                re.join(zero, re["src"] == zero["node"], "left_anti")
+            )
     raise ValueError(
         f"topo_layers: DAG depth exceeds max_layers={max_layers}"
     )
@@ -763,26 +1060,34 @@ def label_propagation(
     """
     if iters < 0:
         raise ValueError("iters must be >= 0")
+    from pawpaw_spark.session import fixpoint_loop_conf
+
     und = undirected_edges(edges, a_col, b_col).persist()
+    n_und = und.count()  # materializes the cache; sizes the loop width
     adj = und.selectExpr("a as node", "b as nbr").union(
         und.selectExpr("b as node", "a as nbr")
     )
-    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
-    for it in range(iters):
-        nbr_labels = adj.join(
-            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
-        ).select("node", "label")
-        counts = nbr_labels.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
+    with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_und):
+        labels = adj.select("node").distinct().withColumn(
+            "label", F.col("node")
         )
-        labels = counts.groupBy("node").agg(
-            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l")))
-            .getField("l")
-            .alias("label")
-        )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            labels = truncated_checkpoint(labels)
-    out = labels.localCheckpoint(eager=True) if iters > 0 else labels
+        for it in range(iters):
+            nbr_labels = adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            ).select("node", "label")
+            counts = nbr_labels.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            labels = counts.groupBy("node").agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("l"))
+                )
+                .getField("l")
+                .alias("label")
+            )
+            if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+                labels = truncated_checkpoint(labels)
+        out = labels.localCheckpoint(eager=True) if iters > 0 else labels
     und.unpersist()
     return out
 
@@ -817,33 +1122,38 @@ def kcore(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
+    from pawpaw_spark.session import fixpoint_loop_conf
+
     und = undirected_edges(edges, a_col, b_col).persist()
+    n_und = und.count()  # materializes the cache; sizes the loop width
     adj = und.selectExpr("a as node", "b as nbr").union(
         und.selectExpr("b as node", "a as nbr")
     )
     try:
-        cur = truncated_checkpoint(adj.select("node").distinct())
-        n_cur = cur.count()
-        for _ in range(max_rounds):
-            deg = (
-                adj.join(cur, "node")
-                .join(cur.select(F.col("node").alias("nbr")), "nbr")
-                .groupBy("node")
-                .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_und):
+            cur = truncated_checkpoint(adj.select("node").distinct())
+            n_cur = cur.count()
+            for _ in range(max_rounds):
+                deg = (
+                    adj.join(cur, "node")
+                    .join(cur.select(F.col("node").alias("nbr")), "nbr")
+                    .groupBy("node")
+                    .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+                )
+                survivors = truncated_checkpoint(
+                    deg.filter(F.col("core_deg") >= k)
+                )
+                n_next = survivors.count()
+                if n_next == n_cur:
+                    return survivors.select("node", "core_deg")
+                cur, n_cur = survivors.select("node"), n_next
+                if n_cur == 0:
+                    return survivors.select("node", "core_deg")
+            raise RuntimeError(
+                f"kcore did not reach a fixpoint in {max_rounds} rounds — "
+                "raise max_rounds (deep peel cascades unravel one layer "
+                "per round)"
             )
-            survivors = truncated_checkpoint(
-                deg.filter(F.col("core_deg") >= k)
-            )
-            n_next = survivors.count()
-            if n_next == n_cur:
-                return survivors.select("node", "core_deg")
-            cur, n_cur = survivors.select("node"), n_next
-            if n_cur == 0:
-                return survivors.select("node", "core_deg")
-        raise RuntimeError(
-            f"kcore did not reach a fixpoint in {max_rounds} rounds — "
-            "raise max_rounds (deep peel cascades unravel one layer per round)"
-        )
     finally:
         und.unpersist()
 

@@ -9,6 +9,7 @@ values scale.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -107,3 +108,53 @@ def truncated_checkpoint(df):
         )
     except Exception:  # pragma: no cover - internal-API drift guard
         return cp
+
+
+@contextmanager
+def fixpoint_loop_conf(spark, approx_state_rows: int | None = None,
+                       rows_per_partition: int = 2_000_000):
+    """Runtime-conf scope for iterative fixpoint loops (SCC, CC,
+    k-core, BFS, LPA, topo peeling).
+
+    A fixpoint loop's per-round state is O(V + E) of the GRAPH — at
+    corpus scale that is orders of magnitude smaller than the scan that
+    produced the edges (a 100 TB corpus yields an edge table in the
+    tens of GB), and at bench scale it is kilobytes. Two session
+    defaults that are right for corpus-sized scans are wrong inside the
+    loop:
+
+    * ``spark.sql.shuffle.partitions`` sized for the corpus gives every
+      tiny per-round shuffle the full task fan-out — pure scheduling
+      fixed cost, paid 2-4x per round x rounds-to-convergence;
+    * AQE materializes EVERY shuffle stage as its own job to re-plan —
+      adaptivity buys nothing on a loop whose stages are uniform and
+      metadata-sized, but multiplies job-launch fixed costs ~4x
+      (measured: one SCC decomposition at sf0.1 = 223 jobs with AQE on,
+      per-job cost dominating end-to-end wall time).
+
+    Inside the scope, shuffle width tracks the STATE size
+    (``approx_state_rows / rows_per_partition``, floored at 4 for
+    straggler/skew headroom, capped at the session default so a
+    billion-edge graph still gets the full cluster width) and AQE is
+    off (loop shuffles are uniform; skew in the DATA-sized joins that
+    build the edge table stays outside the scope, where AQE remains
+    on). Both confs are restored on exit even on error — the scope is
+    what makes a session-global runtime conf safe to touch here.
+    """
+    conf = spark.conf
+    old_sp = conf.get("spark.sql.shuffle.partitions")
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    try:
+        default_sp = int(old_sp)
+    except (TypeError, ValueError):  # pragma: no cover - "auto" etc.
+        default_sp = 200
+    width = default_sp
+    if approx_state_rows is not None:
+        width = max(4, min(default_sp, approx_state_rows // rows_per_partition + 1))
+    try:
+        conf.set("spark.sql.shuffle.partitions", str(width))
+        conf.set("spark.sql.adaptive.enabled", "false")
+        yield width
+    finally:
+        conf.set("spark.sql.shuffle.partitions", old_sp)
+        conf.set("spark.sql.adaptive.enabled", old_aqe)

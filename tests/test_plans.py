@@ -273,3 +273,39 @@ class TestFusedKgPlan:
         stripped = _stdre.sub(r"Exchange RoundRobinPartitioning[^\n]*", "", plan)
         assert "Exchange" not in stripped, plan
         assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan
+
+
+class TestFixpointLoopConf:
+    """fixpoint_loop_conf: shuffle width tracks the state size, AQE is
+    off inside, and BOTH confs restore on exit — including on error."""
+
+    def test_width_and_restore(self, spark):
+        from pawpaw_spark.session import fixpoint_loop_conf
+
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        with fixpoint_loop_conf(spark, approx_state_rows=10) as width:
+            assert width == 4  # floor
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
+        assert spark.conf.get("spark.sql.adaptive.enabled") == old_aqe
+
+    def test_width_caps_at_session_default(self, spark):
+        from pawpaw_spark.session import fixpoint_loop_conf
+
+        default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        with fixpoint_loop_conf(spark, approx_state_rows=10**12) as width:
+            assert width == default  # a huge graph gets the full width
+
+    def test_restore_on_error(self, spark):
+        import pytest
+
+        from pawpaw_spark.session import fixpoint_loop_conf
+
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        with pytest.raises(RuntimeError, match="boom"):
+            with fixpoint_loop_conf(spark, approx_state_rows=10):
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
