@@ -94,6 +94,9 @@ HEADLINE = [
     "epoch_shuffle",
     "kg_motif",
     "kg_pagerank_weighted",
+    "kg_shortest_paths",
+    "kg_clustering",
+    "kg_cooccur",
 ]
 
 

@@ -1051,3 +1051,207 @@ class TestWeightedPagerank:
             ).collect()
         }
         assert got == py_wpr_fp(wedges, iters=2)
+
+
+def py_shortest(edges_w, seeds, max_dist=None):
+    """Dijkstra over integer weights -> {node: min dist}."""
+    import heapq
+
+    adj: dict = {}
+    for a, b, w in edges_w:
+        adj.setdefault(str(a), []).append((str(b), int(w)))
+    dist: dict = {}
+    pq = [(0, str(s)) for s in seeds]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if u in dist:
+            continue
+        if max_dist is not None and d > max_dist:
+            continue
+        dist[u] = d
+        for v, w in adj.get(u, []):
+            if v not in dist:
+                heapq.heappush(pq, (d + w, v))
+    return dist
+
+
+def _wedge_df(spark, triples):
+    return spark.createDataFrame(
+        [(str(a), str(b), int(w)) for a, b, w in triples],
+        "src string, dst string, w long",
+    )
+
+
+class TestShortestPaths:
+    def _seeds(self, spark, *nodes):
+        return spark.createDataFrame([(str(n),) for n in nodes], "node string")
+
+    def _run(self, spark, edges_w, seeds, **kw):
+        from pawpaw_spark.operators.graph import shortest_paths
+
+        return {
+            r.node: r.dist
+            for r in shortest_paths(
+                _wedge_df(spark, edges_w),
+                self._seeds(spark, *seeds),
+                weight_col="w",
+                **kw,
+            ).collect()
+        }
+
+    def test_cheap_long_path_beats_heavy_hop(self, spark):
+        e = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 5)]
+        got = self._run(spark, e, ["0"])
+        assert got == py_shortest(e, ["0"]) == {"0": 0, "1": 1, "2": 2, "3": 3}
+
+    def test_cycle_terminates(self, spark):
+        e = [(0, 1, 2), (1, 0, 2), (1, 2, 7)]
+        assert self._run(spark, e, ["0"]) == py_shortest(e, ["0"])
+
+    def test_max_dist_truncates(self, spark):
+        e = [(0, 1, 4), (1, 2, 4)]
+        got = self._run(spark, e, ["0"], max_dist=5)
+        assert got == py_shortest(e, ["0"], max_dist=5) == {"0": 0, "1": 4}
+
+    def test_multi_source_min_wins(self, spark):
+        e = [(0, 1, 9), (5, 1, 2), (1, 2, 1)]
+        assert self._run(spark, e, ["0", "5"]) == py_shortest(e, ["0", "5"])
+
+    def test_parallel_edges_keep_min_weight(self, spark):
+        e = [(0, 1, 9), (0, 1, 3)]
+        assert self._run(spark, e, ["0"]) == {"0": 0, "1": 3}
+
+    def test_unit_weights_equal_bfs_depths(self, spark):
+        from pawpaw_spark.operators.graph import reachability, shortest_paths
+
+        edges = [(a, b) for a, b, _ in
+                 [(0, 1, 1), (1, 2, 1), (2, 0, 1), (0, 2, 1), (2, 3, 1)]]
+        e = _edge_df(spark, edges)
+        seeds = self._seeds(spark, "0")
+        got = {
+            r.node: r.dist
+            for r in shortest_paths(e, seeds, max_dist=8).collect()
+        }
+        want = {
+            r.node: r.depth for r in reachability(e, seeds, max_depth=8).collect()
+        }
+        assert got == want
+
+    def test_zero_weight_raises(self, spark):
+        import pytest
+
+        from pawpaw_spark.operators.graph import shortest_paths
+
+        with pytest.raises(Exception, match="weights must be integers"):
+            shortest_paths(
+                _wedge_df(spark, [(0, 1, 0)]),
+                self._seeds(spark, "0"),
+                weight_col="w",
+            ).collect()
+
+    def test_max_rounds_guard_raises(self, spark):
+        import pytest
+
+        from pawpaw_spark.operators.graph import shortest_paths
+
+        e = [(i, i + 1, 1) for i in range(12)]
+        with pytest.raises(RuntimeError, match="max_rounds"):
+            shortest_paths(
+                _wedge_df(spark, e),
+                self._seeds(spark, "0"),
+                weight_col="w",
+                max_rounds=3,
+            )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 6), st.integers(0, 6), st.integers(1, 4)
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def test_property_matches_dijkstra(self, spark, edges_w):
+        seeds = [str(edges_w[0][0])]
+        assert self._run(spark, edges_w, seeds, max_dist=10) == py_shortest(
+            edges_w, seeds, max_dist=10
+        )
+
+
+class TestClusteringCoefficient:
+    def _run(self, spark, edges):
+        from pawpaw_spark.operators.graph import clustering_coefficient
+
+        return {
+            r.node: (r.deg, r.n_triangles, r.lcc)
+            for r in clustering_coefficient(_edge_df(spark, edges)).collect()
+        }
+
+    def test_triangle_plus_tail(self, spark):
+        # 0-1-2 triangle, tail 2-3: node 2 has deg 3, 1 triangle
+        got = self._run(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+        assert got["0"] == (2, 1, 1.0)
+        assert got["1"] == (2, 1, 1.0)
+        assert got["2"] == (3, 1, round(2 * 1 / (3 * 2), 9))
+        assert got["3"] == (1, 0, 0.0)
+
+    def test_matches_bruteforce(self, spark):
+        edges = RING_HUB
+        got = self._run(spark, edges)
+        tri = {str(k): v for k, v in py_triangles(edges).items()}
+        und = {(str(min(a, b)), str(max(a, b))) for a, b in edges if a != b}
+        deg: dict = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        for n, (d, t, l) in got.items():
+            assert d == deg[n] and t == tri.get(n, 0)
+            want = 0.0 if d < 2 else round(2 * t / (d * (d - 1)), 9)
+            assert l == want
+
+
+class TestCooccurrenceEdges:
+    def _run(self, spark, pairs, **kw):
+        from pawpaw_spark.operators.graph import cooccurrence_edges
+
+        df = spark.createDataFrame(
+            [(str(s), str(o)) for s, o in pairs], "subj string, obj string"
+        )
+        return {
+            (r.a, r.b): r.n_subjects
+            for r in cooccurrence_edges(df, **kw).collect()
+        }
+
+    def test_counts_distinct_subjects(self, spark):
+        pairs = [("f1", "x"), ("f1", "y"), ("f2", "x"), ("f2", "y"),
+                 ("f2", "y"),  # duplicate reference collapses
+                 ("f3", "x")]
+        got = self._run(spark, pairs)
+        assert got == {("x", "y"): 2}
+
+    def test_max_fan_guard_drops_hub_subject(self, spark):
+        pairs = [("big", o) for o in "abcde"] + [("s", "a"), ("s", "b")]
+        got = self._run(spark, pairs, max_fan=4)
+        assert got == {("a", "b"): 1}  # 'big' (fan 5) excluded entirely
+
+    def test_min_count_filters(self, spark):
+        pairs = [("f1", "x"), ("f1", "y"), ("f2", "x"), ("f2", "z")]
+        got = self._run(spark, pairs, min_count=2)
+        assert got == {}
+
+    def test_matches_bruteforce(self, spark):
+        import itertools
+
+        pairs = [(f"f{i}", f"s{(i * j) % 5}") for i in range(6) for j in range(4)]
+        got = self._run(spark, pairs)
+        by_subj: dict = {}
+        for s, o in set(pairs):
+            by_subj.setdefault(s, set()).add(o)
+        want: dict = {}
+        for objs in by_subj.values():
+            for a, b in itertools.combinations(sorted(objs), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want
