@@ -110,6 +110,13 @@ def force(df) -> int:
     from pawpaw_spark.operators.dedup import release_session_caches
 
     release_session_caches(df.sparkSession)
+    # drop dead python-side DataFrame refs NOW so the ContextCleaner can
+    # reclaim finished localCheckpoint RDD blocks between queries —
+    # otherwise block-manager storage grows across the 77-query sweep
+    # and the tail queries pay the GC pressure of the whole session
+    import gc
+
+    gc.collect()
     return 0
 
 
