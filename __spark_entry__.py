@@ -1367,6 +1367,63 @@ def _call_docs(spark, sf_dir):
     )
 
 
+def _call_docs_v2(spark, sf_dir):
+    """Day-2 version of the _call_docs corpus: members with r % 10 == 0
+    drop their hub call and gain a call to the NEW per-group symbol
+    f_new_g. Same arithmetic skeleton, so the edge delta has a closed
+    form the oracle reconstructs by EXCEPTing the two edge CTEs."""
+    G = _KG_GROUPS
+    c = _fan(spark.read.parquet(f"{sf_dir}/customer.parquet")).select(
+        F.col("c_custkey").cast("long").alias("r")
+    )
+    m = c.count()  # metadata-sized; keys are dense 0..m-1
+    g = F.col("r") % G
+    p = F.floor(F.col("r") / F.lit(G)).cast("long")
+    sg = F.floor((F.lit(m - 1) - g) / G).cast("long") + 1
+    nbr1 = g + G * ((p + 1) % sg)
+    nbr2 = g + G * ((p + 2) % sg)
+    changed = F.col("r") % 10 == 0
+    body = F.concat(
+        F.lit("def f_"), F.col("r"), F.lit("():\n"),
+        F.lit("    f_"), nbr1, F.lit("()\n"),
+        F.lit("    f_"), nbr2, F.lit("()\n"),
+        F.when(
+            ~changed, F.concat(F.lit("    f_"), g, F.lit("()\n"))
+        ).otherwise(F.concat(F.lit("    f_new_"), g, F.lit("()\n"))),
+        F.when(
+            p == sg - 1, F.concat(F.lit("    f_missing_"), g, F.lit("()\n"))
+        ).otherwise(F.lit("")),
+    )
+    return c.select(
+        F.lit("src/calls").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("r")).alias("path"),
+        F.lit("1").alias("commit"),
+        F.lit("python").alias("lang"),
+        body.alias("content"),
+    )
+
+
+def q_kg_diff(spark, sf_dir):
+    """Call-graph delta between two corpus versions (day-2 ingest
+    audit): members with r%10==0 swap their hub call for a call to the
+    new per-group symbol. edge_diff (two anti-joins over set-deduped
+    edge tuples) must report exactly the new (f_r -> f_new_g) edges as
+    adds and the (f_r -> f_g) hub edges as dels — EXCEPT where the hub
+    target coincides with a surviving ring/chord target ((p+1)%sg==0 or
+    (p+2)%sg==0), which the set semantics must keep. The oracle builds
+    BOTH edge CTEs by the same arithmetic and EXCEPTs them both ways —
+    verifying the delta, the coincidence survival, and the kernel
+    extraction of the v2 corpus end-to-end."""
+    from pawpaw_spark.operators.triples import build_edges_fused, edge_diff
+
+    calls = lambda e: e.filter(
+        (F.col("pred") == "REFERENCES") & F.col("subj").startswith("sym:")
+    )
+    old = calls(_fused_call_triples(spark, sf_dir))
+    new = calls(build_edges_fused(_call_docs_v2(spark, sf_dir)))
+    return edge_diff(old, new)
+
+
 _CALL_EDGES_CACHE: dict = {}
 _FUSED_TRIPLES_CACHE: dict = {}
 
@@ -2093,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_clustering": q_kg_clustering,
         "kg_cooccur": q_kg_cooccur,
+        "kg_diff": q_kg_diff,
         "c4_filters": q_c4_filters,
         "pii_scrub": q_pii_scrub,
         "weighted_mix": q_weighted_mix,
@@ -3292,6 +3350,58 @@ def oracle_sql() -> dict[str, str]:
                                    / (deg.deg * (deg.deg - 1.0)), 6)
                         ELSE 0.0 END AS lcc
             FROM deg LEFT JOIN cnt ON cnt.node = deg.node
+        """,
+        # both edge versions rebuilt by the same arithmetic, EXCEPTed
+        # both ways — adds = the new per-group symbol calls, dels = the
+        # dropped hub calls MINUS the ring/chord-coincident ones that
+        # set semantics must keep
+        "kg_diff": f"""
+            WITH
+            params AS (SELECT count(*) AS m FROM customer),
+            mem AS (
+              SELECT c_custkey AS r, c_custkey % {_KG_GROUPS} AS g,
+                     c_custkey // {_KG_GROUPS} AS p,
+                     ((SELECT m FROM params) - 1 - c_custkey % {_KG_GROUPS})
+                       // {_KG_GROUPS} + 1 AS sg
+              FROM customer),
+            raw1 AS (
+              SELECT 'sym:f_' || r AS src,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 1) % sg)) AS dst
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 2) % sg))
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_' || g FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_missing_' || g
+              FROM mem WHERE p = sg - 1),
+            raw2 AS (
+              SELECT 'sym:f_' || r AS src,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 1) % sg)) AS dst
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 2) % sg))
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_' || g FROM mem
+              WHERE r % 10 <> 0
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_new_' || g FROM mem
+              WHERE r % 10 = 0
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_missing_' || g
+              FROM mem WHERE p = sg - 1),
+            e1 AS (SELECT DISTINCT src, dst FROM raw1),
+            e2 AS (SELECT DISTINCT src, dst FROM raw2)
+            SELECT 'add' AS op, src AS subj, 'REFERENCES' AS pred,
+                   dst AS obj
+            FROM (SELECT src, dst FROM e2 EXCEPT SELECT src, dst FROM e1)
+            UNION ALL
+            SELECT 'del', src, 'REFERENCES', dst
+            FROM (SELECT src, dst FROM e1 EXCEPT SELECT src, dst FROM e2)
         """,
         # co-invocation pairs: the identical self-join on the caller
         # over the distinct reconstructed call edges; the max_fan=1000

@@ -97,6 +97,7 @@ HEADLINE = [
     "kg_shortest_paths",
     "kg_clustering",
     "kg_cooccur",
+    "kg_diff",
 ]
 
 

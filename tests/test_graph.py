@@ -1255,3 +1255,59 @@ class TestCooccurrenceEdges:
             for a, b in itertools.combinations(sorted(objs), 2):
                 want[(a, b)] = want.get((a, b), 0) + 1
         assert got == want
+
+
+class TestSccAtScale:
+    def test_million_edge_mutual_recursion_groups(self, spark):
+        """~1.2M-edge directed graph through the FULL distributed
+        coloring path (trim -> batched forward max-color -> batched
+        reverse collect): 64 mutual-recursion groups, each a ring of
+        ~4.7k members with 2p/2p+1 doubling chords (log-diameter — the
+        small-world shape real call graphs have) plus one undefined
+        external sink per group that must fall out of TRIM as a
+        singleton. Exact labels: group SCC = its zero-padded
+        lexicographic-max member; proves the rewritten collect phase
+        and the rounds_per_check batching at a size the sf bench never
+        reaches (the CC stress test's argument, applied to SCC)."""
+        from pyspark.sql import functions as F
+
+        from pawpaw_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        G, N = 64, 300_000
+        ids = spark.range(N)
+        g = F.col("id") % G
+        p = (F.col("id") / G).cast("long")
+        sg = ((F.lit(N - 1) - g) / G).cast("long") + 1
+        fmt = lambda c: F.format_string("n%07d", c.cast("int"))
+        src = fmt(F.col("id"))
+        mem = lambda pos: fmt(g + G * pos)
+        ring = ids.select(src.alias("src"), mem((p + 1) % sg).alias("dst"))
+        c1 = ids.select(src.alias("src"), mem((p * 2) % sg).alias("dst"))
+        c2 = ids.select(src.alias("src"), mem((p * 2 + 1) % sg).alias("dst"))
+        sink = ids.filter(p == sg - 1).select(
+            src.alias("src"), F.format_string("x%02d", g.cast("int")).alias("dst")
+        )
+        edges = ring.union(c1).union(c2).union(sink)
+        assert edges.count() == 3 * N + G
+
+        scc = strongly_connected_components(edges)
+        # closed form: member of group g -> scc = max id ≡ g (mod G)
+        want_scc = fmt(
+            (F.col("id") % G)
+            + G * (((F.lit(N - 1) - F.col("id") % G) / G).cast("long"))
+        )
+        want = ids.select(
+            fmt(F.col("id")).alias("node"), want_scc.alias("want")
+        ).union(
+            ids.filter(p == sg - 1).select(
+                F.format_string("x%02d", g.cast("int")).alias("node"),
+                F.format_string("x%02d", g.cast("int")).alias("want"),
+            )
+        )
+        bad = scc.join(want, "node").filter(
+            F.col("scc") != F.col("want")
+        ).count()
+        assert bad == 0
+        assert scc.count() == N + G

@@ -96,3 +96,56 @@ def test_fused_edges_multiset_equal_relational(spark):
         b, ["subj", "pred", "obj", "doc_id", "start", "stop"], "full_outer"
     ).where(~a["count"].eqNullSafe(b["count"]))
     assert diff.count() == 0
+
+
+class TestEdgeDiff:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            list(rows), "subj string, pred string, obj string"
+        )
+
+    def _run(self, spark, old, new, **kw):
+        from pawpaw_spark.operators.triples import edge_diff
+
+        return {
+            (r.op, r.subj, r.pred, r.obj)
+            for r in edge_diff(
+                self._df(spark, old), self._df(spark, new), **kw
+            ).collect()
+        }
+
+    def test_identical_sets_empty_delta(self, spark):
+        rows = [("a", "CALLS", "b"), ("a", "CALLS", "c")]
+        assert self._run(spark, rows, rows) == set()
+
+    def test_adds_and_dels(self, spark):
+        old = [("a", "CALLS", "b"), ("a", "CALLS", "c")]
+        new = [("a", "CALLS", "b"), ("a", "CALLS", "d")]
+        assert self._run(spark, old, new) == {
+            ("add", "a", "CALLS", "d"),
+            ("del", "a", "CALLS", "c"),
+        }
+
+    def test_multiplicity_change_is_not_a_delta(self, spark):
+        old = [("a", "CALLS", "b")]
+        new = [("a", "CALLS", "b"), ("a", "CALLS", "b")]
+        assert self._run(spark, old, new) == set()
+
+    def test_pred_change_is_add_plus_del(self, spark):
+        old = [("a", "CALLS", "b")]
+        new = [("a", "IMPORTS", "b")]
+        assert self._run(spark, old, new) == {
+            ("add", "a", "IMPORTS", "b"),
+            ("del", "a", "CALLS", "b"),
+        }
+
+    def test_custom_cols(self, spark):
+        from pawpaw_spark.operators.triples import edge_diff
+
+        old = spark.createDataFrame([("x", "y")], "src string, dst string")
+        new = spark.createDataFrame([("x", "z")], "src string, dst string")
+        got = {
+            (r.op, r.src, r.dst)
+            for r in edge_diff(old, new, cols=("src", "dst")).collect()
+        }
+        assert got == {("add", "x", "z"), ("del", "x", "y")}
