@@ -2118,6 +2118,91 @@ def q_kg_build_order(spark, sf_dir):
     )
 
 
+def q_kg_hits(spark, sf_dir):
+    """Fixed-iteration HITS (Kleinberg) over the kernel-extracted call
+    graph: hub and authority roles separate where PageRank mixes them —
+    group hubs collect authority mass from every member's spoke call,
+    while the dangling f_missing_g symbols are pure authorities (no
+    out-edges => hub_fp 0). L1-normalized EXACT integer fixed point
+    (units 1e-12, the same bit-identical-anywhere argument as
+    kg_pagerank); the oracle unrolls the identical recurrence in
+    HUGEINT."""
+    from pawpaw_spark.operators.graph import hits
+
+    # materialize=False: single consumption, skip the checkpoint pass
+    out = hits(_call_edges(spark, sf_dir), iters=2, materialize=False)
+    return out.select("node", "hub_fp", "auth_fp")
+
+
+def q_kg_walks(spark, sf_dir):
+    """Deterministic pseudorandom walks from the 16 group hubs over the
+    kernel-extracted call graph — the DeepWalk/node2vec corpus
+    primitive. Successor choice is argmin of md5(seed:walk:step:dst)
+    over out-neighbors: a pure function of the data, so the walk set is
+    bit-identical at any parallelism/retry/engine, and the DuckDB
+    oracle replays every hop with the same md5/min-struct chain. Hubs
+    sit inside their ring (out-degree 3), so depth-6 walks traverse
+    nontrivial ring arcs."""
+    from pawpaw_spark.operators.graph import random_walks
+
+    return random_walks(
+        _call_edges(spark, sf_dir),
+        _kg_hub_seeds(spark),
+        length=6,
+        walks_per_start=2,
+        seed="w0",
+    )
+
+
+def q_kg_optional(spark, sf_dir):
+    """OPTIONAL (left-join) motif over the fused kernel triples:
+    ``(?s REFERENCES ?t) OPTIONAL { (?g DEFINES ?t) }`` aggregated per
+    caller — callees plus how many are UNDEFINED in the corpus (the
+    dangling f_missing_g targets bind g = NULL; exactly the last member
+    of each residue group calls one). Exercises the left-join path,
+    NULL propagation through the aggregation, and the no-match
+    preservation SPARQL OPTIONAL requires; the oracle replays the same
+    LEFT JOIN over the reconstructed defs/edge CTEs."""
+    from pawpaw_spark.operators.graph_query import match_pattern
+
+    b = match_pattern(
+        _fused_call_triples(spark, sf_dir),
+        [("?s", "REFERENCES", "?t")],
+        optional=[[("?g", "DEFINES", "?t")]],
+    )
+    return (
+        b.filter(F.col("s").startswith("sym:"))
+        .groupBy(F.col("s").alias("caller"))
+        .agg(
+            F.countDistinct("t").alias("n_callees"),
+            F.countDistinct(
+                F.when(F.col("g").isNull(), F.col("t"))
+            ).alias("n_undefined"),
+            F.countDistinct("g").alias("n_def_files"),
+        )
+    )
+
+
+def q_kg_schema(spark, sf_dir):
+    """VoID-style schema summary of the fused kernel triple table —
+    one row per (pred, subj_type, obj_type) with edge counts and EXACT
+    distinct subject/object counts, the graph-materialize QA a KG
+    consumer reads first. Node typing is build_nodes' id-scheme rule.
+    Restricted to the repo/file/symbol predicates, whose multiset
+    cardinalities have closed forms (CONTAINS fan-out, one DEFINES per
+    doc, the per-member call-row multiset incl. coincident families);
+    HAS_SEGMENT span fan-out is pinned value-level by kg_degrees. The
+    REFERENCES row COUNTS the raw call multiset — unlike every other
+    kg_* oracle's DISTINCT view — so this is the one check that pins
+    call-site multiplicity end to end."""
+    from pawpaw_spark.operators.triples import schema_summary
+
+    t = _fused_call_triples(spark, sf_dir).filter(
+        F.col("pred").isin("CONTAINS", "DEFINES", "REFERENCES")
+    )
+    return schema_summary(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2133,6 +2218,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CHECK_sf*.json artifacts cover all queries at 3 scale factors.
     return {
         # -- driver-unverified until now (round-3 gate window ended) --
+        "kg_hits": q_kg_hits,
+        "kg_walks": q_kg_walks,
+        "kg_optional": q_kg_optional,
+        "kg_schema": q_kg_schema,
         "kg_degrees": q_kg_degrees,
         "kg_ntriples": q_kg_ntriples,
         "kg_reachability": q_kg_reachability,
@@ -2470,6 +2559,89 @@ def _kg_ppr_sql(iters: int = 3, damping: float = 0.85) -> str:
     parts.append(
         f" SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iters}"
     )
+    return "".join(parts)
+
+
+def _kg_hits_sql(iters: int = 2) -> str:
+    """Unrolled HITS mirror of graph.hits(): L1-normalized exact
+    integer fixed point (units 1e-12), HUGEINT sums and floor division
+    (all values non-negative, so DuckDB's // == Spark's div). Generated
+    by the same iteration count the engine query passes."""
+    scale = 10**12
+    parts = [
+        f"WITH {_KG_EDGE_CTE},",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        f"h0 AS (SELECT node, CAST({scale} // nn.n AS HUGEINT) AS v "
+        "FROM nodes, nn)",
+    ]
+    for k in range(1, iters + 1):
+        # auth step: sum hub over in-edges, L1-normalize
+        parts.append(
+            f""",
+            a{k} AS (
+              SELECT nodes.node,
+                     (coalesce(r.raw, 0) * {scale}) // t.total AS v
+              FROM nodes
+              LEFT JOIN (SELECT e.dst AS node,
+                                CAST(sum(h.v) AS HUGEINT) AS raw
+                         FROM e JOIN h{k - 1} h ON e.src = h.node
+                         GROUP BY e.dst) r ON r.node = nodes.node
+              CROSS JOIN (SELECT CAST(coalesce(sum(h.v), 0) AS HUGEINT)
+                            AS total
+                          FROM e JOIN h{k - 1} h ON e.src = h.node) t)"""
+        )
+        # hub step: sum the NEW auth over out-edges, L1-normalize
+        parts.append(
+            f""",
+            h{k} AS (
+              SELECT nodes.node,
+                     (coalesce(r.raw, 0) * {scale}) // t.total AS v
+              FROM nodes
+              LEFT JOIN (SELECT e.src AS node,
+                                CAST(sum(a.v) AS HUGEINT) AS raw
+                         FROM e JOIN a{k} a ON e.dst = a.node
+                         GROUP BY e.src) r ON r.node = nodes.node
+              CROSS JOIN (SELECT CAST(coalesce(sum(a.v), 0) AS HUGEINT)
+                            AS total
+                          FROM e JOIN a{k} a ON e.dst = a.node) t)"""
+        )
+    parts.append(
+        f""" SELECT h{iters}.node,
+                    CAST(h{iters}.v AS BIGINT) AS hub_fp,
+                    CAST(a{iters}.v AS BIGINT) AS auth_fp
+             FROM h{iters} JOIN a{iters} ON a{iters}.node = h{iters}.node"""
+    )
+    return "".join(parts)
+
+
+def _kg_walks_sql(length: int = 6, wps: int = 2, seed: str = "w0") -> str:
+    """Step-unrolled mirror of graph.random_walks() from the 16 group
+    hubs: per step, argmin of (md5(seed:walk:step:dst), dst) over the
+    frontier's out-neighbors via the same lexicographic struct-min both
+    engines share (the winnowing oracle pins that equivalence)."""
+    parts = [
+        f"WITH {_KG_EDGE_CTE},",
+        f"""
+        s0 AS (
+          SELECT 'sym:f_' || g || '#' || i AS walk_id,
+                 'sym:f_' || g AS cur
+          FROM range(0, {_KG_GROUPS}) t(g), range(0, {wps}) u(i))""",
+    ]
+    for s in range(1, length + 1):
+        parts.append(
+            f""",
+            s{s} AS (
+              SELECT walk_id, (min({{'h': md5('{seed}:' || walk_id
+                       || ':{s}:' || e.dst), 'd': e.dst}})).d AS cur
+              FROM s{s - 1} f JOIN e ON f.cur = e.src
+              GROUP BY walk_id)"""
+        )
+    selects = [
+        f"SELECT walk_id, CAST({s} AS INTEGER) AS step, cur AS node "
+        f"FROM s{s}"
+        for s in range(length + 1)
+    ]
+    parts.append(" " + " UNION ALL ".join(selects))
     return "".join(parts)
 
 
@@ -3287,6 +3459,52 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _kg_pagerank_sql(iters=3, damping=0.85),
         "kg_ppr": _kg_ppr_sql(iters=3, damping=0.85),
         "kg_pagerank_weighted": _kg_wpr_sql(iters=3, damping=0.85),
+        "kg_hits": _kg_hits_sql(iters=2),
+        "kg_walks": _kg_walks_sql(length=6, wps=2, seed="w0"),
+        # LEFT JOIN replay of the OPTIONAL motif over the reconstructed
+        # defs/edge CTEs; DISTINCT mirrors the matcher's set semantics
+        # and the CASE-inside-count mirrors the NULL-aware aggregation
+        "kg_optional": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            b AS (
+              SELECT DISTINCT e.src AS s, e.dst AS t, d.f AS g
+              FROM e LEFT JOIN defs d ON d.s = e.dst)
+            SELECT s AS caller,
+                   count(DISTINCT t) AS n_callees,
+                   count(DISTINCT CASE WHEN g IS NULL THEN t END)
+                     AS n_undefined,
+                   count(DISTINCT g) AS n_def_files
+            FROM b GROUP BY s
+        """,
+        # closed-form VoID property partitions: CONTAINS/DEFINES are
+        # one row per doc, REFERENCES counts the raw call MULTISET
+        # (coincident families stay separate rows — the one oracle that
+        # pins call-site multiplicity rather than DISTINCTing it away)
+        "kg_schema": f"""
+            WITH {_KG_EDGE_CTE}
+            SELECT 'CONTAINS' AS pred, 'repo' AS subj_type,
+                   'file' AS obj_type,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(1 AS BIGINT) AS n_subj,
+                   CAST(count(*) AS BIGINT) AS n_obj
+            FROM mem
+            UNION ALL
+            SELECT 'DEFINES', 'file', 'symbol',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT r) AS BIGINT)
+            FROM mem
+            UNION ALL
+            SELECT 'REFERENCES', 'symbol', 'symbol',
+                   CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT src) AS BIGINT),
+                   CAST(count(DISTINCT dst) AS BIGINT)
+            FROM raw
+        """,
         # recursive-CTE min-plus mirror of the distributed Bellman-Ford:
         # rows are (node, dist) pairs, finite because weights >= 1 and
         # dist <= 12; parallel edge families keep their MIN weight

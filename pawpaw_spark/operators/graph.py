@@ -1284,3 +1284,235 @@ def kg_node_metrics(
     out = out.localCheckpoint(eager=True)
     sym.unpersist()
     return out
+
+
+# HITS fixed-point unit: scores live in int64 multiples of 1e-12.
+# Post-normalization values are <= _HITS_SCALE (each score is
+# raw * SCALE div total with raw <= total), so the rank tables stay
+# comfortably inside int64; the raw sums and the multiply widen to
+# DECIMAL(38,0) (HUGEINT in the DuckDB mirror), so no intermediate can
+# overflow below ~1e26 edges.
+_HITS_SCALE = 10**12
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+    checkpoint_every: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) -> (node, hub, auth,
+    hub_fp, auth_fp).
+
+    Hubs point at good authorities; authorities are pointed at by good
+    hubs — over a call graph, authorities are the utility symbols
+    everything depends on and hubs are the orchestrator functions that
+    fan out into them (a different signal from PageRank, which mixes
+    the two roles into one score).
+
+    Semantics (so any textbook implementation is an oracle):
+
+    * edge multiplicities collapse first (``distinct``), self loops
+      count for both roles;
+    * per iteration: ``auth_raw(v) = sum over in-edges (u,v) of
+      hub(u)`` then L1-normalize; ``hub_raw(u) = sum over out-edges
+      (u,v) of auth(v)`` (the NEW auth) then L1-normalize;
+    * initial hub vector is L1-uniform.
+
+    L1 normalization (not the more common L2) is deliberate: it keeps
+    the recurrence in EXACT integer fixed point — ``x * SCALE div
+    total`` — with no square root, so results are bit-identical at any
+    partitioning, cluster size, or engine, exactly like
+    :func:`pagerank`'s recurrence.  Ranking order is identical to the
+    L2-normalized variant (normalization is a positive scalar per
+    vector).  Scores are int64 multiples of 1e-12 (``hub_fp`` /
+    ``auth_fp``); the float columns are one exact final division.
+
+    Each half-step is one equi-join on the edge endpoint plus one
+    partial-agg shuffle, with the L1 total as a 1-row broadcast
+    aggregate (an expression input, never a driver action) — the same
+    2-shuffle-per-round profile as PageRank, so the 100-TB scale notes
+    there carry over verbatim.  Normalization totals stay positive for
+    any non-empty edge set: every edge target has in-degree >= 1, so
+    auth mass can never vanish (and hub mass follows), meaning the
+    integer division is never by zero.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+    )
+    links = e.persist()
+    nodes = nodes.persist()
+    n = nodes.count()  # metadata-sized: one action, reused as an int
+    if n == 0:
+        links.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            F.col("node"),
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("auth"),
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+    hub = nodes.withColumn(
+        "hub_fp", F.lit(_HITS_SCALE // n).cast("long")
+    )
+
+    def _half_step(scores: DataFrame, score_col: str, key: str,
+                   other: str, out_col: str) -> DataFrame:
+        """One HITS half-step: sum `score_col` over edges grouped by
+        `other`, then L1-normalize into int64 `out_col`."""
+        raw = (
+            links.join(
+                scores.select(F.col("node"), F.col(score_col)),
+                links[key] == F.col("node"),
+            )
+            .groupBy(F.col(other).alias("node"))
+            .agg(
+                F.sum(F.col(score_col).cast("decimal(38,0)")).alias("raw")
+            )
+        )
+        total = F.broadcast(
+            raw.agg(
+                F.coalesce(F.sum("raw"), F.lit(0))
+                .cast("decimal(38,0)")
+                .alias("total")
+            )
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(total)
+            .select(
+                "node",
+                F.expr(
+                    f"CAST((coalesce(raw, CAST(0 AS DECIMAL(38,0))) "
+                    f"* {_HITS_SCALE}) div total AS LONG)"
+                ).alias(out_col),
+            )
+        )
+
+    auth = None
+    for it in range(iters):
+        auth = _half_step(hub, "hub_fp", "src", "dst", "auth_fp")
+        hub = _half_step(auth, "auth_fp", "dst", "src", "hub_fp")
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            auth = truncated_checkpoint(auth)
+            hub = truncated_checkpoint(hub)
+    out = (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            (F.col("hub_fp") / F.lit(float(_HITS_SCALE))).alias("hub"),
+            (F.col("auth_fp") / F.lit(float(_HITS_SCALE))).alias("auth"),
+            "hub_fp",
+            "auth_fp",
+        )
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        links.unpersist()
+        nodes.unpersist()
+    else:
+        from pawpaw_spark.operators.dedup import _attach_caches
+
+        _attach_caches(out, [links, nodes])
+    return out
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int = 4,
+    walks_per_start: int = 1,
+    seed: str = "w0",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Deterministic pseudorandom walks -> (walk_id, step, node) —
+    the DeepWalk/node2vec corpus-generation primitive (walk sequences
+    feed a skip-gram embedding trainer exactly like token windows do).
+
+    Each walk starts at a node of ``starts`` (column ``node``;
+    ``walks_per_start`` walks per start, ``walk_id = node || '#' || i``)
+    and takes up to ``length`` steps; at each step the successor is the
+    out-neighbor minimizing ``(md5(seed:walk_id:step:dst), dst)``.
+    md5 of the walk-local context is a pure function of the DATA — the
+    choice is uniform-ish over neighbors yet bit-identical across
+    reruns, retries, partitionings, and engines (the same argument as
+    sampling.epoch_shuffle_key; ``orderBy(rand())``-style choices
+    silently reshuffle on task retry).  Distinct seeds give independent
+    walk sets; a walk ENDS early at a node with no out-edges (rows
+    simply stop — step numbers never skip).
+
+    Per step: one equi-join of the frontier against the edge table on
+    the current node plus one per-walk min-struct aggregation — the
+    frontier stays exactly |walks| rows, so cost is
+    O(steps x (|walks| join + agg)), never frontier-explosive like
+    BFS.  Edge table persisted once; walk state is checkpointed every
+    ``checkpoint_every`` steps to bound lineage for long walks.
+    """
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    if walks_per_start < 1:
+        raise ValueError("walks_per_start must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    state = (
+        starts.select(F.col("node")).distinct()
+        .select(
+            F.explode(
+                F.array(*[F.lit(i) for i in range(walks_per_start)])
+            ).alias("i"),
+            F.col("node").alias("cur"),
+        )
+        .select(
+            F.concat_ws("#", F.col("cur"), F.col("i")).alias("walk_id"),
+            "cur",
+        )
+    )
+    frames = [
+        state.select(
+            "walk_id", F.lit(0).cast("int").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for s in range(1, length + 1):
+        score = F.md5(
+            F.concat_ws(
+                ":", F.lit(seed), F.col("walk_id"), F.lit(str(s)),
+                F.col("dst"),
+            )
+        )
+        state = (
+            state.join(e, state["cur"] == e["src"])
+            .select("walk_id", score.alias("h"), "dst")
+            .groupBy("walk_id")
+            # lexicographic struct min == DuckDB min({'h':..,'d':..}):
+            # the winnowing oracle already pins this cross-engine
+            .agg(F.min(F.struct(F.col("h"), F.col("dst"))).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("cur"))
+        )
+        if checkpoint_every and s % checkpoint_every == 0 and s < length:
+            state = truncated_checkpoint(state)
+        frames.append(
+            state.select(
+                "walk_id", F.lit(s).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -142,10 +142,82 @@ def _order_triples(pattern: Sequence[Triple], allow_product: bool) -> list[Tripl
     return order
 
 
+def _compile_group(
+    edges: DataFrame,
+    group: Sequence[Triple],
+    outer_vars: set[str],
+    allow_product: bool,
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+) -> tuple[DataFrame, list[str]]:
+    """One OPTIONAL group -> (its inner-joined binding table, the join
+    keys it shares with the required pattern).  Triples inside a group
+    are ordered greedy-connected like the required pattern, except the
+    bound set is SEEDED with the outer variables: a triple is reachable
+    either through a group-internal variable or through a required
+    variable it mentions.  Two group triples connected only through
+    DIFFERENT outer variables would still need a product (their slices
+    constrain independent rows) — that raises, with the fix being two
+    separate groups (which left-join independently)."""
+    remaining = sorted(
+        range(len(group)),
+        key=lambda i: -sum(
+            1 for x in group[i] if x is not None and not _is_var(x)
+        ),
+    )
+    bound = set(outer_vars)
+    order: list[Triple] = []
+    for t in group:
+        if not _vars_of(t):
+            raise ValueError(
+                f"optional triple {t} binds no variables; constant "
+                "existence constraints belong in the required pattern"
+            )
+    while remaining:
+        pick = None
+        for i in remaining:
+            if not order or (_vars_of(group[i]) & bound):
+                pick = i
+                break
+        if pick is None:
+            raise ValueError(
+                "optional group is disconnected from the required "
+                "pattern and itself"
+            )
+        remaining.remove(pick)
+        order.append(group[pick])
+        bound |= _vars_of(group[pick])
+    g = _slice(edges, order[0], subj_col, pred_col, obj_col)
+    g_cols = _vars_of(order[0])
+    for t in order[1:]:
+        sl = _slice(edges, t, subj_col, pred_col, obj_col)
+        shared = sorted(g_cols & _vars_of(t))
+        if shared:
+            g = g.join(sl, on=shared, how="inner")
+        elif allow_product:
+            g = g.crossJoin(sl)
+        else:
+            raise ValueError(
+                f"optional triple {t} shares no already-bound group "
+                "column (a product); split into separate optional "
+                "groups or pass allow_product=True"
+            )
+        g_cols |= _vars_of(t)
+    keys = sorted(g_cols & outer_vars)
+    if not keys:
+        raise ValueError(
+            "optional group shares no variable with the required "
+            "pattern (the left join would be a product)"
+        )
+    return g, keys
+
+
 def match_pattern(
     edges: DataFrame,
     pattern: Sequence[Triple],
     *,
+    optional: Sequence[Sequence[Triple]] = (),
     neq: Sequence[tuple[str, str]] = (),
     distinct: bool = True,
     allow_product: bool = False,
@@ -174,6 +246,18 @@ def match_pattern(
     edges producing the same variable binding collapse, matching
     SPARQL ``SELECT DISTINCT`` and making results independent of edge
     multiplicity.
+
+    ``optional`` lists OPTIONAL groups (each a sequence of triples,
+    SPARQL ``OPTIONAL { ... }``): each group is compiled to its own
+    inner-joined binding table and LEFT-joined onto the required
+    result on the variables it shares with the required pattern —
+    required rows with no group match keep NULL for the group's new
+    variables.  Groups are independent left joins (SPARQL's sequential
+    OPTIONAL semantics for groups that don't share new variables);
+    a new variable appearing in two groups raises, as does a group
+    sharing no variable with the required pattern.  ``neq`` may only
+    reference required variables: a NULL comparison would silently
+    drop the unmatched row and corrupt the OPTIONAL semantics.
     """
     if not pattern:
         raise ValueError("pattern must contain at least one triple")
@@ -185,7 +269,21 @@ def match_pattern(
         all_vars |= _vars_of(t)
     for a, b in neq:
         if a[1:] not in all_vars or b[1:] not in all_vars:
-            raise ValueError(f"neq variable not in pattern: ({a}, {b})")
+            raise ValueError(
+                f"neq variable not in the required pattern: ({a}, {b})"
+            )
+    claimed_new: set[str] = set()
+    for grp in optional:
+        if not grp:
+            raise ValueError("optional group must contain >= 1 triple")
+        new_vars = set().union(*(_vars_of(t) for t in grp)) - all_vars
+        overlap = new_vars & claimed_new
+        if overlap:
+            raise ValueError(
+                f"optional variable(s) {sorted(overlap)} appear in two "
+                "groups; bind shared optional structure in one group"
+            )
+        claimed_new |= new_vars
 
     var_triples = [t for t in pattern if _vars_of(t)]
     const_triples = [t for t in pattern if not _vars_of(t)]
@@ -230,11 +328,27 @@ def match_pattern(
         bound |= _vars_of(t)
         out = apply_neq(out, bound)
 
-    # stable column order: first mention in the ORIGINAL pattern
+    # OPTIONAL groups: each compiles to its own binding table and
+    # left-joins on its required-shared variables — an equi-join like
+    # every other join here, so AQE/broadcast strategies apply as usual
+    for grp in optional:
+        g, keys = _compile_group(
+            edges, grp, all_vars, allow_product, subj_col, pred_col,
+            obj_col,
+        )
+        out = out.join(g, on=keys, how="left")
+
+    # stable column order: first mention in the ORIGINAL pattern, then
+    # each optional group's new variables in mention order
     seen: list[str] = []
     for t in pattern:
         for x in t:
             if _is_var(x) and x[1:] not in seen:
                 seen.append(x[1:])
+    for grp in optional:
+        for t in grp:
+            for x in t:
+                if _is_var(x) and x[1:] not in seen:
+                    seen.append(x[1:])
     out = out.select(*seen)
     return out.distinct() if distinct else out

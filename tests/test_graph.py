@@ -1311,3 +1311,185 @@ class TestSccAtScale:
         ).count()
         assert bad == 0
         assert scc.count() == N + G
+
+
+def py_hits(edges, iters=3, scale=10**12):
+    """Exact integer mirror of hits(): L1-normalized fixed point,
+    floor division — bit-identical to the engine by construction."""
+    e = sorted({(str(a), str(b)) for a, b in edges})
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    hub = {u: scale // n for u in nodes}
+    auth = {u: 0 for u in nodes}
+    for _ in range(iters):
+        raw = {v: 0 for v in nodes}
+        for u, v in e:
+            raw[v] += hub[u]
+        t = sum(raw.values())
+        auth = {v: (raw[v] * scale) // t for v in nodes}
+        raw = {u: 0 for u in nodes}
+        for u, v in e:
+            raw[u] += auth[v]
+        t = sum(raw.values())
+        hub = {u: (raw[u] * scale) // t for u in nodes}
+    return hub, auth
+
+
+class TestHits:
+    def _run(self, spark, edges, iters=3):
+        from pawpaw_spark.operators.graph import hits
+
+        rows = hits(_edge_df(spark, edges), iters=iters).collect()
+        return (
+            {r.node: r.hub_fp for r in rows},
+            {r.node: r.auth_fp for r in rows},
+        )
+
+    def test_exact_ring_hub(self, spark):
+        hub, auth = self._run(spark, RING_HUB, iters=3)
+        want_h, want_a = py_hits(RING_HUB, iters=3)
+        assert hub == want_h and auth == want_a
+
+    def test_star_separates_roles(self, spark):
+        # orchestrator 0 -> leaves 1..4: 0 is a pure hub (no in-edges
+        # => auth 0), leaves are pure authorities (no out-edges =>
+        # hub 0) — the role separation PageRank can't express
+        edges = [(0, i) for i in range(1, 5)]
+        hub, auth = self._run(spark, edges, iters=2)
+        assert auth["0"] == 0 and hub["0"] == 10**12
+        for i in "1234":
+            assert hub[i] == 0 and auth[i] == (10**12) // 4
+
+    def test_self_loop_and_dangling(self, spark):
+        edges = [(0, 0), (0, 1)]
+        hub, auth = self._run(spark, edges, iters=4)
+        want_h, want_a = py_hits(edges, iters=4)
+        assert hub == want_h and auth == want_a
+
+    def test_iters_guard(self, spark):
+        from pawpaw_spark.operators.graph import hits
+
+        with pytest.raises(ValueError, match="iters"):
+            hits(_edge_df(spark, [(0, 1)]), iters=0)
+
+    def test_float_columns_are_fp_division(self, spark):
+        from pawpaw_spark.operators.graph import hits
+
+        rows = hits(_edge_df(spark, RING_HUB), iters=2).collect()
+        for r in rows:
+            assert r.hub == r.hub_fp / 1e12
+            assert r.auth == r.auth_fp / 1e12
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    @settings(max_examples=15, deadline=None, derandomize=True)
+    def test_property_exact(self, spark, edges):
+        hub, auth = self._run(spark, edges, iters=3)
+        want_h, want_a = py_hits(edges, iters=3)
+        assert hub == want_h and auth == want_a
+
+
+def py_walks(edges, starts, length, seed="w0", wps=1):
+    import hashlib
+
+    adj = {}
+    for a, b in {(str(x), str(y)) for x, y in edges}:
+        adj.setdefault(a, set()).add(b)
+    rows = set()
+    for s0 in {str(s) for s in starts}:
+        for i in range(wps):
+            wid = f"{s0}#{i}"
+            cur = s0
+            rows.add((wid, 0, cur))
+            for step in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(
+                    nbrs,
+                    key=lambda d: (
+                        hashlib.md5(
+                            f"{seed}:{wid}:{step}:{d}".encode()
+                        ).hexdigest(),
+                        d,
+                    ),
+                )
+                rows.add((wid, step, cur))
+    return rows
+
+
+def _starts_df(spark, nodes):
+    return spark.createDataFrame([(str(n),) for n in nodes], "node string")
+
+
+class TestRandomWalks:
+    def _run(self, spark, edges, starts, **kw):
+        from pawpaw_spark.operators.graph import random_walks
+
+        return {
+            (r.walk_id, r.step, r.node)
+            for r in random_walks(
+                _edge_df(spark, edges), _starts_df(spark, starts), **kw
+            ).collect()
+        }
+
+    def test_matches_python_ring_hub(self, spark):
+        starts = sorted({str(a) for a, _ in RING_HUB})
+        got = self._run(spark, RING_HUB, starts, length=4)
+        assert got == py_walks(RING_HUB, starts, 4)
+
+    def test_dangling_stops_early(self, spark):
+        # 0 -> 1, 1 has no out-edges: walk from 0 is exactly 2 rows
+        got = self._run(spark, [(0, 1)], ["0"], length=5)
+        assert got == {("0#0", 0, "0"), ("0#0", 1, "1")}
+
+    def test_start_not_in_graph(self, spark):
+        got = self._run(spark, [(0, 1)], ["9"], length=3)
+        assert got == {("9#0", 0, "9")}
+
+    def test_multiple_walks_and_rerun_determinism(self, spark):
+        a = self._run(spark, RING_HUB, ["0", "1"], length=3,
+                      walks_per_start=3, seed="s1")
+        b = self._run(spark, RING_HUB, ["0", "1"], length=3,
+                      walks_per_start=3, seed="s1")
+        assert a == b == py_walks(RING_HUB, ["0", "1"], 3, seed="s1", wps=3)
+        assert {w for w, _, _ in a} == {
+            f"{s}#{i}" for s in "01" for i in range(3)
+        }
+
+    def test_length_zero(self, spark):
+        got = self._run(spark, RING_HUB, ["2"], length=0)
+        assert got == {("2#0", 0, "2")}
+
+    def test_guards(self, spark):
+        from pawpaw_spark.operators.graph import random_walks
+
+        with pytest.raises(ValueError, match="length"):
+            random_walks(
+                _edge_df(spark, [(0, 1)]), _starts_df(spark, ["0"]),
+                length=-1,
+            )
+        with pytest.raises(ValueError, match="walks_per_start"):
+            random_walks(
+                _edge_df(spark, [(0, 1)]), _starts_df(spark, ["0"]),
+                walks_per_start=0,
+            )
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 7), st.integers(0, 7)),
+            min_size=1,
+            max_size=20,
+        ),
+        length=st.integers(1, 5),
+    )
+    @settings(max_examples=12, deadline=None, derandomize=True)
+    def test_property_matches_python(self, spark, edges, length):
+        starts = sorted({str(a) for a, _ in edges})[:4]
+        got = self._run(spark, edges, starts, length=length, seed="pp")
+        assert got == py_walks(edges, starts, length, seed="pp")

@@ -247,3 +247,151 @@ class TestProperty:
             for r in match_pattern(edges_df(spark, triples), pattern).collect()
         }
         assert got == py_match(triples, pattern)
+
+
+def py_match_optional(triples, pattern, optional):
+    """Brute-force OPTIONAL mirror: required bindings via enumeration,
+    each group's solutions (consistent with the required binding)
+    cross-multiplied, no-solution groups contribute one all-None row.
+    Output column order = required mention order, then each group's
+    new variables in mention order (the engine's contract)."""
+    is_var = lambda t: isinstance(t, str) and t.startswith("?")
+
+    def envs(pat, base):
+        outs = []
+        for combo in itertools.product(triples, repeat=len(pat)):
+            env = dict(base)
+            ok = True
+            for (ps, pp, po), (es, ep, eo) in zip(pat, combo):
+                for term, val in ((ps, es), (pp, ep), (po, eo)):
+                    if term is None:
+                        continue
+                    if is_var(term):
+                        if env.setdefault(term[1:], val) != val:
+                            ok = False
+                    elif term != val:
+                        ok = False
+                if not ok:
+                    break
+            if ok:
+                outs.append(env)
+        return outs
+
+    req_order = []
+    for t in pattern:
+        for x in t:
+            if is_var(x) and x[1:] not in req_order:
+                req_order.append(x[1:])
+    group_new = []
+    seen = set(req_order)
+    for grp in optional:
+        order = []
+        for t in grp:
+            for x in t:
+                if is_var(x) and x[1:] not in seen:
+                    seen.add(x[1:])
+                    order.append(x[1:])
+        group_new.append(order)
+
+    rows = set()
+    for env in envs(pattern, {}):
+        per = []
+        for grp, new in zip(optional, group_new):
+            sols = envs(grp, env)
+            proj = {tuple(s[v] for v in new) for s in sols}
+            per.append(sorted(proj) or [tuple(None for _ in new)])
+        for combo in itertools.product(*per):
+            rows.add(
+                tuple(env[v] for v in req_order)
+                + tuple(x for c in combo for x in c)
+            )
+    return rows
+
+
+G2 = G1 + [("f3", "DEFINES", "d")]  # d is defined but calls nothing
+
+
+class TestOptional:
+    def _run(self, spark, triples, pattern, optional, **kw):
+        return {
+            tuple(r)
+            for r in match_pattern(
+                edges_df(spark, triples), pattern, optional=optional, **kw
+            ).collect()
+        }
+
+    def test_unmatched_rows_keep_nulls(self, spark):
+        pattern = [("?f", "DEFINES", "?s")]
+        optional = [[("?s", "CALLS", "?t")]]
+        got = self._run(spark, G2, pattern, optional)
+        want = py_match_optional(G2, pattern, optional)
+        assert got == want
+        assert ("f3", "d", None) in got
+
+    def test_multi_triple_group(self, spark):
+        # callee AND the file defining it, as one optional unit
+        pattern = [("?f", "DEFINES", "?s")]
+        optional = [[("?s", "CALLS", "?t"), ("?g", "DEFINES", "?t")]]
+        got = self._run(spark, G2, pattern, optional)
+        assert got == py_match_optional(G2, pattern, optional)
+
+    def test_two_groups_product_and_nulls(self, spark):
+        pattern = [("?f", "DEFINES", "?s")]
+        optional = [[("?s", "CALLS", "?t")], [("?x", "CALLS", "?s")]]
+        got = self._run(spark, G2, pattern, optional)
+        assert got == py_match_optional(G2, pattern, optional)
+        # d calls nothing and nothing calls d: both groups null
+        assert ("f3", "d", None, None) in got
+
+    def test_optional_with_neq_on_required(self, spark):
+        pattern = [("?f", "DEFINES", "?s"), ("?s", "CALLS", "?t")]
+        optional = [[("?g", "DEFINES", "?t")]]
+        got = self._run(spark, G2, pattern, optional, neq=[("?s", "?t")])
+        base = py_match_optional(G2, pattern, optional)
+        want = {r for r in base if r[1] != r[2]}
+        assert got == want
+
+    def test_guards(self, spark):
+        e = edges_df(spark, G1)
+        with pytest.raises(ValueError, match="shares no variable"):
+            match_pattern(
+                e, [("?f", "DEFINES", "?s")],
+                optional=[[("?x", "CALLS", "?y")]],
+            )
+        with pytest.raises(ValueError, match="two ?groups"):
+            match_pattern(
+                e, [("?f", "DEFINES", "?s")],
+                optional=[[("?s", "CALLS", "?t")],
+                          [("?t", "CALLS", "?s")]],
+            )
+        with pytest.raises(ValueError, match="binds no variables"):
+            match_pattern(
+                e, [("?f", "DEFINES", "?s")],
+                optional=[[("a", "CALLS", "c")]],
+            )
+        with pytest.raises(ValueError, match="required pattern"):
+            match_pattern(
+                e, [("?f", "DEFINES", "?s")],
+                optional=[[("?s", "CALLS", "?t")]],
+                neq=[("?s", "?t")],
+            )
+        with pytest.raises(ValueError, match=">= 1 triple"):
+            match_pattern(e, [("?f", "DEFINES", "?s")], optional=[[]])
+
+    @given(
+        triples=st.lists(
+            st.tuples(
+                st.sampled_from("abcd"),
+                st.sampled_from(["P", "Q"]),
+                st.sampled_from("abcd"),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=15, deadline=None, derandomize=True)
+    def test_property_one_group(self, spark, triples):
+        pattern = [("?x", "P", "?y")]
+        optional = [[("?y", "Q", "?z")]]
+        got = self._run(spark, triples, pattern, optional)
+        assert got == py_match_optional(triples, pattern, optional)

@@ -149,3 +149,79 @@ class TestEdgeDiff:
             for r in edge_diff(old, new, cols=("src", "dst")).collect()
         }
         assert got == {("add", "x", "z"), ("del", "x", "y")}
+
+
+class TestSchemaSummary:
+    A = "src/r1/doc/a.py@0"
+    B = "src/r1/doc/b.py@0"
+    EDGES = [
+        ("src/r1", "CONTAINS", A),
+        ("src/r1", "CONTAINS", B),
+        (A, "HAS_SEGMENT", A + "#0-5:word"),
+        (A, "HAS_SEGMENT", A + "#6-9:word"),
+        (A, "DEFINES", "sym:f"),
+        (B, "DEFINES", "sym:g"),
+        (B, "DEFINES", "sym:h"),
+        ("sym:f", "REFERENCES", "sym:g"),
+        ("sym:f", "REFERENCES", "sym:g"),  # duplicate edge kept in n_edges
+        ("sym:g", "REFERENCES", "sym:h"),
+    ]
+
+    @staticmethod
+    def _kind(x):
+        if x.startswith("sym:"):
+            return "symbol"
+        if "#" in x:
+            return "span"
+        if "@" in x:
+            return "file"
+        return "repo"
+
+    def test_matches_python(self, spark):
+        from pawpaw_spark.operators.triples import schema_summary
+
+        df = spark.createDataFrame(
+            self.EDGES, "subj string, pred string, obj string"
+        )
+        got = {
+            (r.pred, r.subj_type, r.obj_type): (r.n_edges, r.n_subj, r.n_obj)
+            for r in schema_summary(df).collect()
+        }
+        want = {}
+        for s, p, o in self.EDGES:
+            k = (p, self._kind(s), self._kind(o))
+            want.setdefault(k, []).append((s, o))
+        want = {
+            k: (
+                len(v),
+                len({s for s, _ in v}),
+                len({o for _, o in v}),
+            )
+            for k, v in want.items()
+        }
+        assert got == want
+        assert got[("REFERENCES", "symbol", "symbol")] == (3, 2, 2)
+        assert got[("HAS_SEGMENT", "file", "span")] == (2, 1, 2)
+        assert got[("CONTAINS", "repo", "file")] == (2, 1, 2)
+
+    def test_on_built_edges(self, spark):
+        """Summary over the real fused kernel output: every predicate
+        appears exactly once per (subj_type, obj_type) pair and counts
+        tie back to the edge table itself."""
+        from pawpaw_spark.operators.triples import build_edges_fused, schema_summary
+
+        src = spark.createDataFrame(
+            [
+                ("r1", "a.py", "c0", "python", "def f():\n    g()\n"),
+                ("r1", "b.py", "c0", "python", "def g():\n    pass\n"),
+            ],
+            "repo string, path string, commit string, lang string, "
+            "content string",
+        )
+        edges = build_edges_fused(src).persist()
+        summ = schema_summary(edges).collect()
+        total = sum(r.n_edges for r in summ)
+        assert total == edges.count()
+        for r in summ:
+            assert r.n_subj <= r.n_edges and r.n_obj <= r.n_edges
+        edges.unpersist()
