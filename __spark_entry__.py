@@ -2203,6 +2203,27 @@ def q_kg_schema(spark, sf_dir):
     return schema_summary(t)
 
 
+def q_hll_registers(spark, sf_dir):
+    """HyperLogLog register sketch (the 100-TB countDistinct scale
+    path) over customer references in orders, one sketch per order
+    priority: the register table is built from PORTABLE md5 bit
+    arithmetic, so the DuckDB oracle replays the full chain — hex
+    halves, bucket shift, remainder bit-length — value-level. Register
+    rows are what get stored/merged at scale (hll_merge = elementwise
+    max, proven by test); the float estimate is unit-tested separately
+    because its small-range correction touches libm. b=10 keeps the
+    shuffle at <= 5 x 1024 register rows regardless of SF."""
+    from pawpaw_spark.operators.sketch import hll_registers
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias(
+            "v"
+        ),
+    )
+    return hll_registers(o, "v", b=10, group_cols=("prio",))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2222,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": q_kg_walks,
         "kg_optional": q_kg_optional,
         "kg_schema": q_kg_schema,
+        "hll_registers": q_hll_registers,
         "kg_degrees": q_kg_degrees,
         "kg_ntriples": q_kg_ntriples,
         "kg_reachability": q_kg_reachability,
@@ -3461,6 +3483,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_weighted": _kg_wpr_sql(iters=3, damping=0.85),
         "kg_hits": _kg_hits_sql(iters=2),
         "kg_walks": _kg_walks_sql(length=6, wps=2, seed="w0"),
+        # full HLL bit chain replayed: md5 hex halves as unsigned
+        # 32-bit ints, top-10-bit bucket, remainder bit length via
+        # bin() (no leading zeros in either engine), max per register
+        "hll_registers": f"""
+            WITH base AS (
+              SELECT o_orderpriority AS prio,
+                     md5('cust:' || CAST(o_custkey AS VARCHAR)) AS h
+              FROM orders),
+            bits AS (
+              SELECT prio,
+                     ('0x' || substr(h, 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(h, 9, 8))::BIGINT AS lo
+              FROM base),
+            w AS (
+              SELECT prio, hi >> 22 AS bucket,
+                     (hi & {(1 << 22) - 1}) * {1 << 32} + lo AS w
+              FROM bits)
+            SELECT prio, bucket,
+                   CAST(max(CASE WHEN w = 0 THEN 55
+                            ELSE 55 - length(bin(w)) END) AS INTEGER)
+                     AS max_rho
+            FROM w GROUP BY prio, bucket
+        """,
         # LEFT JOIN replay of the OPTIONAL motif over the reconstructed
         # defs/edge CTEs; DISTINCT mirrors the matcher's set semantics
         # and the CASE-inside-count mirrors the NULL-aware aggregation

@@ -1,0 +1,132 @@
+"""HyperLogLog register sketch vs a pure-Python bit-chain mirror,
+estimate accuracy vs exact distinct counts, and the merge law."""
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pawpaw_spark.operators.sketch import hll_estimate, hll_merge, hll_registers
+
+
+def py_registers(vals, b):
+    regs = {}
+    for v in vals:
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        hi = int(h[:8], 16)
+        lo = int(h[8:16], 16)
+        bucket = hi >> (32 - b)
+        w = (hi & ((1 << (32 - b)) - 1)) * (1 << 32) + lo
+        rho = (64 - b + 1) if w == 0 else (64 - b + 1) - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _vals_df(spark, vals):
+    return spark.createDataFrame([(str(v),) for v in vals], "v string")
+
+
+class TestRegisters:
+    def test_matches_python(self, spark):
+        vals = [f"item-{i}" for i in range(500)] + ["item-0", "item-1"]
+        got = {
+            r.bucket: r.max_rho
+            for r in hll_registers(_vals_df(spark, vals), "v", b=6).collect()
+        }
+        assert got == py_registers(vals, 6)
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        once = hll_registers(_vals_df(spark, ["a", "b", "c"]), "v", b=8)
+        thrice = hll_registers(
+            _vals_df(spark, ["a", "b", "c"] * 3), "v", b=8
+        )
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, thrice.collect())
+        )
+
+    def test_nulls_skipped(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+        regs = hll_registers(df, "v", b=8).collect()
+        assert {r.bucket: r.max_rho for r in regs} == py_registers(
+            ["a", "b"], 8
+        )
+
+    def test_groups(self, spark):
+        df = spark.createDataFrame(
+            [("g1", "a"), ("g1", "b"), ("g2", "a")], "g string, v string"
+        )
+        got = {
+            (r.g, r.bucket): r.max_rho
+            for r in hll_registers(df, "v", b=6, group_cols=("g",)).collect()
+        }
+        want = {
+            ("g1", k): v for k, v in py_registers(["a", "b"], 6).items()
+        } | {("g2", k): v for k, v in py_registers(["a"], 6).items()}
+        assert got == want
+
+    def test_b_guard(self, spark):
+        with pytest.raises(ValueError, match="b must"):
+            hll_registers(_vals_df(spark, ["a"]), "v", b=3)
+
+    @given(
+        n=st.integers(1, 60),
+        b=st.sampled_from([4, 8, 12]),
+    )
+    @settings(max_examples=10, deadline=None, derandomize=True)
+    def test_property_matches_python(self, spark, n, b):
+        vals = [f"v{i}" for i in range(n)]
+        got = {
+            r.bucket: r.max_rho
+            for r in hll_registers(_vals_df(spark, vals), "v", b=b).collect()
+        }
+        assert got == py_registers(vals, b)
+
+
+class TestEstimate:
+    def _est(self, spark, vals, b):
+        regs = hll_registers(_vals_df(spark, vals), "v", b=b)
+        return hll_estimate(regs, b=b).collect()[0].n_distinct_est
+
+    def test_small_range_linear_counting(self, spark):
+        # n << m: the linear-counting branch, near-exact
+        est = self._est(spark, [f"x{i}" for i in range(30)], b=12)
+        assert est == pytest.approx(30, rel=0.02)
+
+    def test_mid_cardinality(self, spark):
+        est = self._est(spark, [f"doc-{i}" for i in range(5000)], b=12)
+        # expected rel stderr 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma
+        assert est == pytest.approx(5000, rel=0.07)
+
+    def test_insensitive_to_duplicates(self, spark):
+        vals = [f"d{i}" for i in range(800)]
+        a = self._est(spark, vals, b=10)
+        bb = self._est(spark, vals * 5, b=10)
+        assert a == bb
+
+    def test_grouped(self, spark):
+        rows = [("g1", f"a{i}") for i in range(200)] + [
+            ("g2", f"b{i}") for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "g string, v string")
+        regs = hll_registers(df, "v", b=10, group_cols=("g",))
+        got = {
+            r.g: r.n_distinct_est
+            for r in hll_estimate(regs, b=10, group_cols=("g",)).collect()
+        }
+        assert got["g1"] == pytest.approx(200, rel=0.15)
+        assert got["g2"] == pytest.approx(40, rel=0.15)
+
+
+class TestMerge:
+    def test_merge_equals_union_sketch(self, spark):
+        a = [f"a{i}" for i in range(300)]
+        b = [f"b{i}" for i in range(300)] + a[:100]
+        ra = hll_registers(_vals_df(spark, a), "v", b=8)
+        rb = hll_registers(_vals_df(spark, b), "v", b=8)
+        merged = sorted(
+            map(tuple, hll_merge(ra.unionByName(rb)).collect())
+        )
+        direct = sorted(
+            map(tuple, hll_registers(_vals_df(spark, a + b), "v", b=8).collect())
+        )
+        assert merged == direct
