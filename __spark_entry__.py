@@ -2203,6 +2203,50 @@ def q_kg_schema(spark, sf_dir):
     return schema_summary(t)
 
 
+def q_kg_walk_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair multiset from the kg_walks
+    walks (window 2) — the node-embedding training corpus DeepWalk
+    feeds to word2vec. MULTISET counts (a context reached twice
+    weighs twice); the oracle replays the same walk_id self-join over
+    the step-unrolled walk CTE."""
+    from pawpaw_spark.operators.graph import random_walks, walk_pairs
+
+    walks = random_walks(
+        _call_edges(spark, sf_dir),
+        _kg_hub_seeds(spark),
+        length=6,
+        walks_per_start=2,
+        seed="w0",
+    )
+    return (
+        walk_pairs(walks, window=2)
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_kg_snapshot(spark, sf_dir):
+    """Latest-commit snapshot build (day-2 ingest): the union of the
+    v1 and v2 call corpora (commits "0" and "1", one row per (path,
+    commit)) collapses through latest_snapshot to the v2 rows, and the
+    kernel builds the call graph from exactly those — returned as the
+    per-(caller, callee) call multiset. The oracle rebuilds the v2
+    arithmetic directly, so a snapshot that wrongly kept any v1 row
+    (changed members swap their hub call for f_new_g) hash-mismatches.
+    Scale shape: one struct-max groupBy on (repo, path), then the one
+    Arrow kernel pass — no window, no join."""
+    from pawpaw_spark.operators.triples import build_edges_fused, latest_snapshot
+
+    both = _call_docs(spark, sf_dir).unionByName(_call_docs_v2(spark, sf_dir))
+    snap = latest_snapshot(both)
+    calls = build_edges_fused(snap).filter(
+        (F.col("pred") == "REFERENCES") & F.col("subj").startswith("sym:")
+    )
+    return calls.groupBy(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog register sketch (the 100-TB countDistinct scale
     path) over customer references in orders, one sketch per order
@@ -2244,6 +2288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_optional": q_kg_optional,
         "kg_schema": q_kg_schema,
         "hll_registers": q_hll_registers,
+        "kg_walk_pairs": q_kg_walk_pairs,
+        "kg_snapshot": q_kg_snapshot,
         "kg_degrees": q_kg_degrees,
         "kg_ntriples": q_kg_ntriples,
         "kg_reachability": q_kg_reachability,
@@ -2636,11 +2682,13 @@ def _kg_hits_sql(iters: int = 2) -> str:
     return "".join(parts)
 
 
-def _kg_walks_sql(length: int = 6, wps: int = 2, seed: str = "w0") -> str:
-    """Step-unrolled mirror of graph.random_walks() from the 16 group
-    hubs: per step, argmin of (md5(seed:walk:step:dst), dst) over the
-    frontier's out-neighbors via the same lexicographic struct-min both
-    engines share (the winnowing oracle pins that equivalence)."""
+def _kg_walks_base(length: int = 6, wps: int = 2, seed: str = "w0") -> str:
+    """Step-unrolled WITH-clause mirroring graph.random_walks() from
+    the 16 group hubs: per step, argmin of (md5(seed:walk:step:dst),
+    dst) over the frontier's out-neighbors via the same lexicographic
+    struct-min both engines share (the winnowing oracle pins that
+    equivalence). Ends with ``wk AS (walk_id, step, node)`` so both the
+    kg_walks and kg_walk_pairs oracles build on one definition."""
     parts = [
         f"WITH {_KG_EDGE_CTE},",
         f"""
@@ -2663,8 +2711,32 @@ def _kg_walks_sql(length: int = 6, wps: int = 2, seed: str = "w0") -> str:
         f"FROM s{s}"
         for s in range(length + 1)
     ]
-    parts.append(" " + " UNION ALL ".join(selects))
+    parts.append(", wk AS (" + " UNION ALL ".join(selects) + ")")
     return "".join(parts)
+
+
+def _kg_walks_sql(length: int = 6, wps: int = 2, seed: str = "w0") -> str:
+    return (
+        _kg_walks_base(length, wps, seed)
+        + " SELECT walk_id, step, node FROM wk"
+    )
+
+
+def _kg_walk_pairs_sql(
+    length: int = 6, wps: int = 2, seed: str = "w0", window: int = 2
+) -> str:
+    """Skip-gram pair multiset over the same walks: self-join on
+    walk_id inside the step-distance band, counted per (center,
+    context) — the identical join graph.walk_pairs compiles to."""
+    return (
+        _kg_walks_base(length, wps, seed)
+        + f"""
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS n
+        FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+          AND abs(a.step - b.step) BETWEEN 1 AND {window}
+        GROUP BY a.node, b.node"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3483,6 +3555,41 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_weighted": _kg_wpr_sql(iters=3, damping=0.85),
         "kg_hits": _kg_hits_sql(iters=2),
         "kg_walks": _kg_walks_sql(length=6, wps=2, seed="w0"),
+        "kg_walk_pairs": _kg_walk_pairs_sql(
+            length=6, wps=2, seed="w0", window=2
+        ),
+        # v2 call multiset rebuilt arithmetically (the kg_diff raw2
+        # list): if latest_snapshot kept any v1 row, the changed
+        # members' hub-vs-new calls mismatch
+        "kg_snapshot": f"""
+            WITH
+            params AS (SELECT count(*) AS m FROM customer),
+            mem AS (
+              SELECT c_custkey AS r, c_custkey % {_KG_GROUPS} AS g,
+                     c_custkey // {_KG_GROUPS} AS p,
+                     ((SELECT m FROM params) - 1 - c_custkey % {_KG_GROUPS})
+                       // {_KG_GROUPS} + 1 AS sg
+              FROM customer),
+            raw2 AS (
+              SELECT 'sym:f_' || r AS src,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 1) % sg)) AS dst
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r,
+                     'sym:f_' || (g + {_KG_GROUPS} * ((p + 2) % sg))
+              FROM mem
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_' || g FROM mem
+              WHERE r % 10 <> 0
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_new_' || g FROM mem
+              WHERE r % 10 = 0
+              UNION ALL
+              SELECT 'sym:f_' || r, 'sym:f_missing_' || g
+              FROM mem WHERE p = sg - 1)
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+            FROM raw2 GROUP BY src, dst
+        """,
         # full HLL bit chain replayed: md5 hex halves as unsigned
         # 32-bit ints, top-10-bit bucket, remainder bit length via
         # bin() (no leading zeros in either engine), max per register

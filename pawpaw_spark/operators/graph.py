@@ -1516,3 +1516,41 @@ def random_walks(
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def walk_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    include_step: bool = False,
+) -> DataFrame:
+    """Walk rows (walk_id, step, node) -> skip-gram training pairs
+    (center, context) — the step that turns :func:`random_walks`
+    output into a node-embedding corpus (DeepWalk/node2vec train
+    word2vec on exactly these pairs).
+
+    One pair per ordered (center position, context position) with
+    ``1 <= |step_center - step_context| <= window`` inside the same
+    walk — a SELF equi-join on ``walk_id`` with the step-distance
+    band as a residual predicate. MULTISET semantics: a context node
+    reached twice contributes two pairs, exactly the frequency
+    weighting skip-gram training expects (dedup would distort the
+    co-occurrence distribution). Walk ids are bounded-length keys, so
+    the join fan-out per key is <= (length+1) x 2*window — no skew
+    regardless of graph shape. ``include_step=True`` keeps
+    (step, ctx_step) for windowed-loss variants.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(
+        F.col("walk_id"), F.col("step"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        F.col("walk_id"),
+        F.col("step").alias("ctx_step"),
+        F.col("node").alias("context"),
+    )
+    d = F.abs(F.col("step") - F.col("ctx_step"))
+    out = a.join(b, on="walk_id").filter((d >= 1) & (d <= window))
+    if include_step:
+        return out.select("walk_id", "step", "ctx_step", "center", "context")
+    return out.select("center", "context")

@@ -340,3 +340,49 @@ def schema_summary(
             F.countDistinct("o").cast("long").alias("n_obj"),
         )
     )
+
+
+def latest_snapshot(
+    source: DataFrame,
+    order_col: str = "commit",
+) -> DataFrame:
+    """Multi-commit source table -> one row per (repo, path): the row
+    with the LEXICOGRAPHICALLY greatest ``order_col`` (ties broken by
+    content then lang, so the pick is deterministic even on malformed
+    inputs with duplicate commit ids).
+
+    The day-2 ingest primitive: an append-only Iceberg source
+    accumulates one row per (file, commit); the KG builds from the
+    latest snapshot. One partial-aggregated groupBy on (repo, path) —
+    max of a struct, so there is NO window sort and NO per-key row
+    explosion; the shuffle carries one struct row per file. Callers
+    with non-sortable commit ids (git hashes) must pass a sortable
+    ingest ordinal (commit_seq / ingest timestamp) — a lexicographic
+    max over hashes would pick an arbitrary-but-stable row, which is
+    why the column is a parameter rather than assumed.
+
+    Composes with edge_diff (audit what changed between two
+    snapshots) and canon.incremental_components (rewire only the
+    delta).
+    """
+    picked = (
+        source.groupBy("repo", "path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(order_col).alias("_o"),
+                    F.col("content"),
+                    F.col("lang"),
+                    F.col(order_col).alias(order_col),
+                )
+            ).alias("s")
+        )
+        .select(
+            "repo",
+            "path",
+            F.col(f"s.{order_col}").alias(order_col),
+            F.col("s.lang").alias("lang"),
+            F.col("s.content").alias("content"),
+        )
+    )
+    return picked

@@ -1493,3 +1493,87 @@ class TestRandomWalks:
         starts = sorted({str(a) for a, _ in edges})[:4]
         got = self._run(spark, edges, starts, length=length, seed="pp")
         assert got == py_walks(edges, starts, length, seed="pp")
+
+
+class TestWalkPairs:
+    def _walks_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "walk_id string, step int, node string"
+        )
+
+    @staticmethod
+    def py_pairs(rows, window):
+        from collections import Counter
+
+        by_walk = {}
+        for w, s, n in rows:
+            by_walk.setdefault(w, []).append((s, n))
+        c = Counter()
+        for seq in by_walk.values():
+            for s1, n1 in seq:
+                for s2, n2 in seq:
+                    if 1 <= abs(s1 - s2) <= window:
+                        c[(n1, n2)] += 1
+        return c
+
+    def test_multiset_matches_python(self, spark):
+        from collections import Counter
+
+        from pawpaw_spark.operators.graph import walk_pairs
+
+        rows = [
+            ("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "a"), ("w1", 3, "c"),
+            ("w2", 0, "x"), ("w2", 1, "y"),
+        ]
+        got = Counter(
+            (r.center, r.context)
+            for r in walk_pairs(self._walks_df(spark, rows), window=2).collect()
+        )
+        assert got == self.py_pairs(rows, 2)
+
+    def test_window_one_adjacent_only(self, spark):
+        from collections import Counter
+
+        from pawpaw_spark.operators.graph import walk_pairs
+
+        rows = [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c")]
+        got = Counter(
+            (r.center, r.context)
+            for r in walk_pairs(self._walks_df(spark, rows), window=1).collect()
+        )
+        assert got == self.py_pairs(rows, 1)
+        assert ("a", "c") not in got
+
+    def test_include_step(self, spark):
+        from pawpaw_spark.operators.graph import walk_pairs
+
+        rows = [("w", 0, "a"), ("w", 1, "b")]
+        got = {
+            tuple(r)
+            for r in walk_pairs(
+                self._walks_df(spark, rows), window=2, include_step=True
+            ).collect()
+        }
+        assert got == {("w", 0, 1, "a", "b"), ("w", 1, 0, "b", "a")}
+
+    def test_end_to_end_with_random_walks(self, spark):
+        from collections import Counter
+
+        from pawpaw_spark.operators.graph import random_walks, walk_pairs
+
+        walks = random_walks(
+            _edge_df(spark, RING_HUB), _starts_df(spark, ["0", "1"]),
+            length=4, seed="e2e",
+        )
+        rows = [(r.walk_id, r.step, r.node) for r in walks.collect()]
+        got = Counter(
+            (r.center, r.context)
+            for r in walk_pairs(walks, window=2).collect()
+        )
+        assert got == self.py_pairs(rows, 2)
+
+    def test_window_guard(self, spark):
+        from pawpaw_spark.operators.graph import walk_pairs
+
+        with pytest.raises(ValueError, match="window"):
+            walk_pairs(self._walks_df(spark, [("w", 0, "a")]), window=0)

@@ -225,3 +225,70 @@ class TestSchemaSummary:
         for r in summ:
             assert r.n_subj <= r.n_edges and r.n_obj <= r.n_edges
         edges.unpersist()
+
+
+class TestLatestSnapshot:
+    SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+    def test_picks_max_commit(self, spark):
+        from pawpaw_spark.operators.triples import latest_snapshot
+
+        rows = [
+            ("r", "a.py", "0", "python", "v0"),
+            ("r", "a.py", "2", "python", "v2"),
+            ("r", "a.py", "1", "python", "v1"),
+            ("r", "b.py", "0", "python", "only"),
+        ]
+        got = {
+            (r.repo, r.path): (r.commit, r.content)
+            for r in latest_snapshot(
+                spark.createDataFrame(rows, self.SCHEMA)
+            ).collect()
+        }
+        assert got == {
+            ("r", "a.py"): ("2", "v2"),
+            ("r", "b.py"): ("0", "only"),
+        }
+
+    def test_duplicate_commit_tiebreak_is_deterministic(self, spark):
+        from pawpaw_spark.operators.triples import latest_snapshot
+
+        rows = [
+            ("r", "a.py", "1", "python", "alpha"),
+            ("r", "a.py", "1", "python", "beta"),
+        ]
+        for _ in range(2):
+            got = latest_snapshot(
+                spark.createDataFrame(rows, self.SCHEMA)
+            ).collect()
+            assert [(r.commit, r.content) for r in got] == [("1", "beta")]
+
+    def test_snapshot_of_two_eras_builds_v2_graph(self, spark):
+        """snapshot(v1 ∪ v2) -> kernel edges == kernel edges of v2
+        alone (multiset equality) — the day-2 composition the
+        kg_snapshot contract query pins at corpus scale."""
+        from pawpaw_spark.operators.triples import build_edges_fused, latest_snapshot
+
+        v1 = [
+            ("r", f"d{i}.py", "0", "python", f"def f_{i}():\n    g_{i}()\n")
+            for i in range(4)
+        ]
+        v2 = [
+            ("r", f"d{i}.py", "1", "python", f"def f_{i}():\n    h_{i}()\n")
+            for i in range(0, 4, 2)
+        ]
+        both = spark.createDataFrame(v1 + v2, self.SCHEMA)
+        snap = latest_snapshot(both)
+        got = sorted(
+            (r.subj, r.pred, r.obj)
+            for r in build_edges_fused(snap).collect()
+        )
+        # expected: d0/d2 from v2, d1/d3 from v1
+        expect_rows = [v2[0], v1[1], v2[1], v1[3]]
+        want = sorted(
+            (r.subj, r.pred, r.obj)
+            for r in build_edges_fused(
+                spark.createDataFrame(expect_rows, self.SCHEMA)
+            ).collect()
+        )
+        assert got == want
