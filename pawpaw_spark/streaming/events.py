@@ -318,3 +318,81 @@ def streaming_substring_sink(
             k=int(p["k"]), w=int(p["w"]), mode="append",
         ),
     )
+
+
+def streaming_kg_sink(
+    source: DataFrame,
+    edges_path: str,
+    checkpoint: str,
+    metrics_path: str | None = None,
+):
+    """Continuous KG construction: each micro-batch of source rows
+    (repo, path, commit, lang, content — the input_hint shape) runs the
+    fused segmentation->triples kernel and appends the edges to the
+    at-rest store, partitioned by (pred, batch_id).
+
+    Why this composition is exactly-once SAFE with a plain overwrite:
+    every edge is a PER-DOCUMENT derivation (the kernel is one Arrow
+    pass, no cross-doc state), so a batch's edge set is a deterministic
+    function of the batch alone — Structured Streaming replays a failed
+    batch under the same batch_id, and the dynamic partition overwrite
+    rewrites exactly that batch's (pred, batch_id) partitions
+    byte-identically instead of appending duplicates. No index fold, no
+    collision guard needed — the KG sink is simpler than the dedup
+    sinks BECAUSE triple extraction is stateless per document.
+
+    Layout: ``pred`` is the leading partition column, so downstream
+    consumers (motif slices, the analytics queries, plumule-over-KG)
+    keep partition pruning on constant-predicate reads exactly as the
+    batch store written by ``storage.write_partitioned``; ``batch_id``
+    under it is the replay/idempotence unit and doubles as ingest
+    lineage (which micro-batch produced each file). ``metrics_path``
+    (default ``{edges_path}/_metrics``) gets one row per (batch_id,
+    pred) with edge and doc counts — the per-partition metrics surface
+    the north rule asks for, written with the same dynamic-overwrite
+    idempotence.
+
+    Downstream day-2 semantics (re-ingested paths at new commits)
+    compose at READ time: ``triples.latest_snapshot`` on the source or
+    ``edge_diff`` between snapshot builds — the sink itself is
+    append-only, which is what makes replay trivially safe.
+
+    Returns the StreamingQuery (caller stops it / processAllAvailable).
+    """
+    from pawpaw_spark.operators.triples import build_edges_fused
+
+    mpath = metrics_path or f"{edges_path}/_metrics"
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        edges = build_edges_fused(batch).persist()
+        try:
+            (
+                edges.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pred", "batch_id")
+                .parquet(edges_path)
+            )
+            (
+                edges.groupBy("pred")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_edges"),
+                    F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(mpath)
+            )
+        finally:
+            edges.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

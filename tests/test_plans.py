@@ -309,3 +309,56 @@ class TestFixpointLoopConf:
                 raise RuntimeError("boom")
         assert spark.conf.get("spark.sql.shuffle.partitions") == old_sp
         assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+class TestNewKgPlans:
+    """Plan discipline for the round-4 additions: HITS, walks,
+    walk pairs, HLL registers, snapshot."""
+
+    def test_kg_hits_broadcast_totals_no_cartesian(self, spark):
+        from pawpaw_spark.operators.graph import hits
+
+        plan = _plan(
+            hits(E._raw_call_edges(spark, SF), iters=2, materialize=False)
+        )
+        # L1 totals ride 1-row broadcasts (BNLJ), never a cartesian;
+        # half-steps are equi-joins + partial aggs; no Python workers
+        assert "MapInArrow" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "partial" in plan.lower(), plan
+
+    def test_random_walks_equi_joins_only(self, spark):
+        from pawpaw_spark.operators.graph import random_walks
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        starts = spark.createDataFrame([("a",)], "node string")
+        walks = random_walks(e, starts, length=3)
+        # localCheckpoint hides the loop; assert on the lazy pair plan
+        from pawpaw_spark.operators.graph import walk_pairs
+
+        plan = _plan(walk_pairs(walks, window=2))
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        # self-join on walk_id is an equi-join
+        assert "walk_id" in plan, plan
+
+    def test_hll_registers_single_shuffle_partial_agg(self, spark):
+        plan = self._plan_of_query(spark, "hll_registers")
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
+        assert "partial_max" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "Join" not in plan, plan
+
+    def test_kg_snapshot_no_window_one_struct_max(self, spark):
+        plan = self._plan_of_query(spark, "kg_snapshot")
+        assert "Window" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "partial_max" in plan, plan
+        assert "MapInArrow" in plan, plan
+
+    @staticmethod
+    def _plan_of_query(spark, name):
+        return _plan(E.queries()[name](spark, SF))

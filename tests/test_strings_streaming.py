@@ -682,3 +682,125 @@ class TestStreamingReviewFixes:
         assert {(r.a, r.b) for r in pairs.collect()} == {("a_dup_h0", "h0")}
         # the replay folded the batch into the index exactly once
         assert spark.read.parquet(f"{index}/rows").count() == len(hist) + len(b1)
+
+
+class TestStreamingKgSink:
+    SCHEMA = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+
+    def _docs(self, i0, n):
+        return [
+            (
+                "r",
+                f"d{i}.py",
+                "0",
+                "python",
+                f"def f_{i}():\n    g_{i % 3}()\n",
+            )
+            for i in range(i0, i0 + n)
+        ]
+
+    def test_streamed_edges_equal_one_shot_batch(self, spark, tmp_path_factory):
+        """Two micro-batches through the KG sink produce exactly the
+        one-shot build_edges_fused multiset (triple extraction is
+        per-document, so batch boundaries are invisible), partitioned
+        by (pred, batch_id), with one metrics row per (batch, pred)."""
+        from pawpaw_spark.operators.triples import build_edges_fused
+        from pawpaw_spark.streaming.events import streaming_kg_sink
+
+        b1, b2 = self._docs(0, 3), self._docs(3, 3)
+        base = tmp_path_factory.mktemp("kg_stream")
+        edges_out, ckpt, src = (
+            str(base / p) for p in ("edges", "ckpt", "src")
+        )
+        for b in (b1, b2):
+            spark.createDataFrame(b, self.SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = streaming_kg_sink(stream, edges_out, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+        got = sorted(
+            (r.subj, r.pred, r.obj)
+            for r in spark.read.parquet(edges_out).collect()
+        )
+        want = sorted(
+            (r.subj, r.pred, r.obj)
+            for r in build_edges_fused(
+                spark.createDataFrame(b1 + b2, self.SCHEMA)
+            ).collect()
+        )
+        assert got == want
+
+        # two batch_id partitions exist (ingest lineage)
+        bids = {
+            r.batch_id
+            for r in spark.read.parquet(edges_out)
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        assert len(bids) == 2
+
+        # metrics: per (batch, pred) rows matching the store itself
+        m = spark.read.parquet(f"{edges_out}/_metrics")
+        from pyspark.sql import functions as F
+
+        store = (
+            spark.read.parquet(edges_out)
+            .groupBy("batch_id", "pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        joined = m.join(store, ["batch_id", "pred"], "full_outer")
+        bad = joined.where(
+            ~F.col("n_edges").eqNullSafe(F.col("n"))
+        ).count()
+        assert bad == 0
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path_factory):
+        """Re-running a batch under the SAME batch_id (the Structured
+        Streaming crash-replay contract: a failed batch re-executes
+        with its original id) rewrites its own (pred, batch_id)
+        partitions instead of duplicating edges. Replaying through a
+        real stream isn't possible (offsets advance), so this drives
+        the sink's exact write contract — dynamic partition overwrite
+        keyed by batch_id — twice over identical input, alongside a
+        DIFFERENT surviving batch that must stay untouched."""
+        from pawpaw_spark.operators.triples import build_edges_fused
+        from pyspark.sql import functions as F
+
+        base = tmp_path_factory.mktemp("kg_replay")
+        edges_out = str(base / "edges")
+        df7 = spark.createDataFrame(self._docs(0, 4), self.SCHEMA)
+        df8 = spark.createDataFrame(self._docs(4, 2), self.SCHEMA)
+
+        def write(df, bid):
+            (
+                build_edges_fused(df)
+                .withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pred", "batch_id")
+                .parquet(edges_out)
+            )
+
+        write(df7, 7)
+        write(df8, 8)
+        write(df7, 7)  # crash replay of batch 7
+        n7 = build_edges_fused(df7).count()
+        n8 = build_edges_fused(df8).count()
+        assert spark.read.parquet(edges_out).count() == n7 + n8
+        per = {
+            r.batch_id: r.n
+            for r in spark.read.parquet(edges_out)
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per == {7: n7, 8: n8}
