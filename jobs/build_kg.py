@@ -47,6 +47,20 @@ def main() -> None:
         "<output>/ntriples (subj/pred/obj as IRIs; interchange with "
         "any RDF toolchain)",
     )
+    p.add_argument(
+        "--snapshot", action="store_true",
+        help="collapse a multi-commit source to the latest row per "
+        "(repo, path) before building (day-2 ingest; commit must be a "
+        "sortable ordinal — see triples.latest_snapshot)",
+    )
+    p.add_argument(
+        "--stream", action="store_true",
+        help="ingest --input as a Structured Streaming file source "
+        "through streaming_kg_sink (edges partitioned by "
+        "(pred, batch_id), idempotent replay, per-batch metrics) "
+        "instead of the batch pipeline; processes everything currently "
+        "in the directory, then stops",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -63,6 +77,48 @@ def main() -> None:
         source = spark.read.parquet(args.input)
     else:
         raise SystemExit("one of --input / --synthetic is required")
+
+    if args.snapshot:
+        from pawpaw_spark.operators.triples import latest_snapshot
+
+        source = latest_snapshot(source)
+
+    if args.stream:
+        if not args.input:
+            raise SystemExit("--stream requires --input (a parquet dir)")
+        if args.snapshot:
+            raise SystemExit(
+                "--snapshot is a batch-read collapse; with --stream, "
+                "run latest_snapshot on the materialized store instead"
+            )
+        from pawpaw_spark.streaming.events import streaming_kg_sink
+
+        t0 = time.time()
+        stream = (
+            spark.readStream.schema(
+                "repo string, path string, commit string, lang string, "
+                "content string"
+            )
+            .option("maxFilesPerTrigger", 8)
+            .parquet(args.input)
+        )
+        q = streaming_kg_sink(
+            stream,
+            f"{args.output}/edges_stream",
+            f"{args.output}/_stream_ckpt",
+        )
+        q.processAllAvailable()
+        q.stop()
+        edges = spark.read.parquet(f"{args.output}/edges_stream")
+        stats = {
+            "wall_sec": round(time.time() - t0, 2),
+            "edges": edges.count(),
+            "batches": edges.select("batch_id").distinct().count(),
+        }
+        stats["triples_per_sec"] = round(stats["edges"] / stats["wall_sec"], 1)
+        print(json.dumps(stats))
+        spark.stop()
+        return
 
     t0 = time.time()
     res = build_kg(
