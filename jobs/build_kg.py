@@ -69,21 +69,9 @@ def main() -> None:
 
     spark = get_spark(app_name="build_kg", master=args.master)
 
-    if args.synthetic:
-        from pawpaw_spark.corpus import source_df
-
-        source = source_df(spark, n_files=args.synthetic, seed=42)
-    elif args.input:
-        source = spark.read.parquet(args.input)
-    else:
-        raise SystemExit("one of --input / --synthetic is required")
-
-    if args.snapshot:
-        from pawpaw_spark.operators.triples import latest_snapshot
-
-        source = latest_snapshot(source)
-
     if args.stream:
+        # validate BEFORE any batch read: the stream path supplies its
+        # own schema and must not pay batch file listing/footer reads
         if not args.input:
             raise SystemExit("--stream requires --input (a parquet dir)")
         if args.snapshot:
@@ -109,16 +97,43 @@ def main() -> None:
         )
         q.processAllAvailable()
         q.stop()
-        edges = spark.read.parquet(f"{args.output}/edges_stream")
+        # store totals, labeled as such: a RESUMED run ingests only new
+        # files, so store totals divided by this run's wall time would
+        # be a bogus throughput — no triples_per_sec is claimed here.
+        # The store may not exist at all if every batch was empty.
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import functions as F
+
+        try:
+            m = spark.read.parquet(f"{args.output}/edges_stream/_metrics")
+            total_edges = int(
+                m.agg(F.sum("n_edges").alias("e")).first()["e"] or 0
+            )
+            n_batches = m.select("batch_id").distinct().count()
+        except AnalysisException:
+            total_edges, n_batches = 0, 0
         stats = {
             "wall_sec": round(time.time() - t0, 2),
-            "edges": edges.count(),
-            "batches": edges.select("batch_id").distinct().count(),
+            "edges_store_total": total_edges,
+            "batches_store_total": n_batches,
         }
-        stats["triples_per_sec"] = round(stats["edges"] / stats["wall_sec"], 1)
         print(json.dumps(stats))
         spark.stop()
         return
+
+    if args.synthetic:
+        from pawpaw_spark.corpus import source_df
+
+        source = source_df(spark, n_files=args.synthetic, seed=42)
+    elif args.input:
+        source = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input / --synthetic is required")
+
+    if args.snapshot:
+        from pawpaw_spark.operators.triples import latest_snapshot
+
+        source = latest_snapshot(source)
 
     t0 = time.time()
     res = build_kg(

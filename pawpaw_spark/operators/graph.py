@@ -1300,7 +1300,7 @@ def hits(
     src_col: str = "src",
     dst_col: str = "dst",
     iters: int = 3,
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 2,
     materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999) -> (node, hub, auth,
@@ -1334,7 +1334,12 @@ def hits(
     partial-agg shuffle, with the L1 total as a 1-row broadcast
     aggregate (an expression input, never a driver action) — the same
     2-shuffle-per-round profile as PageRank, so the 100-TB scale notes
-    there carry over verbatim.  Normalization totals stay positive for
+    there carry over verbatim.  ``checkpoint_every`` defaults LOWER
+    than PageRank's (2 vs 8): each half-step reads the previous score
+    table twice (raw join + total aggregate), so the un-checkpointed
+    plan duplicates the base subplan ~4x per iteration (vs PageRank's
+    2x) — 4^8 would stall Catalyst before any executor work.
+    Normalization totals stay positive for
     any non-empty edge set: every edge target has in-degree >= 1, so
     auth mass can never vanish (and hub mass follows), meaning the
     integer division is never by zero.

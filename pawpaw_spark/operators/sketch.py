@@ -109,10 +109,18 @@ def hll_estimate(
     so each is an integer (absent buckets contribute the full
     ``2^(64-b+1)``), summed in DECIMAL(38,0); only the final
     divide/log touch float64.
+
+    Duplicate (group, bucket) rows — e.g. a UNION of stored sketches
+    passed without :func:`hll_merge` — are collapsed by an elementwise
+    max first (the merge law), so estimating over unioned sketches is
+    safe by construction rather than silently corrupt: without the
+    collapse, ``present`` could exceed ``m`` and the denominator would
+    go negative.
     """
     m = 1 << b
     s = 64 - b + 1  # scale exponent: term = 2^(s - rho), rho in [0..s]
     alpha = _alpha(m)
+    registers = hll_merge(registers, group_cols=group_cols)
     agg = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("present"),
         F.sum(

@@ -365,7 +365,7 @@ def latest_snapshot(
     snapshots) and canon.incremental_components (rewire only the
     delta).
     """
-    picked = (
+    return (
         source.groupBy("repo", "path")
         .agg(
             F.max(
@@ -373,16 +373,14 @@ def latest_snapshot(
                     F.col(order_col).alias("_o"),
                     F.col("content"),
                     F.col("lang"),
-                    F.col(order_col).alias(order_col),
                 )
             ).alias("s")
         )
         .select(
             "repo",
             "path",
-            F.col(f"s.{order_col}").alias(order_col),
+            F.col("s._o").alias(order_col),
             F.col("s.lang").alias("lang"),
             F.col("s.content").alias("content"),
         )
     )
-    return picked

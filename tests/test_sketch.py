@@ -130,3 +130,20 @@ class TestMerge:
             map(tuple, hll_registers(_vals_df(spark, a + b), "v", b=8).collect())
         )
         assert merged == direct
+
+    def test_estimate_over_unioned_sketches_is_merge_safe(self, spark):
+        """hll_estimate collapses duplicate (group, bucket) rows first
+        (the merge law), so estimating a UNION of stored sketches
+        without an explicit hll_merge cannot corrupt the denominator."""
+        from pawpaw_spark.operators.sketch import hll_estimate, hll_registers
+
+        a = [f"a{i}" for i in range(300)]
+        b = [f"b{i}" for i in range(200)] + a[:150]
+        ra = hll_registers(_vals_df(spark, a), "v", b=8)
+        rb = hll_registers(_vals_df(spark, b), "v", b=8)
+        via_union = hll_estimate(ra.unionByName(rb), b=8).collect()[0][0]
+        direct = hll_estimate(
+            hll_registers(_vals_df(spark, a + b), "v", b=8), b=8
+        ).collect()[0][0]
+        assert via_union == direct
+        assert via_union > 0
