@@ -2247,6 +2247,34 @@ def q_kg_snapshot(spark, sf_dir):
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
+def q_kg_negatives(spark, sf_dir):
+    """Deterministic skip-gram NEGATIVE samples for the walk-pair
+    corpus: per distinct (center, context) pair and j in {0,1}, the
+    node at dense index md5(seed:center:context:j) mod n — draws
+    colliding with the pair's endpoints dropped. The oracle replays
+    the node-index window, the 60-bit hex draw, and the mod against
+    the same walk-pair CTE, so sampling is pinned bit-level. Scale
+    shape: k-fold explode (no shuffle) + one equi-join against the
+    build-once node index; md5 spreads join keys uniformly, so a hub
+    center cannot hot-spot the index join."""
+    from pawpaw_spark.operators.graph import (
+        negative_samples,
+        node_index,
+        random_walks,
+        walk_pairs,
+    )
+
+    e = _call_edges(spark, sf_dir)
+    walks = random_walks(
+        e, _kg_hub_seeds(spark), length=6, walks_per_start=2, seed="w0"
+    )
+    pairs = walk_pairs(walks, window=2).distinct()
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst"))
+    )
+    return negative_samples(pairs, node_index(nodes), k=2, seed="n0")
+
+
 def q_hll_registers(spark, sf_dir):
     """HyperLogLog register sketch (the 100-TB countDistinct scale
     path) over customer references in orders, one sketch per order
@@ -2290,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": q_hll_registers,
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_snapshot": q_kg_snapshot,
+        "kg_negatives": q_kg_negatives,
         "kg_degrees": q_kg_degrees,
         "kg_ntriples": q_kg_ntriples,
         "kg_reachability": q_kg_reachability,
@@ -3558,6 +3587,29 @@ def oracle_sql() -> dict[str, str]:
         "kg_walk_pairs": _kg_walk_pairs_sql(
             length=6, wps=2, seed="w0", window=2
         ),
+        # node-index window + 60-bit hex draw + mod-n join replayed
+        # over the same walk-pair CTE; endpoint collisions dropped
+        "kg_negatives": _kg_walks_base(length=6, wps=2, seed="w0")
+        + """,
+            prs AS (
+              SELECT DISTINCT a.node AS center, b.node AS context
+              FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+                AND abs(a.step - b.step) BETWEEN 1 AND 2),
+            nidx AS (
+              SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+              FROM nodes),
+            nn2 AS (SELECT count(*) AS n FROM nodes),
+            drawn AS (
+              SELECT center, context, j,
+                     ('0x' || substr(md5('n0:' || center || ':'
+                       || context || ':' || j), 1, 15))::BIGINT
+                       % (SELECT n FROM nn2) AS idx
+              FROM prs, range(0, 2) t(j))
+            SELECT center, context, CAST(j AS INTEGER) AS j,
+                   nidx.node AS neg
+            FROM drawn JOIN nidx USING (idx)
+            WHERE nidx.node <> center AND nidx.node <> context
+        """,
         # v2 call multiset rebuilt arithmetically (the kg_diff raw2
         # list): if latest_snapshot kept any v1 row, the changed
         # members' hub-vs-new calls mismatch

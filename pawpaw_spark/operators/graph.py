@@ -1559,3 +1559,87 @@ def walk_pairs(
     if include_step:
         return out.select("walk_id", "step", "ctx_step", "center", "context")
     return out.select("center", "context")
+
+
+def node_index(nodes: DataFrame) -> DataFrame:
+    """Distinct node table -> (node, idx) with DENSE ids 0..n-1 in
+    lexicographic node order — the addressable-node artifact negative
+    sampling draws from.
+
+    One global sort window: this is a BUILD-ONCE artifact (the
+    IVF/PQ/BM25 index pattern — materialize it next to the KG store,
+    rebuild on ingest), not a per-query step; sampling consumers then
+    pay only equi-joins against it. Deterministic by construction
+    (ordering is the node id itself), so rebuilds are stable across
+    partitionings and engines.
+    """
+    from pyspark.sql import Window
+
+    return (
+        nodes.select("node")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("node")) - 1,
+        )
+    )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    index: DataFrame,
+    k: int = 2,
+    seed: str = "n0",
+) -> DataFrame:
+    """Skip-gram NEGATIVE samples -> (center, context, j, neg): for
+    each positive (center, context) pair and j in 0..k-1, the node
+    with dense index ``md5(seed:center:context:j) mod n`` in ``index``
+    (:func:`node_index` output). Draws that collide with the pair's
+    own endpoints are dropped (standard word2vec practice is resample;
+    deterministic replay favors drop — so a pair yields UP TO k
+    negatives, and the consumer's loss weighting reads the surviving
+    count).
+
+    The draw is a pure function of (seed, pair, j): bit-identical
+    across reruns/retries/partitionings/engines, like
+    :func:`random_walks`' successor choice. Cost: one k-fold explode
+    (no shuffle) + one equi-join on idx against the metadata-sized
+    index — uniform by construction, no hot keys (md5 spreads the
+    join keys even when one center dominates the pairs). The mod-n
+    bias over a 60-bit draw is < 2^-40 for any real n.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n = index.count()  # metadata-sized; the index is a built artifact
+    if n == 0:
+        raise ValueError("node index is empty")
+    drawn = (
+        pairs.select("center", "context")
+        .withColumn("j", F.explode(F.array(*[F.lit(i) for i in range(k)])))
+        .withColumn(
+            "idx",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(seed), F.col("center"),
+                            F.col("context"), F.col("j"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.lit(n),
+        )
+    )
+    return (
+        drawn.join(index, "idx")
+        .filter(
+            (F.col("node") != F.col("center"))
+            & (F.col("node") != F.col("context"))
+        )
+        .select(
+            "center", "context", "j", F.col("node").alias("neg")
+        )
+    )

@@ -1577,3 +1577,81 @@ class TestWalkPairs:
 
         with pytest.raises(ValueError, match="window"):
             walk_pairs(self._walks_df(spark, [("w", 0, "a")]), window=0)
+
+
+class TestNegativeSamples:
+    @staticmethod
+    def py_negatives(pairs, nodes, k, seed):
+        import hashlib
+
+        idx = {i: n for i, n in enumerate(sorted(set(nodes)))}
+        n = len(idx)
+        out = set()
+        for c, x in set(pairs):
+            for j in range(k):
+                h = hashlib.md5(f"{seed}:{c}:{x}:{j}".encode()).hexdigest()
+                neg = idx[int(h[:15], 16) % n]
+                if neg != c and neg != x:
+                    out.add((c, x, j, neg))
+        return out
+
+    def _run(self, spark, pairs, nodes, k, seed="n0"):
+        from pawpaw_spark.operators.graph import negative_samples, node_index
+
+        pdf = spark.createDataFrame(
+            list(set(pairs)), "center string, context string"
+        )
+        ndf = node_index(
+            spark.createDataFrame([(x,) for x in set(nodes)], "node string")
+        )
+        return {
+            (r.center, r.context, r.j, r.neg)
+            for r in negative_samples(pdf, ndf, k=k, seed=seed).collect()
+        }
+
+    def test_matches_python(self, spark):
+        nodes = [f"n{i}" for i in range(17)]
+        pairs = [("n0", "n1"), ("n1", "n2"), ("n5", "n0"), ("n9", "n16")]
+        got = self._run(spark, pairs, nodes, k=3)
+        assert got == self.py_negatives(pairs, nodes, 3, "n0")
+        assert got  # non-vacuous
+
+    def test_collisions_dropped(self, spark):
+        # 2 nodes: every draw lands on one of the pair's own endpoints
+        got = self._run(spark, [("a", "b")], ["a", "b"], k=4)
+        assert got == set()
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        nodes = [f"n{i}" for i in range(31)]
+        pairs = [(f"n{i}", f"n{i+1}") for i in range(10)]
+        a = self._run(spark, pairs, nodes, k=2, seed="s")
+        b = self._run(spark, pairs, nodes, k=2, seed="s")
+        assert a == b == self.py_negatives(pairs, nodes, 2, "s")
+
+    def test_guards(self, spark):
+        from pawpaw_spark.operators.graph import negative_samples, node_index
+
+        pdf = spark.createDataFrame(
+            [("a", "b")], "center string, context string"
+        )
+        ndf = node_index(spark.createDataFrame([("a",)], "node string"))
+        with pytest.raises(ValueError, match="k must"):
+            negative_samples(pdf, ndf, k=0)
+        empty = node_index(
+            spark.createDataFrame([], "node string")
+        )
+        with pytest.raises(ValueError, match="empty"):
+            negative_samples(pdf, empty, k=1)
+
+    def test_node_index_dense_and_sorted(self, spark):
+        from pawpaw_spark.operators.graph import node_index
+
+        got = {
+            r.node: r.idx
+            for r in node_index(
+                spark.createDataFrame(
+                    [("b",), ("a",), ("c",), ("a",)], "node string"
+                )
+            ).collect()
+        }
+        assert got == {"a": 0, "b": 1, "c": 2}
