@@ -2296,6 +2296,23 @@ def q_hll_registers(spark, sf_dir):
     return hll_registers(o, "v", b=10, group_cols=("prio",))
 
 
+def q_cms_orders(spark, sf_dir):
+    """Count-min frequency sketch (the heavy-hitter scale path: exact
+    per-value counts shuffle the data, the sketch ships depth x width
+    cells) over customer references in orders: depth-3 md5 hash rows,
+    width 256, exact integer cell sums. The DuckDB oracle replays the
+    hash chain cell-for-cell; merge (cell-wise sum) and the one-sided
+    overestimate guarantee are pinned by unit tests."""
+    from pawpaw_spark.operators.sketch import cms_build
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias(
+            "v"
+        )
+    )
+    return cms_build(o, "v", depth=3, width=256)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2319,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walk_pairs": q_kg_walk_pairs,
         "kg_snapshot": q_kg_snapshot,
         "kg_negatives": q_kg_negatives,
+        "cms_orders": q_cms_orders,
         "kg_degrees": q_kg_degrees,
         "kg_ntriples": q_kg_ntriples,
         "kg_reachability": q_kg_reachability,
@@ -3641,6 +3659,21 @@ def oracle_sql() -> dict[str, str]:
               FROM mem WHERE p = sg - 1)
             SELECT src, dst, CAST(count(*) AS BIGINT) AS n
             FROM raw2 GROUP BY src, dst
+        """,
+        # count-min hash chain replayed cell-for-cell: 60-bit hex
+        # prefix of md5(row:value) mod width, exact integer sums
+        "cms_orders": """
+            WITH v AS (
+              SELECT 'cust:' || CAST(o_custkey AS VARCHAR) AS val
+              FROM orders),
+            cells AS (
+              SELECT r AS row,
+                     ('0x' || substr(md5(r || ':' || val), 1, 15))::BIGINT
+                       % 256 AS col
+              FROM v, range(0, 3) t(r))
+            SELECT CAST(row AS INTEGER) AS row, col,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY row, col
         """,
         # full HLL bit chain replayed: md5 hex halves as unsigned
         # 32-bit ints, top-10-bit bucket, remainder bit length via

@@ -28,8 +28,6 @@ part of the beyond-parity scale surface like graph.py (SURVEY §2
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -155,4 +153,106 @@ def hll_merge(
     of the data they summarize."""
     return registers.groupBy(*group_cols, "bucket").agg(
         F.max("max_rho").alias("max_rho")
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    group_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) ->
+    (group..., row, col, cnt): ``depth`` independent hash rows, each
+    mapping a value to ``md5(row || ':' || value) mod width``; ``cnt``
+    sums occurrences (or ``weight_col``).
+
+    The frequency twin of :func:`hll_registers`: exact per-value
+    counts need a data-sized shuffle, the sketch needs
+    ``groups x depth x width`` rows — point lookups then OVERESTIMATE
+    true counts by at most the collision mass (min over rows, the CMS
+    guarantee: error <= 2N/width with prob 1 - 2^-depth). Same
+    portability contract: md5 positions and integer sums are
+    bit-identical on any engine/partitioning, so sketches are at-rest
+    artifacts any engine can build, merge (cell-wise SUM — exact, the
+    CMS linearity law), and query. Only present cells appear (absent
+    cell == 0).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    v = F.col(value_col).cast("string")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    gcols = [F.col(g) for g in group_cols]
+    rows = df.filter(v.isNotNull()).select(
+        *gcols,
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("row"),
+        v.alias("_v"),
+        w.alias("_w"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("row"), F.col("_v"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(width)
+    ).alias("col")
+    return (
+        rows.select(*[F.col(g) for g in group_cols], "row", col, "_w")
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    values: DataFrame,
+    value_col: str = "v",
+    depth: int = 4,
+    width: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Point-query a count-min sketch -> (group..., value, est): the
+    MIN over the sketch's ``depth`` rows of the cell each hash maps
+    the value to (absent cell = 0 — a value whose every cell is
+    missing estimates 0). ``depth``/``width`` must match the build
+    (they parameterize the hash chain, so a mismatch silently queries
+    the wrong cells — pass the build's values).
+
+    One explode + one equi-join on (row, col) against the sketch —
+    querying never touches the data the sketch summarizes.
+    """
+    v = F.col(value_col).cast("string")
+    probes = values.select(
+        *[F.col(g) for g in group_cols],
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("row"),
+        v.alias("value"),
+    ).withColumn(
+        "col",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("row"), F.col("value"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long")
+        % F.lit(width),
+    )
+    keys = [*group_cols, "row", "col"]
+    return (
+        probes.join(cms, on=keys, how="left")
+        .groupBy(*group_cols, "value")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+        )
     )

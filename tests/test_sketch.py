@@ -147,3 +147,103 @@ class TestMerge:
         ).collect()[0][0]
         assert via_union == direct
         assert via_union > 0
+
+
+def py_cms(vals, depth, width, weights=None):
+    import hashlib
+    from collections import Counter
+
+    c = Counter()
+    for i, v in enumerate(vals):
+        w = 1 if weights is None else weights[i]
+        for r in range(depth):
+            h = hashlib.md5(f"{r}:{v}".encode()).hexdigest()
+            c[(r, int(h[:15], 16) % width)] += w
+    return dict(c)
+
+
+class TestCountMin:
+    def test_cells_match_python(self, spark):
+        from pawpaw_spark.operators.sketch import cms_build
+
+        vals = [f"t{i % 7}" for i in range(100)]
+        got = {
+            (r.row, r.col): r.cnt
+            for r in cms_build(
+                _vals_df(spark, vals), "v", depth=3, width=64
+            ).collect()
+        }
+        assert got == py_cms(vals, 3, 64)
+
+    def test_lookup_overestimates_never_under(self, spark):
+        from collections import Counter
+
+        from pawpaw_spark.operators.sketch import cms_build, cms_lookup
+
+        vals = [f"w{i % 11}" for i in range(220)] + ["hot"] * 50
+        truth = Counter(vals)
+        cms = cms_build(_vals_df(spark, vals), "v", depth=4, width=32)
+        qs = spark.createDataFrame(
+            [(v,) for v in truth], "v string"
+        )
+        est = {
+            r.value: r.est
+            for r in cms_lookup(cms, qs, depth=4, width=32).collect()
+        }
+        for v, t in truth.items():
+            assert est[v] >= t  # CMS one-sided guarantee
+        # a generous width bound: hot key stays well-separated
+        assert est["hot"] >= 50
+
+    def test_absent_value_estimates_from_empty_cells(self, spark):
+        from pawpaw_spark.operators.sketch import cms_build, cms_lookup
+
+        cms = cms_build(_vals_df(spark, ["a", "b"]), "v", depth=3, width=512)
+        qs = spark.createDataFrame([("zzz-not-there",)], "v string")
+        est = cms_lookup(cms, qs, depth=3, width=512).collect()[0].est
+        # with width >> n the min row is almost surely an absent cell
+        assert est == 0
+
+    def test_merge_is_cellwise_sum(self, spark):
+        from pyspark.sql import functions as F
+
+        from pawpaw_spark.operators.sketch import cms_build
+
+        a = [f"x{i % 5}" for i in range(40)]
+        b = [f"x{i % 3}" for i in range(21)]
+        ca = cms_build(_vals_df(spark, a), "v", depth=3, width=64)
+        cb = cms_build(_vals_df(spark, b), "v", depth=3, width=64)
+        merged = {
+            (r.row, r.col): r.cnt
+            for r in ca.unionByName(cb)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        direct = {
+            (r.row, r.col): r.cnt
+            for r in cms_build(
+                _vals_df(spark, a + b), "v", depth=3, width=64
+            ).collect()
+        }
+        assert merged == direct
+
+    def test_weighted(self, spark):
+        from pawpaw_spark.operators.sketch import cms_build
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 2), ("b", 1)], "v string, w long"
+        )
+        got = {
+            (r.row, r.col): r.cnt
+            for r in cms_build(
+                df, "v", depth=2, width=64, weight_col="w"
+            ).collect()
+        }
+        assert got == py_cms(["a", "a", "b"], 2, 64, weights=[5, 2, 1])
+
+    def test_guards(self, spark):
+        from pawpaw_spark.operators.sketch import cms_build
+
+        with pytest.raises(ValueError, match="depth"):
+            cms_build(_vals_df(spark, ["a"]), "v", depth=0)
