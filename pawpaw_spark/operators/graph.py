@@ -1561,28 +1561,54 @@ def walk_pairs(
     return out.select("center", "context")
 
 
-def node_index(nodes: DataFrame) -> DataFrame:
+def node_index(nodes: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Distinct node table -> (node, idx) with DENSE ids 0..n-1 in
     lexicographic node order — the addressable-node artifact negative
-    sampling draws from.
+    sampling draws from. A BUILD-ONCE artifact (the IVF/PQ/BM25 index
+    pattern — materialize it next to the KG store, rebuild on ingest),
+    not a per-query step; sampling consumers then pay only equi-joins
+    against it.
 
-    One global sort window: this is a BUILD-ONCE artifact (the
-    IVF/PQ/BM25 index pattern — materialize it next to the KG store,
-    rebuild on ingest), not a per-query step; sampling consumers then
-    pay only equi-joins against it. Deterministic by construction
-    (ordering is the node id itself), so rebuilds are stable across
-    partitionings and engines.
+    Distributed global ranking — NOT a partition-less row_number window
+    (which funnels every node through one task and caps the build at
+    one executor's memory): range-partition by node, rank locally
+    within each range, then add broadcast per-partition offsets
+    (metadata-sized driver collect, one row per partition). The final
+    (node, idx) mapping depends only on the TOTAL order of node ids,
+    not on where the sampled range boundaries land, so rebuilds are
+    bit-stable across partitionings and engines.
     """
     from pyspark.sql import Window
 
-    return (
-        nodes.select("node")
-        .distinct()
-        .withColumn(
-            "idx",
-            F.row_number().over(Window.orderBy("node")) - 1,
+    distinct = nodes.select("node").distinct()
+    if num_partitions is None:
+        num_partitions = int(
+            distinct.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    ranged = distinct.repartitionByRange(num_partitions, "node").withColumn(
+        "_pid", F.spark_partition_id()
     )
+    # Persist so the offsets job and the rank job see the SAME sampled
+    # range boundaries (RangePartitioner re-samples on recompute).
+    ranged = ranged.persist()
+    counts = ranged.groupBy("_pid").count().collect()  # metadata: 1 row/part
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], acc))
+        acc += r["count"]
+    off = F.broadcast(
+        distinct.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    )
+    local_rank = F.row_number().over(
+        Window.partitionBy("_pid").orderBy("node")
+    )
+    out = (
+        ranged.withColumn("_rank", local_rank)
+        .join(off, "_pid")
+        .select("node", (F.col("_rank") - 1 + F.col("_off")).alias("idx"))
+    )
+    out._pawpaw_cached = ranged  # caller-owned unpersist handle
+    return out
 
 
 def negative_samples(
