@@ -2313,6 +2313,249 @@ def q_cms_orders(spark, sf_dir):
     return cms_build(o, "v", depth=3, width=256)
 
 
+def _tree_facts(spark, sf_dir):
+    """Deterministic binary-tree triple table from customer keys: node
+    ``n(k)`` for k in 1..m (keys are dense 0..m-1, shifted by 1 so the
+    root is n1), edge (n(k), CHILD_OF, n(k//2)) for k >= 2, and a
+    (n(k), TAG, leaf) fact for every leaf (2k > m). Depth = log2(m) —
+    the recursion-depth knob the Datalog/path-closure/HyperBall
+    contract queries need: closures converge in ~14 rounds at sf0.1
+    and the closure size is m*log2(m), not m^2 (the ring graph of
+    _call_docs saturates quadratically and would make the oracle
+    recompute the dominant cost)."""
+    c = _fan(spark.read.parquet(f"{sf_dir}/customer.parquet")).select(
+        (F.col("c_custkey").cast("long") + 1).alias("k")
+    )
+    m = c.count()  # metadata-sized; keys are dense 0..m-1
+    child = c.filter(F.col("k") >= 2).select(
+        F.concat(F.lit("n"), F.col("k")).alias("subj"),
+        F.lit("CHILD_OF").alias("pred"),
+        F.concat(F.lit("n"), F.floor(F.col("k") / 2).cast("long")).alias(
+            "obj"
+        ),
+    )
+    leaves = c.filter(F.col("k") * 2 > m).select(
+        F.concat(F.lit("n"), F.col("k")).alias("subj"),
+        F.lit("TAG").alias("pred"),
+        F.lit("leaf").alias("obj"),
+    )
+    return child.union(leaves)
+
+
+_TREE_CTE = """
+            k AS (SELECT c_custkey + 1 AS k FROM customer),
+            params AS (SELECT count(*) AS m FROM k),
+            e AS (SELECT 'n' || k AS c, 'n' || (k // 2) AS p
+                  FROM k WHERE k >= 2),
+            leaves AS (SELECT 'n' || k AS c FROM k
+                       WHERE 2 * k > (SELECT m FROM params)),
+            anc AS (
+              SELECT c, p AS a FROM e
+              UNION
+              SELECT anc.c, e.p FROM anc JOIN e ON anc.a = e.c)"""
+
+
+def _hyperball_cte(b: int, radius: int) -> str:
+    """Unrolled HyperBall replay for DuckDB: singleton md5 registers
+    (the hll_registers bit chain), then ``radius`` join+max rounds of
+    counter propagation along the tree's child->parent edges, then the
+    per-radius history union. Non-recursive CTE chain because the
+    round body needs GROUP BY (disallowed inside a recursive CTE)."""
+    mask = (1 << (32 - b)) - 1
+    s = 64 - b + 1
+    parts = [
+        f"""
+            nodes AS (SELECT c AS node FROM e UNION SELECT p FROM e),
+            bits AS (
+              SELECT node,
+                     ('0x' || substr(md5(node), 1, 8))::BIGINT AS hi,
+                     ('0x' || substr(md5(node), 9, 8))::BIGINT AS lo
+              FROM nodes),
+            sing AS (
+              SELECT node, hi >> {32 - b} AS bucket,
+                     (hi & {mask}) * {1 << 32} + lo AS w
+              FROM bits),
+            r0 AS (
+              SELECT node, bucket,
+                     CAST(CASE WHEN w = 0 THEN {s}
+                          ELSE {s} - length(bin(w)) END AS INTEGER)
+                       AS max_rho
+              FROM sing)"""
+    ]
+    for t in range(1, radius + 1):
+        parts.append(
+            f"""
+            r{t} AS (
+              SELECT node, bucket, max(max_rho) AS max_rho FROM (
+                SELECT * FROM r{t - 1}
+                UNION ALL
+                SELECT e.c AS node, r.bucket, r.max_rho
+                FROM e JOIN r{t - 1} r ON r.node = e.p
+              ) GROUP BY node, bucket)"""
+        )
+    hist = " UNION ALL ".join(
+        f"SELECT {t} AS radius, * FROM r{t}" for t in range(radius + 1)
+    )
+    parts.append(f"""
+            hist AS ({hist})""")
+    return ",".join(parts)
+
+
+def q_kg_datalog(spark, sf_dir):
+    """Semi-naive Datalog inference (operators/infer.py) over the
+    constructed binary-tree facts: the recursive ancestor closure
+    UNDER (linear recursion, rounds = tree depth ~ log2(m)) chained
+    into LEAF_UNDER (a derived predicate consuming another derived
+    predicate, with a constant in the body). Exercises the full
+    semi-naive loop — per-atom delta variants, anti-join set
+    semantics, fixpoint-sized shuffle width — and the oracle replays
+    the least fixpoint as a recursive CTE. Per-ancestor counts are
+    exact integers, so the match is bit-level at any SF or
+    parallelism."""
+    from pawpaw_spark.operators.infer import infer
+
+    rules = [
+        (("?c", "UNDER", "?p"), [("?c", "CHILD_OF", "?p")]),
+        (("?c", "UNDER", "?a"), [("?c", "UNDER", "?m"),
+                                 ("?m", "CHILD_OF", "?a")]),
+        (("?c", "LEAF_UNDER", "?a"), [("?c", "UNDER", "?a"),
+                                      ("?c", "TAG", "leaf")]),
+    ]
+    derived = infer(_tree_facts(spark, sf_dir), rules)
+    return (
+        derived.groupBy("pred", F.col("obj").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_kg_path_closure(spark, sf_dir):
+    """SPARQL property-path closure through the motif matcher
+    (``CHILD_OF*`` — reflexive-transitive, so the zero-length
+    identity over the GRAPH's term universe, including the 'leaf'
+    tag object, is part of the semantics): per ancestor-or-self node,
+    the count of descendants-or-self. The closure is the semi-naive
+    delta loop of graph_query._closure (new pairs only per round,
+    rounds = tree depth); the oracle is the recursive-CTE ancestor
+    set unioned with the identity over all graph terms."""
+    from pawpaw_spark.operators.graph_query import match_pattern
+
+    out = match_pattern(
+        _tree_facts(spark, sf_dir), [("?x", "CHILD_OF*", "?a")]
+    )
+    return (
+        out.groupBy(F.col("a").alias("node"))
+        .agg(F.countDistinct("x").alias("n"))
+    )
+
+
+def q_kg_path_deps(spark, sf_dir):
+    """Property-path motif over the FUSED kernel triples: co-dependent
+    files via ``DEFINES/(REFERENCES|^REFERENCES)`` — sequence,
+    alternation, and inverse in ONE path predicate (the undirected
+    reference link), joined with a plain DEFINES triple and the early
+    f != g inequality. The dangling f_missing_* targets bind no
+    DEFINES and drop; a doc whose undirected link lands on its own
+    symbol binds f == g and drops. The oracle replays the path as the
+    symmetrized edge union joined through the reconstructed
+    definition CTE."""
+    from pawpaw_spark.operators.graph_query import match_pattern
+
+    bindings = match_pattern(
+        _fused_call_triples(spark, sf_dir),
+        [
+            ("?f", "DEFINES/(REFERENCES|^REFERENCES)", "?t"),
+            ("?g", "DEFINES", "?t"),
+        ],
+        neq=[("?f", "?g")],
+    )
+    return (
+        bindings.groupBy(F.col("f").alias("file"))
+        .agg(
+            F.countDistinct("g").alias("n_codep_files"),
+            F.countDistinct("t").alias("n_codep_syms"),
+        )
+    )
+
+
+def q_kg_hyperball(spark, sf_dir):
+    """HyperBall register propagation (operators/sketch.py, Boldi &
+    Vigna 2013) over the constructed tree's child->parent edges: each
+    node's out-ball at radius t is its ancestor set within t hops, and
+    the per-radius HLL registers are PORTABLE md5 bit arithmetic
+    merged by elementwise max — so the DuckDB oracle replays the
+    whole propagation (singleton registers, t unrolled join+max
+    rounds) and the per-radius digest (register count, node count,
+    rho sum, bucket-weighted checksum) matches bit-level. b=6 keeps
+    the state at <= 64 registers per node; radius 4 exercises real
+    growth (tree depth >> 4, so no early fixpoint)."""
+    from pawpaw_spark.operators.sketch import hyperball_registers
+
+    e = _tree_facts(spark, sf_dir).filter(F.col("pred") == "CHILD_OF")
+    hist = hyperball_registers(
+        e, b=6, max_radius=4, src_col="subj", dst_col="obj"
+    )
+    return hist.groupBy("radius").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.countDistinct("node").alias("n_nodes"),
+        F.sum("max_rho").cast("long").alias("sum_rho"),
+        F.sum(F.col("bucket") * F.col("max_rho")).cast("long").alias("dot"),
+    )
+
+
+def q_kg_dangling(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS over the fused kernel triples: the
+    dangling-reference audit — (file, called symbol) pairs where NO
+    file defines the target. The corpus plants exactly one dangling
+    call (f_missing_g) in each group's last member, so the expected
+    rows are the group-end files with n_dangling = 1: real
+    selectivity, closed arithmetic form. The negation group compiles
+    to ONE left-anti join on ?t (group-private ?g is an existential
+    the anti-join projects away); the oracle is the same anti-join
+    (NOT EXISTS) over the reconstructed edge CTE."""
+    from pawpaw_spark.operators.graph_query import match_pattern
+
+    bindings = match_pattern(
+        _fused_call_triples(spark, sf_dir),
+        [
+            ("?f", "DEFINES", "?s"),
+            ("?s", "REFERENCES", "?t"),
+        ],
+        not_exists=[[("?g", "DEFINES", "?t")]],
+    )
+    return (
+        bindings.groupBy(F.col("f").alias("file"))
+        .agg(F.countDistinct("t").alias("n_dangling"))
+    )
+
+
+def q_kg_datalog_neg(spark, sf_dir):
+    """Stratified-negation Datalog over the constructed tree facts:
+    UNDER (recursive closure, stratum 0), SKIP = UNDER minus the
+    direct parent (negation of a BASE predicate), and FRINGE = leaf
+    descendants per ancestor derived by negating the DERIVED predicate
+    UNDER itself (?d UNDER ?c must not match — forcing a second
+    stratum, so the contract exercises strata ordering, frozen-set
+    negation, and anti-join set semantics in one program). Exact
+    integer counts per (pred, ancestor): bit-level at any SF."""
+    from pawpaw_spark.operators.infer import infer
+
+    rules = [
+        (("?c", "UNDER", "?p"), [("?c", "CHILD_OF", "?p")]),
+        (("?c", "UNDER", "?a"), [("?c", "UNDER", "?m"),
+                                 ("?m", "CHILD_OF", "?a")]),
+        (("?c", "SKIP", "?a"), [("?c", "UNDER", "?a")],
+         [("?c", "CHILD_OF", "?a")]),
+        (("?c", "FRINGE", "?a"), [("?c", "UNDER", "?a")],
+         [("?d", "UNDER", "?c")]),
+    ]
+    facts = _tree_facts(spark, sf_dir).filter(F.col("pred") == "CHILD_OF")
+    derived = infer(facts, rules)
+    return (
+        derived.groupBy("pred", F.col("obj").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2327,6 +2570,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # was driver-verified (rows+schema+hash) in round 3; the committed
     # CHECK_sf*.json artifacts cover all queries at 3 scale factors.
     return {
+        # -- new this round (lead so the 50-entry gate window sees them) --
+        "kg_datalog": q_kg_datalog,
+        "kg_path_closure": q_kg_path_closure,
+        "kg_path_deps": q_kg_path_deps,
+        "kg_hyperball": q_kg_hyperball,
+        "kg_dangling": q_kg_dangling,
+        "kg_datalog_neg": q_kg_datalog_neg,
         # -- driver-unverified until now (round-3 gate window ended) --
         "kg_hits": q_kg_hits,
         "kg_walks": q_kg_walks,
@@ -2801,6 +3051,104 @@ def oracle_sql() -> dict[str, str]:
     stop_pat = r"\b(" + "|".join(all_stops) + r")\b"
 
     d = {
+        # least-fixpoint replay of the Datalog program: the recursive
+        # ancestor CTE IS the UNDER relation, LEAF_UNDER is its join
+        # with the leaf facts
+        "kg_datalog": f"""
+            WITH RECURSIVE {_TREE_CTE}
+            SELECT 'UNDER' AS pred, a AS node, count(*) AS n
+            FROM anc GROUP BY a
+            UNION ALL
+            SELECT 'LEAF_UNDER' AS pred, anc.a AS node, count(*) AS n
+            FROM anc JOIN leaves USING (c) GROUP BY anc.a
+        """,
+        # CHILD_OF* = ancestor closure UNION the zero-length identity
+        # over every term of the graph (subjects and objects of BOTH
+        # predicates, so the 'leaf' tag object included — SPARQL 1.1
+        # zero-length-path semantics)
+        "kg_path_closure": f"""
+            WITH RECURSIVE {_TREE_CTE},
+            terms AS (
+              SELECT c AS t FROM e UNION SELECT p FROM e
+              UNION SELECT c FROM leaves UNION SELECT 'leaf'),
+            pairs AS (
+              SELECT c AS s, a AS d FROM anc
+              UNION SELECT t, t FROM terms)
+            SELECT d AS node, count(DISTINCT s) AS n
+            FROM pairs GROUP BY d
+        """,
+        # DEFINES/(REFERENCES|^REFERENCES) replayed as the symmetrized
+        # edge union threaded through the reconstructed definition CTE;
+        # DISTINCT mirrors the matcher's set semantics
+        "kg_path_deps": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            und AS (
+              SELECT src AS s, dst AS t FROM e
+              UNION
+              SELECT dst, src FROM e),
+            b AS (
+              SELECT DISTINCT d1.f AS f, d2.f AS g, u.t AS t
+              FROM defs d1
+              JOIN und u ON u.s = d1.s
+              JOIN defs d2 ON d2.s = u.t
+              WHERE d1.f <> d2.f)
+            SELECT f AS file,
+                   count(DISTINCT g) AS n_codep_files,
+                   count(DISTINCT t) AS n_codep_syms
+            FROM b GROUP BY f
+        """,
+        # full register-propagation replay (singleton md5 registers +
+        # 4 unrolled join+max rounds), digested per radius
+        "kg_hyperball": f"""
+            WITH
+            k AS (SELECT c_custkey + 1 AS k FROM customer),
+            e AS (SELECT 'n' || k AS c, 'n' || (k // 2) AS p
+                  FROM k WHERE k >= 2),
+            {_hyperball_cte(6, 4)}
+            SELECT radius,
+                   count(*) AS n_regs,
+                   count(DISTINCT node) AS n_nodes,
+                   CAST(sum(max_rho) AS BIGINT) AS sum_rho,
+                   CAST(sum(bucket * max_rho) AS BIGINT) AS dot
+            FROM hist GROUP BY radius
+        """,
+        # NOT EXISTS replay: call edges whose target no file defines —
+        # by construction exactly the f_missing_* targets, so the
+        # anti-join (NOT EXISTS over the defs CTE) is the oracle
+        "kg_dangling": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT d.f AS file, count(DISTINCT e.dst) AS n_dangling
+            FROM e JOIN defs d ON d.s = e.src
+            WHERE NOT EXISTS (SELECT 1 FROM defs d2 WHERE d2.s = e.dst)
+            GROUP BY d.f
+        """,
+        # stratified-negation replay: anc = UNDER; SKIP = anc minus the
+        # direct child edges; FRINGE = anc rows whose descendant end is
+        # a leaf (no incoming child edge — negating the derived UNDER
+        # is equivalent on a tree, and the CTE replays the equivalent)
+        "kg_datalog_neg": f"""
+            WITH RECURSIVE {_TREE_CTE}
+            SELECT 'UNDER' AS pred, a AS node, count(*) AS n
+            FROM anc GROUP BY a
+            UNION ALL
+            SELECT 'SKIP' AS pred, a AS node, count(*) AS n
+            FROM anc WHERE NOT EXISTS (
+              SELECT 1 FROM e WHERE e.c = anc.c AND e.p = anc.a)
+            GROUP BY a
+            UNION ALL
+            SELECT 'FRINGE' AS pred, a AS node, count(*) AS n
+            FROM anc WHERE NOT EXISTS (
+              SELECT 1 FROM e WHERE e.p = anc.c)
+            GROUP BY a
+        """,
         "extract_token_counts": f"""
             SELECT lang,
                    CAST(sum(len(regexp_extract_all(text, '{WORD_PAT}'))) AS BIGINT) AS n_words,

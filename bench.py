@@ -98,6 +98,21 @@ HEADLINE = [
     "kg_clustering",
     "kg_cooccur",
     "kg_diff",
+    "kg_hits",
+    "kg_walks",
+    "kg_walk_pairs",
+    "kg_negatives",
+    "kg_optional",
+    "kg_schema",
+    "kg_snapshot",
+    "hll_registers",
+    "cms_orders",
+    "kg_datalog",
+    "kg_path_closure",
+    "kg_path_deps",
+    "kg_hyperball",
+    "kg_dangling",
+    "kg_datalog_neg",
 ]
 
 

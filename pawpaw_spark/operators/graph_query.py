@@ -53,9 +53,237 @@ from pyspark.sql import functions as F
 
 Triple = tuple[str, str | None, str]
 
+_PATH_META = set("/|^+*?() \t")
+
 
 def _is_var(term: str | None) -> bool:
     return isinstance(term, str) and term.startswith("?")
+
+
+def _is_path(term: str | None) -> bool:
+    """A predicate term is a PATH EXPRESSION (not a plain predicate
+    constant) iff it contains a path operator. A leading ``?`` is the
+    VARIABLE sigil, not the zero-or-one postfix (which can never start
+    a path), so variables are excluded here regardless of caller
+    check order."""
+    return (
+        isinstance(term, str)
+        and not term.startswith("?")
+        and any(c in _PATH_META for c in term)
+    )
+
+
+# --------------------------------------------------------------------
+# SPARQL 1.1 property-path subset: parser + DataFrame compiler
+#
+# path     := seq ('|' seq)*           alternation (lowest precedence)
+# seq      := elt ('/' elt)*           sequence
+# elt      := '^' elt | prim postfix*  inverse binds the whole element
+# postfix  := '+' | '*' | '?'          one-or-more / refl-trans / opt
+# prim     := '(' path ')' | NAME      NAME = any run of non-operator chars
+#
+# Compilation is closed over (src, dst) pair tables: every node is a
+# declarative DataFrame op (filter / join / union / distinct), so the
+# whole path plan stays inside Catalyst. '+' is the only iterative
+# form — a semi-naive transitive closure (delta ∘ base per round, new
+# pairs only), each round one equi-join + one anti-join under
+# fixpoint_loop_conf, checkpoint-truncated lineage. rounds needed =
+# the graph's HOP DIAMETER along that predicate; ``square=True``
+# switches to recursive doubling (R ∘ R), ceil(log2(diameter)) rounds
+# at a heavier per-round join, for deep-chain graphs.
+# --------------------------------------------------------------------
+
+
+def parse_path(expr: str):
+    """Parse a property-path expression into an AST of tuples:
+    ``('pred', name) | ('inv', x) | ('seq', a, b) | ('alt', a, b) |
+    ('plus', x) | ('star', x) | ('opt', x)``. Raises ValueError with
+    the offending position on malformed input."""
+    toks: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c in " \t":
+            i += 1
+        elif c in "/|^+*?()":
+            toks.append(c)
+            i += 1
+        else:
+            j = i
+            while j < n and expr[j] not in _PATH_META:
+                j += 1
+            toks.append(expr[i:j])
+            i = j
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_alt():
+        node = parse_seq()
+        while peek() == "|":
+            take()
+            node = ("alt", node, parse_seq())
+        return node
+
+    def parse_seq():
+        node = parse_elt()
+        while peek() == "/":
+            take()
+            node = ("seq", node, parse_elt())
+        return node
+
+    def parse_elt():
+        if peek() == "^":
+            take()
+            return ("inv", parse_elt())
+        if peek() == "(":
+            take()
+            node = parse_alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in path {expr!r}")
+            take()
+        else:
+            t = peek()
+            if t is None or t in "/|^+*?()":
+                raise ValueError(
+                    f"expected predicate name at token {pos} in path "
+                    f"{expr!r}, got {t!r}"
+                )
+            node = ("pred", take())
+        while peek() in ("+", "*", "?"):
+            node = ({"+": "plus", "*": "star", "?": "opt"}[take()], node)
+        return node
+
+    node = parse_alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens {toks[pos:]} in path {expr!r}")
+    return node
+
+
+def _pairs_distinct(df: DataFrame) -> DataFrame:
+    return df.select("src", "dst").distinct()
+
+
+def _closure(base: DataFrame, max_rounds: int, square: bool) -> DataFrame:
+    """Transitive closure of a (src, dst) pair table, new-pairs-only
+    per round (semi-naive). ``square=False``: delta ∘ base, rounds =
+    hop diameter, total join work O(|closure| * avg_out_degree) — the
+    optimal incremental cost. ``square=True``: R ∘ R recursive
+    doubling, ceil(log2(diameter)) rounds for deep chains. Raises on
+    non-convergence within ``max_rounds`` (the canon.py discipline:
+    a silent truncation would return wrong answers, not slow ones)."""
+    from pawpaw_spark.session import fixpoint_loop_conf, truncated_checkpoint
+
+    base = _pairs_distinct(base).persist()
+    try:
+        n_base = base.count()  # materializes; sizes the loop width
+        with fixpoint_loop_conf(base.sparkSession, approx_state_rows=n_base):
+            reach = truncated_checkpoint(base)
+            delta = reach
+            for _ in range(max_rounds):
+                if square:
+                    step = delta.alias("d").join(
+                        reach.alias("b"),
+                        F.col("d.dst") == F.col("b.src"),
+                    )
+                else:
+                    step = delta.alias("d").join(
+                        base.alias("b"), F.col("d.dst") == F.col("b.src")
+                    )
+                delta = truncated_checkpoint(
+                    step.select(
+                        F.col("d.src").alias("src"), F.col("b.dst").alias("dst")
+                    )
+                    .distinct()
+                    .join(reach, ["src", "dst"], "left_anti")
+                )
+                if delta.isEmpty():
+                    return reach
+                # lazy union of checkpointed deltas: each pair is
+                # materialized exactly once (the reachability() pattern)
+                reach = reach.union(delta)
+                if square:
+                    reach = truncated_checkpoint(reach.distinct())
+        raise RuntimeError(
+            f"path closure did not converge in {max_rounds} rounds; "
+            "raise max_rounds (rounds needed = hop diameter, or "
+            "log2(diameter) with square=True)"
+        )
+    finally:
+        base.unpersist()
+
+
+def path_pairs(
+    edges: DataFrame,
+    expr: str,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    max_rounds: int = 64,
+    square: bool = False,
+) -> DataFrame:
+    """Evaluate a property-path expression over a triple table ->
+    the DISTINCT (src, dst) pairs connected by the path.
+
+    Zero-length path elements (``*``/``?``) contribute the identity
+    pair (n, n) for every term of the GRAPH (all subjects and objects,
+    any predicate) — SPARQL 1.1 zero-length-path semantics. The node
+    universe is computed once per call and only when the expression
+    needs it."""
+    ast = parse_path(expr)
+    nodes_df: list[DataFrame | None] = [None]  # lazy one-shot cell
+
+    def nodes() -> DataFrame:
+        if nodes_df[0] is None:
+            nodes_df[0] = (
+                edges.select(F.col(subj_col).alias("n"))
+                .union(edges.select(F.col(obj_col).alias("n")))
+                .distinct()
+                .select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            )
+        return nodes_df[0]
+
+    def compile_(node) -> DataFrame:
+        kind = node[0]
+        if kind == "pred":
+            return _pairs_distinct(
+                edges.filter(F.col(pred_col) == node[1]).select(
+                    F.col(subj_col).alias("src"), F.col(obj_col).alias("dst")
+                )
+            )
+        if kind == "inv":
+            inner = compile_(node[1])
+            return inner.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        if kind == "seq":
+            a, b = compile_(node[1]), compile_(node[2])
+            return _pairs_distinct(
+                a.alias("a")
+                .join(b.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            )
+        if kind == "alt":
+            return _pairs_distinct(compile_(node[1]).union(compile_(node[2])))
+        if kind == "plus":
+            return _closure(compile_(node[1]), max_rounds, square)
+        if kind == "star":
+            return _pairs_distinct(
+                _closure(compile_(node[1]), max_rounds, square).union(nodes())
+            )
+        if kind == "opt":
+            return _pairs_distinct(compile_(node[1]).union(nodes()))
+        raise AssertionError(f"unknown path node {node!r}")
+
+    return compile_(ast)
 
 
 def _vars_of(t: Triple) -> set[str]:
@@ -63,34 +291,57 @@ def _vars_of(t: Triple) -> set[str]:
 
 
 def _slice(
-    edges: DataFrame, t: Triple, subj_col: str, pred_col: str, obj_col: str
+    edges: DataFrame,
+    t: Triple,
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+    path_conf: dict | None = None,
 ) -> DataFrame:
     """One pattern triple -> the edge slice with variable-named columns.
 
     Constants become filters (pushed to the scan); a variable repeated
     inside the triple (e.g. ``('?a', 'CALLS', '?a')`` self loops)
-    becomes an intra-row equality filter.
+    becomes an intra-row equality filter. A PATH predicate (contains a
+    path operator, e.g. ``'DEFINES/REFERENCES'`` or ``'CALLS+'``)
+    compiles to its (src, dst) pair table first (:func:`path_pairs`);
+    endpoint constants then filter the pair table — after the closure,
+    not pushed into it, because a closure seeded only at one constant
+    is a different (smaller) computation the caller can express
+    directly with :func:`pawpaw_spark.operators.graph.reachability`.
     """
     s, p, o = t
-    df = edges
+    if _is_path(p):
+        df = path_pairs(
+            edges,
+            p,
+            subj_col=subj_col,
+            pred_col=pred_col,
+            obj_col=obj_col,
+            **(path_conf or {}),
+        )
+        scol, ocol = "src", "dst"
+    else:
+        df = edges
+        scol, ocol = subj_col, obj_col
     cols = []
     if _is_var(p):
         cols.append(F.col(pred_col).alias(p[1:]))
-    elif p is not None:
+    elif p is not None and not _is_path(p):
         df = df.filter(F.col(pred_col) == p)
     if _is_var(s):
-        cols.append(F.col(subj_col).alias(s[1:]))
+        cols.append(F.col(scol).alias(s[1:]))
     else:
-        df = df.filter(F.col(subj_col) == s)
+        df = df.filter(F.col(scol) == s)
     if _is_var(o):
         if _is_var(s) and o == s:
             # self-loop pattern: both ends the same variable; keep the
             # subj binding only
-            df = df.filter(F.col(subj_col) == F.col(obj_col))
+            df = df.filter(F.col(scol) == F.col(ocol))
         else:
-            cols.append(F.col(obj_col).alias(o[1:]))
+            cols.append(F.col(ocol).alias(o[1:]))
     else:
-        df = df.filter(F.col(obj_col) == o)
+        df = df.filter(F.col(ocol) == o)
     if _is_var(p) and (p == s or p == o):
         raise ValueError(f"predicate variable {p} reused as an endpoint")
     if not cols:
@@ -99,12 +350,24 @@ def _slice(
 
 
 def _const_slice(
-    edges: DataFrame, t: Triple, subj_col: str, pred_col: str, obj_col: str
+    edges: DataFrame,
+    t: Triple,
+    subj_col: str,
+    pred_col: str,
+    obj_col: str,
+    path_conf: dict | None = None,
 ) -> DataFrame:
     """A fully-constant triple -> the (possibly empty) matching edge
     slice, used as an existence semijoin: the pattern matches iff the
-    slice is non-empty. All three filters push to the scan."""
+    slice is non-empty. All three filters push to the scan (for a path
+    predicate, onto the compiled pair table)."""
     s, p, o = t
+    if _is_path(p):
+        pairs = path_pairs(
+            edges, p, subj_col=subj_col, pred_col=pred_col,
+            obj_col=obj_col, **(path_conf or {}),
+        )
+        return pairs.filter(F.col("src") == s).filter(F.col("dst") == o)
     df = edges.filter(F.col(subj_col) == s).filter(F.col(obj_col) == o)
     if p is not None:
         df = df.filter(F.col(pred_col) == p)
@@ -117,8 +380,15 @@ def _order_triples(pattern: Sequence[Triple], allow_product: bool) -> list[Tripl
 
     def n_const(t: Triple) -> int:
         # None is an any-predicate wildcard, not a constant: it doesn't
-        # constrain the slice, so it must not raise the seed score.
-        return sum(1 for x in t if x is not None and not _is_var(x))
+        # constrain the slice, so it must not raise the seed score. A
+        # PATH predicate likewise: its pair table (a union/closure) is
+        # usually LARGER than a single-predicate slice, so it must not
+        # look like the most-constrained seed either.
+        s, p, o = t
+        score = sum(1 for x in (s, o) if x is not None and not _is_var(x))
+        if p is not None and not _is_var(p) and not _is_path(p):
+            score += 1
+        return score
 
     remaining = sorted(range(len(pattern)), key=lambda i: -n_const(pattern[i]))
     order: list[Triple] = []
@@ -150,6 +420,7 @@ def _compile_group(
     subj_col: str,
     pred_col: str,
     obj_col: str,
+    path_conf: dict | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """One OPTIONAL group -> (its inner-joined binding table, the join
     keys it shares with the required pattern).  Triples inside a group
@@ -188,10 +459,10 @@ def _compile_group(
         remaining.remove(pick)
         order.append(group[pick])
         bound |= _vars_of(group[pick])
-    g = _slice(edges, order[0], subj_col, pred_col, obj_col)
+    g = _slice(edges, order[0], subj_col, pred_col, obj_col, path_conf)
     g_cols = _vars_of(order[0])
     for t in order[1:]:
-        sl = _slice(edges, t, subj_col, pred_col, obj_col)
+        sl = _slice(edges, t, subj_col, pred_col, obj_col, path_conf)
         shared = sorted(g_cols & _vars_of(t))
         if shared:
             g = g.join(sl, on=shared, how="inner")
@@ -218,12 +489,15 @@ def match_pattern(
     pattern: Sequence[Triple],
     *,
     optional: Sequence[Sequence[Triple]] = (),
+    not_exists: Sequence[Sequence[Triple]] = (),
     neq: Sequence[tuple[str, str]] = (),
     distinct: bool = True,
     allow_product: bool = False,
     subj_col: str = "subj",
     pred_col: str = "pred",
     obj_col: str = "obj",
+    path_max_rounds: int = 64,
+    path_square: bool = False,
 ) -> DataFrame:
     """Conjunctive pattern match -> one row per binding, one column per
     ``?variable`` (column name without the ``?``).
@@ -233,6 +507,17 @@ def match_pattern(
     else is a constant.  ``neq`` lists variable pairs that must bind to
     different values (applied as soon as both are bound, so the filter
     runs at the earliest join, not on the final result).
+
+    A predicate containing a path operator is a SPARQL 1.1 PROPERTY
+    PATH over the triple table — ``'DEFINES/REFERENCES'`` (sequence),
+    ``'CALLS|IMPORTS'`` (alternation), ``'^DEFINES'`` (inverse),
+    ``'CALLS+'`` / ``'CALLS*'`` / ``'CALLS?'`` (one-or-more /
+    reflexive-transitive / zero-or-one), parenthesized compositions —
+    compiled by :func:`path_pairs` into a distinct (src, dst) pair
+    table that joins like any other slice.  ``path_max_rounds`` bounds
+    the ``+``/``*`` closure fixpoint (raises on non-convergence);
+    ``path_square=True`` switches the closure to recursive doubling
+    (log2(diameter) rounds) for deep-chain graphs.
 
     A fully-constant triple (a SPARQL-BGP existential constraint, e.g.
     ``('a', 'CALLS', 'c')`` alongside variable triples) is applied as
@@ -258,6 +543,21 @@ def match_pattern(
     sharing no variable with the required pattern.  ``neq`` may only
     reference required variables: a NULL comparison would silently
     drop the unmatched row and corrupt the OPTIONAL semantics.
+
+    ``not_exists`` lists NEGATION groups (SPARQL ``FILTER NOT EXISTS
+    { ... }``): a required binding survives iff the group pattern has
+    NO match agreeing with it on the variables they share.  Each group
+    compiles to its own inner-joined binding table and is applied as
+    one LEFT ANTI join on the shared variables — variables private to
+    the group are existentials, projected away by the anti-join
+    itself.  Applied AFTER the required joins and BEFORE the OPTIONAL
+    left joins (negation filters required solutions per SPARQL
+    semantics, and shrinking the left side first makes the OPTIONAL
+    joins cheaper).  A group sharing no variable with the required
+    pattern raises — an uncorrelated NOT EXISTS is a plain ASK the
+    caller can express with ``filter().limit(1)`` directly (the
+    constant-triple doctrine).  On the accepted (correlated) forms,
+    SPARQL ``NOT EXISTS`` and ``MINUS`` coincide.
     """
     if not pattern:
         raise ValueError("pattern must contain at least one triple")
@@ -284,6 +584,9 @@ def match_pattern(
                 "groups; bind shared optional structure in one group"
             )
         claimed_new |= new_vars
+    for grp in not_exists:
+        if not grp:
+            raise ValueError("not_exists group must contain >= 1 triple")
 
     var_triples = [t for t in pattern if _vars_of(t)]
     const_triples = [t for t in pattern if not _vars_of(t)]
@@ -293,13 +596,14 @@ def match_pattern(
             "plain filter/count for an existence-only ASK"
         )
 
+    path_conf = {"max_rounds": path_max_rounds, "square": path_square}
     ordered = _order_triples(var_triples, allow_product)
-    out = _slice(edges, ordered[0], subj_col, pred_col, obj_col)
+    out = _slice(edges, ordered[0], subj_col, pred_col, obj_col, path_conf)
     # existence semijoins first: each is a <=1-row broadcast side, so a
     # failed constant constraint empties the plan before any real join
     for i, t in enumerate(const_triples):
         probe = (
-            _const_slice(edges, t, subj_col, pred_col, obj_col)
+            _const_slice(edges, t, subj_col, pred_col, obj_col, path_conf)
             .limit(1)
             .select(F.lit(1).alias(f"__exists_{i}__"))
         )
@@ -319,7 +623,7 @@ def match_pattern(
 
     out = apply_neq(out, bound)
     for t in ordered[1:]:
-        sl = _slice(edges, t, subj_col, pred_col, obj_col)
+        sl = _slice(edges, t, subj_col, pred_col, obj_col, path_conf)
         shared = sorted(bound & _vars_of(t))
         if shared:
             out = out.join(sl, on=shared, how="inner")
@@ -328,13 +632,25 @@ def match_pattern(
         bound |= _vars_of(t)
         out = apply_neq(out, bound)
 
+    # NOT EXISTS groups: each compiles like an OPTIONAL group, then
+    # anti-joins on its required-shared variables; group-private
+    # variables are existentials the anti-join projects away. The
+    # right side is key-pruned by Catalyst (anti-join reads only the
+    # join keys), so a wide group costs its joins, not its width.
+    for grp in not_exists:
+        g, keys = _compile_group(
+            edges, grp, all_vars, allow_product, subj_col, pred_col,
+            obj_col, path_conf,
+        )
+        out = out.join(g.select(*keys), on=keys, how="left_anti")
+
     # OPTIONAL groups: each compiles to its own binding table and
     # left-joins on its required-shared variables — an equi-join like
     # every other join here, so AQE/broadcast strategies apply as usual
     for grp in optional:
         g, keys = _compile_group(
             edges, grp, all_vars, allow_product, subj_col, pred_col,
-            obj_col,
+            obj_col, path_conf,
         )
         out = out.join(g, on=keys, how="left")
 

@@ -156,6 +156,136 @@ def hll_merge(
     )
 
 
+def hyperball_registers(
+    edges: DataFrame,
+    b: int = 8,
+    max_radius: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) counter propagation -> the
+    per-radius HLL register history ``(radius, node, bucket, max_rho)``
+    for every node's OUT-ball (nodes reachable within ``radius`` hops,
+    including the node itself; radius 0 = the singleton ball).
+
+    The neighborhood function N(t) = #pairs within distance t — the
+    basis for effective-diameter, centrality and connectivity profiles
+    — is exactly computable only by all-pairs BFS (O(V·E), dead at any
+    scale). HyperBall's observation: ball(v, t) = {v} ∪ ⋃_{v→w}
+    ball(w, t-1), and a UNION of sets is an elementwise MAX of their
+    HLL registers (:func:`hll_merge`'s merge law). So each round is
+    one equi-join (edges ⋈ previous registers on the destination) and
+    one max-aggregation on (node, bucket) — state O(V · 2^b) rows,
+    never O(V²), and every step is the md5 bit chain of
+    :func:`hll_registers`, bit-identical on any engine/partitioning
+    (the contract oracle replays the whole propagation).
+
+    Early exit: when a round changes no register, every later radius
+    equals the fixpoint; the remaining history rows are emitted by
+    relabeling the converged round (a union of lits, no recompute).
+    The loop runs under ``fixpoint_loop_conf`` with per-round
+    truncated checkpoints — the iterative-graph discipline.
+    """
+    if max_radius < 0:
+        raise ValueError("max_radius must be >= 0")
+    from pawpaw_spark.session import fixpoint_loop_conf, truncated_checkpoint
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        n_e = e.count()  # materializes; sizes the loop width
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        with fixpoint_loop_conf(e.sparkSession, approx_state_rows=n_e):
+            regs = truncated_checkpoint(
+                hll_registers(nodes, "node", b=b, group_cols=("node",))
+            )
+            history = regs.withColumn("radius", F.lit(0))
+            for t in range(1, max_radius + 1):
+                pushed = (
+                    e.join(regs, e["dst"] == regs["node"])
+                    .select(
+                        F.col("src").alias("node"), "bucket", "max_rho"
+                    )
+                )
+                nxt = truncated_checkpoint(
+                    hll_merge(regs.union(pushed), group_cols=("node",))
+                )
+                changed = nxt.join(
+                    regs, ["node", "bucket", "max_rho"], "left_anti"
+                )
+                if changed.isEmpty():
+                    # fixpoint: later radii are identical relabelings
+                    for tt in range(t, max_radius + 1):
+                        history = history.union(
+                            regs.withColumn("radius", F.lit(tt))
+                        )
+                    break
+                regs = nxt
+                history = history.union(regs.withColumn("radius", F.lit(t)))
+        return history.select("radius", "node", "bucket", "max_rho")
+    finally:
+        e.unpersist()
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    b: int = 8,
+    max_radius: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Approximate neighborhood function -> (radius, n_pairs_est):
+    N(t) = Σ_v |ball(v, t)| estimated from the HyperBall registers
+    (relative error ~1.04/sqrt(2^b) per ball). N(0) = #nodes exactly;
+    the curve's saturation point is the graph's effective diameter
+    (:func:`effective_diameter`)."""
+    hist = hyperball_registers(
+        edges, b=b, max_radius=max_radius, src_col=src_col, dst_col=dst_col
+    )
+    per_ball = hll_estimate(hist, b=b, group_cols=("radius", "node"))
+    return (
+        per_ball.groupBy("radius")
+        .agg(F.sum("n_distinct_est").alias("n_pairs_est"))
+        .orderBy("radius")
+    )
+
+
+def effective_diameter(
+    nf: DataFrame, alpha: float = 0.9
+) -> float:
+    """Smallest radius whose neighborhood-function value reaches
+    ``alpha`` of the largest measured one, linearly interpolated
+    between radii (the standard HyperBall/ANF definition). ``nf`` is
+    :func:`neighborhood_function` output — max_radius+1 rows, so the
+    collect is metadata-sized by construction."""
+    rows = sorted(
+        (r["radius"], r["n_pairs_est"]) for r in nf.collect()
+    )
+    if not rows:
+        raise ValueError("empty neighborhood function")
+    target = alpha * rows[-1][1]
+    prev_r, prev_n = rows[0]
+    if prev_n >= target:
+        return float(prev_r)
+    for r, n in rows[1:]:
+        if n >= target:
+            if n == prev_n:
+                return float(r)
+            return prev_r + (target - prev_n) / (n - prev_n) * (r - prev_r)
+        prev_r, prev_n = r, n
+    return float(rows[-1][0])
+
+
 def cms_build(
     df: DataFrame,
     value_col: str,

@@ -194,7 +194,7 @@ class TestValidation:
         assert _order_triples(pattern, False)[0] == ("?x", "DEFINES", "zz")
 
     def test_neq_unknown_var_raises(self, spark):
-        with pytest.raises(ValueError, match="not in pattern"):
+        with pytest.raises(ValueError, match="not in the required pattern"):
             match_pattern(
                 edges_df(spark, G1),
                 [("?a", "CALLS", "?b")],

@@ -1,0 +1,751 @@
+"""Property paths, Datalog inference, and HyperBall vs brute-force
+pure-Python oracles: exact pair/fact/register equality on fixed and
+randomized small graphs."""
+
+import hashlib
+import itertools
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pawpaw_spark.operators.graph_query import (
+    match_pattern,
+    parse_path,
+    path_pairs,
+)
+from pawpaw_spark.operators.infer import infer
+
+
+def edges_df(spark, triples):
+    return spark.createDataFrame(
+        list(triples), "subj string, pred string, obj string"
+    )
+
+
+# ------------------------------------------------------------------
+# pure-Python path evaluator (the oracle)
+# ------------------------------------------------------------------
+
+
+def py_path(triples, ast):
+    nodes = {t[0] for t in triples} | {t[2] for t in triples}
+    ident = {(n, n) for n in nodes}
+
+    def ev(node):
+        kind = node[0]
+        if kind == "pred":
+            return {(s, o) for s, p, o in triples if p == node[1]}
+        if kind == "inv":
+            return {(o, s) for s, o in ev(node[1])}
+        if kind == "seq":
+            a, b = ev(node[1]), ev(node[2])
+            return {(s, o2) for s, o in a for s2, o2 in b if o == s2}
+        if kind == "alt":
+            return ev(node[1]) | ev(node[2])
+        if kind in ("plus", "star"):
+            base = ev(node[1])
+            clo = set(base)
+            while True:
+                new = {
+                    (s, o2) for s, o in clo for s2, o2 in base if o == s2
+                } - clo
+                if not new:
+                    break
+                clo |= new
+            return clo | ident if kind == "star" else clo
+        if kind == "opt":
+            return ev(node[1]) | ident
+        raise AssertionError(node)
+
+    return ev(ast)
+
+
+G = [
+    ("a", "E", "b"),
+    ("b", "E", "c"),
+    ("c", "E", "d"),
+    ("d", "E", "b"),  # cycle b->c->d->b
+    ("a", "F", "c"),
+    ("f1", "DEFINES", "s1"),
+    ("s1", "REFERENCES", "s2"),
+    ("f2", "DEFINES", "s2"),
+    ("s2", "REFERENCES", "s1"),
+]
+
+
+class TestParsePath:
+    def test_precedence(self):
+        assert parse_path("A|B/C") == (
+            "alt", ("pred", "A"), ("seq", ("pred", "B"), ("pred", "C"))
+        )
+        assert parse_path("^A+") == ("inv", ("plus", ("pred", "A")))
+        assert parse_path("(A|B)+") == (
+            "plus", ("alt", ("pred", "A"), ("pred", "B"))
+        )
+        assert parse_path(" A / ^ B ") == (
+            "seq", ("pred", "A"), ("inv", ("pred", "B"))
+        )
+        assert parse_path("A+*?") == ("opt", ("star", ("plus", ("pred", "A"))))
+
+    def test_errors(self):
+        for bad in ("", "A|", "(A", "A)", "/A", "A//B", "^", "+A"):
+            with pytest.raises(ValueError):
+                parse_path(bad)
+
+
+PATH_EXPRS = [
+    "E",
+    "^E",
+    "E/E",
+    "E|F",
+    "E+",
+    "E*",
+    "F?",
+    "(E|F)/E",
+    "^E/F",
+    "(E/E)+",
+    "DEFINES/REFERENCES/^DEFINES",
+    "E?/F",
+    "^(E/F)",
+]
+
+
+class TestPathPairs:
+    @pytest.mark.parametrize("expr", PATH_EXPRS)
+    def test_fixed_graph(self, spark, expr):
+        got = {
+            (r.src, r.dst)
+            for r in path_pairs(edges_df(spark, G), expr).collect()
+        }
+        assert got == py_path(G, parse_path(expr))
+
+    def test_square_closure(self, spark):
+        # deep chain: doubling converges in log2 rounds
+        chain = [(f"n{i}", "E", f"n{i+1}") for i in range(40)]
+        got = {
+            (r.src, r.dst)
+            for r in path_pairs(
+                edges_df(spark, chain), "E+", max_rounds=8, square=True
+            ).collect()
+        }
+        assert got == py_path(chain, ("plus", ("pred", "E")))
+
+    def test_nonconvergence_raises(self, spark):
+        chain = [(f"n{i}", "E", f"n{i+1}") for i in range(10)]
+        with pytest.raises(RuntimeError, match="converge"):
+            path_pairs(edges_df(spark, chain), "E+", max_rounds=3).collect()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.sampled_from("abcde"),
+                st.sampled_from(["E", "F"]),
+                st.sampled_from("abcde"),
+            ),
+            min_size=1,
+            max_size=10,
+            unique=True,
+        ),
+        expr=st.sampled_from(
+            ["E+", "E|F", "E/F", "^E+", "(E|F)+", "E*/F", "F?"]
+        ),
+    )
+    def test_random(self, spark, edges, expr):
+        got = {
+            (r.src, r.dst)
+            for r in path_pairs(edges_df(spark, edges), expr).collect()
+        }
+        assert got == py_path(edges, parse_path(expr))
+
+
+class TestPathInPattern:
+    def test_path_triple_with_plain(self, spark):
+        # files whose symbol transitively references s1's definer
+        out = match_pattern(
+            edges_df(spark, G),
+            [
+                ("?f", "DEFINES", "?s"),
+                ("?s", "REFERENCES+", "?t"),
+                ("?g", "DEFINES", "?t"),
+            ],
+            neq=[("?f", "?g")],
+        )
+        got = {(r.f, r.g) for r in out.collect()}
+        # REFERENCES+ cycles s1<->s2: f1's s1 reaches s2 (f2's),
+        # f2's s2 reaches s1 (f1's)
+        assert got == {("f1", "f2"), ("f2", "f1")}
+
+    def test_endpoint_constants_on_path(self, spark):
+        out = match_pattern(
+            edges_df(spark, G), [("a", "E+", "?x")]
+        )
+        assert {r.x for r in out.collect()} == {"b", "c", "d"}
+
+    def test_const_const_path_semijoin(self, spark):
+        base = [("?f", "DEFINES", "?s")]
+        yes = match_pattern(
+            edges_df(spark, G), base + [("a", "E+", "d")]
+        )
+        assert yes.count() == 2  # existence holds; bindings unchanged
+        no = match_pattern(
+            edges_df(spark, G), base + [("d", "E+", "a")]
+        )
+        assert no.count() == 0
+
+    def test_path_in_optional_group(self, spark):
+        out = match_pattern(
+            edges_df(spark, G),
+            [("?f", "DEFINES", "?s")],
+            optional=[[("?s", "REFERENCES/^DEFINES", "?g")]],
+        )
+        got = {(r.f, r.s, r.g) for r in out.collect()}
+        assert got == {("f1", "s1", "f2"), ("f2", "s2", "f1")}
+
+
+# ------------------------------------------------------------------
+# Datalog inference
+# ------------------------------------------------------------------
+
+
+def py_infer(triples, rules):
+    """Naive fixpoint with a brute-force conjunctive binder."""
+    is_var = lambda t: isinstance(t, str) and t.startswith("?")
+    facts = set(triples)
+    while True:
+        new = set()
+        for head, body in rules:
+            for combo in itertools.product(facts, repeat=len(body)):
+                env, ok = {}, True
+                for (ps, pp, po), (es, ep, eo) in zip(body, combo):
+                    for term, val in ((ps, es), (pp, ep), (po, eo)):
+                        if term is None:
+                            continue
+                        if is_var(term):
+                            if env.setdefault(term[1:], val) != val:
+                                ok = False
+                        elif term != val:
+                            ok = False
+                    if not ok:
+                        break
+                if ok:
+                    hs, hp, ho = head
+                    new.add(
+                        (
+                            env[hs[1:]] if is_var(hs) else hs,
+                            hp,
+                            env[ho[1:]] if is_var(ho) else ho,
+                        )
+                    )
+        new -= facts
+        if not new:
+            return facts - set(triples)
+        facts |= new
+
+
+TC_RULES = [
+    (("?x", "TC", "?y"), [("?x", "E", "?y")]),
+    (("?x", "TC", "?z"), [("?x", "TC", "?y"), ("?y", "E", "?z")]),
+]
+
+
+class TestInfer:
+    def test_tc_on_cycle(self, spark):
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, G), TC_RULES).collect()
+        }
+        assert got == py_infer(G, TC_RULES)
+
+    def test_chained_rules_and_constants(self, spark):
+        rules = [
+            (("?f", "USES", "?t"), [("?f", "DEFINES", "?s"),
+                                    ("?s", "REFERENCES", "?t")]),
+            # chained: consumes the derived USES; constant in body
+            (("?f", "USES_S1", "s1"), [("?f", "USES", "s1")]),
+        ]
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, G), rules).collect()
+        }
+        assert got == py_infer(G, rules)
+        assert ("f2", "USES_S1", "s1") in got
+
+    def test_same_pred_as_base(self, spark):
+        # rules may extend a BASE predicate; derived output excludes
+        # base facts (set semantics, anti-joined)
+        rules = [(("?x", "E", "?z"), [("?x", "E", "?y"), ("?y", "E", "?z")])]
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, G), rules).collect()
+        }
+        assert got == py_infer(G, rules)
+        assert not (got & set(G))
+
+    def test_include_base(self, spark):
+        out = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(
+                edges_df(spark, G), TC_RULES, include_base=True
+            ).collect()
+        }
+        assert out == py_infer(G, TC_RULES) | set(G)
+
+    def test_wildcard_pred_in_body(self, spark):
+        rules = [(("?x", "LINKED", "?y"), [("?x", None, "?y")])]
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, G), rules).collect()
+        }
+        assert got == {(s, "LINKED", o) for s, _, o in G}
+
+    def test_validation(self, spark):
+        e = edges_df(spark, G)
+        with pytest.raises(ValueError, match="head predicate"):
+            infer(e, [(("?x", "?p", "?y"), [("?x", "E", "?y")])])
+        with pytest.raises(ValueError, match="range restriction"):
+            infer(e, [(("?x", "D", "?z"), [("?x", "E", "?y")])])
+        with pytest.raises(ValueError, match="empty body"):
+            infer(e, [(("?x", "D", "?y"), [])])
+        with pytest.raises(ValueError, match="path predicates"):
+            infer(e, [(("?x", "D", "?y"), [("?x", "E+", "?y")])])
+        with pytest.raises(ValueError, match="body predicate variables"):
+            infer(e, [(("?x", "D", "?y"), [("?x", "?p", "?y")])])
+
+    def test_nonconvergence_raises(self, spark):
+        chain = [(f"n{i}", "E", f"n{i+1}") for i in range(9)]
+        with pytest.raises(RuntimeError, match="converge"):
+            infer(edges_df(spark, chain), TC_RULES, max_rounds=3)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.sampled_from("abcd"),
+                st.just("E"),
+                st.sampled_from("abcd"),
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def test_tc_random(self, spark, edges):
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, edges), TC_RULES).collect()
+        }
+        assert got == py_infer(edges, TC_RULES)
+
+
+# ------------------------------------------------------------------
+# HyperBall
+# ------------------------------------------------------------------
+
+
+def py_hll_reg(value, b):
+    hx = hashlib.md5(value.encode()).hexdigest()
+    hi, lo = int(hx[:8], 16), int(hx[8:16], 16)
+    bucket = hi >> (32 - b)
+    w = ((hi & ((1 << (32 - b)) - 1)) << 32) | lo
+    rho = (64 - b + 1) - w.bit_length() if w else 64 - b + 1
+    return bucket, rho
+
+
+def py_balls(edges, max_radius):
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    balls = {n: {n} for n in nodes}
+    hist = {0: {n: set(b) for n, b in balls.items()}}
+    for t in range(1, max_radius + 1):
+        balls = {
+            n: balls[n] | set().union(*(balls[w] for w in adj.get(n, ()) )) if adj.get(n) else set(balls[n])
+            for n in nodes
+        }
+        hist[t] = {n: set(b) for n, b in balls.items()}
+    return hist
+
+
+class TestHyperBall:
+    def test_registers_exact_replay(self, spark):
+        from pawpaw_spark.operators.sketch import hyperball_registers
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+        b, R = 6, 4
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            (r.radius, r.node, r.bucket, r.max_rho)
+            for r in hyperball_registers(df, b=b, max_radius=R).collect()
+        }
+        want = set()
+        for t, balls in py_balls(edges, R).items():
+            for n, ball in balls.items():
+                regs = {}
+                for v in ball:
+                    bk, rho = py_hll_reg(v, b)
+                    regs[bk] = max(regs.get(bk, 0), rho)
+                for bk, rho in regs.items():
+                    want.add((t, n, bk, rho))
+        assert got == want
+
+    def test_neighborhood_function_accuracy(self, spark):
+        from pawpaw_spark.operators.sketch import (
+            effective_diameter,
+            neighborhood_function,
+        )
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(20)]
+        df = spark.createDataFrame(chain, "src string, dst string")
+        nf = neighborhood_function(df, b=12, max_radius=6)
+        rows = {r.radius: r.n_pairs_est for r in nf.collect()}
+        # exact N(t) on a 21-chain: sum over v of min(t, hops left)+1
+        for t in range(7):
+            exact = sum(min(t, 20 - i) + 1 for i in range(21))
+            assert abs(rows[t] - exact) / exact < 0.05
+        assert rows[0] <= rows[1] <= rows[6]  # monotone
+        d = effective_diameter(nf, alpha=0.5)
+        assert 0 < d <= 6
+
+
+# ------------------------------------------------------------------
+# FILTER NOT EXISTS groups in match_pattern
+# ------------------------------------------------------------------
+
+
+def py_bindings(triples, pattern):
+    """Brute-force conjunctive binder -> set of frozenset(env.items())."""
+    is_var = lambda t: isinstance(t, str) and t.startswith("?")
+    outs = set()
+    for combo in itertools.product(triples, repeat=len(pattern)):
+        env, ok = {}, True
+        for atom, fact in zip(pattern, combo):
+            for term, val in zip(atom, fact):
+                if term is None:
+                    continue
+                if is_var(term):
+                    if env.setdefault(term[1:], val) != val:
+                        ok = False
+                elif term != val:
+                    ok = False
+            if not ok:
+                break
+        if ok:
+            outs.add(frozenset(env.items()))
+    return outs
+
+
+def py_not_exists(triples, pattern, groups):
+    req = py_bindings(triples, pattern)
+    req_vars = {k for env in req for k, _ in env}
+    survivors = set()
+    for env in req:
+        d = dict(env)
+        blocked = False
+        for grp in groups:
+            for genv in py_bindings(triples, grp):
+                gd = dict(genv)
+                if all(d[k] == v for k, v in gd.items() if k in d):
+                    blocked = True
+                    break
+            if blocked:
+                break
+        if not blocked:
+            survivors.add(env)
+    return {
+        tuple(dict(env)[v] for v in sorted(req_vars)) for env in survivors
+    }
+
+
+class TestNotExists:
+    def test_unreferenced_symbols(self, spark):
+        out = match_pattern(
+            edges_df(spark, G),
+            [("?f", "DEFINES", "?s")],
+            not_exists=[[("?t", "REFERENCES", "?s")]],
+        )
+        # s1 and s2 each referenced by the other -> nothing survives
+        assert out.count() == 0
+
+    def test_private_var_is_existential(self, spark):
+        # nodes with an E-out-edge but no E-in-edge (?p private)
+        out = match_pattern(
+            edges_df(spark, G),
+            [("?x", "E", "?y")],
+            not_exists=[[("?p", "E", "?x")]],
+        )
+        assert {(r.x, r.y) for r in out.collect()} == {("a", "b")}
+
+    def test_multi_triple_group_correlated(self, spark):
+        # (f, s) where s does NOT reference a symbol defined elsewhere
+        tri = [
+            ("?f", "DEFINES", "?s"),
+        ]
+        grp = [("?s", "REFERENCES", "?t"), ("?g", "DEFINES", "?t")]
+        out = match_pattern(edges_df(spark, G), tri, not_exists=[grp])
+        want = py_not_exists(G, tri, [grp])
+        assert {(r.f, r.s) for r in out.collect()} == want
+
+    def test_path_in_group(self, spark):
+        # E-sources that cannot reach d via E+
+        out = match_pattern(
+            edges_df(spark, G),
+            [("?x", "E", "?y")],
+            not_exists=[[("?x", "E+", "d")]],
+        )
+        assert out.count() == 0  # every E-source reaches d
+        out2 = match_pattern(
+            edges_df(spark, G),
+            [("?x", "F", "?y")],
+            not_exists=[[("?y", "E+", "b")]],
+        )
+        # a -F-> c and c reaches b (c->d->b) -> filtered
+        assert out2.count() == 0
+
+    def test_two_groups_and_optional_after(self, spark):
+        out = match_pattern(
+            edges_df(spark, G),
+            [("?x", "E", "?y")],
+            not_exists=[[("?p", "E", "?x")]],  # keeps only (a, b)
+            optional=[[("?x", "F", "?z")]],
+        )
+        assert {(r.x, r.y, r.z) for r in out.collect()} == {("a", "b", "c")}
+
+    def test_guards(self, spark):
+        e = edges_df(spark, G)
+        with pytest.raises(ValueError, match=">= 1 triple"):
+            match_pattern(e, [("?x", "E", "?y")], not_exists=[[]])
+        with pytest.raises(ValueError, match="shares no variable"):
+            match_pattern(
+                e, [("?x", "E", "?y")],
+                not_exists=[[("?p", "DEFINES", "?q")]],
+            )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.sampled_from("abcd"),
+                st.sampled_from(["E", "F"]),
+                st.sampled_from("abcd"),
+            ),
+            min_size=1,
+            max_size=10,
+            unique=True,
+        )
+    )
+    def test_random_vs_brute(self, spark, edges):
+        tri = [("?x", "E", "?y")]
+        grp = [("?y", "F", "?z")]
+        out = match_pattern(edges_df(spark, edges), tri, not_exists=[grp])
+        want = py_not_exists(edges, tri, [grp])
+        assert {(r.x, r.y) for r in out.collect()} == want
+
+
+# ------------------------------------------------------------------
+# stratified negation in infer
+# ------------------------------------------------------------------
+
+
+def py_infer_neg(triples, rules):
+    """Stratified-negation oracle: strata by iterated constraint
+    relaxation, naive fixpoint per stratum, negation checked against
+    the frozen lower strata."""
+    is_var = lambda t: isinstance(t, str) and t.startswith("?")
+    norm = [
+        (r[0], list(r[1]), list(r[2]) if len(r) > 2 else []) for r in rules
+    ]
+    heads = {h[1] for h, _, _ in norm}
+
+    def dp(atoms):
+        s = set()
+        for _, p, _ in atoms:
+            if p is None:
+                s |= heads
+            elif p in heads:
+                s.add(p)
+        return s
+
+    stratum = {h: 0 for h in heads}
+    for _ in range(len(heads) + 1):
+        changed = False
+        for h, b, n in norm:
+            want = max(
+                [stratum[p] for p in dp(b)]
+                + [stratum[p] + 1 for p in dp(n)]
+                + [stratum[h[1]]]
+            )
+            if want > stratum[h[1]]:
+                stratum[h[1]] = want
+                changed = True
+        if not changed:
+            break
+    else:
+        raise ValueError("not stratifiable")
+
+    def neg_blocked(env, neg, frozen):
+        for atom in neg:
+            for fact in frozen:
+                ok = True
+                e = dict(env)
+                for term, val in zip(atom, fact):
+                    if term is None:
+                        continue
+                    if is_var(term):
+                        if e.setdefault(term[1:], val) != val:
+                            ok = False
+                    elif term != val:
+                        ok = False
+                if ok:
+                    return True
+        return False
+
+    frozen = set(triples)
+    for s in range(max(stratum.values()) + 1):
+        facts = set(frozen)
+        rs = [r for r in norm if stratum[r[0][1]] == s]
+        while True:
+            new = set()
+            for head, body, neg in rs:
+                for combo in itertools.product(facts, repeat=len(body)):
+                    env, ok = {}, True
+                    for atom, fact in zip(body, combo):
+                        for term, val in zip(atom, fact):
+                            if term is None:
+                                continue
+                            if is_var(term):
+                                if env.setdefault(term[1:], val) != val:
+                                    ok = False
+                            elif term != val:
+                                ok = False
+                        if not ok:
+                            break
+                    if ok and not neg_blocked(env, neg, frozen):
+                        hs, hp, ho = head
+                        new.add(
+                            (
+                                env[hs[1:]] if is_var(hs) else hs,
+                                hp,
+                                env[ho[1:]] if is_var(ho) else ho,
+                            )
+                        )
+            new -= facts
+            if not new:
+                break
+            facts |= new
+        frozen = facts
+    return frozen - set(triples)
+
+
+TREE = [
+    ("n2", "CHILD_OF", "n1"),
+    ("n3", "CHILD_OF", "n1"),
+    ("n4", "CHILD_OF", "n2"),
+    ("n5", "CHILD_OF", "n2"),
+    ("n6", "CHILD_OF", "n4"),
+]
+
+SKIP_RULES = [
+    (("?c", "UNDER", "?p"), [("?c", "CHILD_OF", "?p")]),
+    (("?c", "UNDER", "?a"), [("?c", "UNDER", "?m"),
+                             ("?m", "CHILD_OF", "?a")]),
+    (("?c", "SKIP", "?a"), [("?c", "UNDER", "?a")],
+     [("?c", "CHILD_OF", "?a")]),
+]
+
+
+class TestInferNeg:
+    def test_skip_level_ancestors(self, spark):
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, TREE), SKIP_RULES).collect()
+        }
+        assert got == py_infer_neg(TREE, SKIP_RULES)
+        assert ("n6", "SKIP", "n1") in got
+        assert ("n6", "SKIP", "n4") not in got
+
+    def test_negation_of_derived_two_strata(self, spark):
+        # LEAFY: nodes under n1 that no one is under (leaves) —
+        # negates the DERIVED predicate UNDER, forcing a 3rd stratum
+        rules = SKIP_RULES + [
+            (("?c", "LEAFY", "n1"), [("?c", "UNDER", "n1")],
+             [("?d", "UNDER", "?c")]),
+        ]
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, TREE), rules).collect()
+        }
+        assert got == py_infer_neg(TREE, rules)
+        assert {(s, o) for s, p, o in got if p == "LEAFY"} == {
+            ("n3", "n1"), ("n5", "n1"), ("n6", "n1"),
+        }
+
+    def test_not_stratifiable_raises(self, spark):
+        rules = [
+            (("?x", "P", "?y"), [("?x", "E", "?y")], [("?y", "P", "?x")]),
+        ]
+        with pytest.raises(ValueError, match="not stratifiable"):
+            infer(edges_df(spark, G), rules)
+
+    def test_negated_wildcard_on_pure_base_heads(self, spark):
+        # negated wildcard depends on every derived predicate incl.
+        # its own head -> never stratifiable when any rule exists
+        rules = [
+            (("?x", "Q", "?y"), [("?x", "E", "?y")], [("?y", None, "?x")]),
+        ]
+        with pytest.raises(ValueError, match="not stratifiable"):
+            infer(edges_df(spark, G), rules)
+
+    def test_guards(self, spark):
+        e = edges_df(spark, G)
+        with pytest.raises(ValueError, match="shares no variable"):
+            infer(
+                e,
+                [(("?x", "D", "?y"), [("?x", "E", "?y")],
+                  [("?p", "F", "?q")])],
+            )
+        with pytest.raises(ValueError, match="head, body"):
+            infer(e, [(("?x", "D", "?y"),)])
+        with pytest.raises(ValueError, match="constant names or None"):
+            infer(
+                e,
+                [(("?x", "D", "?y"), [("?x", "E", "?y")],
+                  [("?x", "?p", "?y")])],
+            )
+
+    def test_positive_only_rules_unchanged(self, spark):
+        # the 2-tuple form still runs through the stratified engine
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, G), TC_RULES).collect()
+        }
+        assert got == py_infer(G, TC_RULES)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.sampled_from("abcd"),
+                st.just("E"),
+                st.sampled_from("abcd"),
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def test_random_neg_vs_oracle(self, spark, edges):
+        rules = [
+            (("?x", "TC", "?y"), [("?x", "E", "?y")]),
+            (("?x", "TC", "?z"), [("?x", "TC", "?y"),
+                                  ("?y", "E", "?z")]),
+            # strictly-transitive pairs: reachable but not adjacent
+            (("?x", "FAR", "?y"), [("?x", "TC", "?y")],
+             [("?x", "E", "?y")]),
+        ]
+        got = {
+            (r.subj, r.pred, r.obj)
+            for r in infer(edges_df(spark, edges), rules).collect()
+        }
+        assert got == py_infer_neg(edges, rules)
