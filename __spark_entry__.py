@@ -2556,6 +2556,55 @@ def q_kg_datalog_neg(spark, sf_dir):
     )
 
 
+def q_kg_datalog_delta(spark, sf_dir):
+    """Incremental Datalog maintenance (infer_delta): the tree edges
+    with child key k % 7 == 3 arrive as a DAY-2 batch; the engine
+    computes the v1 closure, then ONLY the delta's derivation cone
+    (semi-naive continuation seeded at the new facts), and the
+    contract asserts the union equals the from-scratch closure the
+    oracle computes over ALL edges (the same recursive CTE as
+    kg_datalog). Exercises the day-2 claim end-to-end: incremental ==
+    full re-derivation, bit-level on exact integer counts."""
+    from pawpaw_spark.operators.infer import infer, infer_delta
+
+    rules = [
+        (("?c", "UNDER", "?p"), [("?c", "CHILD_OF", "?p")]),
+        (("?c", "UNDER", "?a"), [("?c", "UNDER", "?m"),
+                                 ("?m", "CHILD_OF", "?a")]),
+    ]
+    edges = _tree_facts(spark, sf_dir).filter(F.col("pred") == "CHILD_OF")
+    is_day2 = F.substring(F.col("subj"), 2, 100).cast("long") % 7 == 3
+    v1 = edges.filter(~is_day2)
+    day2 = edges.filter(is_day2)
+    derived1 = infer(v1, rules)
+    new = infer_delta(v1, derived1, day2, rules)
+    return (
+        derived1.union(new)
+        .groupBy(F.col("obj").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_kg_harmonic(spark, sf_dir):
+    """HyperBall harmonic centrality (the application the sketch
+    exists for) over the constructed tree: incoming-distance H(v) =
+    sum of 1/d over descendants within radius 4, estimated from the
+    per-radius register history. correction=False pins the estimate
+    to the raw HLL chain — exact-integer denominator, one multiply,
+    one divide, fixed-order pivot combination — so every double is
+    BIT-IDENTICAL cross-engine and the DuckDB oracle replays
+    propagation AND estimation end-to-end (the `ln` small-range
+    branch, whose last-ulp rounding libms disagree on, is the
+    documented accuracy mode verified in unit tests instead)."""
+    from pawpaw_spark.operators.sketch import harmonic_centrality
+
+    e = _tree_facts(spark, sf_dir).filter(F.col("pred") == "CHILD_OF")
+    return harmonic_centrality(
+        e, b=6, max_radius=4, src_col="subj", dst_col="obj",
+        reverse=True, correction=False,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2577,6 +2626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hyperball": q_kg_hyperball,
         "kg_dangling": q_kg_dangling,
         "kg_datalog_neg": q_kg_datalog_neg,
+        "kg_datalog_delta": q_kg_datalog_delta,
+        "kg_harmonic": q_kg_harmonic,
         # -- driver-unverified until now (round-3 gate window ended) --
         "kg_hits": q_kg_hits,
         "kg_walks": q_kg_walks,
@@ -3130,6 +3181,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM defs d2 WHERE d2.s = e.dst)
             GROUP BY d.f
         """,
+        # from-scratch closure over ALL edges: if the engine's
+        # incremental path misses or over-derives anything, the
+        # per-ancestor counts cannot match
+        "kg_datalog_delta": f"""
+            WITH RECURSIVE {_TREE_CTE}
+            SELECT a AS node, count(*) AS n
+            FROM anc GROUP BY a
+        """,
         # stratified-negation replay: anc = UNDER; SKIP = anc minus the
         # direct child edges; FRINGE = anc rows whose descendant end is
         # a leaf (no incoming child edge — negating the derived UNDER
@@ -3148,6 +3207,42 @@ def oracle_sql() -> dict[str, str]:
             FROM anc WHERE NOT EXISTS (
               SELECT 1 FROM e WHERE e.p = anc.c)
             GROUP BY a
+        """,
+        # full replay of propagation AND estimation: REVERSED tree
+        # edges (ball(parent) grows from children = descendant sets),
+        # raw HLL estimate with exact HUGEINT denominator, fixed-order
+        # pivot combination — bit-identical doubles by construction
+        "kg_harmonic": f"""
+            WITH
+            k AS (SELECT c_custkey + 1 AS k FROM customer),
+            e AS (SELECT 'n' || (k // 2) AS c, 'n' || k AS p
+                  FROM k WHERE k >= 2),
+            {_hyperball_cte(6, 4)},
+            agg AS (
+              SELECT radius, node,
+                     count(*) AS present,
+                     sum((CAST(1 AS BIGINT) << (59 - max_rho))) AS sp
+              FROM hist GROUP BY radius, node),
+            raw AS (
+              SELECT radius, node,
+                     {0.709 * 64 * 64 * float(1 << 59)!r} /
+                       CAST(sp + (64 - present)::HUGEINT *
+                            576460752303423488::HUGEINT AS DOUBLE) AS est
+              FROM agg),
+            wide AS (
+              SELECT node,
+                     max(CASE WHEN radius = 0 THEN est END) AS e0,
+                     max(CASE WHEN radius = 1 THEN est END) AS e1,
+                     max(CASE WHEN radius = 2 THEN est END) AS e2,
+                     max(CASE WHEN radius = 3 THEN est END) AS e3,
+                     max(CASE WHEN radius = 4 THEN est END) AS e4
+              FROM raw GROUP BY node)
+            SELECT node,
+                   greatest(e1 - e0, 0.0) / 1.0
+                     + greatest(e2 - e1, 0.0) / 2.0
+                     + greatest(e3 - e2, 0.0) / 3.0
+                     + greatest(e4 - e3, 0.0) / 4.0 AS harmonic_est
+            FROM wide
         """,
         "extract_token_counts": f"""
             SELECT lang,

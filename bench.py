@@ -113,6 +113,8 @@ HEADLINE = [
     "kg_hyperball",
     "kg_dangling",
     "kg_datalog_neg",
+    "kg_datalog_delta",
+    "kg_harmonic",
 ]
 
 

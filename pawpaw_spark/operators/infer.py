@@ -369,3 +369,102 @@ def infer(
             return base.union(derived_acc) if include_base else derived_acc
     finally:
         base.unpersist()
+
+
+def infer_delta(
+    base: DataFrame,
+    derived: DataFrame,
+    delta_base: DataFrame,
+    rules: Sequence[Rule],
+    *,
+    max_rounds: int = 64,
+    allow_product: bool = False,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Incremental Datalog maintenance for FACT ADDITIONS: given the
+    old base facts, their already-computed derived closure (what
+    :func:`infer` returned — in production, read back from the edge
+    store), and a batch of NEW base facts, return ONLY the newly
+    derivable facts, so that::
+
+        infer(base ∪ delta_base, rules)
+          == derived ∪ infer_delta(base, derived, delta_base, rules)
+
+    This is the semi-naive CONTINUATION: the loop starts with the new
+    facts as the delta and (base ∪ derived ∪ delta) as the fact set —
+    every genuinely new derivation needs at least one new supporting
+    fact, so the old closure is never re-derived (the day-2 ingest
+    twin of triples.edge_diff / canon.incremental_components: cost
+    scales with the CHANGE's derivation cone, not the corpus).
+
+    Positive programs only: under negation, additions can RETRACT
+    derived facts (non-monotone), which needs DRed/counting-style
+    maintenance — rules with a negated body raise, and full
+    :func:`infer` re-evaluation is the correct fallback there.
+    """
+    normed = _normalize_rules(rules)
+    if any(neg for _, _, neg in normed):
+        raise ValueError(
+            "infer_delta maintains ADDITIONS for positive programs "
+            "only: negation makes additions non-monotone (a new base "
+            "fact can retract derived facts); re-run infer() instead"
+        )
+    from pawpaw_spark.session import fixpoint_loop_conf, truncated_checkpoint
+
+    key = ["subj", "pred", "obj"]
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(subj_col).cast("string").alias("subj"),
+            F.col(pred_col).cast("string").alias("pred"),
+            F.col(obj_col).cast("string").alias("obj"),
+        )
+
+    old = canon(base).union(canon(derived)).distinct().persist()
+    spark = base.sparkSession
+    try:
+        n_old = old.count()  # materializes the cache; sizes the loop
+        with fixpoint_loop_conf(spark, approx_state_rows=n_old):
+            delta = truncated_checkpoint(
+                canon(delta_base).distinct().join(old, key, "left_anti")
+            )
+            new_acc = delta
+            facts = old.union(delta)
+            if delta.isEmpty():
+                return delta
+            for _ in range(max_rounds):
+                nxt = None
+                for head, body, _neg in normed:
+                    for i in range(len(body)):
+                        sources = [
+                            delta if j == i else facts
+                            for j in range(len(body))
+                        ]
+                        derived_new = _project_head(
+                            _eval_body(sources, body, allow_product), head
+                        )
+                        nxt = (
+                            derived_new
+                            if nxt is None
+                            else nxt.union(derived_new)
+                        )
+                delta = truncated_checkpoint(
+                    nxt.distinct().join(facts, key, "left_anti")
+                )
+                if delta.isEmpty():
+                    # the seeded delta_base rows are base facts, not
+                    # derived ones: report only genuinely derived adds
+                    return new_acc.join(
+                        canon(delta_base).distinct(), key, "left_anti"
+                    )
+                new_acc = new_acc.union(delta)
+                facts = facts.union(delta)
+        raise RuntimeError(
+            f"incremental fixpoint did not converge in {max_rounds} "
+            "rounds; raise max_rounds (rounds needed = the delta's "
+            "derivation depth)"
+        )
+    finally:
+        old.unpersist()

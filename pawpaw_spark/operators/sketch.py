@@ -97,6 +97,7 @@ def hll_estimate(
     registers: DataFrame,
     b: int = 12,
     group_cols: tuple[str, ...] = (),
+    correction: bool = True,
 ) -> DataFrame:
     """Registers -> (group..., n_distinct_est double).
 
@@ -107,6 +108,15 @@ def hll_estimate(
     so each is an integer (absent buckets contribute the full
     ``2^(64-b+1)``), summed in DECIMAL(38,0); only the final
     divide/log touch float64.
+
+    ``correction=False`` skips the linear-counting branch: the raw
+    estimate is a pure IEEE-754 chain (exact-integer denominator,
+    one multiply, one divide) and therefore BIT-IDENTICAL on any
+    engine — no ``ln``, whose last-ulp rounding libms do not agree
+    on. Use it when the estimate must be replayed cross-engine (the
+    harmonic-centrality contract oracle); accuracy on SMALL
+    cardinalities is then poor (raw saturates near ``alpha * m``),
+    which is the regime the correction exists for.
 
     Duplicate (group, bucket) rows — e.g. a UNION of stored sketches
     passed without :func:`hll_merge` — are collapsed by an elementwise
@@ -134,11 +144,14 @@ def hll_estimate(
         * F.lit(1 << s).cast("decimal(38,0)")
     )
     raw = F.lit(alpha * m * m * float(1 << s)) / denom.cast("double")
-    zeros = (F.lit(m) - F.col("present")).cast("double")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-    ).otherwise(raw)
+    if correction:
+        zeros = (F.lit(m) - F.col("present")).cast("double")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+    else:
+        est = raw
     return agg.select(
         *group_cols, est.cast("double").alias("n_distinct_est")
     )
@@ -258,6 +271,66 @@ def neighborhood_function(
         .agg(F.sum("n_distinct_est").alias("n_pairs_est"))
         .orderBy("radius")
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    b: int = 8,
+    max_radius: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reverse: bool = True,
+    correction: bool = True,
+) -> DataFrame:
+    """Approximate harmonic centrality per node -> (node,
+    harmonic_est): H(v) = Σ_{u != v, d(u,v) <= max_radius} 1/d(u, v),
+    estimated from the HyperBall register history (the application
+    Boldi & Vigna built HyperBall FOR — exact H is all-pairs BFS,
+    O(V·E), dead at scale; this is max_radius joins + aggregations).
+
+    ``reverse=True`` (default) propagates along REVERSED edges so the
+    radius-t ball of v is {u : d(u -> v) <= t} — the standard
+    incoming-distance harmonic centrality; ``reverse=False`` gives
+    the outgoing variant.
+
+    H(v) = Σ_t (|ball(v,t)| - |ball(v,t-1)|)/t over the per-radius
+    cardinality estimates. The combination is a PIVOT — one conditional
+    max per radius (max_radius+1 values per node, each present exactly
+    once by hyperball_registers' fixpoint relabeling) — then one fixed
+    left-to-right expression, so with ``correction=False`` the whole
+    number chain is deterministic IEEE-754 on any engine (the contract
+    oracle replays it bit-level); with the default correction the
+    small-ball estimates are accurate (~1.04/sqrt(2^b) relative) and
+    increments are clamped at 0 against branch-switch dips."""
+    from functools import reduce
+
+    if max_radius < 1:
+        raise ValueError("max_radius must be >= 1")
+    s_col, d_col = (dst_col, src_col) if reverse else (src_col, dst_col)
+    hist = hyperball_registers(
+        edges, b=b, max_radius=max_radius, src_col=s_col, dst_col=d_col
+    )
+    per_ball = hll_estimate(
+        hist, b=b, group_cols=("radius", "node"), correction=correction
+    )
+    wide = per_ball.groupBy("node").agg(
+        *[
+            F.max(
+                F.when(F.col("radius") == t, F.col("n_distinct_est"))
+            ).alias(f"e{t}")
+            for t in range(max_radius + 1)
+        ]
+    )
+    h = reduce(
+        lambda a, c: a + c,
+        [
+            F.greatest(
+                F.col(f"e{t}") - F.col(f"e{t-1}"), F.lit(0.0)
+            ) / F.lit(float(t))
+            for t in range(1, max_radius + 1)
+        ],
+    )
+    return wide.select("node", h.cast("double").alias("harmonic_est"))
 
 
 def effective_diameter(

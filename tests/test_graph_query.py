@@ -395,3 +395,63 @@ class TestOptional:
         optional = [[("?y", "Q", "?z")]]
         got = self._run(spark, triples, pattern, optional)
         assert got == py_match_optional(triples, pattern, optional)
+
+
+class TestStatsOrdering:
+    def test_rare_predicate_seeds_tree(self):
+        from pawpaw_spark.operators.graph_query import _order_triples
+
+        pattern = [("?x", "COMMON", "?y"), ("?y", "RARE", "?z")]
+        counts = {"COMMON": 100000, "RARE": 3}
+        got = _order_triples(pattern, False, counts)
+        assert got[0] == ("?y", "RARE", "?z")
+        # constants-count heuristic alone cannot tell them apart
+        assert _order_triples(pattern, False)[0] == pattern[0]
+
+    def test_constant_endpoint_discounts(self):
+        from pawpaw_spark.operators.graph_query import _order_triples
+
+        # same predicate: the triple with a constant endpoint is the
+        # smaller estimated slice
+        pattern = [("?x", "E", "?y"), ("?y", "E", "zz")]
+        got = _order_triples(pattern, False, {"E": 1000})
+        assert got[0] == ("?y", "E", "zz")
+
+    def test_path_scores_larger_than_any_slice(self):
+        from pawpaw_spark.operators.graph_query import _order_triples
+
+        pattern = [("?x", "E+", "?y"), ("?y", "F", "?z")]
+        got = _order_triples(pattern, False, {"E": 10, "F": 900})
+        assert got[0] == ("?y", "F", "?z")
+
+    def test_results_identical_with_stats(self, spark):
+        e = edges_df(spark, G1)
+        pat = [
+            ("?f", "DEFINES", "?s"),
+            ("?s", "CALLS", "?t"),
+            ("?g", "DEFINES", "?t"),
+        ]
+        a = {tuple(r) for r in match_pattern(e, pat, neq=[("?f", "?g")]).collect()}
+        b = {
+            tuple(r)
+            for r in match_pattern(
+                e, pat, neq=[("?f", "?g")], collect_stats=True
+            ).collect()
+        }
+        assert a == b and a
+
+    def test_optional_group_with_stats(self, spark):
+        e = edges_df(spark, G1)
+        pat = [("?f", "DEFINES", "?s")]
+        opt = [[("?s", "CALLS", "?t"), ("?g", "DEFINES", "?t")]]
+        a = {
+            tuple(r)
+            for r in match_pattern(e, pat, optional=opt).collect()
+        }
+        b = {
+            tuple(r)
+            for r in match_pattern(
+                e, pat, optional=opt, collect_stats=True
+            ).collect()
+        }
+        assert a == b and a

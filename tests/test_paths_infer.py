@@ -305,7 +305,7 @@ class TestInfer:
             infer(e, [(("?x", "?p", "?y"), [("?x", "E", "?y")])])
         with pytest.raises(ValueError, match="range restriction"):
             infer(e, [(("?x", "D", "?z"), [("?x", "E", "?y")])])
-        with pytest.raises(ValueError, match="empty body"):
+        with pytest.raises(ValueError, match="empty positive body"):
             infer(e, [(("?x", "D", "?y"), [])])
         with pytest.raises(ValueError, match="path predicates"):
             infer(e, [(("?x", "D", "?y"), [("?x", "E+", "?y")])])
@@ -749,3 +749,161 @@ class TestInferNeg:
             for r in infer(edges_df(spark, edges), rules).collect()
         }
         assert got == py_infer_neg(edges, rules)
+
+
+class TestInferDelta:
+    def _split(self, edges):
+        v1 = [e for i, e in enumerate(edges) if i % 3 != 0]
+        d = [e for i, e in enumerate(edges) if i % 3 == 0]
+        return v1, d
+
+    def test_incremental_equals_scratch(self, spark):
+        from pawpaw_spark.operators.infer import infer_delta
+
+        v1, d = self._split(G)
+        assert v1 and d
+        derived1 = infer(edges_df(spark, v1), TC_RULES)
+        new = infer_delta(
+            edges_df(spark, v1), derived1, edges_df(spark, d), TC_RULES
+        )
+        got = {
+            (r.subj, r.pred, r.obj) for r in derived1.collect()
+        } | {(r.subj, r.pred, r.obj) for r in new.collect()}
+        assert got == py_infer(G, TC_RULES)
+        # and the new set is disjoint from the old one
+        assert not (
+            {(r.subj, r.pred, r.obj) for r in new.collect()}
+            & {(r.subj, r.pred, r.obj) for r in derived1.collect()}
+        )
+
+    def test_overlapping_delta_ignored(self, spark):
+        from pawpaw_spark.operators.infer import infer_delta
+
+        derived = infer(edges_df(spark, G), TC_RULES)
+        new = infer_delta(
+            edges_df(spark, G), derived, edges_df(spark, G[:3]), TC_RULES
+        )
+        assert new.count() == 0
+
+    def test_negation_raises(self, spark):
+        from pawpaw_spark.operators.infer import infer_delta
+
+        rules = [
+            (("?x", "D", "?y"), [("?x", "E", "?y")], [("?x", "F", "?y")]),
+        ]
+        with pytest.raises(ValueError, match="positive programs"):
+            infer_delta(
+                edges_df(spark, G[:2]),
+                edges_df(spark, [("x", "D", "y")]),
+                edges_df(spark, G[2:3]),
+                rules,
+            )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.sampled_from("abcde"),
+                st.just("E"),
+                st.sampled_from("abcde"),
+            ),
+            min_size=2,
+            max_size=10,
+            unique=True,
+        )
+    )
+    def test_random_incremental(self, spark, edges):
+        from pawpaw_spark.operators.infer import infer_delta
+
+        v1, d = self._split(edges)
+        if not v1 or not d:
+            return
+        derived1 = infer(edges_df(spark, v1), TC_RULES)
+        new = infer_delta(
+            edges_df(spark, v1), derived1, edges_df(spark, d), TC_RULES
+        )
+        got = {
+            (r.subj, r.pred, r.obj) for r in derived1.collect()
+        } | {(r.subj, r.pred, r.obj) for r in new.collect()}
+        assert got == py_infer(edges, TC_RULES)
+
+
+class TestHarmonicCentrality:
+    def test_chain_accuracy(self, spark):
+        from pawpaw_spark.operators.sketch import harmonic_centrality
+
+        n, R = 21, 6
+        chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)]
+        df = spark.createDataFrame(chain, "src string, dst string")
+        got = {
+            r.node: r.harmonic_est
+            for r in harmonic_centrality(df, b=12, max_radius=R).collect()
+        }
+        for i in range(n):
+            exact = sum(1.0 / d for d in range(1, min(i, R) + 1))
+            if exact == 0:
+                assert got[f"n{i:02d}"] == 0.0
+            else:
+                assert abs(got[f"n{i:02d}"] - exact) / exact < 0.1, (
+                    i, got[f"n{i:02d}"], exact)
+
+    def test_star_roles(self, spark):
+        from pawpaw_spark.operators.sketch import harmonic_centrality
+
+        star = [(f"l{i}", "c") for i in range(5)]
+        df = spark.createDataFrame(star, "src string, dst string")
+        got = {
+            r.node: r.harmonic_est
+            for r in harmonic_centrality(df, b=12, max_radius=3).collect()
+        }
+        assert all(got[f"l{i}"] == 0.0 for i in range(5))
+        assert abs(got["c"] - 5.0) / 5.0 < 0.1
+        # outgoing variant flips the roles
+        out = {
+            r.node: r.harmonic_est
+            for r in harmonic_centrality(
+                df, b=12, max_radius=3, reverse=False
+            ).collect()
+        }
+        assert out["c"] == 0.0 and all(out[f"l{i}"] > 0 for i in range(5))
+
+    def test_raw_mode_deterministic_python_mirror(self, spark):
+        from pawpaw_spark.operators.sketch import harmonic_centrality
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+        b, R = 6, 3
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: r.harmonic_est
+            for r in harmonic_centrality(
+                df, b=b, max_radius=R, correction=False
+            ).collect()
+        }
+        # python mirror: balls along reversed edges, raw HLL chain
+        m, s = 1 << b, 64 - b + 1
+        alpha = 0.709
+        balls = py_balls([(d, s_) for s_, d in edges], R)
+        want = {}
+        for node in balls[0]:
+            ests = []
+            for t in range(R + 1):
+                regs = {}
+                for v in balls[t][node]:
+                    bk, rho = py_hll_reg(v, b)
+                    regs[bk] = max(regs.get(bk, 0), rho)
+                denom = sum(
+                    1 << (s - regs.get(bk, 0)) for bk in range(m)
+                )
+                ests.append(alpha * m * m * float(1 << s) / float(denom))
+            h = 0.0
+            for t in range(1, R + 1):
+                h += max(ests[t] - ests[t - 1], 0.0) / float(t)
+            want[node] = h
+        assert got == want  # bit-identical doubles
+
+    def test_guard(self, spark):
+        from pawpaw_spark.operators.sketch import harmonic_centrality
+
+        df = spark.createDataFrame([("a", "b")], "src string, dst string")
+        with pytest.raises(ValueError, match="max_radius"):
+            harmonic_centrality(df, max_radius=0)

@@ -362,3 +362,44 @@ class TestNewKgPlans:
     @staticmethod
     def _plan_of_query(spark, name):
         return _plan(E.queries()[name](spark, SF))
+
+
+class TestDeclarativeQueryPlans:
+    """Plan discipline for the property-path / negation / Datalog
+    layers: negation is LEFT-ANTI equi-joins (never a filter over a
+    collected set, never a cartesian), non-iterative paths stay one
+    lazy join tree, and nothing drops to Python."""
+
+    def test_not_exists_is_left_anti_equi_join(self, spark):
+        plan = _plan(E.queries()["kg_dangling"](spark, SF))
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_path_sequence_lazy_join_tree(self, spark):
+        from pawpaw_spark.operators.graph_query import path_pairs
+
+        # no +/* operators -> fully lazy compilation, no loop runs
+        pairs = path_pairs(
+            E._fused_call_triples(spark, SF),
+            "DEFINES/(REFERENCES|^REFERENCES)",
+        )
+        plan = _plan(pairs)
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        # sequence is an equi-join; alternation a union
+        assert "Join" in plan and "Union" in plan, plan
+
+    def test_datalog_neg_output_is_antijoined_aggregate(self, spark):
+        plan = _plan(E.queries()["kg_datalog_neg"](spark, SF))
+        # the fixpoint already ran (checkpointed deltas); the final
+        # aggregation must still be partial and cartesian/Python-free
+        assert "partial" in plan.lower(), plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_hyperball_round_partial_max(self, spark):
+        plan = _plan(E.queries()["kg_hyperball"](spark, SF))
+        assert "partial" in plan.lower(), plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
