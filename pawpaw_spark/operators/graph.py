@@ -1669,3 +1669,95 @@ def negative_samples(
             "center", "context", "j", F.col("node").alias("neg")
         )
     )
+
+
+def modularity_terms(
+    edges: DataFrame,
+    communities: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+) -> DataFrame:
+    """Newman modularity of a community assignment, as EXACT-integer
+    per-community terms -> ``(community, n_nodes, in_edges, deg_sum,
+    contrib)``.
+
+    Modularity Q = sum_c [ in_c/m - (d_c / 2m)^2 ] over the canonical
+    undirected simple graph (self loops dropped, duplicate/reverse
+    edges collapsed — :func:`undirected_edges`), where m is the
+    undirected edge count, in_c the edges internal to community c and
+    d_c its degree sum. Floating-point Q depends on summation order,
+    so distributed evaluation could not be checked bit-level; instead
+    each community's term is returned SCALED by 4m^2::
+
+        contrib = 4 * m * in_c - d_c^2          (an exact int64)
+        Q       = sum(contrib) / (4 * m^2)      (one driver-side div)
+
+    — the same exact-integer fixed-point discipline as pagerank/hits.
+    Nodes absent from ``communities`` raise nothing here: they simply
+    don't contribute (their edges count toward m only); pass a total
+    assignment (e.g. label_propagation output) for textbook Q.
+    Overflow headroom: contrib < 4 m^2, so int64 holds any graph with
+    m < ~1.5e9 undirected edges per evaluation — beyond that, scale
+    per community: the caller splits contrib into (in_c, d_c) and
+    combines in DECIMAL(38,0).
+
+    Plan shape: one distinct (the canonical edge set), one global m
+    count (metadata), one degree aggregation, two broadcast-eligible
+    joins of edges against the community map, one final groupBy — no
+    iteration, no UDFs. Skewed communities are aggregation skew (AQE).
+    """
+    und = undirected_edges(edges, src_col, dst_col).persist()
+    m = und.count()  # metadata-sized scalar; scales the terms
+    comm = communities.select(
+        F.col(node_col).alias("node"),
+        F.col(community_col).alias("community"),
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    node_terms = deg.join(comm, "node").groupBy("community").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("deg_sum"),
+    )
+    ca = comm.select(
+        F.col("node").alias("a"), F.col("community").alias("comm_a")
+    )
+    cb = comm.select(
+        F.col("node").alias("b"), F.col("community").alias("comm_b")
+    )
+    internal = (
+        und.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    out = (
+        node_terms.join(internal, "community", "left")
+        .withColumn(
+            "in_edges", F.coalesce(F.col("in_edges"), F.lit(0)).cast("long")
+        )
+        .select(
+            "community",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            "in_edges",
+            "deg_sum",
+            (
+                F.lit(4 * m) * F.col("in_edges")
+                - F.col("deg_sum") * F.col("deg_sum")
+            ).cast("long").alias("contrib"),
+        )
+    )
+    # the persisted canonical edge set is read three times by the
+    # returned plan (degrees x2, internal); the handle follows the
+    # dedup.py caller-owned-release convention (cached_scope /
+    # release_session_caches), so harnesses release it post-action
+    from pawpaw_spark.operators.dedup import _attach_caches
+
+    return _attach_caches(out, [und])

@@ -746,3 +746,74 @@ def match_pattern(
                     seen.append(x[1:])
     out = out.select(*seen)
     return out.distinct() if distinct else out
+
+
+def construct(
+    edges: DataFrame,
+    pattern: Sequence[Triple],
+    template: Sequence[tuple[str, str, str]],
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: match ``pattern`` (every
+    :func:`match_pattern` keyword — ``optional``, ``not_exists``,
+    ``neq``, paths — applies), then instantiate each ``template``
+    triple per binding -> a NEW (subj, pred, obj) triple table.
+
+    This is the KG-construction closing move: derived relations
+    (DEPENDS_ON from DEFINES∘REFERENCES∘DEFINES⁻¹, typed enrichment
+    edges, rollup summaries) are emitted as first-class triples the
+    whole downstream surface — match_pattern itself, graph.py
+    analytics, infer() rule bodies, N-Triples export, the partitioned
+    edge store — consumes unchanged. The Datalog layer (infer) covers
+    recursive single-head rules; CONSTRUCT covers the non-recursive
+    multi-template projection SPARQL users write.
+
+    Template terms are ``?var`` (must be bound by the required pattern
+    or an OPTIONAL group) or constants; the predicate term must be a
+    constant or a required/optional variable (a path expression makes
+    no sense as an EMITTED predicate and raises). Per SPARQL CONSTRUCT
+    semantics, a binding instantiates a template triple only when all
+    three positions are non-NULL — bindings where an OPTIONAL variable
+    came back NULL skip that template row, not the whole binding.
+    Output is DISTINCT across templates and bindings (RDF graphs are
+    triple SETS). Plan shape: the match plan + one projection per
+    template + a union + one dedup shuffle — no new scans.
+    """
+    if not template:
+        raise ValueError("template must contain at least one triple")
+    m = match_pattern(edges, pattern, **match_kwargs)
+    bound = set(m.columns)
+    for t in template:
+        if len(t) != 3:
+            raise ValueError(f"template triple must have 3 terms: {t!r}")
+        s, p, o = t
+        if p is None or _is_path(p):
+            raise ValueError(
+                f"template predicate must be a constant or variable: {t!r}"
+            )
+        for x in (s, p, o):
+            if x is None:
+                raise ValueError(
+                    f"template terms must be variables or constants: {t!r}"
+                )
+            if _is_var(x) and x[1:] not in bound:
+                raise ValueError(
+                    f"template variable {x} is not bound by the pattern "
+                    f"(bound: {sorted(bound)})"
+                )
+
+    def term(x: str):
+        col = F.col(x[1:]) if _is_var(x) else F.lit(x)
+        return col.cast("string")
+
+    out = None
+    for s, p, o in template:
+        row = m.select(
+            term(s).alias("subj"), term(p).alias("pred"), term(o).alias("obj")
+        ).filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        out = row if out is None else out.union(row)
+    return out.distinct()

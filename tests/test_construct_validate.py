@@ -1,0 +1,429 @@
+"""Tests for the round-4 declarative-layer additions: SPARQL CONSTRUCT,
+RDFS (rho-df) entailment, SHACL-lite validation, exact-integer
+modularity, and distributed BPE training (diff-tested against a pure
+Python reference implementation of the Sennrich algorithm)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pawpaw_spark.operators.bpe import (
+    bpe_train,
+    encode,
+    pair_counts,
+    to_symbols,
+    word_freqs,
+)
+from pawpaw_spark.operators.graph import modularity_terms
+from pawpaw_spark.operators.graph_query import construct
+from pawpaw_spark.operators.rdfs import rdfs_closure
+from pawpaw_spark.operators.validate import shacl_report
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _t(df):
+    return {tuple(r) for r in df.collect()}
+
+
+# ---------------------------------------------------------------- CONSTRUCT
+
+
+class TestConstruct:
+    def test_emits_template_triples(self, spark):
+        e = _triples(
+            spark,
+            [
+                ("f1", "DEFINES", "s1"),
+                ("f2", "DEFINES", "s2"),
+                ("s1", "REFERENCES", "s2"),
+            ],
+        )
+        out = construct(
+            e,
+            [
+                ("?f", "DEFINES", "?s"),
+                ("?s", "REFERENCES", "?t"),
+                ("?g", "DEFINES", "?t"),
+            ],
+            [("?f", "DEPENDS_ON", "?g"), ("?g", "PROVIDES_TO", "?f")],
+            neq=[("?f", "?g")],
+        )
+        assert _t(out) == {
+            ("f1", "DEPENDS_ON", "f2"),
+            ("f2", "PROVIDES_TO", "f1"),
+        }
+
+    def test_optional_null_skips_template_row(self, spark):
+        # s2's target s3 is defined nowhere -> the DEFINED_IN template
+        # row is skipped for that binding, the CALLS row is kept
+        e = _triples(
+            spark,
+            [
+                ("f1", "DEFINES", "s1"),
+                ("f2", "DEFINES", "s2"),
+                ("s1", "REFERENCES", "s2"),
+                ("s2", "REFERENCES", "s3"),
+            ],
+        )
+        out = construct(
+            e,
+            [("?s", "REFERENCES", "?t")],
+            [("?s", "CALLS", "?t"), ("?t", "DEFINED_IN", "?g")],
+            optional=[[("?g", "DEFINES", "?t")]],
+        )
+        assert _t(out) == {
+            ("s1", "CALLS", "s2"),
+            ("s2", "CALLS", "s3"),
+            ("s2", "DEFINED_IN", "f2"),
+        }
+
+    def test_constant_and_var_predicate_templates(self, spark):
+        e = _triples(spark, [("a", "CALLS", "b"), ("a", "IMPORTS", "c")])
+        out = construct(
+            e,
+            [("?x", "?p", "?y")],
+            [("?y", "?p", "?x"), ("?x", "TOUCHES", "?y")],
+        )
+        assert ("b", "CALLS", "a") in _t(out)
+        assert ("a", "TOUCHES", "c") in _t(out)
+
+    def test_distinct_across_templates(self, spark):
+        e = _triples(spark, [("a", "CALLS", "b"), ("b", "CALLS", "a")])
+        out = construct(
+            e,
+            [("?x", "CALLS", "?y")],
+            [("?x", "LINKED", "?y"), ("?y", "LINKED", "?x")],
+        )
+        # both templates produce both orientations; the result is a SET
+        assert _t(out) == {("a", "LINKED", "b"), ("b", "LINKED", "a")}
+
+    def test_unbound_template_var_raises(self, spark):
+        e = _triples(spark, [("a", "CALLS", "b")])
+        with pytest.raises(ValueError, match="not bound"):
+            construct(e, [("?x", "CALLS", "?y")], [("?x", "CALLS", "?z")])
+
+    def test_path_template_predicate_raises(self, spark):
+        e = _triples(spark, [("a", "CALLS", "b")])
+        with pytest.raises(ValueError, match="template predicate"):
+            construct(e, [("?x", "CALLS", "?y")], [("?x", "A/B", "?y")])
+
+
+# ------------------------------------------------------------------- RDFS
+
+
+_SCHEMA = [
+    ("DEFINES", "subPropertyOf", "MENTIONS"),
+    ("REFERENCES", "subPropertyOf", "MENTIONS"),
+    ("MENTIONS", "subPropertyOf", "RELATES"),
+    ("DEFINES", "domain", "File"),
+    ("REFERENCES", "range", "Callee"),
+    ("File", "subClassOf", "Resource"),
+    ("Callee", "subClassOf", "Symbol"),
+    ("Symbol", "subClassOf", "Resource"),
+]
+
+
+class TestRdfs:
+    def test_full_entailment(self, spark):
+        data = [
+            ("f1", "DEFINES", "s1"),
+            ("s1", "REFERENCES", "s2"),
+            ("x", "type", "Callee"),
+        ]
+        out = rdfs_closure(_triples(spark, _SCHEMA + data))
+        got = _t(out)
+        # sub-property inheritance, one and two levels up
+        assert ("f1", "MENTIONS", "s1") in got
+        assert ("f1", "RELATES", "s1") in got
+        assert ("s1", "RELATES", "s2") in got
+        # transitive schema facts
+        assert ("DEFINES", "subPropertyOf", "RELATES") in got
+        assert ("Callee", "subClassOf", "Resource") in got
+        # domain/range typing + subclass propagation
+        assert ("f1", "type", "File") in got
+        assert ("f1", "type", "Resource") in got
+        assert ("s2", "type", "Callee") in got
+        assert ("s2", "type", "Symbol") in got
+        assert ("s2", "type", "Resource") in got
+        # asserted type propagates too
+        assert ("x", "type", "Symbol") in got
+        # base facts are NOT in the derived-only output
+        assert ("f1", "DEFINES", "s1") not in got
+
+    def test_domain_applies_to_inherited_triples(self, spark):
+        # MENTIONS itself has a domain; the (f1, MENTIONS, s1) triple
+        # only exists AFTER inheritance, and must still be typed
+        schema = _SCHEMA + [("MENTIONS", "domain", "Mentioner")]
+        data = [("f1", "DEFINES", "s1")]
+        got = _t(rdfs_closure(_triples(spark, schema + data)))
+        assert ("f1", "type", "Mentioner") in got
+
+    def test_include_base(self, spark):
+        data = [("f1", "DEFINES", "s1")]
+        got = _t(
+            rdfs_closure(_triples(spark, _SCHEMA + data), include_base=True)
+        )
+        assert ("f1", "DEFINES", "s1") in got
+        assert ("f1", "MENTIONS", "s1") in got
+
+    def test_vocab_target_raises(self, spark):
+        bad = [("MYPRED", "subPropertyOf", "type"), ("a", "MYPRED", "b")]
+        with pytest.raises(ValueError, match="reserved vocabulary"):
+            rdfs_closure(_triples(spark, bad)).collect()
+
+    def test_no_schema_is_empty(self, spark):
+        out = rdfs_closure(_triples(spark, [("a", "CALLS", "b")]))
+        assert out.count() == 0
+
+
+# ------------------------------------------------------------------ SHACL
+
+
+class TestShacl:
+    def _kg(self, spark):
+        return _triples(
+            spark,
+            [
+                ("f1", "DEFINES", "s1"),
+                ("f1", "DEFINES", "s1b"),
+                ("f2", "DEFINES", "s2"),
+                ("s1", "REFERENCES", "s2"),
+                ("s1", "REFERENCES", "missing!"),
+                ("s2", "REFERENCES", "s1"),
+                ("s1", "type", "Sym"),
+                ("s2", "type", "Sym"),
+            ],
+        )
+
+    def test_counts_class_pattern(self, spark):
+        rep = shacl_report(
+            self._kg(spark),
+            [
+                {
+                    "name": "FileShape",
+                    "target_subjects_of": "DEFINES",
+                    "constraints": [
+                        {"path": "DEFINES", "min_count": 2},
+                        {"path": "DEFINES", "max_count": 1},
+                    ],
+                },
+                {
+                    "name": "SymShape",
+                    "target_class": "Sym",
+                    "constraints": [
+                        {"path": "REFERENCES", "class": "Sym"},
+                        {"path": "REFERENCES", "pattern": "^[a-z0-9]+$"},
+                    ],
+                },
+            ],
+        )
+        got = {(r.shape, r.focus, r.constraint): (r.n, r.conforms) for r in rep.collect()}
+        assert got[("FileShape", "f1", "min_count:DEFINES")] == (2, True)
+        assert got[("FileShape", "f2", "min_count:DEFINES")] == (1, False)
+        assert got[("FileShape", "f1", "max_count:DEFINES")] == (2, False)
+        assert got[("SymShape", "s1", "class:REFERENCES")] == (1, False)
+        assert got[("SymShape", "s2", "class:REFERENCES")] == (0, True)
+        assert got[("SymShape", "s1", "pattern:REFERENCES")] == (1, False)
+        assert got[("SymShape", "s2", "pattern:REFERENCES")] == (0, True)
+        # one row per focus per constraint, conforming rows included
+        assert len(got) == 2 * 2 + 2 * 2
+
+    def test_zero_value_focus_conforms_class(self, spark):
+        t = _triples(
+            spark, [("a", "type", "Sym"), ("b", "REFERENCES", "c")]
+        )
+        rep = shacl_report(
+            t,
+            [
+                {
+                    "name": "S",
+                    "target_class": "Sym",
+                    "constraints": [{"path": "REFERENCES", "class": "Sym"}],
+                }
+            ],
+        )
+        rows = rep.collect()
+        assert len(rows) == 1 and rows[0].n == 0 and rows[0].conforms
+
+    def test_validation_errors(self, spark):
+        t = self._kg(spark)
+        with pytest.raises(ValueError, match="exactly one of target"):
+            shacl_report(t, [{"name": "S", "constraints": [{}]}])
+        with pytest.raises(ValueError, match="exactly one of"):
+            shacl_report(
+                t,
+                [
+                    {
+                        "name": "S",
+                        "target_class": "Sym",
+                        "constraints": [
+                            {"path": "X", "min_count": 1, "max_count": 2}
+                        ],
+                    }
+                ],
+            )
+        with pytest.raises(ValueError, match="duplicate constraint"):
+            shacl_report(
+                t,
+                [
+                    {
+                        "name": "S",
+                        "target_class": "Sym",
+                        "constraints": [
+                            {"path": "X", "min_count": 1},
+                            {"path": "X", "min_count": 2},
+                        ],
+                    }
+                ],
+            )
+
+
+# -------------------------------------------------------------- modularity
+
+
+class TestModularity:
+    def test_two_cliques_and_bridge(self, spark):
+        # K3 {a,b,c} + K3 {d,e,f} + one bridge c-d; m = 7
+        edges = spark.createDataFrame(
+            [
+                ("a", "b"), ("b", "c"), ("a", "c"),
+                ("d", "e"), ("e", "f"), ("d", "f"),
+                ("c", "d"),
+                # noise the canonicalization must collapse:
+                ("b", "a"), ("c", "c"),
+            ],
+            "src string, dst string",
+        )
+        comm = spark.createDataFrame(
+            [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2), ("f", 2)],
+            "node string, community int",
+        )
+        out = {r.community: r for r in modularity_terms(edges, comm).collect()}
+        m = 7
+        for c in (1, 2):
+            r = out[c]
+            assert r.n_nodes == 3 and r.in_edges == 3 and r.deg_sum == 7
+            assert r.contrib == 4 * m * 3 - 7 * 7
+        q = sum(r.contrib for r in out.values()) / (4 * m * m)
+        # textbook: Q = 2*(3/7 - (7/14)^2) = 6/7 - 1/2
+        assert abs(q - (6 / 7 - 0.5)) < 1e-12
+
+    def test_partial_assignment_and_empty_community(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        comm = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "node string, community int"
+        )
+        out = {r.community: r for r in modularity_terms(edges, comm).collect()}
+        assert out[1].in_edges == 0 and out[1].deg_sum == 1
+        assert out[2].in_edges == 0 and out[2].deg_sum == 2
+        assert out[1].contrib == -1 and out[2].contrib == -4
+
+
+# --------------------------------------------------------------------- BPE
+
+
+def _py_bpe(word_freq: dict, num_merges: int):
+    """Pure-Python reference: Sennrich learn_bpe with min pair count 2
+    and lexicographic tie-break — the algorithm bpe_train distributes."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freq.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+CORPUS = (
+    "low low low low low lower lower newest newest newest newest "
+    "newest newest widest widest widest banana bandana anna"
+)
+
+
+class TestBpe:
+    def test_word_freqs_and_pair_counts(self, spark):
+        docs = spark.createDataFrame([(CORPUS,)], "text string")
+        wf = {r.word: r.freq for r in word_freqs(docs).collect()}
+        assert wf["low"] == 5 and wf["newest"] == 6 and wf["anna"] == 1
+        pc = {
+            (r.a, r.b): r.n
+            for r in pair_counts(to_symbols(word_freqs(docs))).collect()
+        }
+        # 'lo' appears in low(5) + lower(2); 'w</w>' only in low(5)
+        assert pc[("l", "o")] == 7
+        assert pc[("w", "</w>")] == 5
+        # overlapping pairs count naively: anna has ('n','n') once,
+        # banana ('a','n') twice + bandana twice + anna once
+        assert pc[("a", "n")] == 5
+
+    def test_train_matches_reference(self, spark):
+        docs = spark.createDataFrame([(CORPUS,)], "text string")
+        wf_df = word_freqs(docs)
+        wf = {r.word: r.freq for r in wf_df.collect()}
+        for k in (1, 5, 12):
+            ref_merges, ref_vocab = _py_bpe(wf, k)
+            merges, syms = bpe_train(wf_df, k, checkpoint_every=3)
+            assert merges == ref_merges, f"k={k}"
+            got_vocab = {
+                tuple(r.syms): r.freq
+                for r in syms.groupBy("syms")
+                .agg(F.sum("freq").alias("freq"))
+                .collect()
+            }
+            assert got_vocab == dict(ref_vocab), f"k={k}"
+            syms.unpersist()
+
+    def test_encode_roundtrip(self, spark):
+        docs = spark.createDataFrame([(CORPUS,)], "text string")
+        merges, syms = bpe_train(word_freqs(docs), 8)
+        out = encode(
+            spark.createDataFrame(
+                [(1, "low lower newest"), (2, "unseen")],
+                "id int, text string",
+            ),
+            merges,
+        )
+        rows = {r.id: r.tokens for r in out.collect()}
+        # detokenizing restores the text: concatenation minus the
+        # end-of-word markers
+        for rid, text in ((1, "low lower newest"), (2, "unseen")):
+            flat = "".join(rows[rid]).replace("</w>", " ").strip()
+            assert flat == text
+        # trained subwords actually fuse: 'newest</w>' is 6+1 chars but
+        # fewer tokens after 8 merges
+        assert len(rows[1]) < len("lowlowernewest") + 3
+        syms.unpersist()
+
+    def test_early_stop_on_singletons(self, spark):
+        wf = spark.createDataFrame(
+            [("ab", 1), ("cd", 1)], "word string, freq long"
+        )
+        merges, syms = bpe_train(wf, 10)
+        assert merges == []
+        syms.unpersist()
