@@ -2605,6 +2605,158 @@ def q_kg_harmonic(spark, sf_dir):
     )
 
 
+def q_kg_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (graph_query.construct) over the fused kernel
+    triples: derive CALLS_SYM edges (the call relation between DEFINED
+    subjects) and DEFINED_IN edges (call target -> its defining file)
+    from one pattern with an OPTIONAL group — the planted dangling
+    f_missing_* targets bind no ?g, so CONSTRUCT's NULL-skip semantics
+    drop exactly their DEFINED_IN template rows while keeping their
+    CALLS_SYM rows. The oracle replays the join and both template
+    projections over the reconstructed edge CTE."""
+    from pawpaw_spark.operators.graph_query import construct
+
+    return construct(
+        _fused_call_triples(spark, sf_dir),
+        [("?f", "DEFINES", "?s"), ("?s", "REFERENCES", "?t")],
+        [("?s", "CALLS_SYM", "?t"), ("?t", "DEFINED_IN", "?g")],
+        optional=[[("?g", "DEFINES", "?t")]],
+    )
+
+
+# the rho-df schema the kg_rdfs contract query layers over the kernel
+# triples — module-level so the DuckDB oracle's VALUES clause is
+# generated from the SAME list (one source of truth)
+_RDFS_SCHEMA = [
+    ("DEFINES", "subPropertyOf", "MENTIONS"),
+    ("REFERENCES", "subPropertyOf", "MENTIONS"),
+    ("MENTIONS", "subPropertyOf", "RELATES"),
+    ("DEFINES", "domain", "File"),
+    ("REFERENCES", "range", "Callee"),
+    ("File", "subClassOf", "Resource"),
+    ("Callee", "subClassOf", "Symbol"),
+    ("Symbol", "subClassOf", "Resource"),
+]
+
+
+def q_kg_rdfs(spark, sf_dir):
+    """RDFS (rho-df) entailment (operators/rdfs.py) over the fused
+    DEFINES/REFERENCES slices plus an 8-triple schema: two-level
+    sub-property inheritance (DEFINES/REFERENCES -> MENTIONS ->
+    RELATES), domain/range typing, and two-level subclass propagation
+    of the derived types. Digested per (pred, cls): instance-triple
+    predicates keep cls='', schema/type rows carry the class — exact
+    integer counts. The oracle replays the WHOLE rule set in SQL
+    (recursive closure CTEs + the same fixed rule ordering), not a
+    closed form."""
+    from pawpaw_spark.operators.rdfs import rdfs_closure
+
+    base = (
+        _fused_call_triples(spark, sf_dir)
+        .filter(F.col("pred").isin("DEFINES", "REFERENCES"))
+        .select("subj", "pred", "obj")
+    )
+    schema = spark.createDataFrame(
+        _RDFS_SCHEMA, "subj string, pred string, obj string"
+    )
+    derived = rdfs_closure(base.union(schema))
+    cls = F.when(
+        F.col("pred").isin("type", "subClassOf", "subPropertyOf"),
+        F.col("obj"),
+    ).otherwise(F.lit(""))
+    return derived.groupBy("pred", cls.alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_kg_shacl(spark, sf_dir):
+    """SHACL-lite validation report (operators/validate.py) over the
+    RDF-set view of the kernel triples (+ in-query DefinedSymbol type
+    facts): per calling symbol, minCount/maxCount on its REFERENCES
+    values (counts vary 2-4 by ring coincidences and the planted
+    dangling call — real selectivity both ways), sh:class against the
+    DefinedSymbol types (violated exactly at f_missing_* targets), and
+    sh:pattern on the node naming scheme; plus an all-conforming
+    maxCount over files, pinning that CONFORMING rows are reported
+    too. Exact integer counts per (shape, focus, constraint)."""
+    from pawpaw_spark.operators.validate import shacl_report
+
+    base = (
+        _fused_call_triples(spark, sf_dir)
+        .filter(F.col("pred").isin("DEFINES", "REFERENCES"))
+        .select("subj", "pred", "obj")
+        .distinct()  # SHACL validates the RDF graph, a triple SET
+    )
+    types = base.filter(F.col("pred") == "DEFINES").select(
+        F.col("obj").alias("subj"),
+        F.lit("type").alias("pred"),
+        F.lit("DefinedSymbol").alias("obj"),
+    )
+    report = shacl_report(
+        base.union(types),
+        [
+            {
+                "name": "SymShape",
+                "target_subjects_of": "REFERENCES",
+                "constraints": [
+                    {"path": "REFERENCES", "min_count": 3},
+                    {"path": "REFERENCES", "max_count": 3},
+                    {"path": "REFERENCES", "class": "DefinedSymbol"},
+                    {"path": "REFERENCES", "pattern": "^sym:f_[0-9]+$"},
+                ],
+            },
+            {
+                "name": "FileShape",
+                "target_subjects_of": "DEFINES",
+                "constraints": [{"path": "DEFINES", "max_count": 1}],
+            },
+        ],
+    )
+    return report
+
+
+def q_kg_modularity(spark, sf_dir):
+    """Newman modularity of the ring-group partition over the
+    kernel-extracted call graph (graph.modularity_terms): community =
+    the corpus's group arithmetic (f_r -> r mod 16, f_missing_g -> g),
+    terms returned as EXACT int64 (contrib = 4*m*in_c - d_c^2, the
+    4m^2-scaled community term), so no float summation order can flip
+    the check. The oracle replays canonicalization (undirected simple
+    graph), degrees, and both terms from the reconstructed edge CTE."""
+    from pawpaw_spark.operators.graph import modularity_terms
+
+    edges = _call_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    num = F.regexp_extract(F.col("node"), "([0-9]+)$", 1).cast("long")
+    comm = nodes.select(
+        "node",
+        F.when(
+            F.col("node").rlike("^sym:f_[0-9]+$"), num % _KG_GROUPS
+        ).otherwise(num).alias("community"),
+    )
+    return modularity_terms(edges, comm)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """The distributed BPE training kernel (operators/bpe.py): the
+    adjacent-symbol pair-frequency table over the documents word-
+    frequency table (chars + end-of-word marker), i.e. iteration 1's
+    input — ONE corpus scan then vocab-table-sized aggregation, the
+    separation that makes 100 TB BPE training feasible. The oracle
+    recomputes word frequencies and every (symbol, next-symbol, n)
+    cell by position arithmetic in SQL. The merge LOOP (argmax +
+    left-to-right rewrite) is diff-tested against a pure-Python
+    reference implementation in tests/test_construct_validate.py —
+    data-dependent merge choices make it non-SQL-expressible."""
+    from pawpaw_spark.operators.bpe import pair_counts, to_symbols, word_freqs
+
+    return pair_counts(to_symbols(word_freqs(_docs(spark, sf_dir))))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2620,6 +2772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CHECK_sf*.json artifacts cover all queries at 3 scale factors.
     return {
         # -- new this round (lead so the 50-entry gate window sees them) --
+        "kg_construct": q_kg_construct,
+        "kg_rdfs": q_kg_rdfs,
+        "kg_shacl": q_kg_shacl,
+        "kg_modularity": q_kg_modularity,
+        "bpe_pairs": q_bpe_pairs,
         "kg_datalog": q_kg_datalog,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_deps": q_kg_path_deps,
@@ -3101,7 +3258,196 @@ def oracle_sql() -> dict[str, str]:
     all_stops = sorted({w for ws in _STOP.values() for w in ws})
     stop_pat = r"\b(" + "|".join(all_stops) + r")\b"
 
+    rdfs_values = ", ".join(
+        f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
+    )
     d = {
+        # CONSTRUCT replay: the match join + both template projections
+        # over the reconstructed edge CTE; the DEFINED_IN template only
+        # fires where the optional DEFINES join binds (defined targets)
+        "kg_construct": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT DISTINCT e.src AS subj, 'CALLS_SYM' AS pred,
+                   e.dst AS obj
+            FROM e JOIN defs d ON d.s = e.src
+            UNION
+            SELECT DISTINCT e.dst, 'DEFINED_IN', d2.f
+            FROM e JOIN defs d ON d.s = e.src
+                   JOIN defs d2 ON d2.s = e.dst
+        """,
+        # full rho-df rule replay: recursive subPropertyOf/subClassOf
+        # closures, one-join inheritance over the CLOSED hierarchy,
+        # domain/range typing on the EXTENDED triple set, subclass
+        # propagation of all types, derived = closure minus base
+        "kg_rdfs": f"""
+            WITH RECURSIVE {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            data AS (
+              SELECT f AS subj, 'DEFINES' AS pred, s AS obj FROM defs
+              UNION
+              SELECT src, 'REFERENCES', dst FROM e),
+            sch(subj, pred, obj) AS (VALUES {rdfs_values}),
+            spo AS (
+              SELECT subj AS src, obj AS dst FROM sch
+              WHERE pred = 'subPropertyOf'
+              UNION
+              SELECT spo.src, s2.obj FROM spo
+              JOIN sch s2 ON s2.pred = 'subPropertyOf'
+                         AND s2.subj = spo.dst),
+            sco AS (
+              SELECT subj AS src, obj AS dst FROM sch
+              WHERE pred = 'subClassOf'
+              UNION
+              SELECT sco.src, s2.obj FROM sco
+              JOIN sch s2 ON s2.pred = 'subClassOf'
+                         AND s2.subj = sco.dst),
+            inh AS (
+              SELECT DISTINCT d.subj, spo.dst AS pred, d.obj
+              FROM data d JOIN spo ON spo.src = d.pred),
+            ext AS (SELECT * FROM data UNION SELECT * FROM inh),
+            typ0 AS (
+              SELECT DISTINCT ext.subj AS inst, sch.obj AS cls
+              FROM ext JOIN sch ON sch.pred = 'domain'
+                               AND sch.subj = ext.pred
+              UNION
+              SELECT DISTINCT ext.obj, sch.obj
+              FROM ext JOIN sch ON sch.pred = 'range'
+                               AND sch.subj = ext.pred),
+            typ AS (
+              SELECT * FROM typ0
+              UNION
+              SELECT t.inst, sco.dst FROM typ0 t
+              JOIN sco ON sco.src = t.cls),
+            derived AS (
+              SELECT subj, pred, obj FROM inh
+              UNION SELECT src, 'subPropertyOf', dst FROM spo
+              UNION SELECT src, 'subClassOf', dst FROM sco
+              UNION SELECT inst, 'type', cls FROM typ),
+            -- derived-only: EXCEPT is not allowed as a CTE setop under
+            -- WITH RECURSIVE in DuckDB, so anti-join via NOT EXISTS
+            dmin AS (
+              SELECT d.* FROM derived d
+              WHERE NOT EXISTS (
+                      SELECT 1 FROM data b
+                      WHERE b.subj = d.subj AND b.pred = d.pred
+                        AND b.obj = d.obj)
+                AND NOT EXISTS (
+                      SELECT 1 FROM sch s
+                      WHERE s.subj = d.subj AND s.pred = d.pred
+                        AND s.obj = d.obj))
+            SELECT pred,
+                   CASE WHEN pred IN ('type','subClassOf','subPropertyOf')
+                        THEN obj ELSE '' END AS cls,
+                   count(*) AS n
+            FROM dmin GROUP BY 1, 2
+        """,
+        # SHACL report replay over the distinct edge set: per-focus
+        # value counts, class violations (targets no file defines),
+        # pattern violations (the f_missing_* naming), plus the
+        # all-conforming FileShape rows
+        "kg_shacl": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            cnt AS (SELECT src AS focus, count(*) AS n
+                    FROM e GROUP BY src),
+            badcls AS (
+              SELECT src AS focus, count(*) AS n FROM e
+              WHERE dst NOT IN (SELECT s FROM defs) GROUP BY src),
+            badpat AS (
+              SELECT src AS focus, count(*) AS n FROM e
+              WHERE NOT regexp_matches(dst, '^sym:f_[0-9]+$')
+              GROUP BY src),
+            syms AS (SELECT DISTINCT src AS focus FROM e)
+            SELECT 'SymShape' AS shape, focus,
+                   'min_count:REFERENCES' AS "constraint",
+                   n, n >= 3 AS conforms
+            FROM cnt
+            UNION ALL
+            SELECT 'SymShape', focus, 'max_count:REFERENCES',
+                   n, n <= 3
+            FROM cnt
+            UNION ALL
+            SELECT 'SymShape', s.focus, 'class:REFERENCES',
+                   coalesce(b.n, 0), coalesce(b.n, 0) = 0
+            FROM syms s LEFT JOIN badcls b USING (focus)
+            UNION ALL
+            SELECT 'SymShape', s.focus, 'pattern:REFERENCES',
+                   coalesce(b.n, 0), coalesce(b.n, 0) = 0
+            FROM syms s LEFT JOIN badpat b USING (focus)
+            UNION ALL
+            SELECT 'FileShape', f, 'max_count:DEFINES', 1, true
+            FROM defs
+        """,
+        # modularity replay: canonical undirected simple graph from the
+        # edge CTE, degrees, the group-arithmetic community map, and
+        # the exact-integer terms (contrib = 4*m*in_c - d_c^2)
+        "kg_modularity": f"""
+            WITH {_KG_EDGE_CTE},
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
+              FROM e WHERE src <> dst),
+            params2 AS (SELECT count(*) AS m FROM und),
+            comm AS (
+              SELECT node,
+                     CASE WHEN regexp_matches(node, '^sym:f_[0-9]+$')
+                          THEN regexp_extract(node, '([0-9]+)$', 1)::BIGINT
+                               % {_KG_GROUPS}
+                          ELSE regexp_extract(node, '([0-9]+)$', 1)::BIGINT
+                     END AS community
+              FROM nodes),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und)
+              GROUP BY node),
+            nt AS (
+              SELECT community, count(*) AS n_nodes,
+                     CAST(sum(deg) AS BIGINT) AS deg_sum
+              FROM deg JOIN comm USING (node) GROUP BY community),
+            internal AS (
+              SELECT ca.community, count(*) AS in_edges
+              FROM und
+              JOIN comm ca ON ca.node = und.a
+              JOIN comm cb ON cb.node = und.b
+              WHERE ca.community = cb.community
+              GROUP BY ca.community)
+            SELECT nt.community, nt.n_nodes,
+                   CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges,
+                   nt.deg_sum,
+                   CAST(4 * (SELECT m FROM params2)
+                          * coalesce(i.in_edges, 0)
+                        - nt.deg_sum * nt.deg_sum AS BIGINT) AS contrib
+            FROM nt LEFT JOIN internal i USING (community)
+        """,
+        # BPE pair kernel replay: word frequencies from the same
+        # tokenizer, then every adjacent (symbol, symbol) cell by
+        # position arithmetic with the end-of-word marker
+        "bpe_pairs": r"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+                     AS word
+              FROM documents),
+            wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+            p AS (
+              SELECT substr(word, i::int, 1) AS a,
+                     CASE WHEN i = len(word) THEN '</w>'
+                          ELSE substr(word, i::int + 1, 1) END AS b,
+                     freq
+              FROM wf, unnest(range(1, len(word) + 1)) AS u(i))
+            SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+            FROM p GROUP BY a, b
+        """,
         # least-fixpoint replay of the Datalog program: the recursive
         # ancestor CTE IS the UNDER relation, LEAF_UNDER is its join
         # with the leaf facts

@@ -115,6 +115,11 @@ HEADLINE = [
     "kg_datalog_neg",
     "kg_datalog_delta",
     "kg_harmonic",
+    "kg_construct",
+    "kg_rdfs",
+    "kg_shacl",
+    "kg_modularity",
+    "bpe_pairs",
 ]
 
 
