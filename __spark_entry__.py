@@ -1506,12 +1506,14 @@ def q_kg_pagerank(spark, sf_dir):
     mode difference can flip the check at any SF or parallelism."""
     from pawpaw_spark.operators.graph import pagerank
 
-    # materialize=False: the contract consumes the result exactly once
-    # (one toPandas/count), so the eager localCheckpoint would be a
-    # full extra materialization pass (measured 8.0 s -> 2.4 s at
-    # sf0.1); the internal caches ride the session registry
+    # materialize=True: the iteration chain then executes INSIDE the
+    # operator's fixpoint_loop_conf scope (state-sized shuffle width,
+    # AQE off — round-4 discipline), and the consumer replays cheap
+    # checkpointed blocks. Measured at sf0.1: 5.4 s lazy -> 3.8 s
+    # (ppr 9.0 -> 4.3, hits 20.7 -> 3.2), reversing the pre-discipline
+    # round-3 measurement that favored the lazy plan.
     ranks = pagerank(
-        _call_edges(spark, sf_dir), iters=3, damping=0.85, materialize=False
+        _call_edges(spark, sf_dir), iters=3, damping=0.85, materialize=True
     )
     return ranks.select("node", F.col("rank_fp"))
 
@@ -1814,9 +1816,11 @@ def q_kg_ppr(spark, sf_dir):
     through init, teleport, and dangling redistribution."""
     from pawpaw_spark.operators.graph import pagerank
 
+    # materialize=True: executes under the operator's fixpoint conf
+    # scope (measured 9.0 s -> 4.3 s at sf0.1, see q_kg_pagerank)
     ranks = pagerank(
         _call_edges(spark, sf_dir), iters=3, damping=0.85,
-        materialize=False, teleport_to=_kg_hub_seeds(spark),
+        materialize=True, teleport_to=_kg_hub_seeds(spark),
     )
     return ranks.select("node", F.col("rank_fp"))
 
@@ -2039,9 +2043,11 @@ def q_kg_pagerank_weighted(spark, sf_dir):
     same loop count."""
     from pawpaw_spark.operators.graph import pagerank
 
+    # materialize=True: executes under the operator's fixpoint conf
+    # scope (see q_kg_pagerank's measured numbers)
     ranks = pagerank(
         _wpr_edges(spark, sf_dir), iters=3, damping=0.85,
-        materialize=False, weight_col="w",
+        materialize=True, weight_col="w",
     )
     return ranks.select("node", F.col("rank_fp"))
 
@@ -2129,8 +2135,12 @@ def q_kg_hits(spark, sf_dir):
     HUGEINT."""
     from pawpaw_spark.operators.graph import hits
 
-    # materialize=False: single consumption, skip the checkpoint pass
-    out = hits(_call_edges(spark, sf_dir), iters=2, materialize=False)
+    # materialize=True: the half-step chain executes under the
+    # operator's fixpoint conf scope — the biggest single win of the
+    # round-4 audit (measured 20.7 s -> 3.2 s at sf0.1: HITS reads the
+    # previous score table twice per half-step, so the lazy plan
+    # under AQE multiplied per-stage job-launch costs 4x per round)
+    out = hits(_call_edges(spark, sf_dir), iters=2, materialize=True)
     return out.select("node", "hub_fp", "auth_fp")
 
 
@@ -2757,6 +2767,33 @@ def q_bpe_pairs(spark, sf_dir):
     return pair_counts(to_symbols(word_freqs(_docs(spark, sf_dir))))
 
 
+def q_kg_sparql(spark, sf_dir):
+    """The SPARQL text front-end (operators/sparql.py) end to end over
+    the fused kernel triples: a SELECT with an OPTIONAL group parsed
+    from query TEXT, compiled through the same matcher the kg_motif /
+    kg_optional queries pin, then aggregated to the per-file resolved-
+    call summary (n_resolved < n_calls exactly at the files planting a
+    dangling call). The parser itself is matrix-tested in
+    tests/test_sparql.py; this entry pins the text->algebra->plan path
+    against the replayed-join oracle."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    out = sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?f ?s ?t ?g WHERE {
+          ?f DEFINES ?s .
+          ?s REFERENCES ?t .
+          OPTIONAL { ?g DEFINES ?t }
+        }
+        """,
+    )
+    return out.groupBy(F.col("f").alias("file")).agg(
+        F.countDistinct("t").alias("n_calls"),
+        F.countDistinct("g").alias("n_resolved"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2773,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (lead so the 50-entry gate window sees them) --
         "kg_construct": q_kg_construct,
+        "kg_sparql": q_kg_sparql,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
         "kg_modularity": q_kg_modularity,
@@ -3278,6 +3316,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT e.dst, 'DEFINED_IN', d2.f
             FROM e JOIN defs d ON d.s = e.src
                    JOIN defs d2 ON d2.s = e.dst
+        """,
+        # SPARQL-text OPTIONAL replay: calls threaded through the defs
+        # CTE with a LEFT JOIN for the optional defining file;
+        # count(DISTINCT g) skips NULLs exactly like countDistinct
+        "kg_sparql": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            b AS (
+              SELECT d.f AS f, e.src AS s, e.dst AS t
+              FROM e JOIN defs d ON d.s = e.src),
+            r AS (
+              SELECT b.*, d2.f AS g
+              FROM b LEFT JOIN defs d2 ON d2.s = b.t)
+            SELECT f AS file,
+                   count(DISTINCT t) AS n_calls,
+                   count(DISTINCT g) AS n_resolved
+            FROM r GROUP BY f
         """,
         # full rho-df rule replay: recursive subPropertyOf/subClassOf
         # closures, one-join inheritance over the CLOSED hierarchy,

@@ -116,6 +116,7 @@ HEADLINE = [
     "kg_datalog_delta",
     "kg_harmonic",
     "kg_construct",
+    "kg_sparql",
     "kg_rdfs",
     "kg_shacl",
     "kg_modularity",

@@ -223,14 +223,56 @@ def pagerank(
         )
         out._pagerank_n = 0
         return out
+    # (1-d)/|S| teleport share, exact in Python ints (metadata-sized)
+    base = (1000 - d1000) * _PR_SCALE // (1000 * n_teleport)
+    # materialize=True runs the whole iteration chain INSIDE the
+    # operator (the eager checkpoint below), so the fixpoint execution
+    # discipline applies: shuffle width sized to the rank-table STATE,
+    # AQE off (uniform metadata-sized loop shuffles; AQE would
+    # materialize every half-step stage as its own job — pure
+    # job-launch fixed cost x iterations). materialize=False returns
+    # the lazy plan, which executes under the caller's session conf.
+    from contextlib import nullcontext
+
+    from pawpaw_spark.session import fixpoint_loop_conf
+
+    scope = (
+        fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_nodes)
+        if materialize and iters > 0
+        else nullcontext()
+    )
+    with scope:
+        out = _pagerank_iterate(
+            links, nodes_deg, iters, d1000, base, n_teleport,
+            contrib_expr, checkpoint_every, materialize,
+        )
+    if materialize:
+        links.unpersist()
+        nodes_deg.unpersist()
+    else:
+        # caller consumes the lazy plan; the caches are released by
+        # release_session_caches()/cached_scope like every operator cache
+        from pawpaw_spark.operators.dedup import _attach_caches
+
+        _attach_caches(out, [links, nodes_deg])
+    # node count, for callers normalizing ranks (attribute does not
+    # survive further DataFrame transformations — read it first)
+    out._pagerank_n = n_nodes
+    return out
+
+
+def _pagerank_iterate(
+    links, nodes_deg, iters, d1000, base, n_teleport, contrib_expr,
+    checkpoint_every, materialize,
+):
+    """The PageRank recurrence (split out so the fixpoint-conf scope in
+    :func:`pagerank` wraps iteration AND materialization together)."""
     ranks = nodes_deg.withColumn(
         "rank_fp",
         F.when(
             F.col("is_seed"), F.lit(_PR_SCALE // n_teleport)
         ).otherwise(F.lit(0)).cast("long"),
     )
-    # (1-d)/|S| teleport share, exact in Python ints (metadata-sized)
-    base = (1000 - d1000) * _PR_SCALE // (1000 * n_teleport)
     for it in range(iters):
         contribs = (
             links.join(
@@ -286,24 +328,11 @@ def pagerank(
     ).select("node", "rank", "rank_fp")
     # materialize=False keeps the full lazy plan (plan-shape tests);
     # the links cache is then left for the caller's first action
-    out = (
+    return (
         ranks.localCheckpoint(eager=True)
         if materialize and iters > 0
         else ranks
     )
-    if materialize:
-        links.unpersist()
-        nodes_deg.unpersist()
-    else:
-        # caller consumes the lazy plan; the caches are released by
-        # release_session_caches()/cached_scope like every operator cache
-        from pawpaw_spark.operators.dedup import _attach_caches
-
-        _attach_caches(out, [links, nodes_deg])
-    # node count, for callers normalizing ranks (attribute does not
-    # survive further DataFrame transformations — read it first)
-    out._pagerank_n = n_nodes
-    return out
 
 
 def reachability(
@@ -1404,25 +1433,40 @@ def hits(
             )
         )
 
-    auth = None
-    for it in range(iters):
-        auth = _half_step(hub, "hub_fp", "src", "dst", "auth_fp")
-        hub = _half_step(auth, "auth_fp", "dst", "src", "hub_fp")
-        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            auth = truncated_checkpoint(auth)
-            hub = truncated_checkpoint(hub)
-    out = (
-        hub.join(auth, "node")
-        .select(
-            "node",
-            (F.col("hub_fp") / F.lit(float(_HITS_SCALE))).alias("hub"),
-            (F.col("auth_fp") / F.lit(float(_HITS_SCALE))).alias("auth"),
-            "hub_fp",
-            "auth_fp",
-        )
+    # materialize=True executes inside the operator (eager checkpoint),
+    # so the fixpoint execution discipline applies — same rationale as
+    # pagerank: state-sized shuffle width, AQE off for the uniform
+    # metadata-sized half-step shuffles
+    from contextlib import nullcontext
+
+    from pawpaw_spark.session import fixpoint_loop_conf
+
+    scope = (
+        fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n)
+        if materialize
+        else nullcontext()
     )
+    with scope:
+        auth = None
+        for it in range(iters):
+            auth = _half_step(hub, "hub_fp", "src", "dst", "auth_fp")
+            hub = _half_step(auth, "auth_fp", "dst", "src", "hub_fp")
+            if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+                auth = truncated_checkpoint(auth)
+                hub = truncated_checkpoint(hub)
+        out = (
+            hub.join(auth, "node")
+            .select(
+                "node",
+                (F.col("hub_fp") / F.lit(float(_HITS_SCALE))).alias("hub"),
+                (F.col("auth_fp") / F.lit(float(_HITS_SCALE))).alias("auth"),
+                "hub_fp",
+                "auth_fp",
+            )
+        )
+        if materialize:
+            out = out.localCheckpoint(eager=True)
     if materialize:
-        out = out.localCheckpoint(eager=True)
         links.unpersist()
         nodes.unpersist()
     else:

@@ -27,7 +27,15 @@ rewrite (Abiteboul/Hull/Vianu ch. 13; see PAPERS.md Datalog entries):
   under ``fixpoint_loop_conf`` — shuffle width sized to the DELTA, AQE
   off inside the loop (the iterative-graph discipline; the deltas are
   uniform and metadata-sized next to the corpus scan that produced the
-  base edges).
+  base edges);
+* each stratum is refined into the SCCs of its positive dependency
+  graph, evaluated in topological order (:func:`_positive_substrata`),
+  and delta variants are generated ONLY at body atoms that can match
+  the running SCC's own derived facts (:func:`_recursive_atoms`) — the
+  standard evaluation refinement: a non-recursive consumer of a
+  closure evaluates in ONE pass after the closure converges instead of
+  re-running every round, and a linear-recursive rule iterates one
+  variant per round instead of one per body atom.
 
 Scale shape: per round, per rule, per body atom — one join tree whose
 smallest input is the delta (Catalyst broadcasts it when it fits) and
@@ -125,6 +133,84 @@ def _normalize_rules(rules: Sequence[Rule]) -> list[NormRule]:
             )
         out.append((head, list(body), list(neg)))
     return out
+
+
+def _positive_substrata(
+    rules: Sequence[NormRule],
+) -> list[list[NormRule]]:
+    """Refine one (negation) stratum into sub-strata by the SCCs of its
+    POSITIVE head-dependency graph, in topological order — the standard
+    Datalog evaluation refinement: a rule only needs fixpoint iteration
+    with the rules it is mutually recursive with; everything else
+    evaluates in one pass once its dependencies are complete. This is
+    what stops a non-recursive consumer (LEAF_UNDER reading the UNDER
+    closure) from being re-evaluated every round of the closure it
+    merely reads. A ``None`` wildcard atom depends on every head
+    (conservative, same doctrine as :func:`_stratify`)."""
+    heads = {head[1] for head, _, _ in rules}
+
+    def deps_of(h: str) -> set[str]:
+        got: set[str] = set()
+        for head, body, _neg in rules:
+            if head[1] != h:
+                continue
+            for _, p, _ in body:
+                if p is None:
+                    got |= heads
+                elif p in heads:
+                    got.add(p)
+        return got
+
+    # iterative Tarjan is overkill at vocabulary size: Kosaraju via
+    # reachability sets (|heads| is the number of derived predicates)
+    reach = {h: deps_of(h) for h in heads}
+    for _ in range(len(heads)):
+        changed = False
+        for h in heads:
+            new = set().union(*(reach[d] for d in reach[h])) if reach[h] else set()
+            if not new <= reach[h]:
+                reach[h] |= new
+                changed = True
+        if not changed:
+            break
+    scc_key = {
+        h: frozenset(
+            {h} | {g for g in heads if g in reach[h] and h in reach[g]}
+        )
+        for h in heads
+    }
+    # topological order of SCCs: count strictly-lower dependencies
+    sccs = sorted(set(scc_key.values()), key=lambda s: sorted(s))
+    order: list[frozenset] = []
+    placed: set[frozenset] = set()
+    while len(order) < len(sccs):
+        progressed = False
+        for s in sccs:
+            if s in placed:
+                continue
+            lower = set().union(*(reach[h] for h in s)) - s
+            if all(scc_key[d] in placed for d in lower):
+                order.append(s)
+                placed.add(s)
+                progressed = True
+        assert progressed, "cyclic SCC order (unreachable by construction)"
+    return [
+        [r for r in rules if r[0][1] in s]
+        for s in order
+    ]
+
+
+def _recursive_atoms(rule: NormRule, scc_heads: set) -> list[int]:
+    """Body-atom positions that can match facts derived IN THIS
+    sub-stratum's fixpoint (its own SCC heads, or a None wildcard) —
+    the only positions semi-naive delta variants are needed at: every
+    other atom reads relations that are frozen for the whole loop."""
+    _head, body, _neg = rule
+    return [
+        i
+        for i, (_, p, _) in enumerate(body)
+        if p is None or p in scc_heads
+    ]
 
 
 def _stratify(rules: Sequence[NormRule]) -> list[list[NormRule]]:
@@ -301,70 +387,85 @@ def infer(
     try:
         n_base = base.count()  # materializes the cache; sizes the loop
         with fixpoint_loop_conf(spark, approx_state_rows=n_base):
-            frozen = base  # base + every COMPLETED stratum's facts
+            frozen = base  # base + every COMPLETED (sub-)stratum's facts
             derived_acc: DataFrame | None = None
             for bodies in strata:
-                # round 1: naive evaluation over the frozen facts
-                first = None
-                for head, body, neg in bodies:
-                    b = _eval_body(
-                        [frozen] * len(body), body, allow_product
-                    )
-                    derived = _project_head(
-                        _apply_neg(b, neg, frozen), head
-                    )
-                    first = (
-                        derived if first is None else first.union(derived)
-                    )
-                delta = truncated_checkpoint(
-                    first.distinct().join(frozen, key, "left_anti")
-                )
-                acc_s = delta
-                facts = frozen.union(delta)  # lazy checkpointed parts
-                converged = delta.isEmpty()
-                if not converged:
-                    for _ in range(max_rounds - 1):
-                        nxt = None
-                        for head, body, neg in bodies:
-                            # one variant per positive body atom: that
-                            # atom from the delta, the rest full; the
-                            # negated atoms always probe the FROZEN set
-                            for i in range(len(body)):
-                                sources = [
-                                    delta if j == i else facts
-                                    for j in range(len(body))
-                                ]
-                                b = _eval_body(
-                                    sources, body, allow_product
-                                )
-                                derived = _project_head(
-                                    _apply_neg(b, neg, frozen), head
-                                )
-                                nxt = (
-                                    derived
-                                    if nxt is None
-                                    else nxt.union(derived)
-                                )
-                        delta = truncated_checkpoint(
-                            nxt.distinct().join(facts, key, "left_anti")
+                for sub in _positive_substrata(bodies):
+                    scc_heads = {head[1] for head, _, _ in sub}
+                    rec = [
+                        (rule, _recursive_atoms(rule, scc_heads))
+                        for rule in sub
+                    ]
+                    rec = [(r, pos) for r, pos in rec if pos]
+                    # round 1: naive evaluation over the frozen facts
+                    first = None
+                    for head, body, neg in sub:
+                        b = _eval_body(
+                            [frozen] * len(body), body, allow_product
                         )
-                        if delta.isEmpty():
-                            converged = True
-                            break
-                        acc_s = acc_s.union(delta)
-                        facts = facts.union(delta)
-                if not converged:
-                    raise RuntimeError(
-                        f"Datalog fixpoint did not converge in "
-                        f"{max_rounds} rounds (per stratum); raise "
-                        "max_rounds (rounds needed = derivation depth)"
+                        derived = _project_head(
+                            _apply_neg(b, neg, frozen), head
+                        )
+                        first = (
+                            derived if first is None else first.union(derived)
+                        )
+                    delta = truncated_checkpoint(
+                        first.distinct().join(frozen, key, "left_anti")
                     )
-                frozen = facts
-                derived_acc = (
-                    acc_s
-                    if derived_acc is None
-                    else derived_acc.union(acc_s)
-                )
+                    acc_s = delta
+                    facts = frozen.union(delta)  # lazy checkpointed parts
+                    converged = delta.isEmpty()
+                    if not converged and not rec:
+                        # no rule in this SCC can consume its own
+                        # output: one naive pass IS the fixpoint
+                        converged = True
+                    if not converged:
+                        for _ in range(max_rounds - 1):
+                            nxt = None
+                            # one variant per RECURSIVE body atom: that
+                            # atom from the delta, the rest full — atoms
+                            # over base/lower relations are frozen for
+                            # the whole loop, so a delta variant there
+                            # could never match (the delta holds only
+                            # this SCC's derived predicates); the
+                            # negated atoms always probe the FROZEN set
+                            for (head, body, neg), positions in rec:
+                                for i in positions:
+                                    sources = [
+                                        delta if j == i else facts
+                                        for j in range(len(body))
+                                    ]
+                                    b = _eval_body(
+                                        sources, body, allow_product
+                                    )
+                                    derived = _project_head(
+                                        _apply_neg(b, neg, frozen), head
+                                    )
+                                    nxt = (
+                                        derived
+                                        if nxt is None
+                                        else nxt.union(derived)
+                                    )
+                            delta = truncated_checkpoint(
+                                nxt.distinct().join(facts, key, "left_anti")
+                            )
+                            if delta.isEmpty():
+                                converged = True
+                                break
+                            acc_s = acc_s.union(delta)
+                            facts = facts.union(delta)
+                    if not converged:
+                        raise RuntimeError(
+                            f"Datalog fixpoint did not converge in "
+                            f"{max_rounds} rounds (per stratum); raise "
+                            "max_rounds (rounds needed = derivation depth)"
+                        )
+                    frozen = facts
+                    derived_acc = (
+                        acc_s
+                        if derived_acc is None
+                        else derived_acc.union(acc_s)
+                    )
             assert derived_acc is not None  # strata is non-empty
             return base.union(derived_acc) if include_base else derived_acc
     finally:
@@ -434,10 +535,22 @@ def infer_delta(
             facts = old.union(delta)
             if delta.isEmpty():
                 return delta
+            # round 1's delta is the seeded BASE facts, so every body
+            # atom can match it; from round 2 the delta holds only
+            # DERIVED facts (rule heads), so variants are needed only
+            # at atoms over derived predicates or wildcards — the same
+            # pruning as infer()'s _recursive_atoms, shifted one round
+            heads = {head[1] for head, _, _ in normed}
+            first_round = True
             for _ in range(max_rounds):
                 nxt = None
                 for head, body, _neg in normed:
                     for i in range(len(body)):
+                        p_i = body[i][1]
+                        if not first_round and not (
+                            p_i is None or p_i in heads
+                        ):
+                            continue
                         sources = [
                             delta if j == i else facts
                             for j in range(len(body))
@@ -450,6 +563,14 @@ def infer_delta(
                             if nxt is None
                             else nxt.union(derived_new)
                         )
+                first_round = False
+                if nxt is None:
+                    # every variant pruned: no rule consumes a derived
+                    # predicate (non-recursive program) — round 1 was
+                    # the whole derivation cone
+                    return new_acc.join(
+                        canon(delta_base).distinct(), key, "left_anti"
+                    )
                 delta = truncated_checkpoint(
                     nxt.distinct().join(facts, key, "left_anti")
                 )
