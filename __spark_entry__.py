@@ -2794,6 +2794,32 @@ def q_kg_sparql(spark, sf_dir):
     )
 
 
+def q_kg_betweenness(spark, sf_dir):
+    """Sampled-source Brandes betweenness (graph.betweenness_sampled,
+    Brandes 2001 + the Brandes-Pich source-sampling scale path) over
+    the constructed tree's child->parent edges, seeded at every 5th
+    leaf: on a tree every sigma is 1, so Brandes' dependency telescopes
+    to the closed form bc(v) = (#sampled sources strictly below v) x
+    (#ancestors of v) — exact small integers, which the DuckDB oracle
+    computes from the recursive ancestor CTE while the engine runs the
+    REAL two-sweep level-synchronous algorithm (forward sigma BFS +
+    backward dependency accumulation). The float path (sigma ratios
+    on general DAGs) is pinned by the pure-Python Brandes mirror in
+    tests/test_betweenness.py."""
+    from pawpaw_spark.operators.graph import betweenness_sampled
+
+    facts = _tree_facts(spark, sf_dir)
+    e = facts.filter(F.col("pred") == "CHILD_OF").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    seeds = facts.filter(
+        (F.col("pred") == "TAG")
+        & (F.substring("subj", 2, 100).cast("long") % 5 == 0)
+    ).select(F.col("subj").alias("node"))
+    out = betweenness_sampled(e, seeds, max_depth=40)
+    return out.select("node", F.col("bc").cast("long").alias("bc"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -2811,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (lead so the 50-entry gate window sees them) --
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
+        "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
         "kg_modularity": q_kg_modularity,
@@ -3316,6 +3343,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT e.dst, 'DEFINED_IN', d2.f
             FROM e JOIN defs d ON d.s = e.src
                    JOIN defs d2 ON d2.s = e.dst
+        """,
+        # Brandes closed form on a tree: every sigma is 1, so
+        # delta telescopes — bc(v) = (#sampled sources strictly below
+        # v) * (#ancestors of v), both counts straight off the
+        # recursive ancestor CTE
+        "kg_betweenness": f"""
+            WITH RECURSIVE {_TREE_CTE},
+            srcs AS (
+              SELECT c FROM leaves
+              WHERE (substr(c, 2))::BIGINT % 5 = 0),
+            desc_cnt AS (
+              SELECT anc.a AS node, count(*) AS ds
+              FROM anc JOIN srcs USING (c) GROUP BY anc.a),
+            anc_cnt AS (
+              SELECT c AS node, count(*) AS na FROM anc GROUP BY c),
+            -- explicit DISTINCT: under WITH RECURSIVE DuckDB parses a
+            -- top-level-UNION CTE as recursive and skips the dedup
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT c AS node FROM e UNION ALL SELECT p FROM e))
+            SELECT n.node,
+                   CAST(coalesce(d.ds, 0) * coalesce(a.na, 0) AS BIGINT)
+                     AS bc
+            FROM nodes n
+            LEFT JOIN desc_cnt d USING (node)
+            LEFT JOIN anc_cnt a USING (node)
         """,
         # SPARQL-text OPTIONAL replay: calls threaded through the defs
         # CTE with a LEFT JOIN for the optional defining file;

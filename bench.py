@@ -117,6 +117,7 @@ HEADLINE = [
     "kg_harmonic",
     "kg_construct",
     "kg_sparql",
+    "kg_betweenness",
     "kg_rdfs",
     "kg_shacl",
     "kg_modularity",

@@ -1805,3 +1805,152 @@ def modularity_terms(
     from pawpaw_spark.operators.dedup import _attach_caches
 
     return _attach_caches(out, [und])
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Sampled-source Brandes betweenness centrality -> (node, bc).
+
+    ``bc(v) = sum over sampled sources s != v of delta_s(v)``, where
+    ``delta_s`` is Brandes' dependency (Brandes 2001): with ``sigma``
+    the shortest-path counts from s,
+
+        delta_s(v) = sum over shortest-path DAG successors w of v:
+                     sigma_s(v) / sigma_s(w) * (1 + delta_s(w))
+
+    Exact betweenness needs every source; the published scale path is
+    SOURCE SAMPLING (Brandes & Pich 2007; Riondato & Kornaropoulos
+    2014): run the same two sweeps from a sampled seed set and scale by
+    n/|S| (left to the caller — the raw sampled sums are returned so
+    callers control the estimator). ``max_depth`` truncates the BFS:
+    paths longer than it are not counted (k-betweenness semantics);
+    pass a bound >= the graph's hop diameter for the full measure —
+    the forward sweep exits early once a frontier empties, so a
+    generous bound costs nothing on shallow graphs.
+
+    Scale shape — both sweeps are per-LEVEL joins, state keyed by
+    (source, node):
+
+    * forward: per level one frontier⋈edges equi-join + one (s, node)
+      partial-agg (sigma sums) + one anti-join against the visited
+      set; state O(sum of per-source reachable sets), the same bound
+      as the all-pairs-ish closure operators, bounded by sampling;
+    * backward: per level one three-way equi-join (level-(l-1) state ⋈
+      edges ⋈ level-l dependencies) + one partial agg — dependencies
+      flow strictly down the depth levels, so each level is visited
+      once. Each level is checkpoint-truncated (the fixpoint-loop
+      discipline; per-level state is uniform and metadata-sized next
+      to the corpus scan that built the edges).
+
+    Dependencies are float64 (sigma ratios are rational); on DAGs where
+    every sigma is 1 (trees — the contract corpus) all deltas are small
+    exact integers, so cross-engine comparison is exact there; the
+    general float path is pinned by the pure-Python Brandes mirror in
+    tests. Nodes never on any sampled shortest path report bc = 0.0
+    (every graph node appears in the output).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    from pawpaw_spark.session import fixpoint_loop_conf, truncated_checkpoint
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_e = e.count()  # materializes; sizes the loop width
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    with fixpoint_loop_conf(e.sparkSession, approx_state_rows=n_e):
+        lvl0 = truncated_checkpoint(
+            sources.select(F.col("node")).distinct()
+            .join(nodes, "node")  # absent seeds contribute nothing
+            .select("node", F.col("node").alias("s"),
+                    F.lit(1).cast("long").alias("sigma"))
+        )
+        levels = [lvl0]
+        visited = lvl0  # union of levels, lazily
+        for _ in range(max_depth):
+            fr = levels[-1]
+            nxt = (
+                fr.join(e, fr["node"] == e["src"])
+                .groupBy(F.col("s"), F.col("dst").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited.select("s", "node"), ["s", "node"], "left_anti")
+            )
+            nxt = truncated_checkpoint(nxt.select("node", "s", "sigma"))
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            visited = visited.union(nxt)
+        # backward dependency sweep, deepest level first; delta starts 0
+        bc = None
+        delta_next = None  # (s, node, delta) at level l+1 (+1 folded in)
+        for l in range(len(levels) - 1, 0, -1):
+            lo, hi = levels[l - 1], levels[l]
+            hi_dep = hi.select(
+                "s", F.col("node").alias("w"),
+                F.col("sigma").alias("sigma_w"),
+            )
+            if delta_next is not None:
+                hi_dep = hi_dep.join(
+                    delta_next.select(
+                        "s", F.col("node").alias("w"),
+                        F.col("delta").alias("dw"),
+                    ),
+                    ["s", "w"],
+                    "left",
+                )
+            else:
+                hi_dep = hi_dep.withColumn("dw", F.lit(None).cast("double"))
+            contrib = (
+                lo.join(e, lo["node"] == e["src"])
+                .join(
+                    hi_dep,
+                    (F.col("dst") == F.col("w"))
+                    & (lo["s"] == hi_dep["s"]),
+                )
+                .select(
+                    lo["s"].alias("s"),
+                    lo["node"].alias("node"),
+                    (
+                        F.col("sigma").cast("double")
+                        / F.col("sigma_w").cast("double")
+                        * (F.lit(1.0) + F.coalesce(F.col("dw"), F.lit(0.0)))
+                    ).alias("d"),
+                )
+                .groupBy("s", "node")
+                .agg(F.sum("d").alias("delta"))
+            )
+            delta_next = truncated_checkpoint(contrib)
+            # sources at level 0 are excluded from their own bc sum
+            part = delta_next if l > 1 else delta_next.filter(
+                F.col("node") != F.col("s")
+            )
+            bc = part if bc is None else bc.union(part)
+        if bc is not None:
+            # one aggregation over the union of checkpointed per-level
+            # dependency tables (flat plan, not per-level nesting)
+            bc = bc.groupBy("node").agg(F.sum("delta").alias("b"))
+        if bc is None:
+            out = nodes.select("node", F.lit(0.0).alias("bc"))
+        else:
+            out = (
+                nodes.join(truncated_checkpoint(bc), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("b"), F.lit(0.0)).alias("bc"),
+                )
+            )
+        out = truncated_checkpoint(out)
+    e.unpersist()
+    return out
