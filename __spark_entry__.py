@@ -2794,6 +2794,54 @@ def q_kg_sparql(spark, sf_dir):
     )
 
 
+def q_kg_sparql_agg(spark, sf_dir):
+    """SPARQL solution modifiers end to end: GROUP BY + COUNT /
+    COUNT(DISTINCT) aggregates + ORDER BY + LIMIT parsed from query
+    TEXT (operators/sparql.py) and compiled to a hash aggregate over
+    the DISTINCT solution multiset plus a TakeOrderedAndProject top-k
+    — the per-file resolved-call summary kg_sparql pins, but with the
+    aggregation INSIDE the query language instead of a .groupBy on the
+    returned frame. (n_calls DESC, f) is a total order (one group per
+    file), so LIMIT is deterministic and the oracle replays it."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?f (COUNT(?t) AS ?n_calls) (COUNT(DISTINCT ?g) AS ?n_resolved)
+        WHERE {
+          ?f DEFINES ?s .
+          ?s REFERENCES ?t .
+          OPTIONAL { ?g DEFINES ?t }
+        }
+        GROUP BY ?f ORDER BY DESC(?n_calls) ?f LIMIT 40
+        """,
+    )
+
+
+def q_kg_sparql_union(spark, sf_dir):
+    """SPARQL UNION + VALUES end to end: a two-branch union (DEFINES
+    edges plus the REFERENCES edges of three VALUES-selected source
+    symbols) parsed from query TEXT. The branches compile to
+    independent matcher plans glued by a zero-shuffle unionByName; the
+    VALUES block becomes a broadcast semi-join, so the inline data
+    never shuffles the solution side. Set semantics (no DISTINCT
+    keyword, bag=False default) dedups across branches — the oracle's
+    plain SQL UNION is exactly that."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?x ?y WHERE {
+          { ?x DEFINES ?y } UNION
+          { ?x REFERENCES ?y .
+            VALUES ?x { "sym:f_1" "sym:f_2" "sym:f_3" } }
+        }
+        """,
+    )
+
+
 def q_kg_betweenness(spark, sf_dir):
     """Sampled-source Brandes betweenness (graph.betweenness_sampled,
     Brandes 2001 + the Brandes-Pich source-sampling scale path) over
@@ -2837,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (lead so the 50-entry gate window sees them) --
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
+        "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_union": q_kg_sparql_union,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -3389,6 +3439,41 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT t) AS n_calls,
                    count(DISTINCT g) AS n_resolved
             FROM r GROUP BY f
+        """,
+        # modifier replay: the same resolved-call summary with the
+        # aggregation + total-order top-k in SQL — count(t) over the
+        # distinct (f,s,t,g) solutions, count(DISTINCT g) NULL-skip,
+        # ORDER BY n_calls DESC, f LIMIT 40 deterministic because f is
+        # unique per group
+        "kg_sparql_agg": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            b AS (
+              SELECT d.f AS f, e.src AS s, e.dst AS t
+              FROM e JOIN defs d ON d.s = e.src),
+            r AS (
+              SELECT b.*, d2.f AS g
+              FROM b LEFT JOIN defs d2 ON d2.s = b.t)
+            SELECT f, count(t) AS n_calls,
+                   count(DISTINCT g) AS n_resolved
+            FROM r GROUP BY f
+            ORDER BY n_calls DESC, f LIMIT 40
+        """,
+        # union replay: SQL UNION (set semantics) of the DEFINES pairs
+        # and the REFERENCES pairs of the three VALUES-selected sources
+        "kg_sparql_union": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT f AS x, s AS y FROM defs
+            UNION
+            SELECT src, dst FROM e
+            WHERE src IN ('sym:f_1', 'sym:f_2', 'sym:f_3')
         """,
         # full rho-df rule replay: recursive subPropertyOf/subClassOf
         # closures, one-join inheritance over the CLOSED hierarchy,

@@ -37,11 +37,13 @@ class TestParse:
             "FILTER ( ?f != ?s ) }"
         )
         assert plan["form"] == "select"
-        assert plan["vars"] == ["f", "s"] and plan["distinct"]
-        assert plan["pattern"] == [("?f", "DEFINES", "?s")]
-        assert plan["optional"] == [[("?s", "REFERENCES", "?t")]]
-        assert plan["not_exists"] == [[("?x", "REFERENCES", "?s")]]
-        assert plan["neq"] == [("?f", "?s")]
+        assert plan["items"] == [("var", "f"), ("var", "s")]
+        assert plan["distinct"]
+        (b,) = plan["branches"]
+        assert b["pattern"] == [("?f", "DEFINES", "?s")]
+        assert b["optional"] == [[("?s", "REFERENCES", "?t")]]
+        assert b["not_exists"] == [[("?x", "REFERENCES", "?s")]]
+        assert b["neq"] == [("?f", "?s")]
 
     def test_construct_plan_and_sugar(self):
         plan = parse_sparql(
@@ -53,12 +55,44 @@ class TestParse:
             ("?s", "type", "Thing"),
             ("?s", "LABEL", "a b"),
         ]
-        assert plan["pattern"] == [("?s", "REFERENCES", "?t")]
+        assert plan["branches"][0]["pattern"] == [("?s", "REFERENCES", "?t")]
+
+    def test_agg_union_modifier_plan(self):
+        plan = parse_sparql(
+            "SELECT ?f (COUNT(DISTINCT ?t) AS ?n) (SUM(?t) AS ?tot) WHERE "
+            "{ { ?f DEFINES ?t } UNION { ?f REFERENCES ?t . "
+            'VALUES ?f { "s1" UNDEF } } } '
+            "GROUP BY ?f ORDER BY DESC(?n) ?f LIMIT 7"
+        )
+        assert plan["items"] == [
+            ("var", "f"),
+            ("agg", "COUNT", True, "t", "n"),
+            ("agg", "SUM", False, "t", "tot"),
+        ]
+        b1, b2 = plan["branches"]
+        assert b1["pattern"] == [("?f", "DEFINES", "?t")]
+        assert b2["pattern"] == [("?f", "REFERENCES", "?t")]
+        assert b2["values"] == [(["f"], [("s1",), (None,)])]
+        assert plan["group_by"] == ["f"]
+        assert plan["order_by"] == [("n", False), ("f", True)]
+        assert plan["limit"] == 7
+
+    def test_spaced_order_key_and_multivar_values(self):
+        plan = parse_sparql(
+            "SELECT (COUNT(*) AS ?n) WHERE { ?s P ?o . "
+            'VALUES ( ?s ?o ) { ( "a" "b" ) ( "c" UNDEF ) } } '
+            "ORDER BY ASC ( ?n )"
+        )
+        assert plan["items"] == [("agg", "COUNT", False, None, "n")]
+        assert plan["branches"][0]["values"] == [
+            (["s", "o"], [("a", "b"), ("c", None)])
+        ]
+        assert plan["order_by"] == [("n", True)]
 
     def test_errors(self):
         for q, msg in [
             ("ASK WHERE { ?s P ?o }", "SELECT or CONSTRUCT"),
-            ("SELECT ?x { ?s P ?o }", "expects .vars or"),
+            ("SELECT ?x { ?s P ?o }", "expects .vars, aggregates or"),
             ("SELECT x WHERE { ?s P ?o }", "expects .vars"),
             ("SELECT ?x WHERE { ?s P ?o", "unclosed"),
             ("SELECT ?x WHERE { }", "binds no triples"),
@@ -71,6 +105,31 @@ class TestParse:
             (
                 "SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?a P ?b } } }",
                 "nested OPTIONAL",
+            ),
+            (
+                "SELECT ?x ?y (COUNT(*) AS ?n) WHERE { ?x P ?o . ?y P ?o } "
+                "GROUP BY ?x",
+                "must appear in GROUP BY",
+            ),
+            (
+                "SELECT ?x WHERE { ?x P ?o } GROUP BY ?x",
+                "requires at least one aggregate",
+            ),
+            (
+                "SELECT (AVG(*) AS ?n) WHERE { ?x P ?o }",
+                "unsupported SELECT expression|only plain COUNT",
+            ),
+            (
+                'SELECT ?x WHERE { ?x P ?o . VALUES ?x { ?y } }',
+                "must be constants",
+            ),
+            (
+                'SELECT ?x WHERE { ?x P ?o . VALUES ( ?a ?b ) { ( "1" ) } }',
+                "VALUES row has 1 terms for 2 vars",
+            ),
+            (
+                "SELECT ?x WHERE { ?x P ?o } LIMIT ten",
+                "LIMIT expects an integer",
             ),
         ]:
             with pytest.raises(ValueError, match=msg):
@@ -147,3 +206,109 @@ class TestExec:
         e = _triples(spark, KG)
         with pytest.raises(ValueError, match="not bound"):
             sparql(e, "SELECT ?zz WHERE { ?s REFERENCES ?t }")
+
+
+class TestModifiers:
+    def test_group_by_count(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s REFERENCES ?t } "
+            "GROUP BY ?s",
+        )
+        assert q.columns == ["s", "n"]
+        assert _t(q) == {("s1", 1), ("s2", 1), ("s3", 2)}
+
+    def test_count_excludes_optional_nulls(self, spark):
+        # COUNT(?g) counts only solutions where ?g is bound (SPARQL
+        # aggregate NULL-skip); COUNT(*) counts every solution
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT (COUNT(*) AS ?all) (COUNT(?g) AS ?resolved) WHERE "
+            "{ ?s REFERENCES ?t . OPTIONAL { ?g DEFINES ?t } }",
+        )
+        [(n_all, n_res)] = q.collect()
+        assert (n_all, n_res) == (4, 3)  # s3->missing has no definer
+
+    def test_global_agg_and_distinct_count(self, spark):
+        e = _triples(spark, KG + [("f9", "DEFINES", "s1")])
+        q = sparql(
+            e,
+            "SELECT (COUNT(DISTINCT ?s) AS ?nd) (COUNT(?s) AS ?n) WHERE "
+            "{ ?f DEFINES ?s }",
+        )
+        assert _t(q) == {(3, 4)}
+
+    def test_union(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?x ?y WHERE { { ?x DEFINES ?y } UNION "
+            "{ ?x REFERENCES ?y } }",
+        )
+        direct = {(s, o) for s, p, o in KG if p in ("DEFINES", "REFERENCES")}
+        assert _t(q) == direct
+
+    def test_union_unaligned_vars_null_pad(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT * WHERE { { ?x DEFINES ?d } UNION { ?x a ?cls } }",
+        )
+        got = _t(q.select("x", "d", "cls"))
+        assert ("f1", "s1", None) in got and ("s1", None, "Sym") in got
+
+    def test_values_filter(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            'SELECT ?s ?t WHERE { ?s REFERENCES ?t . '
+            'VALUES ?s { "s1" "s3" } }',
+        )
+        assert _t(q) == {("s1", "s2"), ("s3", "missing"), ("s3", "s1")}
+
+    def test_values_multivar_undef_wildcard(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?s ?t WHERE { ?s REFERENCES ?t . "
+            'VALUES ( ?s ?t ) { ( "s1" "s2" ) ( "s3" UNDEF ) } }',
+        )
+        assert _t(q) == {("s1", "s2"), ("s3", "missing"), ("s3", "s1")}
+
+    def test_order_limit(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s REFERENCES ?t } "
+            "GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 2",
+        )
+        assert [tuple(r) for r in q.collect()] == [("s3", 2), ("s1", 1)]
+
+    def test_agg_over_union(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?x (COUNT(*) AS ?deg) WHERE { { ?x DEFINES ?y } "
+            "UNION { ?x REFERENCES ?y } } GROUP BY ?x ORDER BY "
+            "DESC(?deg) ?x LIMIT 1",
+        )
+        assert [tuple(r) for r in q.collect()] == [("s3", 2)]
+
+    def test_sum_casts_numeric_strings(self, spark):
+        e = _triples(
+            spark,
+            [("a", "WEIGHT", "3"), ("a", "WEIGHT", "4"), ("b", "WEIGHT", "5")],
+        )
+        q = sparql(
+            e,
+            "SELECT ?s (SUM(?w) AS ?tot) WHERE { ?s WEIGHT ?w } GROUP BY ?s",
+        )
+        assert _t(q) == {("a", 7), ("b", 5)}
+
+    def test_values_unbound_var_raises(self, spark):
+        e = _triples(spark, KG)
+        with pytest.raises(ValueError, match="not bound"):
+            sparql(e, 'SELECT ?s WHERE { ?s REFERENCES ?t . '
+                      'VALUES ?zz { "x" } }')
