@@ -2767,6 +2767,27 @@ def q_bpe_pairs(spark, sf_dir):
     return pair_counts(to_symbols(word_freqs(_docs(spark, sf_dir))))
 
 
+def q_wordpiece_scores(spark, sf_dir):
+    """The distributed WordPiece training kernel (operators/bpe.py):
+    iteration 1's likelihood-gain score table over the documents
+    word-frequency table under the ##-continuation convention —
+    score(a,b) = n(a,b) / (n(a) * n(b)), evaluated as double(n) /
+    (double(na) * double(nb)) so the one-rounding-per-op IEEE result
+    is bit-identical when the oracle replays the same expression in
+    SQL. The merge LOOP (score argmax + ##-stripped fusion) and the
+    greedy longest-match encoder are diff-tested against a pure-Python
+    WordPiece reference in tests/test_construct_validate.py."""
+    from pawpaw_spark.operators.bpe import (
+        to_symbols_wordpiece,
+        word_freqs,
+        wordpiece_pair_scores,
+    )
+
+    return wordpiece_pair_scores(
+        to_symbols_wordpiece(word_freqs(_docs(spark, sf_dir)))
+    )
+
+
 def q_kg_sparql(spark, sf_dir):
     """The SPARQL text front-end (operators/sparql.py) end to end over
     the fused kernel triples: a SELECT with an OPTIONAL group parsed
@@ -2887,6 +2908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
+        "wordpiece_scores": q_wordpiece_scores,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -3643,6 +3665,41 @@ def oracle_sql() -> dict[str, str]:
               FROM wf, unnest(range(1, len(word) + 1)) AS u(i))
             SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
             FROM p GROUP BY a, b
+        """,
+        # WordPiece score replay: symbol unigram counts under the
+        # ##-continuation convention, adjacent-pair counts by position
+        # arithmetic, then the same double(n)/(double(na)*double(nb))
+        # IEEE expression — one rounding per op, bit-identical
+        "wordpiece_scores": r"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+                     AS word
+              FROM documents),
+            wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+            occ AS (
+              SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                          ELSE '##' || substr(word, i::int, 1) END AS s,
+                     freq
+              FROM wf, unnest(range(1, len(word) + 1)) AS u(i)),
+            sc AS (
+              SELECT s, CAST(sum(freq) AS BIGINT) AS n
+              FROM occ GROUP BY s),
+            p AS (
+              SELECT CASE WHEN i = 1 THEN substr(word, 1, 1)
+                          ELSE '##' || substr(word, i::int, 1) END AS a,
+                     '##' || substr(word, i::int + 1, 1) AS b,
+                     freq
+              FROM wf, unnest(range(1, len(word))) AS u(i)),
+            pc AS (
+              SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+              FROM p GROUP BY a, b)
+            SELECT pc.a, pc.b, pc.n,
+                   CAST(pc.n AS DOUBLE)
+                     / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+                     AS score
+            FROM pc
+            JOIN sc na ON na.s = pc.a
+            JOIN sc nb ON nb.s = pc.b
         """,
         # least-fixpoint replay of the Datalog program: the recursive
         # ancestor CTE IS the UNDER relation, LEAF_UNDER is its join

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END = "</w>"
+WP_PREFIX = "##"
 
 
 def word_freqs(
@@ -99,6 +100,182 @@ def pair_counts(symbols: DataFrame) -> DataFrame:
     )
 
 
+def to_symbols_wordpiece(words: DataFrame) -> DataFrame:
+    """(word, freq) -> (word, freq, syms) under the WordPiece
+    convention (Schuster & Nakajima 2012 / the BERT tokenizer): the
+    first character plain, every continuation character prefixed with
+    ``##``, no end-of-word marker — ``hug`` -> ``[h, ##u, ##g]``."""
+    chars = F.split(F.col("word"), "")
+    chars = F.filter(chars, lambda c: c != F.lit(""))
+    syms = F.transform(
+        chars,
+        lambda c, i: F.when(i == 0, c).otherwise(
+            F.concat(F.lit(WP_PREFIX), c)
+        ),
+    )
+    return words.select("word", "freq", syms.alias("syms"))
+
+
+def symbol_counts(symbols: DataFrame) -> DataFrame:
+    """Unigram symbol frequencies over the symbol table -> (s, n):
+    every occurrence weighted by word frequency. Vocab-table-sized
+    input, one aggregation shuffle — the denominator table of the
+    WordPiece score."""
+    return (
+        symbols.select(F.explode("syms").alias("s"), "freq")
+        .groupBy("s")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+
+
+def wordpiece_pair_scores(symbols: DataFrame) -> DataFrame:
+    """Adjacent pairs scored by WordPiece's likelihood gain
+    ``count(a,b) / (count(a) * count(b))`` -> (a, b, n, score).
+
+    The two count tables are both vocab-sized; the score join is two
+    equi-joins Catalyst broadcasts when the alphabet table is small
+    (it always is: the symbol table is bounded by the learned vocab).
+    The division is performed as double(n) / (double(na) * double(nb))
+    — one IEEE rounding per operation, so the score is bit-identical
+    in any engine that replays the same expression (the pure-Python
+    mirror and the DuckDB oracle both do)."""
+    pc = pair_counts(symbols)
+    sc = symbol_counts(symbols)
+    na = sc.select(F.col("s").alias("a"), F.col("n").alias("na"))
+    nb = sc.select(F.col("s").alias("b"), F.col("n").alias("nb"))
+    return (
+        pc.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "n",
+            (
+                F.col("n").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("score"),
+        )
+    )
+
+
+def _wp_merged(a: str, b: str) -> str:
+    return a + (b[len(WP_PREFIX):] if b.startswith(WP_PREFIX) else b)
+
+
+def wordpiece_train(
+    words: DataFrame,
+    num_merges: int,
+    *,
+    checkpoint_every: int = 8,
+) -> tuple[list, DataFrame]:
+    """Learn ``num_merges`` WordPiece merges over a (word, freq) table
+    -> ``(vocab_adds, symbols)``: the ordered list of learned tokens
+    (each the fusion of the argmax-score pair) and the final symbol
+    table. Same loop discipline as :func:`bpe_train` — one vocab-table
+    aggregation + a 1-row deterministic driver argmax (highest score,
+    then lexicographic (a, b)) + the Arrow-batched merge kernel — but
+    the argmax maximizes the likelihood gain ``n/(na*nb)`` instead of
+    the raw pair count, and merged continuations keep the ``##``
+    prefix (``(##u, ##g) -> ##ug``). Stops early when no pair occurs
+    twice."""
+    merges: list = []
+    cur = to_symbols_wordpiece(words).persist()
+    cur.count()
+    try:
+        for it in range(num_merges):
+            top = (
+                wordpiece_pair_scores(cur)
+                .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < 2:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append(_wp_merged(a, b))
+            nxt = apply_merge(cur, a, b, merged=_wp_merged(a, b))
+            if (it + 1) % checkpoint_every == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
+            cur.unpersist()
+            cur = nxt
+        return merges, cur
+    except Exception:
+        cur.unpersist()
+        raise
+
+
+def encode_wordpiece(
+    texts: DataFrame,
+    vocab: Sequence[str],
+    text_col: str = "text",
+    *,
+    unk: str = "[UNK]",
+    pattern: str = "[a-z]+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Tokenize a corpus with a WordPiece vocabulary -> one row per
+    input row with ``tokens`` (array<string>). Greedy longest-match-
+    first within each word (the BERT inference algorithm): the longest
+    vocabulary prefix is taken, the remainder continues with ``##``
+    prefixes, and a word with any unmatched position becomes a single
+    ``unk`` token. The vocab is a broadcast literal set (tokenizers
+    are KBs); per-batch word cache like :func:`encode`."""
+    vset = frozenset(vocab)
+
+    def enc_word(word: str) -> list:
+        out: list = []
+        start, n = 0, len(word)
+        while start < n:
+            end = n
+            cur = None
+            while end > start:
+                piece = word[start:end]
+                if start > 0:
+                    piece = WP_PREFIX + piece
+                if piece in vset:
+                    cur = piece
+                    break
+                end -= 1
+            if cur is None:
+                return [unk]
+            out.append(cur)
+            start = end
+        return out
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    with_words = texts.withColumn(
+        "__words", F.regexp_extract_all(t, F.lit(f"({pattern})"))
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in texts.schema.fields
+    ) + ", tokens array<string>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+
+        def enc_cached(w: str) -> list:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = enc_word(w)
+            return got
+
+        for pdf in batches:
+            toks = pdf["__words"].map(
+                lambda ws: [t for w in ws for t in enc_cached(w)]
+            )
+            out = pdf.drop(columns=["__words"])
+            out["tokens"] = toks
+            yield out
+
+    return with_words.mapInPandas(kernel, schema=out_schema)
+
+
 def _merge_word(syms: Sequence[str], a: str, b: str, merged: str) -> list:
     out: list = []
     i, n = 0, len(syms)
@@ -112,13 +289,18 @@ def _merge_word(syms: Sequence[str], a: str, b: str, merged: str) -> list:
     return out
 
 
-def apply_merge(symbols: DataFrame, a: str, b: str) -> DataFrame:
-    """Apply ONE merge (a, b) -> ``a+b`` to every symbol array:
-    left-to-right, non-overlapping (the reference BPE semantics —
-    ``a a a`` with merge (a,a) becomes ``aa a``). Arrow-batched; a
-    vectorized precheck passes untouched rows through without the
-    per-word Python loop."""
-    merged = a + b
+def apply_merge(
+    symbols: DataFrame, a: str, b: str, *, merged: str | None = None
+) -> DataFrame:
+    """Apply ONE merge (a, b) -> ``merged`` (default ``a+b``) to every
+    symbol array: left-to-right, non-overlapping (the reference BPE
+    semantics — ``a a a`` with merge (a,a) becomes ``aa a``).
+    Arrow-batched; a vectorized precheck passes untouched rows through
+    without the per-word Python loop. ``merged`` overrides the fused
+    spelling for conventions like WordPiece's ``##``-stripped
+    continuation fusion."""
+    if merged is None:
+        merged = a + b
     fields = symbols.schema
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -9,9 +9,14 @@ from pyspark.sql import functions as F
 from pawpaw_spark.operators.bpe import (
     bpe_train,
     encode,
+    encode_wordpiece,
     pair_counts,
+    symbol_counts,
     to_symbols,
+    to_symbols_wordpiece,
     word_freqs,
+    wordpiece_pair_scores,
+    wordpiece_train,
 )
 from pawpaw_spark.operators.graph import modularity_terms
 from pawpaw_spark.operators.graph_query import construct
@@ -425,5 +430,118 @@ class TestBpe:
             [("ab", 1), ("cd", 1)], "word string, freq long"
         )
         merges, syms = bpe_train(wf, 10)
+        assert merges == []
+        syms.unpersist()
+
+
+def _py_wordpiece(word_freq: dict, num_merges: int):
+    """Pure-Python reference: WordPiece training — argmax of
+    float(n)/(float(na)*float(nb)) (the exact IEEE expression the
+    distributed scorer evaluates), lexicographic tie-break, min pair
+    count 2, ##-continuation fusion."""
+    vocab = {
+        tuple([w[0]] + ["##" + c for c in w[1:]]): f
+        for w, f in word_freq.items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        singles: dict = {}
+        for syms, f in vocab.items():
+            for s in syms:
+                singles[s] = singles.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not pairs:
+            break
+        best = min(
+            pairs.items(),
+            key=lambda kv: (
+                -(float(kv[1]) / (float(singles[kv[0][0]])
+                                  * float(singles[kv[0][1]]))),
+                kv[0],
+            ),
+        )
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append(merged)
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+class TestWordPiece:
+    def test_symbols_and_scores(self, spark):
+        docs = spark.createDataFrame([(CORPUS,)], "text string")
+        wf = word_freqs(docs)
+        syms = {
+            r.word: list(r.syms)
+            for r in to_symbols_wordpiece(wf).collect()
+        }
+        assert syms["low"] == ["l", "##o", "##w"]
+        sc = {r.s: r.n for r in symbol_counts(to_symbols_wordpiece(wf)).collect()}
+        # 'l' word-initial in low(5)+lower(2); '##o' in both as well
+        assert sc["l"] == 7 and sc["##o"] == 7
+        scores = {
+            (r.a, r.b): (r.n, r.score)
+            for r in wordpiece_pair_scores(to_symbols_wordpiece(wf)).collect()
+        }
+        n, s = scores[("l", "##o")]
+        assert n == 7 and s == float(7) / (float(7) * float(7))
+
+    def test_train_matches_reference(self, spark):
+        docs = spark.createDataFrame([(CORPUS,)], "text string")
+        wf_df = word_freqs(docs)
+        wf = {r.word: r.freq for r in wf_df.collect()}
+        for k in (1, 5, 12):
+            ref_merges, ref_vocab = _py_wordpiece(wf, k)
+            merges, syms = wordpiece_train(wf_df, k, checkpoint_every=3)
+            assert merges == ref_merges, f"k={k}"
+            got_vocab = {
+                tuple(r.syms): r.freq
+                for r in syms.groupBy("syms")
+                .agg(F.sum("freq").alias("freq"))
+                .collect()
+            }
+            assert got_vocab == dict(ref_vocab), f"k={k}"
+            syms.unpersist()
+
+    def test_encode_longest_match(self, spark):
+        vocab = ["l", "##o", "##w", "low", "##er", "n", "##ew",
+                 "##e", "##s", "##t", "##west"]
+        out = encode_wordpiece(
+            spark.createDataFrame(
+                [(1, "low lower newest"), (2, "qqq low")],
+                "id int, text string",
+            ),
+            vocab,
+        )
+        rows = {r.id: r.tokens for r in out.collect()}
+        # greedy longest-match: 'low' whole, 'lower' = low + ##er,
+        # 'newest' = n + ##ew (longest at pos 1) + ##e ##s ##t
+        assert rows[1] == ["low", "low", "##er",
+                           "n", "##ew", "##e", "##s", "##t"]
+        # any unmatched position collapses the WORD to [UNK]
+        assert rows[2] == ["[UNK]", "low"]
+
+    def test_early_stop_on_singletons(self, spark):
+        wf = spark.createDataFrame(
+            [("ab", 1), ("cd", 1)], "word string, freq long"
+        )
+        merges, syms = wordpiece_train(wf, 10)
         assert merges == []
         syms.unpersist()
