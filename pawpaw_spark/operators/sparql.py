@@ -23,6 +23,9 @@ see the parser doc for the exact token rules):
   where ``FN`` is ``COUNT`` / ``SUM`` / ``MIN`` / ``MAX`` / ``AVG``
   and an order key is ``?v`` / ``ASC(?v)`` / ``DESC(?v)``
 * ``CONSTRUCT { template triples } WHERE { ... }``
+* ``ASK [WHERE] { ... }`` -> one row ``ask boolean`` (existence
+  probes with ``limit(1)``; fully-constant patterns — the canonical
+  ASK shape — compile to pushed-filter probes)
 * WHERE body: a plain group, or a union chain
   ``{ group } UNION { group } [UNION { group } ...]``
 * group body: triples terminated by ``.``; ``OPTIONAL { ... }``;
@@ -389,9 +392,17 @@ def parse_sparql(query: str, *, type_pred: str = "type") -> dict:
     elif head == "construct":
         out["form"] = "construct"
         out["template"] = p.template()
+    elif head == "ask":
+        out["form"] = "ask"
     else:
-        raise ValueError(f"query must start with SELECT or CONSTRUCT, got {head!r}")
-    p.take("where")
+        raise ValueError(
+            f"query must start with SELECT, CONSTRUCT or ASK, got {head!r}"
+        )
+    if head == "ask":
+        if (p.peek() or "").lower() == "where":
+            p.take()  # ASK { ... } and ASK WHERE { ... } are both legal
+    else:
+        p.take("where")
     branches = []
     for body in p.where_body():
         pattern, optionals, negations, neq, values = body
@@ -402,7 +413,7 @@ def parse_sparql(query: str, *, type_pred: str = "type") -> dict:
             "not_exists": negations, "neq": neq, "values": values,
         })
     out["branches"] = branches
-    if head == "construct":
+    if head in ("construct", "ask"):
         if p.peek() is not None:
             raise ValueError(
                 f"trailing tokens after WHERE group: {p.toks[p.i:]}"
@@ -515,6 +526,49 @@ def sparql(
             neq=b[0]["neq"],
             **match_kwargs,
         )
+    if plan["form"] == "ask":
+        # existence probe: one row, `ask boolean`, true iff ANY branch
+        # is satisfiable. limit(1) stops each probe at the first
+        # satisfying binding. A fully-constant branch (the canonical
+        # ASK shape, which match_pattern rejects as binding no
+        # variables) compiles to per-triple pushed-filter probes whose
+        # conjunction is a cross join of ≤1-row frames.
+        parts = []
+        for b in plan["branches"]:
+            if all(not t.startswith("?") for tr in b["pattern"] for t in tr):
+                probe = None
+                for s, pr, o in b["pattern"]:
+                    if any(ch in pr for ch in "/|^+*?()"):
+                        raise ValueError(
+                            f"constant property-path triple {pr!r} in an "
+                            f"all-constant ASK is not supported"
+                        )
+                    one = (
+                        edges.filter(
+                            (F.col(match_kwargs.get("subj_col", "subj")) == s)
+                            & (F.col(match_kwargs.get("pred_col", "pred")) == pr)
+                            & (F.col(match_kwargs.get("obj_col", "obj")) == o)
+                        )
+                        .select(F.lit(1).alias("one"))
+                        .limit(1)
+                    )
+                    probe = one if probe is None else probe.crossJoin(
+                        one.select(F.col("one").alias(f"_c{len(probe.columns)}"))
+                    )
+                parts.append(probe.select(F.lit(1).alias("one")).limit(1))
+                continue
+            m = match_pattern(
+                edges, b["pattern"], optional=b["optional"],
+                not_exists=b["not_exists"], neq=b["neq"],
+                distinct=False, **match_kwargs,
+            )
+            if b["values"]:
+                m = _apply_values(m, b["values"])
+            parts.append(m.select(F.lit(1).alias("one")).limit(1))
+        out = parts[0]
+        for m in parts[1:]:
+            out = out.unionByName(m)
+        return out.agg((F.count("one") > 0).alias("ask"))
     items = plan["items"]
     has_agg = any(it[0] == "agg" for it in (items or ()))
     # an explicit DISTINCT keyword in the text always wins over

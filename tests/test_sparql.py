@@ -91,7 +91,7 @@ class TestParse:
 
     def test_errors(self):
         for q, msg in [
-            ("ASK WHERE { ?s P ?o }", "SELECT or CONSTRUCT"),
+            ("DESCRIBE ?s WHERE { ?s P ?o }", "SELECT, CONSTRUCT or ASK"),
             ("SELECT ?x { ?s P ?o }", "expects .vars, aggregates or"),
             ("SELECT x WHERE { ?s P ?o }", "expects .vars"),
             ("SELECT ?x WHERE { ?s P ?o", "unclosed"),
@@ -306,6 +306,23 @@ class TestModifiers:
             "SELECT ?s (SUM(?w) AS ?tot) WHERE { ?s WEIGHT ?w } GROUP BY ?s",
         )
         assert _t(q) == {("a", 7), ("b", 5)}
+
+    def test_ask(self, spark):
+        e = _triples(spark, KG)
+        def ask(q):
+            [(v,)] = sparql(e, q).collect()
+            return v
+        # variable pattern
+        assert ask("ASK { ?s REFERENCES ?t . ?t REFERENCES ?u }") is True
+        assert ask("ASK WHERE { ?s REFERENCES s1 . ?s a Sym }") is False
+        # fully-constant pattern (canonical ASK): conjunction of probes
+        assert ask("ASK { s1 REFERENCES s2 . f1 DEFINES s1 }") is True
+        assert ask("ASK { s1 REFERENCES s3 }") is False
+        # union: true iff any branch satisfiable
+        assert ask("ASK { { s1 REFERENCES s3 } UNION "
+                   "{ ?x REFERENCES missing } }") is True
+        with pytest.raises(ValueError, match="not supported"):
+            ask("ASK { s1 REFERENCES+ s3 }")
 
     def test_values_unbound_var_raises(self, spark):
         e = _triples(spark, KG)
