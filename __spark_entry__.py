@@ -2788,6 +2788,26 @@ def q_wordpiece_scores(spark, sf_dir):
     )
 
 
+def q_unigram_seed(spark, sf_dir):
+    """The distributed unigram-LM (SentencePiece / Kudo 2018) seeding
+    kernel (operators/unigram.py): every substring up to length 6 of
+    the documents word-frequency table, weighted by word frequency and
+    scored n*len (Kudo's frequent-substring seeding) — all single
+    chars plus the top-500 multi-char pieces under the deterministic
+    (score desc, piece asc) total order, so the TakeOrderedAndProject
+    cut is identical in any engine. The EM/prune training LOOP
+    (Viterbi hard-EM, exact-integer count aggregation, lexicographic
+    prune ties) is diff-tested against a pure-Python mirror in
+    tests/test_construct_validate.py::TestUnigram — data-dependent
+    float DP makes it non-SQL-expressible."""
+    from pawpaw_spark.operators.bpe import word_freqs
+    from pawpaw_spark.operators.unigram import seed_pieces
+
+    return seed_pieces(
+        word_freqs(_docs(spark, sf_dir)), max_piece_len=6, seed_size=500
+    )
+
+
 def q_kg_sparql(spark, sf_dir):
     """The SPARQL text front-end (operators/sparql.py) end to end over
     the fused kernel triples: a SELECT with an OPTIONAL group parsed
@@ -2909,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
         "wordpiece_scores": q_wordpiece_scores,
+        "unigram_seed": q_unigram_seed,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -3700,6 +3721,35 @@ def oracle_sql() -> dict[str, str]:
             FROM pc
             JOIN sc na ON na.s = pc.a
             JOIN sc nb ON nb.s = pc.b
+        """,
+        # unigram seed replay: substring cells by double position
+        # range, n*len scoring, singles + the (score desc, piece asc)
+        # top-500 multi-char cut — a deterministic total order, so the
+        # LIMIT is exact in both engines
+        "unigram_seed": r"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1))
+                     AS word
+              FROM documents),
+            wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+            subs AS (
+              SELECT substr(word, i::int, (j - i + 1)::int) AS piece, freq
+              FROM wf,
+                   unnest(range(1, len(word) + 1)) AS u(i),
+                   unnest(range(1, len(word) + 1)) AS v(j)
+              WHERE j >= i AND j < i + 6),
+            counts AS (
+              SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+              FROM subs GROUP BY piece),
+            sc AS (
+              SELECT piece, n, CAST(n * len(piece) AS BIGINT) AS score
+              FROM counts),
+            multi AS (
+              SELECT * FROM sc WHERE len(piece) > 1
+              ORDER BY score DESC, piece ASC LIMIT 500)
+            SELECT * FROM sc WHERE len(piece) = 1
+            UNION ALL
+            SELECT * FROM multi
         """,
         # least-fixpoint replay of the Datalog program: the recursive
         # ancestor CTE IS the UNDER relation, LEAF_UNDER is its join

@@ -19,6 +19,11 @@ from pawpaw_spark.operators.bpe import (
     wordpiece_train,
 )
 from pawpaw_spark.operators.graph import modularity_terms
+from pawpaw_spark.operators.unigram import (
+    encode_unigram,
+    seed_pieces,
+    unigram_train,
+)
 from pawpaw_spark.operators.graph_query import construct
 from pawpaw_spark.operators.rdfs import rdfs_closure
 from pawpaw_spark.operators.validate import shacl_report
@@ -545,3 +550,120 @@ class TestWordPiece:
         merges, syms = wordpiece_train(wf, 10)
         assert merges == []
         syms.unpersist()
+
+
+def _py_unigram(
+    word_freq: dict,
+    vocab_size: int,
+    *,
+    seed_size: int = 1000,
+    max_piece_len: int = 8,
+    em_iters: int = 2,
+    prune_ratio: float = 0.2,
+):
+    """Pure-Python mirror of unigram_train's distributed control flow:
+    the same seed scoring, the same per-word Viterbi (imported — it is
+    a scalar function), exact-integer count aggregation, the same
+    prune key. Only the DISTRIBUTION of the count aggregation differs,
+    which is what the equality test pins."""
+    from pawpaw_spark.operators.unigram import _to_logp, _viterbi
+
+    cnt: dict = {}
+    for w, f in word_freq.items():
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(n, i + max_piece_len) + 1):
+                cnt[w[i:j]] = cnt.get(w[i:j], 0) + f
+    seeds = {p: c for p, c in cnt.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) > 1),
+        key=lambda kv: (-kv[1] * len(kv[0]), kv[0]),
+    )[:seed_size]
+    seeds.update(dict(multi))
+    cur = _to_logp(seeds)
+
+    def one_em(lp):
+        got: dict = {}
+        for w, f in word_freq.items():
+            for piece in _viterbi(w, lp, max_piece_len):
+                got[piece] = got.get(piece, 0) + f
+        return got
+
+    while True:
+        counts: dict = {}
+        for _ in range(max(1, em_iters)):
+            counts = one_em(cur)
+            cur = _to_logp(counts)
+        multi = sorted(
+            (p for p in cur if len(p) > 1),
+            key=lambda p: (counts.get(p, 0), tuple(-ord(c) for c in p)),
+        )
+        n_single = sum(1 for p in cur if len(p) == 1)
+        excess = len(cur) - max(int(vocab_size), n_single)
+        if excess <= 0:
+            break
+        drop = set(
+            multi[: max(1, min(excess, int(len(multi) * prune_ratio) or 1))]
+        )
+        if not drop:
+            break
+        cur = _to_logp({p: counts.get(p, 1) for p in cur if p not in drop})
+    return cur
+
+
+class TestUnigram:
+    def test_seed_pieces_cells(self, spark):
+        wf = spark.createDataFrame(
+            [("anna", 2), ("an", 3)], "word string, freq long"
+        )
+        got = {
+            r.piece: (r.n, r.score)
+            for r in seed_pieces(wf, max_piece_len=3, seed_size=100).collect()
+        }
+        # 'an' occurs once in anna (a-n at 0; then nn, na) + the word
+        # 'an' itself: 1*2 + 3 = 5
+        assert got["an"] == (5, 10)
+        assert got["a"] == (2 * 2 + 3, 7)
+        assert got["ann"] == (2, 6)
+        # seed_size cuts multi-char pieces by (score desc, piece asc)
+        top = seed_pieces(wf, max_piece_len=3, seed_size=1)
+        multi = [r.piece for r in top.collect() if len(r.piece) > 1]
+        assert multi == ["an"]
+
+    def test_train_matches_mirror(self, spark):
+        docs = spark.createDataFrame([(CORPUS,)], "text string")
+        wf_df = word_freqs(docs)
+        wf = {r.word: r.freq for r in wf_df.collect()}
+        for vs, ss in ((12, 20), (18, 40)):
+            ref = _py_unigram(wf, vs, seed_size=ss, max_piece_len=6)
+            got = unigram_train(
+                wf_df, vs, seed_size=ss, max_piece_len=6
+            )
+            assert got == ref, f"vocab_size={vs}"
+
+    def test_encode_viterbi(self, spark):
+        docs = spark.createDataFrame([(CORPUS,)], "text string")
+        wf_df = word_freqs(docs)
+        lp = unigram_train(wf_df, 16, seed_size=30, max_piece_len=6)
+        out = encode_unigram(
+            spark.createDataFrame(
+                [(1, "low lower newest")], "id int, text string"
+            ),
+            lp,
+            max_piece_len=6,
+        )
+        [row] = out.collect()
+        from pawpaw_spark.operators.unigram import _viterbi
+
+        expect = [
+            t for w in "low lower newest".split()
+            for t in _viterbi(w, lp, 6)
+        ]
+        assert row.tokens == expect
+        assert "".join(row.tokens) == "lowlowernewest"
+
+    def test_unsegmentable_raises(self, spark):
+        from pawpaw_spark.operators.unigram import _viterbi
+
+        with pytest.raises(ValueError, match="not segmentable"):
+            _viterbi("xyz", {"x": -1.0, "y": -1.0}, 4)
