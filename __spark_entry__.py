@@ -434,6 +434,30 @@ def q_dedup_groups(spark, sf_dir):
     return out
 
 
+def q_leakage_split(spark, sf_dir):
+    """Cluster-aware train/val/test split (sampling.leakage_safe_split):
+    near-dup pairs (LSH-blocked, exact-verified at J>=0.8) -> connected
+    components -> md5(cluster-id)-banded split assignment, so a near-
+    copy of a training document can never land in eval. The oracle
+    recomputes every pair brute-force, closes the graph with a
+    recursive CTE, and replays the md5 banding digit-for-digit (the
+    weighted_mix hex idiom) in sorted split-name cumulative order."""
+    from pawpaw_spark.operators.dedup import minhash_dedup_pairs
+    from pawpaw_spark.operators.sampling import leakage_safe_split
+
+    d = _docs(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("string"))
+    pairs = minhash_dedup_pairs(
+        d, threshold=0.8, n_hashes=64, bands=16, verify="exact"
+    )
+    out = leakage_safe_split(
+        d.select("doc_id"),
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    out._pawpaw_cached = getattr(pairs, "_pawpaw_cached", [])
+    return out
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup, portable-hash mode: per-token hash = lower 8
     md5 digest bytes (== DuckDB md5_number_lower), so the oracle can
@@ -2930,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_union": q_kg_sparql_union,
         "wordpiece_scores": q_wordpiece_scores,
         "unigram_seed": q_unigram_seed,
+        "leakage_split": q_leakage_split,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -4240,6 +4265,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc, min(comp) AS group_id,
                    (min(comp) = node) AS is_canonical
             FROM reach GROUP BY node
+        """,
+        # same brute-force pair set + recursive closure as dedup_groups,
+        # then the md5 banding replayed digit-for-digit (exact-integer
+        # hex sum / 2^32, the weighted_mix idiom) in sorted split-name
+        # cumulative order: test .1 | train .9 | val rest
+        "leakage_split": r"""
+            WITH RECURSIVE d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     regexp_split_to_array(lower(text), '\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM d),
+            p AS (
+              SELECT a.id AS a, b.id AS b
+              FROM g a JOIN g b ON a.id < b.id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+                    >= 0.8),
+            e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+            reach(node, comp) AS (
+              SELECT id, id FROM d
+              UNION
+              SELECT e.dst, reach.comp FROM reach JOIN e ON e.src = reach.node),
+            canon AS (
+              SELECT node AS doc_id, min(comp) AS canon_id
+              FROM reach GROUP BY node),
+            u AS (
+              SELECT doc_id, canon_id,
+                     list_sum(list_transform(range(1, 9),
+                       i -> (strpos('0123456789abcdef',
+                                    substr(md5(canon_id), i, 1)) - 1)
+                            * (16 ** (8 - i)))) / 4294967296.0 AS uu
+              FROM canon)
+            SELECT doc_id, canon_id,
+                   CASE WHEN uu < 0.1 THEN 'test'
+                        WHEN uu < 0.9 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM u
         """,
         # fingerprints recomputed bit-for-bit: per-token hash
         # md5_number_lower == lower 8 md5 digest bytes little-endian ==

@@ -174,3 +174,75 @@ def epoch_shuffle_key(
             )
         ),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    out_col: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/validation/test split -> the input plus
+    ``(canon_id, split)``: documents connected by near-duplicate
+    edges ALWAYS land in the same split, so evaluation never scores a
+    near-copy of a training document (train/test leakage — the
+    classic failure a plain per-doc hash split commits the moment the
+    corpus contains near-duplicates).
+
+    ``pairs`` is any near-duplicate edge table ((a, b) doc ids — the
+    output shape of minhash_pairs / simhash / ngram-Jaccard /
+    embedding near-dup); the split unit is the CONNECTED COMPONENT of
+    that graph (:func:`pawpaw_spark.operators.canon.
+    connected_components` — min-label pointer jumping, driver cutover
+    for metadata-sized pair sets). Documents in no pair are their own
+    singleton cluster (left join + coalesce, no blowup).
+
+    The decision is ``md5(canon_id)``-uniform against the cumulative
+    ``splits`` fractions in SORTED split-name order — a pure function
+    of the cluster id, so the assignment is reproducible on any
+    cluster size, any engine (the DuckDB oracle replays it verbatim),
+    and STABLE under corpus growth: a cluster keeps its split when
+    unrelated documents arrive. Fractions must sum to 1 (±1e-9) —
+    every cluster gets exactly one split.
+
+    Scale: components over the PAIR graph (bounded by near-dup volume,
+    not corpus size), one broadcast-friendly left join onto the corpus,
+    then a pure column expression; no shuffle of the corpus itself.
+    """
+    if not splits:
+        raise ValueError("splits must name at least one part")
+    for s, w in splits.items():
+        if not w >= 0:
+            raise ValueError(f"fraction for {s!r} must be >= 0, got {w}")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    from pawpaw_spark.operators.canon import connected_components
+
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("node").alias(key_col), F.col("comp").alias("canon_id")
+    )
+    with_canon = df.join(comp, key_col, "left").withColumn(
+        "canon_id", F.coalesce(F.col("canon_id"), F.col(key_col))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("canon_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(_SPACE))
+    )
+    expr: Column | None = None
+    acc = 0.0
+    names = sorted(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    out_expr = last if expr is None else expr.otherwise(last)
+    return with_canon.withColumn(out_col, out_expr)

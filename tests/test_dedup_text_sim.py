@@ -1379,3 +1379,88 @@ class TestEpochShuffle:
             for r in epoch_shuffle_key(df, seed=0).collect()
         }
         assert again == got0
+
+
+class TestLeakageSafeSplit:
+    def _mk(self, spark):
+        docs = spark.createDataFrame(
+            [(f"d{i:02d}",) for i in range(12)], "doc_id string"
+        )
+        # two clusters: chain d00-d01-d02, pair d05-d06
+        pairs = spark.createDataFrame(
+            [("d00", "d01"), ("d01", "d02"), ("d05", "d06")],
+            "a string, b string",
+        )
+        return docs, pairs
+
+    def test_clusters_share_split(self, spark):
+        from pawpaw_spark.operators.sampling import leakage_safe_split
+
+        docs, pairs = self._mk(spark)
+        out = leakage_safe_split(
+            docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        got = {r.doc_id: (r.canon_id, r.split) for r in out.collect()}
+        assert len(got) == 12  # left join: no blowup, no drops
+        # connected docs share canon (= min id) and split
+        assert got["d00"] == got["d01"] == got["d02"] == ("d00", got["d00"][1])
+        assert got["d05"] == got["d06"] == ("d05", got["d05"][1])
+        # singletons are their own cluster
+        assert got["d07"][0] == "d07"
+
+    def test_assignment_matches_hash_mirror(self, spark):
+        import hashlib
+
+        from pawpaw_spark.operators.sampling import leakage_safe_split
+
+        docs, pairs = self._mk(spark)
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = leakage_safe_split(docs, pairs, splits)
+        got = {r.doc_id: r.split for r in out.collect()}
+
+        def mirror(canon):
+            u = int(hashlib.md5(canon.encode()).hexdigest()[:8], 16) / 16**8
+            acc = 0.0
+            for name in sorted(splits)[:-1]:
+                acc += splits[name]
+                if u < acc:
+                    return name
+            return sorted(splits)[-1]
+
+        canon = {d: d for d in got}
+        for c in (("d00", "d01", "d02"), ("d05", "d06")):
+            for d in c:
+                canon[d] = min(c)
+        for d, s in got.items():
+            assert s == mirror(canon[d]), d
+
+    def test_stability_under_growth(self, spark):
+        from pawpaw_spark.operators.sampling import leakage_safe_split
+
+        docs, pairs = self._mk(spark)
+        splits = {"train": 0.8, "val": 0.2}
+        before = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(docs, pairs, splits).collect()
+        }
+        more = docs.union(
+            docs.sparkSession.createDataFrame([("zz1",), ("zz2",)],
+                                              "doc_id string")
+        )
+        after = {
+            r.doc_id: r.split
+            for r in leakage_safe_split(more, pairs, splits).collect()
+        }
+        for d, s in before.items():
+            assert after[d] == s
+
+    def test_bad_fractions_raise(self, spark):
+        import pytest as _pytest
+
+        from pawpaw_spark.operators.sampling import leakage_safe_split
+
+        docs, pairs = self._mk(spark)
+        with _pytest.raises(ValueError, match="sum to 1"):
+            leakage_safe_split(docs, pairs, {"train": 0.5, "val": 0.1})
+        with _pytest.raises(ValueError, match="at least one"):
+            leakage_safe_split(docs, pairs, {})
