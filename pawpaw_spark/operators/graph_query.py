@@ -549,6 +549,7 @@ def match_pattern(
     *,
     optional: Sequence[Sequence[Triple]] = (),
     not_exists: Sequence[Sequence[Triple]] = (),
+    minus: Sequence[Sequence[Triple]] = (),
     neq: Sequence[tuple[str, str]] = (),
     distinct: bool = True,
     allow_product: bool = False,
@@ -628,6 +629,14 @@ def match_pattern(
     caller can express with ``filter().limit(1)`` directly (the
     constant-triple doctrine).  On the accepted (correlated) forms,
     SPARQL ``NOT EXISTS`` and ``MINUS`` coincide.
+
+    ``minus`` lists MINUS groups (SPARQL ``MINUS { ... }``): compiled
+    exactly like ``not_exists`` — one left-anti join on the variables
+    shared with the required pattern — EXCEPT that a group sharing no
+    variable is a NO-OP (SPARQL's disjoint-domain rule: solutions with
+    no variable in common are never removed), where ``not_exists``
+    raises. That disjoint-domain rule is the one observable difference
+    between the two forms in this subset.
     """
     if not pattern:
         raise ValueError("pattern must contain at least one triple")
@@ -657,6 +666,9 @@ def match_pattern(
     for grp in not_exists:
         if not grp:
             raise ValueError("not_exists group must contain >= 1 triple")
+    for grp in minus:
+        if not grp:
+            raise ValueError("minus group must contain >= 1 triple")
 
     var_triples = [t for t in pattern if _vars_of(t)]
     const_triples = [t for t in pattern if not _vars_of(t)]
@@ -716,6 +728,18 @@ def match_pattern(
     # right side is key-pruned by Catalyst (anti-join reads only the
     # join keys), so a wide group costs its joins, not its width.
     for grp in not_exists:
+        g, keys = _compile_group(
+            edges, grp, all_vars, allow_product, subj_col, pred_col,
+            obj_col, path_conf, pred_counts,
+        )
+        out = out.join(g.select(*keys), on=keys, how="left_anti")
+
+    # MINUS groups: identical anti-join compile, but the SPARQL
+    # disjoint-domain rule makes an uncorrelated group a no-op
+    for grp in minus:
+        grp_vars = set().union(*(_vars_of(t) for t in grp))
+        if not (grp_vars & all_vars):
+            continue
         g, keys = _compile_group(
             edges, grp, all_vars, allow_product, subj_col, pred_col,
             obj_col, path_conf, pred_counts,

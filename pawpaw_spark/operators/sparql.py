@@ -29,7 +29,9 @@ see the parser doc for the exact token rules):
 * WHERE body: a plain group, or a union chain
   ``{ group } UNION { group } [UNION { group } ...]``
 * group body: triples terminated by ``.``; ``OPTIONAL { ... }``;
-  ``FILTER NOT EXISTS { ... }``; ``FILTER ( ?a != ?b )``;
+  ``FILTER NOT EXISTS { ... }``; ``MINUS { ... }`` (anti-join on the
+  shared variables; an uncorrelated group is a no-op per SPARQL's
+  disjoint-domain rule); ``FILTER ( ?a != ?b )``;
   ``VALUES ?x { term ... }`` / ``VALUES ( ?x ?y ) { ( term term )
   ... }`` (parens whitespace-separated, like FILTER; ``UNDEF`` binds
   NULL)
@@ -187,24 +189,25 @@ class _P:
         the required group (SPARQL's common shape; deeper nesting
         raises)."""
         self.take("{")
-        triples, optionals, negations, neq, values = [], [], [], [], []
+        triples, optionals, negations, minus, neq, values = \
+            [], [], [], [], [], []
         while True:
             t = self.peek()
             if t is None:
                 raise ValueError("unclosed '{' in query")
             if t == "}":
                 self.take()
-                return triples, optionals, negations, neq, values
+                return triples, optionals, negations, minus, neq, values
             low = t.lower()
-            if low == "optional":
+            if low in ("optional", "minus"):
                 self.take()
                 inner = self.group()
-                if inner[1] or inner[2] or inner[3] or inner[4]:
+                if any(inner[1:]):
                     raise ValueError(
-                        "nested OPTIONAL/FILTER/VALUES inside a group is "
-                        "not supported"
+                        "nested OPTIONAL/MINUS/FILTER/VALUES inside a "
+                        "group is not supported"
                     )
-                optionals.append(inner[0])
+                (optionals if low == "optional" else minus).append(inner[0])
                 continue
             if low == "values":
                 self.take()
@@ -216,10 +219,10 @@ class _P:
                     self.take("not")
                     self.take("exists")
                     inner = self.group()
-                    if inner[1] or inner[2] or inner[3] or inner[4]:
+                    if any(inner[1:]):
                         raise ValueError(
-                            "nested OPTIONAL/FILTER/VALUES inside a group "
-                            "is not supported"
+                            "nested OPTIONAL/MINUS/FILTER/VALUES inside a "
+                            "group is not supported"
                         )
                     negations.append(inner[0])
                 else:
@@ -405,12 +408,13 @@ def parse_sparql(query: str, *, type_pred: str = "type") -> dict:
         p.take("where")
     branches = []
     for body in p.where_body():
-        pattern, optionals, negations, neq, values = body
+        pattern, optionals, negations, minus, neq, values = body
         if not pattern:
             raise ValueError("a WHERE group binds no triples")
         branches.append({
             "pattern": pattern, "optional": optionals,
-            "not_exists": negations, "neq": neq, "values": values,
+            "not_exists": negations, "minus": minus, "neq": neq,
+            "values": values,
         })
     out["branches"] = branches
     if head in ("construct", "ask"):
@@ -523,6 +527,7 @@ def sparql(
             plan["template"],
             optional=b[0]["optional"],
             not_exists=b[0]["not_exists"],
+            minus=b[0]["minus"],
             neq=b[0]["neq"],
             **match_kwargs,
         )
@@ -535,7 +540,10 @@ def sparql(
         # conjunction is a cross join of ≤1-row frames.
         parts = []
         for b in plan["branches"]:
-            if all(not t.startswith("?") for tr in b["pattern"] for t in tr):
+            if (not b["optional"] and not b["not_exists"]
+                    and not b["minus"] and all(
+                        not t.startswith("?")
+                        for tr in b["pattern"] for t in tr)):
                 probe = None
                 for s, pr, o in b["pattern"]:
                     if any(ch in pr for ch in "/|^+*?()"):
@@ -559,8 +567,8 @@ def sparql(
                 continue
             m = match_pattern(
                 edges, b["pattern"], optional=b["optional"],
-                not_exists=b["not_exists"], neq=b["neq"],
-                distinct=False, **match_kwargs,
+                not_exists=b["not_exists"], minus=b["minus"],
+                neq=b["neq"], distinct=False, **match_kwargs,
             )
             if b["values"]:
                 m = _apply_values(m, b["values"])
@@ -582,6 +590,7 @@ def sparql(
             b["pattern"],
             optional=b["optional"],
             not_exists=b["not_exists"],
+            minus=b["minus"],
             neq=b["neq"],
             distinct=set_sem or has_agg,
             **match_kwargs,

@@ -307,6 +307,28 @@ class TestModifiers:
         )
         assert _t(q) == {("a", 7), ("b", 5)}
 
+    def test_minus(self, spark):
+        e = _triples(spark, KG)
+        # correlated MINUS == NOT EXISTS on the shared var
+        q = sparql(
+            e,
+            "SELECT ?f ?t WHERE { ?f DEFINES ?s . ?s REFERENCES ?t . "
+            "MINUS { ?g DEFINES ?t } }",
+        )
+        assert _t(q) == {("f3", "missing")}
+        # uncorrelated MINUS is a NO-OP (disjoint-domain rule) even
+        # though the minus pattern has matches
+        q2 = sparql(
+            e,
+            "SELECT ?f WHERE { ?f DEFINES ?s . MINUS { ?x REFERENCES ?y } }",
+        )
+        assert _t(q2) == {("f1",), ("f2",), ("f3",)}
+        # parse shape
+        plan = parse_sparql(
+            "SELECT ?f WHERE { ?f DEFINES ?s . MINUS { ?s REFERENCES ?t } }"
+        )
+        assert plan["branches"][0]["minus"] == [[("?s", "REFERENCES", "?t")]]
+
     def test_ask(self, spark):
         e = _triples(spark, KG)
         def ask(q):
