@@ -1862,6 +1862,36 @@ def q_kg_communities(spark, sf_dir):
     return label_propagation(_call_edges(spark, sf_dir), iters=4)
 
 
+def q_kg_louvain_round(spark, sf_dir):
+    """The Louvain move kernel (graph.louvain_move_round): ONE
+    synchronous parity-gated modularity-ascent round over the kernel-
+    extracted call graph from the initial singleton assignment —
+    exact-integer gain scores (2m*k_iin - k_i*tot), smallest-community
+    ties, md5-parity gating — replayed cell-for-cell in SQL
+    (row_number argmax + the portable hex-parity idiom). The level /
+    coarsening LOOP is diff-tested against a pure-Python mirror in
+    tests/test_graph.py::TestLouvain (two-clique, ring, star, shared-
+    triangle, parallel/self-edge graphs + partitioning invariance +
+    modularity improvement)."""
+    from pawpaw_spark.operators.graph import (
+        louvain_move_round,
+        undirected_edges,
+    )
+
+    we = undirected_edges(_call_edges(spark, sf_dir)).withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    loops = spark.createDataFrame([], "node string, lw long")
+    nodes = (
+        we.selectExpr("a as node")
+        .union(we.selectExpr("b as node"))
+        .distinct()
+    )
+    assign = nodes.withColumn("community", F.col("node"))
+    m2 = 2 * we.count()
+    return louvain_move_round(we, loops, assign, m2, 0)
+
+
 def q_kg_kcore(spark, sf_dir):
     """4-core of the undirected call graph via synchronized peeling:
     the per-group missing symbols (degree 1) peel in round one, ring
@@ -2955,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_scores": q_wordpiece_scores,
         "unigram_seed": q_unigram_seed,
         "leakage_split": q_leakage_split,
+        "kg_louvain_round": q_kg_louvain_round,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -4265,6 +4296,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc, min(comp) AS group_id,
                    (min(comp) = node) AS is_canonical
             FROM reach GROUP BY node
+        """,
+        # Louvain round-0 replay: singleton communities make kiin = 1
+        # per neighbor and tot(c) = deg(c); gain = 2m*kiin - ki*kc
+        # (stay term 0), row_number argmax with smallest-community
+        # ties, md5 hex parity gating — the same portable idioms as
+        # kg_communities / weighted_mix
+        "kg_louvain_round": f"""
+            WITH {_KG_EDGE_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            mm AS (SELECT count(*) AS m FROM und),
+            adj AS (SELECT a AS i, b AS j FROM und
+                    UNION ALL SELECT b, a FROM und),
+            k AS (SELECT i AS node, count(*) AS k FROM adj GROUP BY i),
+            cand AS (
+              SELECT i, j AS c, CAST(1 AS BIGINT) AS kiin FROM adj
+              UNION ALL
+              SELECT node, node, 0 FROM k),
+            scored AS (
+              SELECT cand.i, cand.c,
+                     2 * mm.m * cand.kiin
+                       - ki.k * (CASE WHEN cand.c = cand.i
+                                      THEN 0 ELSE kc.k END) AS score
+              FROM cand
+              CROSS JOIN mm
+              JOIN k ki ON ki.node = cand.i
+              JOIN k kc ON kc.node = cand.c),
+            choice AS (
+              SELECT i, c,
+                     row_number() OVER (PARTITION BY i
+                       ORDER BY score DESC, c ASC) AS rn
+              FROM scored),
+            par AS (
+              SELECT node,
+                     CAST(list_sum(list_transform(range(1, 9),
+                       x -> (strpos('0123456789abcdef',
+                                    substr(md5(node), x, 1)) - 1)
+                            * (16 ** (8 - x)))) AS BIGINT) % 2 AS p
+              FROM k)
+            SELECT k.node,
+                   CASE WHEN par.p = 0 THEN ch.c ELSE k.node END
+                     AS community
+            FROM k
+            JOIN par USING (node)
+            JOIN (SELECT i, c FROM choice WHERE rn = 1) ch
+              ON ch.i = k.node
         """,
         # same brute-force pair set + recursive closure as dedup_groups,
         # then the md5 banding replayed digit-for-digit (exact-integer

@@ -1954,3 +1954,263 @@ def betweenness_sampled(
         out = truncated_checkpoint(out)
     e.unpersist()
     return out
+
+
+def _node_parity(col: Column) -> Column:
+    """Portable node parity: first 8 md5 hex chars mod 2 — the same
+    engine-independent hash family the sampling/split operators use,
+    so the pure-Python Louvain mirror replays it with hashlib."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+
+
+def louvain(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    *,
+    max_levels: int = 3,
+    max_rounds: int = 8,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Deterministic distributed Louvain (Blondel et al. 2008)
+    -> (node, community): modularity-ascent community detection over
+    the undirected simple projection, the standard two-phase loop —
+    local moves until quiet, then coarsen communities to supernodes
+    (internal weight becomes a self loop) and repeat on the community
+    graph.
+
+    The published algorithm is sequential (nodes move one at a time in
+    arbitrary order); this implementation fixes every such freedom so
+    results are bit-identical at any parallelism/partitioning:
+
+    * moves are SYNCHRONOUS, gated by an alternating node-parity
+      schedule (round r moves only nodes with md5-parity r mod 2 — the
+      standard guard against the synchronous swap oscillation, and a
+      pure function of the node id);
+    * a node's target is the argmax of the EXACT-integer gain score
+      ``2m * k_i_in(C) - k_i * (tot(C) - [C = cur] * k_i)`` over its
+      neighbor communities plus its current one (the Blondel ΔQ
+      numerator scaled by 4m² — same int64 discipline and the same
+      ``m < ~1.5e9`` headroom as :func:`modularity_terms`), ties to
+      the smallest community id;
+    * a level ends when a full parity cycle moves nothing (or
+      ``max_rounds``); the algorithm ends when a level moves nothing
+      (or ``max_levels``). Output community ids are canonicalized to
+      the smallest member node id.
+
+    Scale shape per round: one adjacency×assignment equi-join + two
+    aggregations (all shuffling state-sized tables under
+    ``fixpoint_loop_conf``, never the corpus); coarsening is one
+    mapped aggregation that strictly SHRINKS the state, which is the
+    property that makes Louvain the scalable community algorithm.
+    Isolated nodes (no edges) do not appear in the output — as in
+    :func:`modularity_terms`, their singleton communities contribute
+    nothing. Diff-tested against a pure-Python mirror
+    (tests/test_graph.py::TestLouvain); the one-round move kernel is
+    value-checked cross-engine by the ``kg_louvain_round`` contract
+    query.
+    """
+    if max_levels < 1 or max_rounds < 1:
+        raise ValueError("max_levels and max_rounds must be >= 1")
+    from pawpaw_spark.session import fixpoint_loop_conf, truncated_checkpoint
+
+    und = undirected_edges(edges, a_col, b_col)
+    we = und.withColumn("w", F.lit(1).cast("long")).persist()
+    m = we.count()
+    if m == 0:
+        return und.sparkSession.createDataFrame(
+            [], "node string, community string"
+        )
+    m2 = 2 * m
+    loops = we.sparkSession.createDataFrame([], "node string, lw long")
+    gmap = None  # (node, community) over ORIGINAL nodes
+    spark = we.sparkSession
+    with fixpoint_loop_conf(spark, approx_state_rows=2 * m):
+        for _level in range(max_levels):
+            assign, moved = _louvain_level(
+                we, loops, m2, max_rounds, checkpoint_every
+            )
+            gmap = (
+                assign
+                if gmap is None
+                else gmap.join(
+                    assign.select(
+                        F.col("node").alias("community"),
+                        F.col("community").alias("__c2"),
+                    ),
+                    "community",
+                )
+                .select("node", F.col("__c2").alias("community"))
+                .localCheckpoint(eager=True)
+            )
+            if moved == 0:
+                break
+            # coarsen: communities -> supernodes; internal weight and
+            # old self loops become the supernode's self loop
+            ca = assign.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+            cb = assign.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+            mapped = we.join(ca, "a").join(cb, "b")
+            cross = (
+                mapped.filter(F.col("ca") != F.col("cb"))
+                .select(
+                    F.least("ca", "cb").alias("a"),
+                    F.greatest("ca", "cb").alias("b"),
+                    "w",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("w").cast("long").alias("w"))
+            )
+            internal = mapped.filter(F.col("ca") == F.col("cb")).select(
+                F.col("ca").alias("node"), F.col("w").alias("lw")
+            )
+            old_loops = loops.join(
+                assign.select("node", "community"), "node"
+            ).select(F.col("community").alias("node"), "lw")
+            new_loops = (
+                internal.unionByName(old_loops)
+                .groupBy("node")
+                .agg(F.sum("lw").cast("long").alias("lw"))
+            )
+            we_old = we
+            we = cross.localCheckpoint(eager=True)
+            loops = new_loops.localCheckpoint(eager=True)
+            we_old.unpersist()
+            we = we.persist()
+            if we.count() == 0:
+                break  # one community per component: nothing left to move
+        we.unpersist()
+    canon = gmap.groupBy("community").agg(F.min("node").alias("__label"))
+    return gmap.join(canon, "community").select(
+        "node", F.col("__label").alias("community")
+    )
+
+
+def _louvain_strengths(we: DataFrame, loops: DataFrame) -> DataFrame:
+    """(node, k): weighted degree, self loops counting twice."""
+    ends = we.select(F.col("a").alias("node"), "w").unionByName(
+        we.select(F.col("b").alias("node"), "w")
+    )
+    return (
+        ends.unionByName(loops.select("node", (2 * F.col("lw")).alias("w")))
+        .groupBy("node")
+        .agg(F.sum("w").cast("long").alias("k"))
+    )
+
+
+def louvain_move_round(
+    we: DataFrame,
+    loops: DataFrame,
+    assign: DataFrame,
+    m2: int,
+    round_idx: int,
+) -> DataFrame:
+    """ONE synchronous parity-gated Louvain move round over a weighted
+    level graph -> the new (node, community) assignment. Exposed
+    separately so the move kernel is value-checkable cross-engine (the
+    ``kg_louvain_round`` contract query replays round 0 in SQL); the
+    level/phase LOOP is :func:`louvain`."""
+    k = _louvain_strengths(we, loops)
+    adj = we.select(F.col("a").alias("i"), F.col("b").alias("j"), "w").unionByName(
+        we.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
+    )
+    a_i = assign.select(F.col("node").alias("i"), F.col("community").alias("ci"))
+    a_j = assign.select(F.col("node").alias("j"), F.col("community").alias("c"))
+    kiin = (
+        adj.join(a_j, "j")
+        .groupBy("i", "c")
+        .agg(F.sum("w").cast("long").alias("kiin"))
+    )
+    stay0 = a_i.select("i", F.col("ci").alias("c"), F.lit(0).cast("long").alias("kiin"))
+    cand = (
+        kiin.unionByName(stay0)
+        .groupBy("i", "c")
+        .agg(F.max("kiin").alias("kiin"))
+    )
+    tot = (
+        assign.join(k, "node")
+        .groupBy("community")
+        .agg(F.sum("k").cast("long").alias("tot"))
+        .withColumnRenamed("community", "c")
+    )
+    ki = k.select(F.col("node").alias("i"), F.col("k").alias("ki"))
+    scored = (
+        cand.join(a_i, "i")
+        .join(tot, "c")
+        .join(ki, "i")
+        .withColumn(
+            "score",
+            F.lit(int(m2)).cast("long") * F.col("kiin")
+            - F.col("ki")
+            * (
+                F.col("tot")
+                - F.when(F.col("c") == F.col("ci"), F.col("ki")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ),
+        )
+    )
+    choice = scored.groupBy("i").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("ns"), F.col("c").alias("c"))
+        )
+        .getField("c")
+        .alias("__chosen")
+    )
+    return (
+        assign.join(choice, assign["node"] == choice["i"], "left")
+        .withColumn(
+            "community",
+            F.when(
+                (_node_parity(F.col("node")) == F.lit(round_idx % 2))
+                & F.col("__chosen").isNotNull(),
+                F.col("__chosen"),
+            ).otherwise(F.col("community")),
+        )
+        .select("node", "community")
+    )
+
+
+def _louvain_level(
+    we: DataFrame,
+    loops: DataFrame,
+    m2: int,
+    max_rounds: int,
+    checkpoint_every: int,
+) -> tuple:
+    """Local-move phase on one level graph -> (assignment, n_moves):
+    parity-alternating move rounds until a full parity cycle is quiet
+    or ``max_rounds``."""
+    from pawpaw_spark.session import truncated_checkpoint
+
+    nodes = (
+        we.select(F.col("a").alias("node"))
+        .unionByName(we.select(F.col("b").alias("node")))
+        .unionByName(loops.select("node"))
+        .distinct()
+    )
+    assign = nodes.withColumn("community", F.col("node")).persist()
+    assign.count()
+    total_moves = 0
+    quiet = 0
+    for r in range(max_rounds):
+        nxt = louvain_move_round(we, loops, assign, m2, r).persist()
+        moves = (
+            nxt.join(
+                assign.withColumnRenamed("community", "__old"), "node"
+            )
+            .filter(F.col("community") != F.col("__old"))
+            .count()
+        )
+        assign.unpersist()
+        assign = nxt
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            assign = truncated_checkpoint(assign)
+        total_moves += moves
+        quiet = quiet + 1 if moves == 0 else 0
+        if quiet >= 2:  # both parities quiet: the level converged
+            break
+    return assign, total_moves

@@ -6,6 +6,7 @@ import itertools
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from pawpaw_spark.operators.graph import pagerank, triangle_count, undirected_edges
@@ -1655,3 +1656,187 @@ class TestNegativeSamples:
             ).collect()
         }
         assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def _py_louvain(edge_list, max_levels=3, max_rounds=8):
+    """Pure-Python mirror of graph.louvain's fixed-freedom rules:
+    md5-parity synchronous rounds, exact-integer gain argmax with
+    smallest-community ties, quiet-cycle level exit, coarsening with
+    self loops, min-member canonical labels."""
+    import hashlib
+
+    def parity(n):
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:8], 16) % 2
+
+    und = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        und[(a, b)] = 1  # simple projection: duplicates collapse
+    m = len(und)
+    if m == 0:
+        return {}
+    m2 = 2 * m
+    we = dict(und)
+    loops: dict = {}
+    gmap = None
+    for _level in range(max_levels):
+        nodes = sorted({x for e in we for x in e} | set(loops))
+        k = {n: 0 for n in nodes}
+        for (a, b), w in we.items():
+            k[a] += w
+            k[b] += w
+        for n, lw in loops.items():
+            k[n] += 2 * lw
+        assign = {n: n for n in nodes}
+        adj: dict = {n: {} for n in nodes}
+        for (a, b), w in we.items():
+            adj[a][b] = adj[a].get(b, 0) + w
+            adj[b][a] = adj[b].get(a, 0) + w
+        total_moves, quiet = 0, 0
+        for r in range(max_rounds):
+            tot: dict = {}
+            for n, c in assign.items():
+                tot[c] = tot.get(c, 0) + k[n]
+            nxt = dict(assign)
+            moves = 0
+            for i in nodes:
+                kiin: dict = {}
+                for j, w in adj[i].items():
+                    cj = assign[j]
+                    kiin[cj] = kiin.get(cj, 0) + w
+                ci = assign[i]
+                kiin.setdefault(ci, 0)
+                best = None
+                for c, kin in kiin.items():
+                    t = tot[c] - (k[i] if c == ci else 0)
+                    score = m2 * kin - k[i] * t
+                    key = (-score, c)
+                    if best is None or key < best[0]:
+                        best = (key, c)
+                if parity(i) == r % 2 and best[1] != ci:
+                    nxt[i] = best[1]
+                    moves += 1
+            assign = nxt
+            total_moves += moves
+            quiet = quiet + 1 if moves == 0 else 0
+            if quiet >= 2:
+                break
+        gmap = (
+            dict(assign)
+            if gmap is None
+            else {n: assign[c] for n, c in gmap.items()}
+        )
+        if total_moves == 0:
+            break
+        new_we: dict = {}
+        new_loops: dict = {}
+        for (a, b), w in we.items():
+            ca, cb = assign[a], assign[b]
+            if ca == cb:
+                new_loops[ca] = new_loops.get(ca, 0) + w
+            else:
+                key = (min(ca, cb), max(ca, cb))
+                new_we[key] = new_we.get(key, 0) + w
+        for n, lw in loops.items():
+            c = assign[n]
+            new_loops[c] = new_loops.get(c, 0) + lw
+        we, loops = new_we, new_loops
+        if not we:
+            break
+    members: dict = {}
+    for n, c in gmap.items():
+        members.setdefault(c, []).append(n)
+    label = {c: min(ms) for c, ms in members.items()}
+    return {n: label[c] for n, c in gmap.items()}
+
+
+class TestLouvain:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_two_cliques_bridge(self, spark):
+        from pawpaw_spark.operators.graph import louvain
+
+        rows = []
+        for grp in ("abcd", "wxyz"):
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    rows.append((grp[i], grp[j]))
+        rows.append(("d", "w"))  # bridge
+        got = {
+            r.node: r.community
+            for r in louvain(self._edges(spark, rows)).collect()
+        }
+        assert got == _py_louvain(rows)
+        # the mirror agrees AND the partition is the planted one
+        assert len({got[c] for c in "abcd"}) == 1
+        assert len({got[c] for c in "wxyz"}) == 1
+        assert got["a"] != got["w"]
+
+    def test_matches_mirror_on_irregular_graphs(self, spark):
+        from pawpaw_spark.operators.graph import louvain
+
+        cases = [
+            # ring of 6
+            [(str(i), str((i + 1) % 6)) for i in range(6)],
+            # star + tail
+            [("h", x) for x in "abcde"] + [("a", "b"), ("e", "t1"), ("t1", "t2")],
+            # two triangles sharing a node
+            [("a", "b"), ("b", "c"), ("c", "a"),
+             ("c", "d"), ("d", "e"), ("e", "c")],
+            # parallel + self edges exercise the simple projection
+            [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a")],
+        ]
+        for rows in cases:
+            got = {
+                r.node: r.community
+                for r in louvain(self._edges(spark, rows)).collect()
+            }
+            assert got == _py_louvain(rows), rows
+
+    def test_modularity_improves_on_planted(self, spark):
+        from pawpaw_spark.operators.graph import louvain, modularity_terms
+
+        rows = []
+        for base in (0, 10, 20):
+            ids = [f"n{base + i}" for i in range(5)]
+            for i in range(5):
+                for j in range(i + 1, 5):
+                    rows.append((ids[i], ids[j]))
+        rows += [("n0", "n10"), ("n10", "n20")]
+        e = self._edges(spark, rows)
+        part = louvain(e).withColumnRenamed("community", "community")
+        q_l = sum(
+            r.contrib
+            for r in modularity_terms(
+                e, part, node_col="node", community_col="community"
+            ).collect()
+        )
+        singleton = e.selectExpr("src as node").union(
+            e.selectExpr("dst as node")
+        ).distinct().withColumn("community", F.col("node"))
+        q_s = sum(
+            r.contrib
+            for r in modularity_terms(e, singleton).collect()
+        )
+        assert q_l > q_s
+
+    def test_deterministic_across_partitioning(self, spark):
+        from pawpaw_spark.operators.graph import louvain
+
+        rows = [(str(i), str((i + 1) % 8)) for i in range(8)] + [
+            ("0", "4"), ("2", "6")
+        ]
+        e1 = self._edges(spark, rows).repartition(1)
+        e2 = self._edges(spark, rows).repartition(16)
+        g1 = {r.node: r.community for r in louvain(e1).collect()}
+        g2 = {r.node: r.community for r in louvain(e2).collect()}
+        assert g1 == g2
+
+    def test_empty_graph(self, spark):
+        from pawpaw_spark.operators.graph import louvain
+
+        out = louvain(self._edges(spark, [("a", "a")]))  # only a self loop
+        assert out.count() == 0
