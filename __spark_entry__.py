@@ -1892,6 +1892,21 @@ def q_kg_louvain_round(spark, sf_dir):
     return louvain_move_round(we, loops, assign, m2, 0)
 
 
+def q_kg_truss_support(spark, sf_dir):
+    """The k-truss peeling kernel (graph.edge_support): per-edge
+    triangle support over the kernel-extracted call graph — one
+    degree-ordered triangle enumeration mapped back to canonical
+    (a < b) pairs, 0 for triangle-free edges. The oracle enumerates
+    every id-ordered triangle with a three-way self-join and explodes
+    its three edges. The peeling LOOP (graph.ktruss — parallel
+    peel to the maximal fixpoint, strictly shrinking state) is
+    diff-tested against a pure-Python mirror in
+    tests/test_graph.py::TestKtruss."""
+    from pawpaw_spark.operators.graph import edge_support, undirected_edges
+
+    return edge_support(undirected_edges(_call_edges(spark, sf_dir)))
+
+
 def q_kg_kcore(spark, sf_dir):
     """4-core of the undirected call graph via synchronized peeling:
     the per-group missing symbols (degree 1) peel in round one, ring
@@ -2986,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_seed": q_unigram_seed,
         "leakage_split": q_leakage_split,
         "kg_louvain_round": q_kg_louvain_round,
+        "kg_truss_support": q_kg_truss_support,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -4343,6 +4359,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN par USING (node)
             JOIN (SELECT i, c FROM choice WHERE rn = 1) ch
               ON ch.i = k.node
+        """,
+        # truss-support replay: id-ordered triangles by three-way
+        # self-join over the canonical edge set, each triangle's three
+        # edges exploded and counted, triangle-free edges kept at 0
+        "kg_truss_support": f"""
+            WITH {_KG_EDGE_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM e WHERE src <> dst),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            sup AS (
+              SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+                SELECT x AS a, y AS b FROM tri
+                UNION ALL SELECT x, z FROM tri
+                UNION ALL SELECT y, z FROM tri
+              ) GROUP BY a, b)
+            SELECT und.a, und.b,
+                   coalesce(sup.support, 0) AS support
+            FROM und LEFT JOIN sup USING (a, b)
         """,
         # same brute-force pair set + recursive closure as dedup_groups,
         # then the md5 banding replayed digit-for-digit (exact-integer

@@ -2214,3 +2214,124 @@ def _louvain_level(
         if quiet >= 2:  # both parities quiet: the level converged
             break
     return assign, total_moves
+
+
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Triangle enumeration over a canonical undirected edge set
+    -> (x, y, z), each triangle exactly once — the same degree-ordered
+    orientation as :func:`triangle_count` (wedges out of the lowest
+    (deg, id) corner, closed by the oriented third edge), factored out
+    so edge-level consumers (k-truss support) share the plan."""
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("vdeg"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("vdeg").alias("d1"))
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("vdeg").alias("d2")
+    )
+    wedges = e1.join(e2, e1["u"] == e2["u2"]).filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    return wedges.join(closer, ["v1", "v2"]).select(
+        F.col("u").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z")
+    )
+
+
+def edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical undirected edge set
+    -> (a, b, support): the number of triangles each edge closes, 0
+    for triangle-free edges — the k-truss peeling criterion. One
+    triangle enumeration + one aggregation; triangle corners map back
+    to canonical (a < b) pairs with least/greatest."""
+    tris = _oriented_triangles(und)
+
+    def pair(p, q):
+        return tris.select(
+            F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
+        )
+
+    sup = (
+        pair(F.col("x"), F.col("y"))
+        .unionByName(pair(F.col("x"), F.col("z")))
+        .unionByName(pair(F.col("y"), F.col("z")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return und.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "src",
+    b_col: str = "dst",
+    *,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The k-truss of the undirected simple projection -> its edge set
+    (a, b): the maximal subgraph where every edge participates in at
+    least k-2 triangles (Cohen 2008) — the edge-level cohesion
+    analogue of :func:`kcore`, and the standard community-core filter
+    a KG consumer runs before expensive per-community work.
+
+    Distributed peeling: per round, one degree-ordered triangle
+    enumeration over the SURVIVING edges + one support aggregation,
+    then drop every edge below k-2 — all edges peel simultaneously
+    (the parallel variant; the fixpoint is the same as sequential
+    peeling because removing an edge never raises another's support).
+    The graph strictly shrinks every non-final round, so per-round
+    cost falls; state-sized shuffles run under ``fixpoint_loop_conf``.
+    Deterministic trivially (no tie-breaks: the surviving set is a
+    pure function of the input). Raises after ``max_rounds`` rounds
+    without convergence rather than returning a half-peeled set.
+    ``k <= 2`` returns the whole simple projection (every edge is a
+    2-truss). Diff-tested against a pure-Python mirror
+    (tests/test_graph.py::TestKtruss); the round-0 support kernel is
+    value-checked in SQL by the ``kg_truss_support`` contract query.
+    """
+    from pawpaw_spark.session import fixpoint_loop_conf
+
+    und = undirected_edges(edges, a_col, b_col).persist()
+    m = und.count()
+    if k <= 2 or m == 0:
+        return und
+    spark = edges.sparkSession
+    with fixpoint_loop_conf(spark, approx_state_rows=m):
+        cur, n_cur = und, m
+        for _ in range(max_rounds):
+            keep = (
+                edge_support(cur)
+                .filter(F.col("support") >= k - 2)
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n_keep = keep.count()
+            cur.unpersist()
+            cur = keep.persist()
+            if n_keep == n_cur:
+                return cur
+            n_cur = n_keep
+            if n_cur == 0:
+                return cur
+    raise RuntimeError(
+        f"ktruss did not converge in {max_rounds} rounds "
+        f"({n_cur} edges remaining)"
+    )

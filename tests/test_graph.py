@@ -1840,3 +1840,87 @@ class TestLouvain:
 
         out = louvain(self._edges(spark, [("a", "a")]))  # only a self loop
         assert out.count() == 0
+
+
+def _py_ktruss(edge_list, k):
+    """Pure-Python parallel-peeling k-truss mirror."""
+    und = {
+        (min(s, d), max(s, d))
+        for s, d in edge_list
+        if s != d
+    }
+    if k <= 2:
+        return und
+    while True:
+        adj: dict = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        keep = {
+            (a, b)
+            for a, b in und
+            if len(adj[a] & adj[b]) >= k - 2
+        }
+        if keep == und:
+            return und
+        und = keep
+        if not und:
+            return und
+
+
+class TestKtruss:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_support_and_truss_on_clique_plus_tail(self, spark):
+        from pawpaw_spark.operators.graph import (
+            edge_support,
+            ktruss,
+            undirected_edges,
+        )
+
+        # K4 on abcd + a tail d-e-f and one extra triangle d-e-g... no:
+        # tail edges have support 0, the d-e-g triangle gives those
+        # edges support 1
+        rows = [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+            ("d", "e"), ("e", "f"),
+            ("e", "g"), ("d", "g"),
+        ]
+        e = self._edges(spark, rows)
+        sup = {
+            (r.a, r.b): r.support
+            for r in edge_support(undirected_edges(e)).collect()
+        }
+        assert sup[("a", "b")] == 2  # triangles abc, abd
+        assert sup[("d", "e")] == 1  # triangle deg
+        assert sup[("e", "f")] == 0
+        for k in (3, 4, 5):
+            got = {(r.a, r.b) for r in ktruss(e, k).collect()}
+            assert got == _py_ktruss(rows, k), k
+        # 4-truss is exactly the K4; 5-truss empty
+        assert {(r.a, r.b) for r in ktruss(e, 4).collect()} == {
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+        }
+        assert ktruss(e, 5).count() == 0
+
+    def test_cascade_peel(self, spark):
+        from pawpaw_spark.operators.graph import ktruss
+
+        # chain of triangles: peeling one layer cascades
+        rows = []
+        for i in range(5):
+            a, b, c = f"x{i}", f"x{i+1}", f"y{i}"
+            rows += [(a, b), (a, c), (b, c)]
+        got = {(r.a, r.b) for r in ktruss(self._edges(spark, rows), 3).collect()}
+        assert got == _py_ktruss(rows, 3)
+        assert ktruss(self._edges(spark, rows), 4).count() == 0
+
+    def test_k2_is_projection(self, spark):
+        from pawpaw_spark.operators.graph import ktruss
+
+        rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "c")]
+        got = {(r.a, r.b) for r in ktruss(self._edges(spark, rows), 2).collect()}
+        assert got == {("a", "b"), ("b", "c")}
