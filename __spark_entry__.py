@@ -2233,6 +2233,29 @@ def q_kg_walks(spark, sf_dir):
     )
 
 
+def q_kg_node2vec(spark, sf_dir):
+    """node2vec second-order biased walks (graph.biased_walks) from
+    the 16 group hubs: w_return=1, w_common=4, w_far=16 (p=4, q=0.25
+    scaled to integers — the DFS-leaning regime), successor =
+    cumulative-integer-weight pick at md5(seed:walk:step) mod total
+    over dst-sorted candidates. Everything is integer-exact, so the
+    oracle replays the FULL second-order recurrence step-unrolled in
+    SQL (weights classed by a LEFT JOIN against the prev->dst edge
+    set, the same window cumulation, the same hex hash)."""
+    from pawpaw_spark.operators.graph import biased_walks
+
+    return biased_walks(
+        _call_edges(spark, sf_dir),
+        _kg_hub_seeds(spark),
+        length=5,
+        w_return=1,
+        w_common=4,
+        w_far=16,
+        walks_per_start=2,
+        seed="n2v0",
+    )
+
+
 def q_kg_optional(spark, sf_dir):
     """OPTIONAL (left-join) motif over the fused kernel triples:
     ``(?s REFERENCES ?t) OPTIONAL { (?g DEFINES ?t) }`` aggregated per
@@ -3002,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "kg_louvain_round": q_kg_louvain_round,
         "kg_truss_support": q_kg_truss_support,
+        "kg_node2vec": q_kg_node2vec,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -3448,6 +3472,63 @@ def _kg_walks_base(length: int = 6, wps: int = 2, seed: str = "w0") -> str:
     ]
     parts.append(", wk AS (" + " UNION ALL ".join(selects) + ")")
     return "".join(parts)
+
+
+def _kg_node2vec_sql(
+    length: int, wps: int, seed: str, wr: int, wc: int, wf: int
+) -> str:
+    """Step-unrolled WITH-clause mirroring graph.biased_walks(): per
+    step, candidates classed return / common-neighbor / far by a LEFT
+    JOIN against the (prev -> dst) edge set, integer weights cumulated
+    over dst order, and the winner picked at md5(seed:walk:step) mod
+    total — every operation integer-exact, so the replay is bit-level."""
+    hexint = (
+        "CAST(list_sum(list_transform(range(1, 9), x -> "
+        "(strpos('0123456789abcdef', substr(md5('{expr}'), x, 1)) - 1)"
+        " * (16 ** (8 - x)))) AS BIGINT)"
+    )
+    parts = [
+        f"WITH {_KG_EDGE_CTE},",
+        f"""
+        s0 AS (
+          SELECT 'sym:f_' || g || '#' || i AS walk_id,
+                 CAST(NULL AS VARCHAR) AS prev,
+                 'sym:f_' || g AS cur
+          FROM range(0, {_KG_GROUPS}) t(g), range(0, {wps}) u(i))""",
+    ]
+    for s in range(1, length + 1):
+        h = hexint.format(expr=f"{seed}:' || f.walk_id || ':{s}")
+        parts.append(
+            f""",
+            c{s} AS (
+              SELECT f.walk_id, f.cur, e.dst,
+                     CASE WHEN f.prev IS NULL THEN {wc}
+                          WHEN e.dst = f.prev THEN {wr}
+                          WHEN mk.mdst IS NOT NULL THEN {wc}
+                          ELSE {wf} END AS w,
+                     {h} AS h
+              FROM s{s - 1} f
+              JOIN e ON f.cur = e.src
+              LEFT JOIN e mk(mprev, mdst)
+                ON mk.mprev = f.prev AND mk.mdst = e.dst),
+            a{s} AS (
+              SELECT *,
+                     sum(w) OVER (PARTITION BY walk_id ORDER BY dst
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - w AS cum,
+                     sum(w) OVER (PARTITION BY walk_id) AS total
+              FROM c{s}),
+            s{s} AS (
+              SELECT walk_id, cur AS prev, dst AS cur
+              FROM a{s}
+              WHERE (h % total) >= cum AND (h % total) < cum + w)"""
+        )
+    selects = [
+        f"SELECT walk_id, CAST({s} AS INTEGER) AS step, cur AS node "
+        f"FROM s{s}"
+        for s in range(length + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _kg_walks_sql(length: int = 6, wps: int = 2, seed: str = "w0") -> str:
@@ -4879,6 +4960,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_weighted": _kg_wpr_sql(iters=3, damping=0.85),
         "kg_hits": _kg_hits_sql(iters=2),
         "kg_walks": _kg_walks_sql(length=6, wps=2, seed="w0"),
+        "kg_node2vec": _kg_node2vec_sql(
+            length=5, wps=2, seed="n2v0", wr=1, wc=4, wf=16
+        ),
         "kg_walk_pairs": _kg_walk_pairs_sql(
             length=6, wps=2, seed="w0", window=2
         ),

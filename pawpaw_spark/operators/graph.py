@@ -2335,3 +2335,138 @@ def ktruss(
         f"ktruss did not converge in {max_rounds} rounds "
         f"({n_cur} edges remaining)"
     )
+
+
+def biased_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    length: int = 4,
+    *,
+    w_return: int = 1,
+    w_common: int = 1,
+    w_far: int = 1,
+    walks_per_start: int = 1,
+    seed: str = "n2v0",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walks -> (walk_id, step,
+    node): like :func:`random_walks`, but the successor distribution
+    depends on the PREVIOUS node (Grover & Leskovec 2016) — candidates
+    weight ``w_return`` when stepping back to the previous node,
+    ``w_common`` when the candidate is also an out-neighbor of the
+    previous node (BFS-ish, node2vec's alpha=1), ``w_far`` otherwise
+    (DFS-ish). node2vec's (1/p, 1, 1/q) parametrization is these
+    weights up to scaling, so INTEGER weights lose no generality
+    (p=4, q=0.25 == w_return=1, w_common=4, w_far=16) and buy exact
+    cross-engine replay: the choice is cumulative-integer-weight
+    selection at ``md5(seed:walk:step) mod total_weight`` over
+    dst-sorted candidates — no float sampling, no platform log/pow,
+    bit-identical anywhere (modulo bias is < 1e-9 for the 32-bit hash
+    against walk-local weight totals; the same trade
+    sampling.deterministic_sample documents for its hex threshold).
+
+    Per step: one frontier-edge equi-join (successor candidates), one
+    left semi-style marker join against (prev -> dst) edges for the
+    common-neighbor class, one per-walk window (cumulative weights
+    over |walks| x out-degree rows — walk-state-sized, never the
+    graph). Step 1 has no previous node: every candidate weighs
+    ``w_common``, reproducing random_walks' uniform first hop. Walks
+    end early at sinks. First-order uniform walks remain
+    :func:`random_walks` (one aggregation per step, no window, no
+    marker join) — use it unless second-order bias is wanted.
+    Diff-tested against a pure-Python mirror
+    (tests/test_graph.py::TestBiasedWalks); the ``kg_node2vec``
+    contract query replays the full recurrence, step-unrolled, in SQL.
+    """
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    if min(w_return, w_common, w_far) < 1:
+        raise ValueError("weights must be integers >= 1")
+    if walks_per_start < 1:
+        raise ValueError("walks_per_start must be >= 1")
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    marker = e.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"),
+        F.lit(1).alias("__common"),
+    )
+    state = (
+        starts.select(F.col("node")).distinct()
+        .select(
+            F.explode(
+                F.array(*[F.lit(i) for i in range(walks_per_start)])
+            ).alias("i"),
+            F.col("node").alias("cur"),
+        )
+        .select(
+            F.concat_ws("#", F.col("cur"), F.col("i")).alias("walk_id"),
+            F.lit(None).cast(starts.schema["node"].dataType).alias("prev"),
+            "cur",
+        )
+    )
+    frames = [
+        state.select(
+            "walk_id", F.lit(0).cast("int").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for s in range(1, length + 1):
+        cands = (
+            state.join(e, state["cur"] == e["src"])
+            .select("walk_id", "prev", "cur", "dst")
+            .join(marker, ["prev", "dst"], "left")
+        )
+        w = (
+            F.when(F.col("prev").isNull(), F.lit(w_common))
+            .when(F.col("dst") == F.col("prev"), F.lit(w_return))
+            .when(F.col("__common").isNotNull(), F.lit(w_common))
+            .otherwise(F.lit(w_far))
+            .cast("long")
+        )
+        win = Window.partitionBy("walk_id").orderBy("dst")
+        hrow = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), F.col("walk_id"),
+                                      F.lit(str(s)))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+        )
+        scored = cands.select(
+            "walk_id", "cur", "dst",
+            w.alias("w"),
+            (F.sum(w).over(win) - w).alias("cum"),
+            F.sum(w).over(
+                Window.partitionBy("walk_id").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("total"),
+            hrow.alias("h"),
+        )
+        state = scored.filter(
+            ((F.col("h") % F.col("total")) >= F.col("cum"))
+            & ((F.col("h") % F.col("total")) < F.col("cum") + F.col("w"))
+        ).select(
+            "walk_id", F.col("cur").alias("prev"), F.col("dst").alias("cur")
+        )
+        if checkpoint_every and s % checkpoint_every == 0 and s < length:
+            state = truncated_checkpoint(state)
+        frames.append(
+            state.select(
+                "walk_id", F.lit(s).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.union(f)
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -1924,3 +1924,126 @@ class TestKtruss:
         rows = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "c")]
         got = {(r.a, r.b) for r in ktruss(self._edges(spark, rows), 2).collect()}
         assert got == {("a", "b"), ("b", "c")}
+
+
+def _py_biased_walks(edge_list, start_nodes, length, w_return, w_common,
+                     w_far, seed="n2v0", walks_per_start=1):
+    """Pure-Python mirror of graph.biased_walks' recurrence."""
+    import hashlib
+
+    adj: dict = {}
+    eset = set()
+    for s, d in set(edge_list):
+        adj.setdefault(s, set()).add(d)
+        eset.add((s, d))
+    rows = []
+    for n in sorted(set(start_nodes)):
+        for i in range(walks_per_start):
+            wid = f"{n}#{i}"
+            prev, cur = None, n
+            rows.append((wid, 0, cur))
+            for step in range(1, length + 1):
+                nbrs = sorted(adj.get(cur, ()))
+                if not nbrs:
+                    break
+                ws = []
+                for d in nbrs:
+                    if prev is None:
+                        ws.append(w_common)
+                    elif d == prev:
+                        ws.append(w_return)
+                    elif (prev, d) in eset:
+                        ws.append(w_common)
+                    else:
+                        ws.append(w_far)
+                total = sum(ws)
+                h = int(
+                    hashlib.md5(f"{seed}:{wid}:{step}".encode())
+                    .hexdigest()[:8],
+                    16,
+                )
+                r = h % total
+                acc = 0
+                for d, w in zip(nbrs, ws):
+                    if acc <= r < acc + w:
+                        nxt = d
+                        break
+                    acc += w
+                prev, cur = cur, nxt
+                rows.append((wid, step, cur))
+    return set(rows)
+
+
+class TestBiasedWalks:
+    def _graph(self, spark):
+        rows = [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+            ("b", "d"), ("d", "b"), ("c", "d"), ("d", "c"),
+            ("d", "e"), ("e", "d"), ("a", "c"), ("c", "a"),
+        ]
+        return rows, spark.createDataFrame(rows, "src string, dst string")
+
+    def test_matches_mirror_across_biases(self, spark):
+        from pawpaw_spark.operators.graph import biased_walks
+
+        rows, e = self._graph(spark)
+        starts = spark.createDataFrame([("a",), ("d",)], "node string")
+        for wr, wc, wf in ((1, 1, 1), (1, 4, 16), (8, 2, 1)):
+            got = {
+                (r.walk_id, r.step, r.node)
+                for r in biased_walks(
+                    e, starts, length=5, w_return=wr, w_common=wc,
+                    w_far=wf, walks_per_start=2,
+                ).collect()
+            }
+            want = _py_biased_walks(
+                rows, ["a", "d"], 5, wr, wc, wf, walks_per_start=2
+            )
+            assert got == want, (wr, wc, wf)
+
+    def test_sink_ends_walk(self, spark):
+        from pawpaw_spark.operators.graph import biased_walks
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "sink")], "src string, dst string"
+        )
+        starts = spark.createDataFrame([("a",)], "node string")
+        got = sorted(
+            (r.step, r.node)
+            for r in biased_walks(e, starts, length=9).collect()
+        )
+        assert got == [(0, "a"), (1, "b"), (2, "sink")]
+
+    def test_bias_shifts_distribution(self, spark):
+        from pawpaw_spark.operators.graph import biased_walks
+
+        # star: hub h with spokes; from a spoke, step 2 either returns
+        # to the spoke (w_return) or goes far (w_far). With w_return
+        # huge, every walk bounces back; with w_far huge, none does.
+        e = []
+        for x in "abcdefgh":
+            e += [("hub", x), (x, "hub")]
+        edf = spark.createDataFrame(e, "src string, dst string")
+        starts = spark.createDataFrame([(x,) for x in "abcdefgh"],
+                                       "node string")
+
+        def step2(wr, wf):
+            out = biased_walks(
+                edf, starts, length=2, w_return=wr, w_common=1, w_far=wf
+            )
+            return {
+                r.walk_id: r.node for r in out.filter("step = 2").collect()
+            }
+
+        bounce = step2(1000000, 1)
+        assert all(w.split("#")[0] == n for w, n in bounce.items())
+        roam = step2(1, 1000000)
+        assert all(w.split("#")[0] != n for w, n in roam.items())
+
+    def test_validation(self, spark):
+        from pawpaw_spark.operators.graph import biased_walks
+
+        _, e = self._graph(spark)
+        starts = spark.createDataFrame([("a",)], "node string")
+        with pytest.raises(ValueError, match=">= 1"):
+            biased_walks(e, starts, length=2, w_return=0)
