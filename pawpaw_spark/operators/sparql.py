@@ -19,7 +19,7 @@ Supported grammar (a deliberately small, canonical-layout subset —
 see the parser doc for the exact token rules):
 
 * ``SELECT [DISTINCT] (?v | (FN([DISTINCT] ?v|*) AS ?alias) ... | *)
-  WHERE { ... } [GROUP BY ?v ...] [ORDER BY key ...] [LIMIT n]``
+  WHERE { ... } [GROUP BY ?v ...] [HAVING ( ?alias op num ) ...]\n  [ORDER BY key ...] [LIMIT n]``
   where ``FN`` is ``COUNT`` / ``SUM`` / ``MIN`` / ``MAX`` / ``AVG``
   and an order key is ``?v`` / ``ASC(?v)`` / ``DESC(?v)``
 * ``CONSTRUCT { template triples } WHERE { ... }``
@@ -53,9 +53,8 @@ top-k + a driver-side k-merge, never a full sort), UNION to a
 zero-shuffle unionByName, VALUES to a broadcast inner join on the
 shared variables (the literal table is driver-literal-sized by
 construction). Out of scope (raise or parse error): ``;``/``,``
-predicate-object lists, HAVING (filter the returned DataFrame — it
-IS a DataFrame), expressions beyond a single aggregate per alias,
-subqueries, OFFSET.
+predicate-object lists, expressions beyond a single aggregate per
+alias and a single comparison per HAVING clause, subqueries, OFFSET.
 
 Aggregation semantics note: the WHERE solutions feeding GROUP BY are
 the DISTINCT variable bindings (SPARQL's solution multiset over a
@@ -314,10 +313,37 @@ class _P:
         return items
 
     def modifiers(self):
-        """Post-WHERE solution modifiers -> (group_by, order_by, limit)."""
-        group_by, order_by, limit = [], [], None
+        """Post-WHERE solution modifiers -> (group_by, having,
+        order_by, limit)."""
+        group_by, having, order_by, limit = [], [], [], None
         while self.peek() is not None:
             kw = self.take().lower()
+            if kw == "having":
+                while self.peek() == "(":
+                    self.take("(")
+                    v = self.take()
+                    op = self.take()
+                    num = self.take()
+                    self.take(")")
+                    if not v.startswith("?"):
+                        raise ValueError(
+                            f"HAVING expects ( ?var op number ), got {v!r}"
+                        )
+                    if op not in (">", ">=", "<", "<=", "=", "!="):
+                        raise ValueError(f"unsupported HAVING operator {op!r}")
+                    try:
+                        val = int(num)
+                    except ValueError:
+                        try:
+                            val = float(num)
+                        except ValueError:
+                            raise ValueError(
+                                f"HAVING expects a numeric literal, got {num!r}"
+                            ) from None
+                    having.append((v[1:], op, val))
+                if not having:
+                    raise ValueError("HAVING needs at least one ( ... )")
+                continue
             if kw == "group":
                 self.take("by")
                 while (p := self.peek()) is not None and p.startswith("?"):
@@ -358,7 +384,7 @@ class _P:
             else:
                 raise ValueError(f"trailing tokens after WHERE group: "
                                  f"{self.toks[self.i - 1:]}")
-        return group_by, order_by, limit
+        return group_by, having, order_by, limit
 
     def template(self):
         self.take("{")
@@ -422,13 +448,16 @@ def parse_sparql(query: str, *, type_pred: str = "type") -> dict:
             raise ValueError(
                 f"trailing tokens after WHERE group: {p.toks[p.i:]}"
             )
-        out.update(group_by=[], order_by=[], limit=None)
+        out.update(group_by=[], having=[], order_by=[], limit=None)
     else:
-        group_by, order_by, limit = p.modifiers()
-        out.update(group_by=group_by, order_by=order_by, limit=limit)
+        group_by, having, order_by, limit = p.modifiers()
+        out.update(group_by=group_by, having=having, order_by=order_by,
+                   limit=limit)
     has_agg = any(it[0] == "agg" for it in (out["items"] or ()))
     if out["group_by"] and not has_agg:
         raise ValueError("GROUP BY requires at least one aggregate in SELECT")
+    if out.get("having") and not has_agg:
+        raise ValueError("HAVING requires an aggregating SELECT")
     if has_agg:
         bad = [it[1] for it in out["items"] if it[0] == "var"
                and it[1] not in out["group_by"]]
@@ -609,6 +638,15 @@ def sparql(
         out = grouped.agg(*aggs)
         order = [it[1] if it[0] == "var" else it[4] for it in items]
         out = out.select(*order)
+        _OPS = {">": "__gt__", ">=": "__ge__", "<": "__lt__",
+                "<=": "__le__", "=": "__eq__", "!=": "__ne__"}
+        for v, op, val in plan.get("having", ()):
+            if v not in out.columns:
+                raise ValueError(
+                    f"HAVING variable ?{v} not in the result "
+                    f"(columns: {out.columns})"
+                )
+            out = out.filter(getattr(F.col(v), _OPS[op])(F.lit(val)))
     elif items is not None:
         names = [it[1] for it in items]
         missing = [v for v in names if v not in out.columns]

@@ -296,6 +296,21 @@ class TestModifiers:
         )
         assert [tuple(r) for r in q.collect()] == [("s3", 2)]
 
+    def test_having(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s REFERENCES ?t } "
+            "GROUP BY ?s HAVING ( ?n > 1 )",
+        )
+        assert _t(q) == {("s3", 2)}
+        with pytest.raises(ValueError, match="HAVING requires"):
+            sparql(e, "SELECT ?s WHERE { ?s REFERENCES ?t } "
+                      "HAVING ( ?s > 1 )")
+        with pytest.raises(ValueError, match="unsupported HAVING operator"):
+            sparql(e, "SELECT (COUNT(*) AS ?n) WHERE { ?s REFERENCES ?t } "
+                      "HAVING ( ?n ~ 1 )")
+
     def test_sum_casts_numeric_strings(self, spark):
         e = _triples(
             spark,
