@@ -48,6 +48,16 @@ def main() -> None:
         "any RDF toolchain)",
     )
     p.add_argument(
+        "--communities", action="store_true",
+        help="also run deterministic Louvain over the symbol call "
+        "graph and write (node, community) under <output>/communities",
+    )
+    p.add_argument(
+        "--truss", type=int, default=0, metavar="K",
+        help="also extract the K-truss of the symbol call graph and "
+        "write its edge set under <output>/truss (cohesive cores)",
+    )
+    p.add_argument(
         "--snapshot", action="store_true",
         help="collapse a multi-commit source to the latest row per "
         "(repo, path) before building (day-2 ingest; commit must be a "
@@ -158,6 +168,24 @@ def main() -> None:
             f"{args.output}/ntriples"
         )
         stats["ntriples"] = stats["edges"]
+    if args.communities or args.truss:
+        from pyspark.sql import functions as F
+
+        refs = res["edges"].filter(F.col("pred") == "REFERENCES")
+        if args.communities:
+            from pawpaw_spark.operators.graph import louvain
+
+            comm = louvain(refs, "subj", "obj")
+            comm.write.mode("overwrite").parquet(
+                f"{args.output}/communities"
+            )
+            stats["communities"] = comm.select("community").distinct().count()
+        if args.truss:
+            from pawpaw_spark.operators.graph import ktruss
+
+            truss = ktruss(refs, args.truss, "subj", "obj")
+            truss.write.mode("overwrite").parquet(f"{args.output}/truss")
+            stats["truss_edges"] = truss.count()
     stats["triples_per_sec"] = round(stats["edges"] / stats["wall_sec"], 1)
     print(json.dumps(stats))
     spark.stop()
