@@ -403,3 +403,57 @@ class TestDeclarativeQueryPlans:
         assert "partial" in plan.lower(), plan
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+
+class TestRound4ContPlanShape:
+    """Plan guards for the continuation operators: SPARQL modifiers,
+    tokenizer kernels, leakage split, Louvain/truss/node2vec — the
+    same fail-loudly properties as TestExpensiveQueryPlanShape."""
+
+    def _p(self, spark, name):
+        return _plan(E.queries()[name](spark, SF))
+
+    def test_sparql_agg_is_topk_not_full_sort(self, spark):
+        plan = self._p(spark, "kg_sparql_agg")
+        # ORDER BY + LIMIT compiles to a top-k, never a global sort
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "partial_count" in plan, plan
+
+    def test_sparql_union_values_broadcasts_literals(self, spark):
+        plan = self._p(spark, "kg_sparql_union")
+        # the VALUES literal table rides a broadcast semi join
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    def test_tokenizer_kernels_partial_agg_no_python(self, spark):
+        for name in ("wordpiece_scores", "unigram_seed"):
+            plan = self._p(spark, name)
+            assert "partial_sum" in plan or "partial_count" in plan, (name, plan)
+            assert "BatchEvalPython" not in plan, name
+            assert "MapInPandas" not in plan, name
+        # the seed top-k cut is TakeOrdered, not a full sort
+        assert "TakeOrderedAndProject" in self._p(spark, "unigram_seed")
+
+    def test_leakage_split_no_python_no_corpus_shuffle_blowup(self, spark):
+        plan = self._p(spark, "leakage_split")
+        assert "BatchEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_louvain_round_equi_joins_only(self, spark):
+        plan = self._p(spark, "kg_louvain_round")
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+        assert "partial_sum" in plan or "partial_count" in plan, plan
+
+    def test_truss_support_equi_joins_only(self, spark):
+        plan = self._p(spark, "kg_truss_support")
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_node2vec_materialized_artifact_no_python(self, spark):
+        # biased_walks returns an eagerly checkpointed artifact (the
+        # walk corpus is consumed many times downstream), so the final
+        # plan is the materialized scan; the per-step window shape is
+        # pinned by the bit-level SQL replay (kg_node2vec oracle) and
+        # TestBiasedWalks
+        plan = self._p(spark, "kg_node2vec")
+        assert "Scan ExistingRDD" in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
