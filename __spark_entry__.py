@@ -2707,6 +2707,23 @@ def q_kg_harmonic(spark, sf_dir):
     )
 
 
+def q_kg_closeness(spark, sf_dir):
+    """HyperBall truncated closeness centrality (sketch.
+    closeness_centrality) over the constructed tree: incoming-distance
+    reach / sum-of-distances within radius 4, from the same per-radius
+    register history as kg_harmonic — correction=False pins the raw
+    HLL chain so every double (reach, closeness = reach/sum_dist) is
+    bit-identical cross-engine; the oracle replays propagation,
+    estimation AND the fixed-order gain combination end to end."""
+    from pawpaw_spark.operators.sketch import closeness_centrality
+
+    e = _tree_facts(spark, sf_dir).filter(F.col("pred") == "CHILD_OF")
+    return closeness_centrality(
+        e, b=6, max_radius=4, src_col="subj", dst_col="obj",
+        reverse=True, correction=False,
+    )
+
+
 def q_kg_construct(spark, sf_dir):
     """SPARQL CONSTRUCT (graph_query.construct) over the fused kernel
     triples: derive CALLS_SYM edges (the call relation between DEFINED
@@ -3026,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_louvain_round": q_kg_louvain_round,
         "kg_truss_support": q_kg_truss_support,
         "kg_node2vec": q_kg_node2vec,
+        "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_shacl": q_kg_shacl,
@@ -4045,6 +4063,48 @@ def oracle_sql() -> dict[str, str]:
                      + greatest(e3 - e2, 0.0) / 3.0
                      + greatest(e4 - e3, 0.0) / 4.0 AS harmonic_est
             FROM wide
+        """,
+        # same register CTE as kg_harmonic; the final combination is
+        # the fixed-order gain chain reach / sum_dist
+        "kg_closeness": f"""
+            WITH
+            k AS (SELECT c_custkey + 1 AS k FROM customer),
+            e AS (SELECT 'n' || (k // 2) AS c, 'n' || k AS p
+                  FROM k WHERE k >= 2),
+            {_hyperball_cte(6, 4)},
+            agg AS (
+              SELECT radius, node,
+                     count(*) AS present,
+                     sum((CAST(1 AS BIGINT) << (59 - max_rho))) AS sp
+              FROM hist GROUP BY radius, node),
+            raw AS (
+              SELECT radius, node,
+                     {0.709 * 64 * 64 * float(1 << 59)!r} /
+                       CAST(sp + (64 - present)::HUGEINT *
+                            576460752303423488::HUGEINT AS DOUBLE) AS est
+              FROM agg),
+            wide AS (
+              SELECT node,
+                     max(CASE WHEN radius = 0 THEN est END) AS e0,
+                     max(CASE WHEN radius = 1 THEN est END) AS e1,
+                     max(CASE WHEN radius = 2 THEN est END) AS e2,
+                     max(CASE WHEN radius = 3 THEN est END) AS e3,
+                     max(CASE WHEN radius = 4 THEN est END) AS e4
+              FROM raw GROUP BY node),
+            g AS (
+              SELECT node,
+                     greatest(e1 - e0, 0.0) AS g1,
+                     greatest(e2 - e1, 0.0) AS g2,
+                     greatest(e3 - e2, 0.0) AS g3,
+                     greatest(e4 - e3, 0.0) AS g4
+              FROM wide)
+            SELECT node,
+                   g1 + g2 + g3 + g4 AS reach_est,
+                   CASE WHEN (g1 * 1.0 + g2 * 2.0 + g3 * 3.0 + g4 * 4.0) > 0
+                        THEN (g1 + g2 + g3 + g4)
+                             / (g1 * 1.0 + g2 * 2.0 + g3 * 3.0 + g4 * 4.0)
+                        ELSE 0.0 END AS closeness_est
+            FROM g
         """,
         "extract_token_counts": f"""
             SELECT lang,

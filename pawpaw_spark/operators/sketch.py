@@ -333,6 +333,68 @@ def harmonic_centrality(
     return wide.select("node", h.cast("double").alias("harmonic_est"))
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    b: int = 8,
+    max_radius: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reverse: bool = True,
+    correction: bool = True,
+) -> DataFrame:
+    """Approximate (truncated) closeness centrality per node ->
+    (node, reach_est, closeness_est): C(v) = reach(v) / sum_dist(v)
+    with reach(v) = |{u != v : d <= max_radius}| and sum_dist(v) =
+    sum of d(u, v) over those u, both estimated from the same
+    HyperBall register history as :func:`harmonic_centrality` — the
+    reciprocal-of-average-distance form (bounded [0, 1], robust to
+    the truncation radius; multiply by reach/(n-1) for Lin's index).
+
+    Same determinism contract as harmonic: the per-radius increments
+    g_t = max(e_t - e_{t-1}, 0) combine in one fixed left-to-right
+    expression (reach = sum g_t, sum_dist = sum t*g_t), so with
+    ``correction=False`` every double is bit-identical cross-engine
+    and the ``kg_closeness`` contract oracle replays propagation and
+    estimation end to end. Nodes with an empty truncated ball
+    (sum_dist = 0) report closeness 0.0."""
+    from functools import reduce
+
+    if max_radius < 1:
+        raise ValueError("max_radius must be >= 1")
+    s_col, d_col = (dst_col, src_col) if reverse else (src_col, dst_col)
+    hist = hyperball_registers(
+        edges, b=b, max_radius=max_radius, src_col=s_col, dst_col=d_col
+    )
+    per_ball = hll_estimate(
+        hist, b=b, group_cols=("radius", "node"), correction=correction
+    )
+    wide = per_ball.groupBy("node").agg(
+        *[
+            F.max(
+                F.when(F.col("radius") == t, F.col("n_distinct_est"))
+            ).alias(f"e{t}")
+            for t in range(max_radius + 1)
+        ]
+    )
+    gains = [
+        F.greatest(F.col(f"e{t}") - F.col(f"e{t-1}"), F.lit(0.0))
+        for t in range(1, max_radius + 1)
+    ]
+    reach = reduce(lambda a, c: a + c, gains)
+    sum_dist = reduce(
+        lambda a, c: a + c,
+        [g * F.lit(float(t)) for t, g in enumerate(gains, start=1)],
+    )
+    return wide.select(
+        "node",
+        reach.cast("double").alias("reach_est"),
+        F.when(sum_dist > 0, reach / sum_dist)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("closeness_est"),
+    )
+
+
 def effective_diameter(
     nf: DataFrame, alpha: float = 0.9
 ) -> float:

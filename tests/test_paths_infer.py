@@ -907,3 +907,81 @@ class TestHarmonicCentrality:
         df = spark.createDataFrame([("a", "b")], "src string, dst string")
         with pytest.raises(ValueError, match="max_radius"):
             harmonic_centrality(df, max_radius=0)
+
+
+class TestClosenessCentrality:
+    def test_chain_accuracy(self, spark):
+        from pawpaw_spark.operators.sketch import closeness_centrality
+
+        n, R = 13, 6
+        chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)]
+        df = spark.createDataFrame(chain, "src string, dst string")
+        got = {
+            r.node: (r.reach_est, r.closeness_est)
+            for r in closeness_centrality(df, b=12, max_radius=R).collect()
+        }
+        for i in range(n):
+            reach = min(i, R)
+            if reach == 0:
+                assert got[f"n{i:02d}"] == (0.0, 0.0)
+            else:
+                sum_d = sum(range(1, reach + 1))
+                exact = reach / sum_d
+                est = got[f"n{i:02d}"][1]
+                assert abs(est - exact) / exact < 0.1, (i, est, exact)
+
+    def test_star_and_outgoing(self, spark):
+        from pawpaw_spark.operators.sketch import closeness_centrality
+
+        star = [(f"l{i}", "c") for i in range(5)]
+        df = spark.createDataFrame(star, "src string, dst string")
+        got = {
+            r.node: r.closeness_est
+            for r in closeness_centrality(df, b=12, max_radius=3).collect()
+        }
+        # every path into c has length 1 -> closeness ~1; leaves 0
+        assert all(got[f"l{i}"] == 0.0 for i in range(5))
+        assert abs(got["c"] - 1.0) < 0.05
+        out = {
+            r.node: r.closeness_est
+            for r in closeness_centrality(
+                df, b=12, max_radius=3, reverse=False
+            ).collect()
+        }
+        assert out["c"] == 0.0 and all(
+            abs(out[f"l{i}"] - 1.0) < 0.05 for i in range(5)
+        )
+
+    def test_raw_mode_matches_harmonic_pivot_chain(self, spark):
+        # correction=False: closeness combines the SAME e_t estimates
+        # harmonic uses; verify reach/sum_dist against values pivoted
+        # out of the shared per-ball estimate table
+        from pawpaw_spark.operators.sketch import (
+            closeness_centrality,
+            hll_estimate,
+            hyperball_registers,
+        )
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+        b, R = 6, 3
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: (r.reach_est, r.closeness_est)
+            for r in closeness_centrality(
+                df, b=b, max_radius=R, correction=False
+            ).collect()
+        }
+        hist = hyperball_registers(df, b=b, max_radius=R,
+                                   src_col="dst", dst_col="src")
+        est = hll_estimate(hist, b=b, group_cols=("radius", "node"),
+                           correction=False)
+        per = {}
+        for r in est.collect():
+            per.setdefault(r.node, {})[r.radius] = r.n_distinct_est
+        for node, (reach, clo) in got.items():
+            e = per[node]
+            gains = [max(e[t] - e[t - 1], 0.0) for t in range(1, R + 1)]
+            want_reach = gains[0] + gains[1] + gains[2]
+            want_sum = gains[0] * 1.0 + gains[1] * 2.0 + gains[2] * 3.0
+            assert reach == want_reach
+            assert clo == (want_reach / want_sum if want_sum > 0 else 0.0)
