@@ -2992,6 +2992,57 @@ def q_kg_sparql_union(spark, sf_dir):
     )
 
 
+def q_kg_sparql_filter(spark, sf_dir):
+    """SPARQL expression layer end to end: BIND (STRLEN / CONCAT /
+    UCASE), general FILTER comparisons (numeric >= via try_cast,
+    lexicographic <), and OFFSET-before-LIMIT pagination — all parsed
+    from query TEXT (operators/sparql.py) and compiled to pure column
+    expressions + one TakeOrderedAndProject (?f is unique per DEFINES
+    solution, so the ORDER BY is total and the page deterministic).
+    The oracle replays the expressions in SQL (UPPER/LENGTH/string
+    compare) over the reconstructed defs table."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?f ?u ?n WHERE {
+          ?f DEFINES ?s .
+          BIND ( STRLEN ( ?s ) AS ?n )
+          BIND ( CONCAT ( "def:" UCASE ( ?s ) ) AS ?u )
+          FILTER ( ?n >= 8 )
+          FILTER ( ?s < "sym:f_3" )
+        }
+        ORDER BY ?f LIMIT 60 OFFSET 5
+        """,
+    )
+
+
+def q_kg_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 subqueries + GROUP_CONCAT / SAMPLE aggregates end to
+    end: the inner { SELECT ... GROUP BY ?s } computes each symbol's
+    sorted callee list (GROUP_CONCAT pinned to ascending value order —
+    deterministic at any partitioning, spec-valid since SPARQL leaves
+    the order undefined) and a SAMPLE pinned to MIN, then joins to the
+    enclosing DEFINES group on the shared ?s. The oracle replays it
+    with string_agg(dst, ',' ORDER BY dst) + min(dst) grouped per
+    symbol, joined to the reconstructed defs table."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?f ?ts ?one WHERE {
+          ?f DEFINES ?s .
+          { SELECT ?s (GROUP_CONCAT(?t;SEPARATOR=",") AS ?ts)
+                   (SAMPLE(?t) AS ?one)
+            WHERE { ?s REFERENCES ?t } GROUP BY ?s }
+        }
+        ORDER BY ?f
+        """,
+    )
+
+
 def q_kg_betweenness(spark, sf_dir):
     """Sampled-source Brandes betweenness (graph.betweenness_sampled,
     Brandes 2001 + the Brandes-Pich source-sampling scale path) over
@@ -3037,6 +3088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
+        "kg_sparql_filter": q_kg_sparql_filter,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
         "wordpiece_scores": q_wordpiece_scores,
         "unigram_seed": q_unigram_seed,
         "leakage_split": q_leakage_split,
@@ -3688,6 +3741,40 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT src, dst FROM e
             WHERE src IN ('sym:f_1', 'sym:f_2', 'sym:f_3')
+        """,
+        # expression-layer replay: BIND STRLEN/CONCAT/UCASE as
+        # LENGTH/||/UPPER, the numeric filter on the computed length,
+        # the lexicographic string filter, OFFSET before LIMIT under
+        # the total ORDER BY f
+        "kg_sparql_filter": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT f, 'def:' || UPPER(s) AS u, LENGTH(s) AS n
+            FROM defs
+            WHERE LENGTH(s) >= 8 AND s < 'sym:f_3'
+            ORDER BY f LIMIT 60 OFFSET 5
+        """,
+        # subquery replay: per-symbol sorted callee list + min sample
+        # over the DISTINCT (src, dst) call edges, joined to defs on
+        # the shared symbol — string_agg(... ORDER BY dst) is exactly
+        # the engine's sort_array(collect_list) pin
+        "kg_sparql_subquery": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            agg AS (
+              SELECT src AS s,
+                     string_agg(dst, ',' ORDER BY dst) AS ts,
+                     min(dst) AS one
+              FROM e GROUP BY src)
+            SELECT d.f AS f, a.ts AS ts, a.one AS one
+            FROM defs d JOIN agg a ON a.s = d.s
+            ORDER BY f
         """,
         # full rho-df rule replay: recursive subPropertyOf/subClassOf
         # closures, one-join inheritance over the CLOSED hierarchy,

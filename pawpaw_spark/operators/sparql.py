@@ -19,9 +19,12 @@ Supported grammar (a deliberately small, canonical-layout subset —
 see the parser doc for the exact token rules):
 
 * ``SELECT [DISTINCT] (?v | (FN([DISTINCT] ?v|*) AS ?alias) ... | *)
-  WHERE { ... } [GROUP BY ?v ...] [HAVING ( ?alias op num ) ...]\n  [ORDER BY key ...] [LIMIT n]``
-  where ``FN`` is ``COUNT`` / ``SUM`` / ``MIN`` / ``MAX`` / ``AVG``
-  and an order key is ``?v`` / ``ASC(?v)`` / ``DESC(?v)``
+  WHERE { ... } [GROUP BY ?v ...] [HAVING ( ?alias op num ) ...]\n  [ORDER BY key ...] [LIMIT n] [OFFSET n]``
+  where ``FN`` is ``COUNT`` / ``SUM`` / ``MIN`` / ``MAX`` / ``AVG`` /
+  ``SAMPLE`` (pinned to MIN for determinism) / ``GROUP_CONCAT``
+  (ascending-value order, optional flush ``;SEPARATOR="..."``, default
+  a single space) and an order key is ``?v`` / ``ASC(?v)`` /
+  ``DESC(?v)``; OFFSET applies before LIMIT per the spec
 * ``CONSTRUCT { template triples } WHERE { ... }``
 * ``ASK [WHERE] { ... }`` -> one row ``ask boolean`` (existence
   probes with ``limit(1)``; fully-constant patterns — the canonical
@@ -31,7 +34,15 @@ see the parser doc for the exact token rules):
 * group body: triples terminated by ``.``; ``OPTIONAL { ... }``;
   ``FILTER NOT EXISTS { ... }``; ``MINUS { ... }`` (anti-join on the
   shared variables; an uncorrelated group is a no-op per SPARQL's
-  disjoint-domain rule); ``FILTER ( ?a != ?b )``;
+  disjoint-domain rule); ``FILTER ( a op b )`` with op ``=`` ``!=``
+  ``<`` ``<=`` ``>`` ``>=`` over ?vars and constants — numeric when
+  either side is a numeric literal (var side TRY_CASTs to double),
+  lexicographic otherwise, and ``?a != ?b`` still pushes into the
+  matcher's earliest join; ``BIND ( expr AS ?v )`` with expr a term or
+  ``CONCAT`` / ``STRLEN`` / ``LCASE`` / ``UCASE`` / ``STR`` call
+  (canonical whitespace-separated parens, nesting allowed);
+  ``{ SELECT ... }`` subqueries (evaluated independently, joined to
+  the enclosing group on the shared variables — sharing none raises);
   ``VALUES ?x { term ... }`` / ``VALUES ( ?x ?y ) { ( term term )
   ... }`` (parens whitespace-separated, like FILTER; ``UNDEF`` binds
   NULL)
@@ -53,8 +64,9 @@ top-k + a driver-side k-merge, never a full sort), UNION to a
 zero-shuffle unionByName, VALUES to a broadcast inner join on the
 shared variables (the literal table is driver-literal-sized by
 construction). Out of scope (raise or parse error): ``;``/``,``
-predicate-object lists, expressions beyond a single aggregate per
-alias and a single comparison per HAVING clause, subqueries, OFFSET.
+predicate-object lists, expressions beyond the forms above (a single
+aggregate per alias, a single comparison per FILTER/HAVING clause,
+the listed BIND functions).
 
 Aggregation semantics note: the WHERE solutions feeding GROUP BY are
 the DISTINCT variable bindings (SPARQL's solution multiset over a
@@ -82,11 +94,11 @@ from pawpaw_spark.operators.graph_query import construct, match_pattern
 _TOKEN_RE = re.compile(r'"[^"]*"|\S+')
 _KEYWORDS = {"select", "construct", "where", "distinct", "optional",
              "filter", "not", "exists", "union", "values", "group",
-             "order", "by", "limit", "undef"}
+             "order", "by", "limit", "undef", "bind", "offset"}
 
 _AGG_RE = re.compile(
-    r"^\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?"
-    r"(\?\w+|\*)\s*\)\s+AS\s+(\?\w+)\s*\)$",
+    r"^\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?"
+    r"(\?\w+|\*)\s*(?:;\s*SEPARATOR\s*=\s*\"([^\"]*)\"\s*)?\)\s+AS\s+(\?\w+)\s*\)$",
     re.IGNORECASE,
 )
 _ORDER_KEY_RE = re.compile(r"^(?:(ASC|DESC)\s*\(\s*)?(\?\w+)\s*\)?$",
@@ -182,21 +194,93 @@ class _P:
             return t[1:-1]
         return t
 
+    def _fterm(self, t: str):
+        """A FILTER comparison side -> ('var', name) | ('lit', text)."""
+        if t.startswith("?"):
+            return ("var", t[1:])
+        return ("lit", self._const(t))
+
+    _BIND_FNS = ("concat", "strlen", "lcase", "ucase", "str")
+
+    def _bind_expr(self):
+        """A BIND expression (canonical layout: parens whitespace-
+        separated) -> ('var', name) | ('lit', text) | ('fn', name,
+        [args...]). Functions: CONCAT (n-ary), STRLEN / LCASE / UCASE /
+        STR (unary); nesting allowed."""
+        t = self.take()
+        low = t.lower()
+        if low in self._BIND_FNS and self.peek() == "(":
+            self.take("(")
+            args = []
+            while self.peek() != ")":
+                if self.peek() is None:
+                    raise ValueError(f"unclosed '(' in BIND {low.upper()}")
+                args.append(self._bind_expr())
+            self.take(")")
+            if low == "concat":
+                if not args:
+                    raise ValueError("CONCAT needs at least one argument")
+            elif len(args) != 1:
+                raise ValueError(
+                    f"{low.upper()} takes exactly one argument, got "
+                    f"{len(args)}"
+                )
+            return ("fn", low, args)
+        if t.startswith("?"):
+            return ("var", t[1:])
+        return ("lit", self._const(t))
+
+    def _subselect(self) -> dict:
+        """A { SELECT ... } subquery, the '{' already consumed ->
+        a select-plan dict (same shape parse_sparql produces); the
+        closing '}' is consumed here."""
+        self.take("select")
+        sub: dict = {"form": "select", "template": None,
+                     "distinct": False}
+        if (self.peek() or "").lower() == "distinct":
+            self.take()
+            sub["distinct"] = True
+        sub["items"] = self.select_items()
+        self.take("where")
+        sub["branches"] = _branches(self)
+        group_by, having, order_by, limit, offset = \
+            self.modifiers(stop_at="}")
+        self.take("}")
+        sub.update(group_by=group_by, having=having, order_by=order_by,
+                   limit=limit, offset=offset)
+        _validate_select(sub)
+        return sub
+
     def group(self):
         """Parse one { ... } group -> (triples, optionals, not_exists,
-        neq, values). Nested OPTIONAL / FILTER only at the top level of
-        the required group (SPARQL's common shape; deeper nesting
-        raises)."""
+        minus, neq, values, filters, binds, subqueries). Nested
+        OPTIONAL / FILTER only at the top level of the required group
+        (SPARQL's common shape; deeper nesting raises)."""
         self.take("{")
         triples, optionals, negations, minus, neq, values = \
             [], [], [], [], [], []
+        filters, binds, subqueries = [], [], []
         while True:
             t = self.peek()
             if t is None:
                 raise ValueError("unclosed '{' in query")
             if t == "}":
                 self.take()
-                return triples, optionals, negations, minus, neq, values
+                return (triples, optionals, negations, minus, neq,
+                        values, filters, binds, subqueries)
+            if t == "{":
+                # a nested { SELECT ... } is a SPARQL 1.1 subquery;
+                # any other bare nested group is out of scope
+                nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) \
+                    else ""
+                if nxt.lower() != "select":
+                    raise ValueError(
+                        "bare nested groups are not supported (only "
+                        "{ SELECT ... } subqueries)"
+                    )
+                self.take("{")
+                subqueries.append(self._subselect())
+                continue
             low = t.lower()
             if low in ("optional", "minus"):
                 self.take()
@@ -227,15 +311,34 @@ class _P:
                 else:
                     self.take("(")
                     a = self.take()
-                    self.take("!=")
+                    op = self.take()
                     b = self.take()
                     self.take(")")
-                    if not (a.startswith("?") and b.startswith("?")):
+                    if op not in ("=", "!=", "<", "<=", ">", ">="):
                         raise ValueError(
-                            f"FILTER supports only ( ?a != ?b ), got "
-                            f"({a} != {b})"
+                            f"unsupported FILTER operator {op!r} (only "
+                            f"=, !=, <, <=, >, >=)"
                         )
-                    neq.append((a, b))
+                    if op == "!=" and a.startswith("?") and b.startswith("?"):
+                        # var != var pushes into the matcher's earliest
+                        # join (graph_query's neq path); everything else
+                        # is a post-match row filter
+                        neq.append((a, b))
+                    else:
+                        filters.append(
+                            (self._fterm(a), op, self._fterm(b))
+                        )
+                continue
+            if low == "bind":
+                self.take()
+                self.take("(")
+                expr = self._bind_expr()
+                self.take("as")
+                v = self.take()
+                self.take(")")
+                if not v.startswith("?"):
+                    raise ValueError(f"BIND expects AS ?var, got {v!r}")
+                binds.append((v[1:], expr))
                 continue
             s, p, o = self.term(), self.term(), self.term()
             triples.append((s, p, o))
@@ -248,7 +351,8 @@ class _P:
         first token is '{' is a union chain ``{g} UNION {g} ...``;
         otherwise it is a single plain group body."""
         self.take("{")
-        if self.peek() == "{":
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else ""
+        if self.peek() == "{" and nxt.lower() != "select":
             branches = [self.group()]
             while (self.peek() or "").lower() == "union":
                 self.take()
@@ -293,30 +397,43 @@ class _P:
                         f"unsupported SELECT expression {expr!r} (only "
                         f"(FN([DISTINCT] ?v|*) AS ?alias) is supported)"
                     )
-                fn, dist, v, alias = m.groups()
-                if v == "*" and (fn.upper() != "COUNT" or dist):
+                fn, dist, v, sep, alias = m.groups()
+                fn = fn.upper()
+                if v == "*" and (fn != "COUNT" or dist):
                     raise ValueError(
                         f"unsupported SELECT expression {expr!r}: only "
                         f"plain COUNT(*) may aggregate *"
                     )
-                items.append((
+                if sep is not None and fn != "GROUP_CONCAT":
+                    raise ValueError(
+                        f"SEPARATOR is only valid in GROUP_CONCAT, "
+                        f"got {expr!r}"
+                    )
+                item = (
                     "agg",
-                    fn.upper(),
+                    fn,
                     bool(dist),
                     None if v == "*" else v[1:],
                     alias[1:],
-                ))
+                )
+                if fn == "GROUP_CONCAT":
+                    # SPARQL's default separator is a single space;
+                    # runs of whitespace inside a separator collapse to
+                    # one space under the flush-token rejoin
+                    item = item + (" " if sep is None else sep,)
+                items.append(item)
                 continue
             raise ValueError(f"SELECT expects ?vars, aggregates or *, got {t!r}")
         if not items:
             raise ValueError("SELECT needs at least one item or *")
         return items
 
-    def modifiers(self):
+    def modifiers(self, stop_at: str | None = None):
         """Post-WHERE solution modifiers -> (group_by, having,
-        order_by, limit)."""
-        group_by, having, order_by, limit = [], [], [], None
-        while self.peek() is not None:
+        order_by, limit, offset). ``stop_at`` (the subquery case:
+        ``'}'``) ends the modifier run without consuming the token."""
+        group_by, having, order_by, limit, offset = [], [], [], None, None
+        while self.peek() is not None and self.peek() != stop_at:
             kw = self.take().lower()
             if kw == "having":
                 while self.peek() == "(":
@@ -381,10 +498,15 @@ class _P:
                 if not t.isdigit():
                     raise ValueError(f"LIMIT expects an integer, got {t!r}")
                 limit = int(t)
+            elif kw == "offset":
+                t = self.take()
+                if not t.isdigit():
+                    raise ValueError(f"OFFSET expects an integer, got {t!r}")
+                offset = int(t)
             else:
                 raise ValueError(f"trailing tokens after WHERE group: "
                                  f"{self.toks[self.i - 1:]}")
-        return group_by, having, order_by, limit
+        return group_by, having, order_by, limit, offset
 
     def template(self):
         self.take("{")
@@ -432,27 +554,48 @@ def parse_sparql(query: str, *, type_pred: str = "type") -> dict:
             p.take()  # ASK { ... } and ASK WHERE { ... } are both legal
     else:
         p.take("where")
-    branches = []
-    for body in p.where_body():
-        pattern, optionals, negations, minus, neq, values = body
-        if not pattern:
-            raise ValueError("a WHERE group binds no triples")
-        branches.append({
-            "pattern": pattern, "optional": optionals,
-            "not_exists": negations, "minus": minus, "neq": neq,
-            "values": values,
-        })
-    out["branches"] = branches
+    out["branches"] = _branches(p)
     if head in ("construct", "ask"):
         if p.peek() is not None:
             raise ValueError(
                 f"trailing tokens after WHERE group: {p.toks[p.i:]}"
             )
-        out.update(group_by=[], having=[], order_by=[], limit=None)
+        out.update(group_by=[], having=[], order_by=[], limit=None,
+                   offset=None)
     else:
-        group_by, having, order_by, limit = p.modifiers()
+        group_by, having, order_by, limit, offset = p.modifiers()
         out.update(group_by=group_by, having=having, order_by=order_by,
-                   limit=limit)
+                   limit=limit, offset=offset)
+    _validate_select(out)
+    return out
+
+
+def _branches(p: _P) -> list[dict]:
+    """Parse the WHERE body through ``p`` -> branch dicts (one per
+    UNION arm)."""
+    branches = []
+    for body in p.where_body():
+        (pattern, optionals, negations, minus, neq, values, filters,
+         binds, subqueries) = body
+        if not pattern and not subqueries:
+            raise ValueError("a WHERE group binds no triples")
+        if not pattern and (optionals or negations or minus):
+            raise ValueError(
+                "OPTIONAL / MINUS / FILTER NOT EXISTS need at least one "
+                "required triple in the group"
+            )
+        branches.append({
+            "pattern": pattern, "optional": optionals,
+            "not_exists": negations, "minus": minus, "neq": neq,
+            "values": values, "filters": filters, "binds": binds,
+            "subqueries": subqueries,
+        })
+    return branches
+
+
+def _validate_select(out: dict) -> None:
+    """The aggregate / GROUP BY / HAVING consistency rules, shared by
+    the top-level SELECT and subqueries."""
     has_agg = any(it[0] == "agg" for it in (out["items"] or ()))
     if out["group_by"] and not has_agg:
         raise ValueError("GROUP BY requires at least one aggregate in SELECT")
@@ -465,7 +608,6 @@ def parse_sparql(query: str, *, type_pred: str = "type") -> dict:
             raise ValueError(
                 f"non-aggregated SELECT var(s) {bad} must appear in GROUP BY"
             )
-    return out
 
 
 _AGG_FNS = {
@@ -477,13 +619,28 @@ _AGG_FNS = {
 }
 
 
-def _agg_expr(fn: str, dist: bool, var: str | None, alias: str):
+def _agg_expr(fn: str, dist: bool, var: str | None, alias: str,
+              sep: str = " "):
     if var is None:  # COUNT(*) — the only *-form aggregate
         if fn != "COUNT" or dist:
             raise ValueError(f"only plain COUNT(*) is supported, not "
                              f"{fn}({'DISTINCT ' if dist else ''}*)")
         return F.count(F.lit(1)).alias(alias)
     col = F.col(var)
+    if fn == "GROUP_CONCAT":
+        # deterministic at any partitioning: collect, (distinct,)
+        # SORT, join — SPARQL leaves concatenation order undefined,
+        # this engine pins it to ascending value order so results are
+        # bit-identical cross-engine (DuckDB mirror: string_agg(v, sep
+        # ORDER BY v))
+        lst = F.collect_list(col)
+        if dist:
+            lst = F.array_distinct(lst)
+        return F.array_join(F.sort_array(lst), sep).alias(alias)
+    if fn == "SAMPLE":
+        # SPARQL allows ANY value from the group; pinned to MIN for
+        # determinism (valid per spec, reproducible at any parallelism)
+        return F.min(col).alias(alias)
     if dist:
         if fn != "COUNT":
             raise ValueError(f"{fn}(DISTINCT ?v) is not supported")
@@ -528,6 +685,129 @@ def _apply_values(matched: DataFrame, values_blocks) -> DataFrame:
     return matched
 
 
+def _expr_vars(expr) -> set[str]:
+    """Variables a BIND expression reads."""
+    if expr[0] == "var":
+        return {expr[1]}
+    if expr[0] == "lit":
+        return set()
+    return set().union(*[_expr_vars(a) for a in expr[2]]) \
+        if expr[2] else set()
+
+
+def _bind_col(expr):
+    """A BIND expression AST -> a Column."""
+    kind = expr[0]
+    if kind == "var":
+        return F.col(expr[1])
+    if kind == "lit":
+        return F.lit(expr[1])
+    fn, args = expr[1], [_bind_col(a) for a in expr[2]]
+    if fn == "concat":
+        return F.concat(*args)
+    if fn == "strlen":
+        return F.length(args[0]).cast("long")
+    if fn == "lcase":
+        return F.lower(args[0])
+    if fn == "ucase":
+        return F.upper(args[0])
+    if fn == "str":
+        return args[0].cast("string")
+    raise AssertionError(f"unknown BIND function {fn!r}")
+
+
+_CMP_OPS = {"=": "__eq__", "!=": "__ne__", "<": "__lt__",
+            "<=": "__le__", ">": "__gt__", ">=": "__ge__"}
+
+
+def _numeric(text: str) -> float | None:
+    try:
+        return float(text)
+    except ValueError:
+        return None
+
+
+def _filter_cond(a, op: str, b):
+    """A FILTER comparison -> a boolean Column. Node values are
+    strings; the comparison is NUMERIC iff either side is a numeric
+    literal (the var side casts to double, so a non-numeric value
+    compares NULL and the row drops — exactly DuckDB's ``TRY_CAST(v AS
+    DOUBLE) op n`` for the oracle mirror). All-string comparisons
+    (var op var, var op "text") are lexicographic."""
+    numeric = any(s[0] == "lit" and _numeric(s[1]) is not None
+                  for s in (a, b))
+
+    def side(s):
+        if s[0] == "var":
+            c = F.col(s[1])
+            # try_cast, not cast: ANSI mode would THROW on a
+            # non-numeric node value; SPARQL semantics is a type error
+            # -> the row just doesn't qualify (NULL comparison)
+            return c.try_cast("double") if numeric else c
+        v = s[1]
+        n = _numeric(v) if numeric else None
+        return F.lit(n if n is not None else v)
+
+    return getattr(side(a), _CMP_OPS[op])(side(b))
+
+
+def _branch_frame(
+    edges: DataFrame,
+    b: dict,
+    distinct: bool,
+    match_kwargs: dict,
+    bag: bool = False,
+) -> DataFrame:
+    """One WHERE branch -> its solution frame: pattern match (if any
+    triples), subquery joins on the shared variables, BINDs, FILTER
+    comparisons, VALUES semi-joins — in SPARQL's evaluation order."""
+    m = None
+    if b["pattern"]:
+        m = match_pattern(
+            edges,
+            b["pattern"],
+            optional=b["optional"],
+            not_exists=b["not_exists"],
+            minus=b["minus"],
+            neq=b["neq"],
+            distinct=distinct,
+            **match_kwargs,
+        )
+    for sub in b.get("subqueries", ()):
+        sdf = _select_frame(edges, sub, bag, match_kwargs)
+        if m is None:
+            m = sdf
+            continue
+        shared = [c for c in sdf.columns if c in m.columns]
+        if not shared:
+            raise ValueError(
+                f"subquery projects {sdf.columns} — no variable shared "
+                f"with the enclosing group {m.columns} (a cross product)"
+            )
+        m = m.join(sdf, on=shared, how="inner")
+    for v, expr in b.get("binds", ()):
+        if v in m.columns:
+            raise ValueError(f"BIND would rebind already-bound ?{v}")
+        missing = sorted(_expr_vars(expr) - set(m.columns))
+        if missing:
+            raise ValueError(
+                f"BIND expression reads unbound variable(s) {missing} "
+                f"(bound: {m.columns})"
+            )
+        m = m.withColumn(v, _bind_col(expr))
+    for a, op, bb in b.get("filters", ()):
+        for s in (a, bb):
+            if s[0] == "var" and s[1] not in m.columns:
+                raise ValueError(
+                    f"FILTER reads unbound variable ?{s[1]} "
+                    f"(bound: {m.columns})"
+                )
+        m = m.filter(_filter_cond(a, op, bb))
+    if b["values"]:
+        m = _apply_values(m, b["values"])
+    return m
+
+
 def sparql(
     edges: DataFrame,
     query: str,
@@ -548,8 +828,12 @@ def sparql(
         b = plan["branches"]
         if len(b) > 1:
             raise ValueError("CONSTRUCT over a UNION body is not supported")
-        if b[0]["values"]:
-            raise ValueError("CONSTRUCT with VALUES is not supported")
+        if b[0]["values"] or b[0]["filters"] or b[0]["binds"] \
+                or b[0]["subqueries"]:
+            raise ValueError(
+                "CONSTRUCT with VALUES / FILTER comparisons / BIND / "
+                "subqueries is not supported"
+            )
         return construct(
             edges,
             b[0]["pattern"],
@@ -570,7 +854,9 @@ def sparql(
         parts = []
         for b in plan["branches"]:
             if (not b["optional"] and not b["not_exists"]
-                    and not b["minus"] and all(
+                    and not b["minus"] and not b["filters"]
+                    and not b["binds"] and not b["subqueries"]
+                    and b["pattern"] and all(
                         not t.startswith("?")
                         for tr in b["pattern"] for t in tr)):
                 probe = None
@@ -594,44 +880,38 @@ def sparql(
                     )
                 parts.append(probe.select(F.lit(1).alias("one")).limit(1))
                 continue
-            m = match_pattern(
-                edges, b["pattern"], optional=b["optional"],
-                not_exists=b["not_exists"], minus=b["minus"],
-                neq=b["neq"], distinct=False, **match_kwargs,
-            )
-            if b["values"]:
-                m = _apply_values(m, b["values"])
+            m = _branch_frame(edges, b, False, match_kwargs)
             parts.append(m.select(F.lit(1).alias("one")).limit(1))
         out = parts[0]
         for m in parts[1:]:
             out = out.unionByName(m)
         return out.agg((F.count("one") > 0).alias("ask"))
+    return _select_frame(edges, plan, bag, match_kwargs)
+
+
+def _select_frame(
+    edges: DataFrame,
+    plan: dict,
+    bag: bool,
+    match_kwargs: dict,
+) -> DataFrame:
+    """A parsed SELECT plan (top-level or subquery) -> its result
+    frame."""
     items = plan["items"]
     has_agg = any(it[0] == "agg" for it in (items or ()))
     # an explicit DISTINCT keyword in the text always wins over
     # bag=True; aggregation always consumes the DISTINCT solution
     # multiset (see module doc)
     set_sem = plan["distinct"] or not bag
-    parts = []
-    for b in plan["branches"]:
-        m = match_pattern(
-            edges,
-            b["pattern"],
-            optional=b["optional"],
-            not_exists=b["not_exists"],
-            minus=b["minus"],
-            neq=b["neq"],
-            distinct=set_sem or has_agg,
-            **match_kwargs,
-        )
-        if b["values"]:
-            m = _apply_values(m, b["values"])
-        parts.append(m)
+    parts = [
+        _branch_frame(edges, b, set_sem or has_agg, match_kwargs, bag)
+        for b in plan["branches"]
+    ]
     out = parts[0]
     for m in parts[1:]:
         out = out.unionByName(m, allowMissingColumns=True)
     if has_agg:
-        aggs = [_agg_expr(it[1], it[2], it[3], it[4])
+        aggs = [_agg_expr(it[1], it[2], it[3], it[4], *it[5:6])
                 for it in items if it[0] == "agg"]
         grouped = (out.groupBy(*plan["group_by"]) if plan["group_by"]
                    else out.groupBy())
@@ -669,6 +949,11 @@ def sparql(
             F.col(v).asc() if asc else F.col(v).desc()
             for v, asc in plan["order_by"]
         ])
+    if plan.get("offset"):
+        # SPARQL applies OFFSET before LIMIT regardless of the order
+        # the modifiers were written in; deterministic only under a
+        # total ORDER BY, same caveat as LIMIT
+        out = out.offset(plan["offset"])
     if plan["limit"] is not None:
         out = out.limit(plan["limit"])
     return out

@@ -97,10 +97,34 @@ class TestParse:
             ("SELECT ?x WHERE { ?s P ?o", "unclosed"),
             ("SELECT ?x WHERE { }", "binds no triples"),
             ("SELECT ?x WHERE { ?s P ?o . } trailing", "trailing"),
-            ("SELECT ?x WHERE { FILTER ( ?a = ?b ) ?s P ?o }", "!="),
             (
-                "SELECT ?x WHERE { ?s P ?o . FILTER ( a != ?b ) }",
-                "FILTER supports only",
+                "SELECT ?x WHERE { ?s P ?o . FILTER ( ?a ~ ?b ) }",
+                "unsupported FILTER operator",
+            ),
+            (
+                "SELECT ?x WHERE { ?s P ?o . BIND ( ?a AS b ) }",
+                "BIND expects AS",
+            ),
+            (
+                "SELECT ?x WHERE { ?s P ?o . "
+                "BIND ( STRLEN ( ?a ?b ) AS ?n ) }",
+                "exactly one argument",
+            ),
+            (
+                "SELECT ?x WHERE { ?s P ?o . { ?a P ?b } }",
+                "bare nested groups",
+            ),
+            (
+                'SELECT (GROUP_CONCAT(*) AS ?g) WHERE { ?x P ?o }',
+                "only plain COUNT",
+            ),
+            (
+                'SELECT (SUM(?v;SEPARATOR=",") AS ?g) WHERE { ?x P ?v }',
+                "SEPARATOR is only valid",
+            ),
+            (
+                "SELECT ?x WHERE { ?x P ?o } OFFSET two",
+                "OFFSET expects an integer",
             ),
             (
                 "SELECT ?x WHERE { OPTIONAL { OPTIONAL { ?a P ?b } } }",
@@ -366,3 +390,165 @@ class TestModifiers:
         with pytest.raises(ValueError, match="not bound"):
             sparql(e, 'SELECT ?s WHERE { ?s REFERENCES ?t . '
                       'VALUES ?zz { "x" } }')
+
+
+class TestRound4Extensions:
+    """FILTER comparisons, BIND, OFFSET, GROUP_CONCAT / SAMPLE,
+    subqueries."""
+
+    def test_filter_parse_routing(self):
+        # var != var still pushes to the matcher's neq path; every
+        # other comparison lands in the post-match filters list
+        plan = parse_sparql(
+            "SELECT ?a WHERE { ?a P ?b . FILTER ( ?a != ?b ) "
+            'FILTER ( ?a = "x" ) FILTER ( ?b < 5 ) }'
+        )
+        b = plan["branches"][0]
+        assert b["neq"] == [("?a", "?b")]
+        assert b["filters"] == [
+            (("var", "a"), "=", ("lit", "x")),
+            (("var", "b"), "<", ("lit", "5")),
+        ]
+
+    def test_filter_string_and_numeric(self, spark):
+        e = _triples(
+            spark,
+            [("a", "WEIGHT", "3"), ("b", "WEIGHT", "12"),
+             ("c", "WEIGHT", "heavy")],
+        )
+        # numeric literal -> numeric comparison ("12" > "3" numerically,
+        # not lexicographically; non-numeric "heavy" drops via NULL)
+        q = sparql(e, "SELECT ?s WHERE { ?s WEIGHT ?w . "
+                      "FILTER ( ?w > 4 ) }")
+        assert _t(q) == {("b",)}
+        # string literal -> lexicographic
+        q2 = sparql(e, 'SELECT ?s WHERE { ?s WEIGHT ?w . '
+                       'FILTER ( ?w >= "h" ) }')
+        assert _t(q2) == {("c",)}
+        # var-vs-constant equality
+        q3 = sparql(e, 'SELECT ?s WHERE { ?s WEIGHT ?w . '
+                       'FILTER ( ?w = "12" ) }')
+        assert _t(q3) == {("b",)}
+
+    def test_filter_unbound_var_raises(self, spark):
+        e = _triples(spark, KG)
+        with pytest.raises(ValueError, match="unbound"):
+            sparql(e, "SELECT ?s WHERE { ?s REFERENCES ?t . "
+                      "FILTER ( ?zz > 1 ) }").collect()
+
+    def test_bind_exec(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?f ?u ?n WHERE { ?f DEFINES ?s . "
+            'BIND ( CONCAT ( ?f "::" UCASE ( ?s ) ) AS ?u ) '
+            "BIND ( STRLEN ( ?s ) AS ?n ) } ORDER BY ?f",
+        )
+        assert [tuple(r) for r in q.collect()] == [
+            ("f1", "f1::S1", 2), ("f2", "f2::S2", 2), ("f3", "f3::S3", 2),
+        ]
+
+    def test_bind_then_filter_scope(self, spark):
+        # FILTER sees BIND vars (applied after binds within the group)
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?f WHERE { ?f DEFINES ?s . "
+            "BIND ( STRLEN ( ?f ) AS ?n ) FILTER ( ?n >= 2 ) }",
+        )
+        assert _t(q) == {("f1",), ("f2",), ("f3",)}
+
+    def test_bind_errors(self, spark):
+        e = _triples(spark, KG)
+        with pytest.raises(ValueError, match="rebind"):
+            sparql(e, "SELECT ?f WHERE { ?f DEFINES ?s . "
+                      "BIND ( ?s AS ?f ) }")
+        with pytest.raises(ValueError, match="unbound"):
+            sparql(e, "SELECT ?f WHERE { ?f DEFINES ?s . "
+                      "BIND ( STRLEN ( ?zz ) AS ?n ) }")
+
+    def test_offset(self, spark):
+        e = _triples(spark, KG)
+        rows = sparql(
+            e, "SELECT ?f WHERE { ?f DEFINES ?s } ORDER BY ?f "
+               "LIMIT 2 OFFSET 1"
+        ).collect()
+        assert [r.f for r in rows] == ["f2", "f3"]
+        # OFFSET applies before LIMIT regardless of written order
+        rows2 = sparql(
+            e, "SELECT ?f WHERE { ?f DEFINES ?s } ORDER BY ?f "
+               "OFFSET 2 LIMIT 2"
+        ).collect()
+        assert [r.f for r in rows2] == ["f3"]
+
+    def test_group_concat_and_sample(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            'SELECT ?s (GROUP_CONCAT(?t;SEPARATOR=",") AS ?ts) '
+            "(SAMPLE(?t) AS ?one) WHERE { ?s REFERENCES ?t } GROUP BY ?s",
+        )
+        # ascending value order; SAMPLE pinned to MIN
+        assert _t(q) == {
+            ("s1", "s2", "s2"), ("s2", "s3", "s3"),
+            ("s3", "missing,s1", "missing"),
+        }
+        # default separator is a single space; DISTINCT dedups values
+        e2 = _triples(spark, KG + [("s3", "REFERENCES", "s1")])
+        q2 = sparql(
+            e2,
+            "SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?ts) WHERE "
+            '{ s3 REFERENCES ?t . FILTER ( ?t != "missing" ) }',
+            bag=True,
+        )
+        assert _t(q2) == {("s1",)}
+
+    def test_subquery_join(self, spark):
+        e = _triples(spark, KG)
+        # per-symbol out-degree computed in a subquery, joined to the
+        # defining file on the shared ?s
+        q = sparql(
+            e,
+            "SELECT ?f ?n WHERE { ?f DEFINES ?s . "
+            "{ SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s REFERENCES ?t } "
+            "GROUP BY ?s } } ORDER BY ?f",
+        )
+        assert [tuple(r) for r in q.collect()] == [
+            ("f1", 1), ("f2", 1), ("f3", 2),
+        ]
+
+    def test_subquery_only_group(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?s WHERE { { SELECT ?s WHERE { ?s REFERENCES ?t } } }",
+        )
+        assert _t(q) == {("s1",), ("s2",), ("s3",)}
+
+    def test_subquery_no_shared_vars_raises(self, spark):
+        e = _triples(spark, KG)
+        with pytest.raises(ValueError, match="no variable shared"):
+            sparql(e, "SELECT ?f WHERE { ?f DEFINES ?s . "
+                      "{ SELECT ?z WHERE { ?z REFERENCES ?t } } }")
+
+    def test_subquery_limit_scopes_inside(self, spark):
+        # the subquery's ORDER/LIMIT runs before the outer join
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            "SELECT ?f ?s WHERE { ?f DEFINES ?s . "
+            "{ SELECT ?s WHERE { ?s REFERENCES ?t } ORDER BY ?s "
+            "LIMIT 1 } }",
+        )
+        assert _t(q) == {("f1", "s1")}
+
+    def test_ask_with_filter(self, spark):
+        e = _triples(spark, KG)
+        [(v,)] = sparql(
+            e, 'ASK { ?s REFERENCES ?t . FILTER ( ?t = "missing" ) }'
+        ).collect()
+        assert v is True
+        [(v2,)] = sparql(
+            e, 'ASK { ?s REFERENCES ?t . FILTER ( ?t = "nope" ) }'
+        ).collect()
+        assert v2 is False
