@@ -3018,6 +3018,29 @@ def q_kg_sparql_filter(spark, sf_dir):
     )
 
 
+def q_kg_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE end to end (the fourth query form): the WHERE
+    group binds the described symbols (a lexicographic FILTER slice of
+    the defined symbols), then the description is every fused-kernel
+    triple whose subject OR object is one of them — compiled as two
+    equi-SEMI-joins + union + dedup, never an OR-condition join (which
+    Spark would plan as a nested-loop product). The oracle rebuilds the
+    touched-triple set from the defs + call-edge CTEs: definitions of
+    the described symbols, their outgoing calls, and the calls pointing
+    at them."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        DESCRIBE ?s WHERE {
+          ?f DEFINES ?s .
+          FILTER ( ?s < "sym:f_11" )
+        }
+        """,
+    )
+
+
 def q_kg_sparql_subquery(spark, sf_dir):
     """SPARQL 1.1 subqueries + GROUP_CONCAT / SAMPLE aggregates end to
     end: the inner { SELECT ... GROUP BY ?s } computes each symbol's
@@ -3090,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_filter": q_kg_sparql_filter,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_describe": q_kg_sparql_describe,
         "wordpiece_scores": q_wordpiece_scores,
         "unigram_seed": q_unigram_seed,
         "leakage_split": q_leakage_split,
@@ -3756,6 +3780,23 @@ def oracle_sql() -> dict[str, str]:
             FROM defs
             WHERE LENGTH(s) >= 8 AND s < 'sym:f_3'
             ORDER BY f LIMIT 60 OFFSET 5
+        """,
+        # DESCRIBE replay: resources = defined symbols under the
+        # lexicographic cut; description = their DEFINES rows plus
+        # every call edge touching them at either end, deduped
+        "kg_sparql_describe": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            res AS (SELECT s FROM defs WHERE s < 'sym:f_11')
+            SELECT f AS subj, 'DEFINES' AS pred, s AS obj
+            FROM defs WHERE s IN (SELECT s FROM res)
+            UNION
+            SELECT src, 'REFERENCES', dst FROM e
+            WHERE src IN (SELECT s FROM res)
+               OR dst IN (SELECT s FROM res)
         """,
         # subquery replay: per-symbol sorted callee list + min sample
         # over the DISTINCT (src, dst) call edges, joined to defs on

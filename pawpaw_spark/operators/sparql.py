@@ -29,6 +29,12 @@ see the parser doc for the exact token rules):
 * ``ASK [WHERE] { ... }`` -> one row ``ask boolean`` (existence
   probes with ``limit(1)``; fully-constant patterns — the canonical
   ASK shape — compile to pushed-filter probes)
+* ``DESCRIBE (<node> | ?v)+ [WHERE { ... }]`` -> the distinct triples
+  whose subject OR object is a described resource (constants, plus
+  each ?v's WHERE bindings) — the symmetric concise-bounded-
+  description pin, since SPARQL leaves the description form
+  implementation-defined; constants push to the scan, variable sets
+  apply as equi-semi-joins (never an OR-condition join)
 * WHERE body: a plain group, or a union chain
   ``{ group } UNION { group } [UNION { group } ...]``
 * group body: triples terminated by ``.``; ``OPTIONAL { ... }``;
@@ -545,9 +551,40 @@ def parse_sparql(query: str, *, type_pred: str = "type") -> dict:
         out["template"] = p.template()
     elif head == "ask":
         out["form"] = "ask"
+    elif head == "describe":
+        # DESCRIBE <node> ... / DESCRIBE ?v ... WHERE { ... } -> every
+        # triple whose subject OR object is a described resource (the
+        # symmetric concise-bounded-description pin; SPARQL leaves the
+        # description form implementation-defined)
+        out["form"] = "describe"
+        terms = []
+        while p.peek() is not None and p.peek().lower() != "where":
+            t = p.take()
+            terms.append(
+                ("var", t[1:]) if t.startswith("?")
+                else ("const", p._const(t))
+            )
+        if not terms:
+            raise ValueError("DESCRIBE needs at least one term")
+        out["describe"] = terms
+        if p.peek() is not None:
+            p.take("where")
+            out["branches"] = _branches(p)
+        else:
+            out["branches"] = []
+        if any(t[0] == "var" for t in terms) and not out["branches"]:
+            raise ValueError("DESCRIBE ?var requires a WHERE group")
+        if p.peek() is not None:
+            raise ValueError(
+                f"trailing tokens after DESCRIBE: {p.toks[p.i:]}"
+            )
+        out.update(group_by=[], having=[], order_by=[], limit=None,
+                   offset=None)
+        return out
     else:
         raise ValueError(
-            f"query must start with SELECT, CONSTRUCT or ASK, got {head!r}"
+            f"query must start with SELECT, CONSTRUCT, ASK or DESCRIBE, "
+            f"got {head!r}"
         )
     if head == "ask":
         if (p.peek() or "").lower() == "where":
@@ -844,6 +881,49 @@ def sparql(
             neq=b[0]["neq"],
             **match_kwargs,
         )
+    if plan["form"] == "describe":
+        # the described resource set = constant terms + the WHERE
+        # bindings of each described variable; the description = every
+        # edge-table triple whose subject OR object lands in the set.
+        # Constants filter-push to the scan; variable sets apply as two
+        # equi-SEMI-joins + union + dedup — never an OR-condition join,
+        # which would degenerate to a nested-loop product
+        sc = match_kwargs.get("subj_col", "subj")
+        pc = match_kwargs.get("pred_col", "pred")
+        oc = match_kwargs.get("obj_col", "obj")
+        triples3 = edges.select(sc, pc, oc)
+        consts = [t[1] for t in plan["describe"] if t[0] == "const"]
+        var_terms = [t[1] for t in plan["describe"] if t[0] == "var"]
+        parts = []
+        if consts:
+            parts.append(triples3.filter(F.col(sc).isin(consts)))
+            parts.append(triples3.filter(F.col(oc).isin(consts)))
+        if var_terms:
+            node_frames = []
+            for b in plan["branches"]:
+                m = _branch_frame(edges, b, True, match_kwargs)
+                for v in var_terms:
+                    if v not in m.columns:
+                        raise ValueError(
+                            f"DESCRIBE variable ?{v} not bound by the "
+                            f"WHERE group (bound: {m.columns})"
+                        )
+                    node_frames.append(m.select(F.col(v).alias("__node")))
+            nodes = node_frames[0]
+            for nf in node_frames[1:]:
+                nodes = nodes.unionByName(nf)
+            nodes = nodes.distinct()
+            parts.append(
+                triples3.join(nodes, F.col(sc) == F.col("__node"), "semi")
+            )
+            parts.append(
+                triples3.join(nodes, F.col(oc) == F.col("__node"), "semi")
+            )
+        out = parts[0]
+        for m2 in parts[1:]:
+            out = out.unionByName(m2)
+        # a triple touching the set at both ends arrives twice
+        return out.distinct()
     if plan["form"] == "ask":
         # existence probe: one row, `ask boolean`, true iff ANY branch
         # is satisfiable. limit(1) stops each probe at the first

@@ -91,7 +91,9 @@ class TestParse:
 
     def test_errors(self):
         for q, msg in [
-            ("DESCRIBE ?s WHERE { ?s P ?o }", "SELECT, CONSTRUCT or ASK"),
+            ("INSERT DATA { a P b }", "SELECT, CONSTRUCT, ASK or DESCRIBE"),
+            ("DESCRIBE WHERE { ?s P ?o }", "at least one term"),
+            ("DESCRIBE ?s", "requires a WHERE group"),
             ("SELECT ?x { ?s P ?o }", "expects .vars, aggregates or"),
             ("SELECT x WHERE { ?s P ?o }", "expects .vars"),
             ("SELECT ?x WHERE { ?s P ?o", "unclosed"),
@@ -552,3 +554,51 @@ class TestRound4Extensions:
             e, 'ASK { ?s REFERENCES ?t . FILTER ( ?t = "nope" ) }'
         ).collect()
         assert v2 is False
+
+
+class TestDescribe:
+    def test_describe_constant(self, spark):
+        e = _triples(spark, KG)
+        # every triple touching s1: its definition, its type, its
+        # outgoing call, and the call pointing at it
+        q = sparql(e, "DESCRIBE s1")
+        assert _t(q) == {
+            ("f1", "DEFINES", "s1"),
+            ("s1", "REFERENCES", "s2"),
+            ("s3", "REFERENCES", "s1"),
+            ("s1", "type", "Sym"),
+        }
+
+    def test_describe_multiple_constants_dedup(self, spark):
+        e = _triples(spark, KG)
+        # s1 REFERENCES s2 touches both described resources but must
+        # appear once
+        q = sparql(e, "DESCRIBE s1 s2")
+        got = _t(q)
+        assert ("s1", "REFERENCES", "s2") in got
+        assert len(got) == len(
+            {t for t in KG if "s1" in (t[0], t[2]) or "s2" in (t[0], t[2])}
+        )
+
+    def test_describe_var_where(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(
+            e,
+            'DESCRIBE ?s WHERE { ?f DEFINES ?s . FILTER ( ?s < "s2" ) }',
+        )
+        assert _t(q) == {
+            ("f1", "DEFINES", "s1"),
+            ("s1", "REFERENCES", "s2"),
+            ("s3", "REFERENCES", "s1"),
+            ("s1", "type", "Sym"),
+        }
+
+    def test_describe_mixed_and_unbound_raises(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(e, 'DESCRIBE missing ?g WHERE { ?g DEFINES ?s . '
+                      'VALUES ?g { "f2" } }')
+        got = _t(q)
+        assert ("s3", "REFERENCES", "missing") in got
+        assert ("f2", "DEFINES", "s2") in got
+        with pytest.raises(ValueError, match="not bound"):
+            sparql(e, "DESCRIBE ?zz WHERE { ?s REFERENCES ?t }")
