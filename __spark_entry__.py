@@ -2758,6 +2758,57 @@ _RDFS_SCHEMA = [
 ]
 
 
+def _sameas_rows(spark, sf_dir):
+    """Constructed owl:sameAs assertions over the call corpus: every
+    third symbol gains an alias (alias:a_r sameAs sym:f_r), every ninth
+    a second-level alias (alias:b_r sameAs alias:a_r) — so identity
+    clusters are 2- and 3-chains whose canonical member (the string
+    min) is alias:a_r by construction, giving the oracle a closed
+    form while the engine runs the REAL component computation."""
+    c = _fan(spark.read.parquet(f"{sf_dir}/customer.parquet")).select(
+        F.col("c_custkey").cast("long").alias("r")
+    )
+    a = c.filter(F.col("r") % 3 == 0).select(
+        F.concat(F.lit("alias:a_"), F.col("r")).alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        F.concat(F.lit("sym:f_"), F.col("r")).alias("obj"),
+    )
+    b = c.filter(F.col("r") % 9 == 0).select(
+        F.concat(F.lit("alias:b_"), F.col("r")).alias("subj"),
+        F.lit("sameAs").alias("pred"),
+        F.concat(F.lit("alias:a_"), F.col("r")).alias("obj"),
+    )
+    return a.unionByName(b)
+
+
+def q_kg_sameas_canon(spark, sf_dir):
+    """owl:sameAs identity resolution (rdfs.sameas_canonical): the
+    constructed alias assertions form 2-chains (sym-alias) and 3-chains
+    (sym-aliasA-aliasB), and the engine's connected-components run must
+    recover canon = the cluster's min member — the 3-chains specifically
+    pin TRANSITIVITY (alias:b_r never co-occurs with sym:f_r in any
+    assertion; only closure links them). Oracle enumerates the clusters
+    from the residue arithmetic."""
+    from pawpaw_spark.operators.rdfs import sameas_canonical
+
+    return sameas_canonical(_sameas_rows(spark, sf_dir))
+
+
+def q_kg_sameas_fuse(spark, sf_dir):
+    """owl:sameAs fusion into the KG (rdfs.sameas_fuse): the fused
+    kernel triples plus the constructed alias assertions, rewritten so
+    every aliased symbol's DEFINES/REFERENCES occurrences use the
+    canonical alias:a_r id, sameAs assertions consumed, set-dedup after
+    unification. The changed-mapping rewrite joins stay broadcast-
+    shaped (identity metadata, not corpus data). Oracle replays the
+    rewrite with LEFT JOIN + coalesce over the alias map CTE."""
+    from pawpaw_spark.operators.rdfs import sameas_fuse
+
+    t = _fused_call_triples(spark, sf_dir).select("subj", "pred", "obj")
+    fused = sameas_fuse(t.unionByName(_sameas_rows(spark, sf_dir)))
+    return fused.filter(F.col("pred").isin("DEFINES", "REFERENCES"))
+
+
 def q_kg_rdfs(spark, sf_dir):
     """RDFS (rho-df) entailment (operators/rdfs.py) over the fused
     DEFINES/REFERENCES slices plus an 8-triple schema: two-level
@@ -3123,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
+        "kg_sameas_canon": q_kg_sameas_canon,
+        "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_shacl": q_kg_shacl,
         "kg_modularity": q_kg_modularity,
         "bpe_pairs": q_bpe_pairs,
@@ -3816,6 +3869,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.f AS f, a.ts AS ts, a.one AS one
             FROM defs d JOIN agg a ON a.s = d.s
             ORDER BY f
+        """,
+        # identity-cluster replay: canon = min member enumerated from
+        # the residue arithmetic (alias:a_r < alias:b_r < sym:f_r)
+        "kg_sameas_canon": f"""
+            WITH {_KG_EDGE_CTE}
+            SELECT 'alias:a_' || r AS node, 'alias:a_' || r AS canon
+            FROM mem WHERE r % 3 = 0
+            UNION ALL
+            SELECT 'sym:f_' || r, 'alias:a_' || r
+            FROM mem WHERE r % 3 = 0
+            UNION ALL
+            SELECT 'alias:b_' || r, 'alias:a_' || r
+            FROM mem WHERE r % 9 = 0
+        """,
+        # fusion replay: LEFT JOIN + coalesce rewrite of both call-edge
+        # endpoints and the DEFINES objects through the alias map; UNION
+        # (set semantics) mirrors the engine's post-rewrite distinct
+        "kg_sameas_fuse": f"""
+            WITH {_KG_EDGE_CTE},
+            amap AS (
+              SELECT 'sym:f_' || r AS sym, 'alias:a_' || r AS al
+              FROM mem WHERE r % 3 = 0),
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT d.f AS subj, 'DEFINES' AS pred,
+                   coalesce(a.al, d.s) AS obj
+            FROM defs d LEFT JOIN amap a ON a.sym = d.s
+            UNION
+            SELECT coalesce(a1.al, e.src), 'REFERENCES',
+                   coalesce(a2.al, e.dst)
+            FROM e LEFT JOIN amap a1 ON a1.sym = e.src
+                   LEFT JOIN amap a2 ON a2.sym = e.dst
         """,
         # full rho-df rule replay: recursive subPropertyOf/subClassOf
         # closures, one-join inheritance over the CLOSED hierarchy,

@@ -170,3 +170,89 @@ def rdfs_closure(
         return closed.join(base, key, "left_anti")
     finally:
         base.unpersist()
+
+
+def sameas_canonical(
+    triples: DataFrame,
+    *,
+    sameas_pred: str = "sameAs",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    **cc_kwargs,
+) -> DataFrame:
+    """owl:sameAs identity resolution -> ``(node, canon)`` for every
+    node mentioned in a sameAs assertion; ``canon`` = the smallest
+    member of the node's identity cluster.
+
+    sameAs is symmetric, transitive and reflexive, so the identity
+    clusters are EXACTLY the connected components of the (symmetrized)
+    sameAs graph — :func:`pawpaw_spark.operators.canon.
+    connected_components` computes them with the same min-label +
+    pointer-jumping discipline the entity-linking pipeline uses
+    (O(log diameter) rounds distributed, exact driver union-find below
+    the metadata-size cutover). The min-member canon pin makes the
+    mapping a pure function of the cluster: deterministic at any
+    parallelism, stable under unrelated insertions.
+
+    Scale shape: the sameAs assertion set is identity METADATA — orders
+    of magnitude smaller than the instance triples at any corpus size —
+    so the component computation never touches the data plane.
+    """
+    from pawpaw_spark.operators.canon import connected_components
+
+    pairs = (
+        triples.filter(F.col(pred_col) == sameas_pred)
+        .select(F.col(subj_col).alias("a"), F.col(obj_col).alias("b"))
+    )
+    comps = connected_components(pairs, **cc_kwargs)
+    return comps.select(F.col("node"), F.col("comp").alias("canon"))
+
+
+def sameas_fuse(
+    triples: DataFrame,
+    *,
+    sameas_pred: str = "sameAs",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fuse owl:sameAs-equal identities into the KG: rewrite every
+    subject/object to its canonical representative, drop the consumed
+    sameAs assertions (post-rewrite they are self-loops carrying no
+    information), and dedup (set semantics — distinct triples can
+    collapse once their endpoints unify).
+
+    The rewrite joins only the CHANGED mappings (``node != canon``) —
+    the members of non-trivial identity clusters, a set bounded by the
+    sameAs assertion volume, not the corpus — as two left equi-joins +
+    coalesce, the same broadcast-shaped plan as
+    :func:`pawpaw_spark.operators.canon.rewrite_edges_canonical`.
+    """
+    mapping = sameas_canonical(
+        triples,
+        sameas_pred=sameas_pred,
+        subj_col=subj_col,
+        pred_col=pred_col,
+        obj_col=obj_col,
+        **cc_kwargs,
+    )
+    changed = mapping.filter(F.col("node") != F.col("canon"))
+    subj_map = changed.select(
+        F.col("node").alias(subj_col), F.col("canon").alias("__subj_canon")
+    )
+    obj_map = changed.select(
+        F.col("node").alias(obj_col), F.col("canon").alias("__obj_canon")
+    )
+    data = triples.filter(F.col(pred_col) != sameas_pred)
+    return (
+        data.join(subj_map, subj_col, "left")
+        .join(obj_map, obj_col, "left")
+        .select(
+            F.coalesce("__subj_canon", F.col(subj_col)).alias(subj_col),
+            F.col(pred_col),
+            F.coalesce("__obj_canon", F.col(obj_col)).alias(obj_col),
+        )
+        .distinct()
+    )

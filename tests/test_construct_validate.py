@@ -667,3 +667,64 @@ class TestUnigram:
 
         with pytest.raises(ValueError, match="not segmentable"):
             _viterbi("xyz", {"x": -1.0, "y": -1.0}, 4)
+
+
+class TestSameAs:
+    """owl:sameAs identity resolution + fusion (rdfs.sameas_canonical /
+    sameas_fuse)."""
+
+    def _t(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+
+    def test_canonical_transitive_chain(self, spark):
+        from pawpaw_spark.operators.rdfs import sameas_canonical
+
+        t = self._t(spark, [
+            ("b", "sameAs", "a"),
+            ("c", "sameAs", "b"),     # a-b-c one cluster via transitivity
+            ("z", "sameAs", "y"),     # y-z second cluster
+            ("x", "CALLS", "c"),      # non-sameAs triples are ignored
+        ])
+        got = {tuple(r) for r in sameas_canonical(t).collect()}
+        assert got == {
+            ("a", "a"), ("b", "a"), ("c", "a"),
+            ("y", "y"), ("z", "y"),
+        }
+
+    def test_fuse_rewrites_and_dedups(self, spark):
+        from pawpaw_spark.operators.rdfs import sameas_fuse
+
+        t = self._t(spark, [
+            ("b", "sameAs", "a"),
+            ("x", "CALLS", "b"),
+            ("x", "CALLS", "a"),      # collapses with the rewritten row
+            ("b", "CALLS", "q"),      # subject rewrite
+            ("q", "CALLS", "q"),      # untouched identity
+        ])
+        got = {tuple(r) for r in sameas_fuse(t).collect()}
+        # sameAs assertions are consumed; both CALLS rows unify
+        assert got == {
+            ("x", "CALLS", "a"),
+            ("a", "CALLS", "q"),
+            ("q", "CALLS", "q"),
+        }
+
+    def test_fuse_no_assertions_is_identity(self, spark):
+        from pawpaw_spark.operators.rdfs import sameas_fuse
+
+        rows = [("x", "CALLS", "y"), ("y", "CALLS", "x")]
+        t = self._t(spark, rows)
+        assert {tuple(r) for r in sameas_fuse(t).collect()} == set(rows)
+
+    def test_custom_pred_and_cols(self, spark):
+        from pawpaw_spark.operators.rdfs import sameas_canonical
+
+        t = spark.createDataFrame(
+            [("n2", "EQ", "n1")], "s string, p string, o string"
+        )
+        got = {tuple(r) for r in sameas_canonical(
+            t, sameas_pred="EQ", subj_col="s", pred_col="p", obj_col="o"
+        ).collect()}
+        assert got == {("n1", "n1"), ("n2", "n1")}
