@@ -1264,6 +1264,21 @@ def q_bm25_indexed(spark, sf_dir):
     )
 
 
+def q_gopher_filters(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021) over the real
+    documents table: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic-
+    word fraction, stopword hit count — thresholds tuned to the corpus
+    (min_words=30, min_stop_hits=1) so keep is a genuine mix, not a
+    vacuous column. Every signal is integer counts + single IEEE
+    divisions, so the DuckDB oracle reproduces the exact doubles with
+    list/regexp lambdas over the same splits."""
+    from pawpaw_spark.operators.text import gopher_filters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_filters(docs, min_words=30, min_stop_hits=1)
+
+
 def q_c4_filters(spark, sf_dir):
     """C4-style line/doc cleaning (Raffel et al. 2020) on a CONSTRUCTED
     corpus (the documents table has no lines/punctuation): one report
@@ -3215,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering": q_kg_clustering,
         "kg_cooccur": q_kg_cooccur,
         "kg_diff": q_kg_diff,
+        "gopher_filters": q_gopher_filters,
         "c4_filters": q_c4_filters,
         "pii_scrub": q_pii_scrub,
         "weighted_mix": q_weighted_mix,
@@ -5196,6 +5212,72 @@ def oracle_sql() -> dict[str, str]:
         """,
         # every count predicted closed-form from the keys that drive the
         # injected defects; see q_c4_filters for the construction
+        # Gopher-rule replay: the same word/line splits as the engine
+        # (regex whitespace split, empty-token filter, newline lines),
+        # integer counts via list lambdas and replace-diff arithmetic,
+        # single-division doubles — bit-identical cross-engine
+        "gopher_filters": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(words) AS BIGINT) AS n_words,
+                CAST(coalesce(list_sum(
+                  list_transform(words, x -> length(x))), 0) AS BIGINT)
+                  AS sum_len,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) / 3
+                  AS n_ell,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^\s*[-*]'))) AS n_bullet,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '\.\.\.\s*$'))) AS n_ellline,
+                len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                CAST((CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'the') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'be') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'to') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'of') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'and') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'that') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'have') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_contains(list_transform(words,
+                        x -> lower(x)), 'with') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS stop_hits
+              FROM w)
+            SELECT doc_id, n_words,
+              CAST(sum_len AS DOUBLE) / nullif(n_words, 0)
+                AS mean_word_len,
+              (n_hash + n_ell) / nullif(n_words, 0) AS symbol_ratio,
+              CAST(n_bullet AS DOUBLE) / nullif(n_lines, 0)
+                AS bullet_frac,
+              CAST(n_ellline AS DOUBLE) / nullif(n_lines, 0)
+                AS ellipsis_frac,
+              CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) AS alpha_frac,
+              stop_hits,
+              coalesce(
+                n_words >= 30 AND n_words <= 100000
+                AND CAST(sum_len AS DOUBLE) / nullif(n_words, 0) >= 3.0
+                AND CAST(sum_len AS DOUBLE) / nullif(n_words, 0) <= 10.0
+                AND (n_hash + n_ell) / nullif(n_words, 0) <= 0.1
+                AND CAST(n_bullet AS DOUBLE) / nullif(n_lines, 0) <= 0.9
+                AND CAST(n_ellline AS DOUBLE) / nullif(n_lines, 0) <= 0.3
+                AND CAST(n_alpha AS DOUBLE) / nullif(n_words, 0) >= 0.8
+                AND stop_hits >= 1, FALSE) AS keep
+            FROM m
+        """,
         "c4_filters": r"""
             WITH o AS (
               SELECT o_custkey AS ck, count(*) AS n_orders,

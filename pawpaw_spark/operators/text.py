@@ -405,6 +405,96 @@ def c4_filters(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ``...`` occurrences per word), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, and a required-
+    stopword hit count — the standard repetition-independent half of
+    the Gopher cleaning stack (the repetition half lives in
+    :func:`repetition_scores`).
+
+    Output per doc: the eight measured signals plus ``keep`` (the
+    conjunction; NULL-safe — an empty doc fails closed). Every signal
+    is defined in engine-portable arithmetic: integer counts from
+    split/filter/replace column expressions, ratios as single IEEE
+    divisions of those integers, so an external auditor reproduces the
+    exact doubles in any engine (the DuckDB contract oracle does).
+
+    Scale: one projection over the scan — all signals are array/regex
+    column expressions inside whole-stage codegen; no shuffle, no
+    Python, no explode.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = sum_len / F.nullif(n_words, F.lit(0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.nullif(
+        n_words, F.lit(0)
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-*]"))
+    ).cast("double") / F.nullif(n_lines, F.lit(0))
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$"))
+    ).cast("double") / F.nullif(n_lines, F.lit(0))
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double") / F.nullif(n_words, F.lit(0))
+    words_lower = F.transform(words, F.lower)
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(words_lower, sw).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.cast("double").alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
 # --- PII detection / redaction ----------------------------------------------
 # The standard pre-training scrub pass (C4/Dolma-style): regex families
 # for emails, E.164-ish phone numbers, IPv4 addresses, and 16-digit

@@ -242,3 +242,46 @@ class TestC4Property:
         }
         want = {i: py_c4(t) for i, t in enumerate(docs)}
         assert got == want
+
+
+class TestGopherFilters:
+    def test_signals_and_keep(self, spark):
+        from pawpaw_spark.operators.text import gopher_filters
+
+        rows = [
+            ("good", "The quick brown fox jumps over the lazy dog and "
+                     "runs to a town of note that we have seen. " * 3),
+            ("short", "tiny doc with few words"),
+            ("bullets", "\n".join(f"- item {i} of the list"
+                                  for i in range(10))),
+            ("symbols", "# " * 60 + "the of and that"),
+            ("ellipses", "\n".join("we trailed off the end..."
+                                   for _ in range(4))),
+            ("empty", ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = {r.doc_id: r for r in
+               gopher_filters(df, min_words=20).collect()}
+        g = out["good"]
+        assert g.keep and g.alpha_frac == 1.0 and g.stop_hits >= 2
+        assert not out["short"].keep  # below min_words
+        b = out["bullets"]
+        assert b.bullet_frac == 1.0 and not b.keep
+        s = out["symbols"]
+        assert s.symbol_ratio > 0.9 and s.alpha_frac < 0.8 and not s.keep
+        e = out["ellipses"]
+        assert e.ellipsis_frac == 1.0 and not e.keep
+        em = out["empty"]
+        # empty doc fails CLOSED: NULL signals coalesce to keep=False
+        assert em.n_words == 0 and em.keep is False
+
+    def test_thresholds_are_parameters(self, spark):
+        from pawpaw_spark.operators.text import gopher_filters
+
+        df = spark.createDataFrame(
+            [("d", "the cat and the dog have fun with all of that")],
+            "doc_id string, text string",
+        )
+        strict = gopher_filters(df).collect()[0]      # min_words=50
+        loose = gopher_filters(df, min_words=5).collect()[0]
+        assert not strict.keep and loose.keep
