@@ -1264,6 +1264,22 @@ def q_bm25_indexed(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py): train the
+    add-1 bigram model on the documents corpus, score every document
+    by mean per-transition negative log-likelihood. Every probability
+    is one IEEE division of exact integer counts; the mean rounds to 6
+    digits because summation order varies with partitioning (~1e-14
+    wobble against the 1e-6 grid — the BM25 discipline). The oracle
+    retrains and rescores the identical model in SQL (parallel-unnest
+    consecutive pairs, the same joins, ln + round)."""
+    from pawpaw_spark.operators.lm import bigram_lm, perplexity_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni, bi, vocab = bigram_lm(docs)
+    return perplexity_score(docs, uni, bi, vocab)
+
+
 def q_gopher_filters(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021) over the real
     documents table: word-count bounds, mean-word-length bounds,
@@ -3230,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering": q_kg_clustering,
         "kg_cooccur": q_kg_cooccur,
         "kg_diff": q_kg_diff,
+        "lm_perplexity": q_lm_perplexity,
         "gopher_filters": q_gopher_filters,
         "c4_filters": q_c4_filters,
         "pii_scrub": q_pii_scrub,
@@ -5212,6 +5229,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # every count predicted closed-form from the keys that drive the
         # injected defects; see q_c4_filters for the construction
+        # full LM retrain + rescore in SQL: the same token split,
+        # parallel-unnest consecutive pairs (DuckDB zips same-SELECT
+        # unnests positionally), identical count joins, add-1 ln,
+        # round-6 mean
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^0-9a-z_]+'),
+                       x -> x <> '') AS ws
+              FROM documents),
+            uni AS (
+              SELECT w, count(*) AS c FROM (
+                SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+            v AS (SELECT count(*) AS vs FROM uni),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM toks),
+            bi AS (SELECT w1, w2, count(*) AS c
+                   FROM pairs GROUP BY w1, w2),
+            scored AS (
+              SELECT p.doc_id,
+                     -ln((coalesce(b.c, 0) + 1.0)
+                         / (coalesce(u.c, 0) + 1.0 * vs)) AS nll
+              FROM pairs p
+              LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+              LEFT JOIN uni u ON u.w = p.w1
+              CROSS JOIN v)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                   round(avg(nll), 6) AS avg_nll
+            FROM scored GROUP BY doc_id
+        """,
         # Gopher-rule replay: the same word/line splits as the engine
         # (regex whitespace split, empty-token filter, newline lines),
         # integer counts via list lambdas and replace-diff arithmetic,

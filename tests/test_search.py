@@ -285,3 +285,63 @@ class TestGopherFilters:
         strict = gopher_filters(df).collect()[0]      # min_words=50
         loose = gopher_filters(df, min_words=5).collect()[0]
         assert not strict.keep and loose.keep
+
+
+class TestBigramLm:
+    def test_counts_and_score_vs_mirror(self, spark):
+        import math
+
+        from pawpaw_spark.operators.lm import bigram_lm, perplexity_score
+
+        rows = [("a", "the cat sat on the mat"),
+                ("b", "the dog sat"),
+                ("c", "cat mat cat")]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        uni, bi, V = bigram_lm(df)
+        u = {r.w: r.c for r in uni.collect()}
+        b = {(r.w1, r.w2): r.c for r in bi.collect()}
+        # mirror counts
+        toks = {d: t.split() for d, t in rows}
+        mu, mb = {}, {}
+        for t in toks.values():
+            for w in t:
+                mu[w] = mu.get(w, 0) + 1
+            for x, y in zip(t, t[1:]):
+                mb[(x, y)] = mb.get((x, y), 0) + 1
+        assert u == mu and b == mb and V == len(mu)
+        got = {r.doc_id: (r.n_transitions, r.avg_nll)
+               for r in perplexity_score(df, uni, bi, V).collect()}
+        for d, t in toks.items():
+            nlls = [
+                -math.log((mb.get((x, y), 0) + 1.0) / (mu[x] + V))
+                for x, y in zip(t, t[1:])
+            ]
+            assert got[d][0] == len(nlls)
+            assert got[d][1] == round(sum(nlls) / len(nlls), 6)
+
+    def test_min_count_prunes_to_unseen(self, spark):
+        from pawpaw_spark.operators.lm import bigram_lm, perplexity_score
+
+        df = spark.createDataFrame(
+            [("a", "x y x y x y"), ("b", "p q")],
+            "doc_id string, text string",
+        )
+        uni, bi, V = bigram_lm(df, min_count=2)
+        kept = {(r.w1, r.w2) for r in bi.collect()}
+        assert ("p", "q") not in kept and ("x", "y") in kept
+        # the pruned pair scores as unseen but still scores
+        out = {r.doc_id: r for r in
+               perplexity_score(df, uni, bi, V).collect()}
+        assert out["b"].n_transitions == 1
+
+    def test_single_token_docs_drop(self, spark):
+        from pawpaw_spark.operators.lm import bigram_lm, perplexity_score
+
+        df = spark.createDataFrame(
+            [("a", "hello"), ("b", "two words")],
+            "doc_id string, text string",
+        )
+        uni, bi, V = bigram_lm(df)
+        ids = {r.doc_id for r in
+               perplexity_score(df, uni, bi, V).collect()}
+        assert ids == {"b"}
