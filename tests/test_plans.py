@@ -457,3 +457,54 @@ class TestRound4ContPlanShape:
         plan = self._p(spark, "kg_node2vec")
         assert "Scan ExistingRDD" in plan, plan
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+class TestRound4ExtensionPlanShape:
+    """Plan guards for the session's additions: SPARQL expression
+    layer + DESCRIBE, sameAs fusion, Gopher filters, bigram LM."""
+
+    def _p(self, spark, name):
+        return _plan(E.queries()[name](spark, SF))
+
+    def test_sparql_filter_bind_pure_columns_topk(self, spark):
+        plan = self._p(spark, "kg_sparql_filter")
+        # BIND/FILTER compile to column expressions, the page to top-k
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_sparql_subquery_equi_join(self, spark):
+        plan = self._p(spark, "kg_sparql_subquery")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "partial_count" in plan or "partial_min" in plan, plan
+
+    def test_describe_semi_joins_never_or_condition(self, spark):
+        plan = self._p(spark, "kg_sparql_describe")
+        # the variable resource set applies as equi-SEMI joins; an
+        # OR-condition join would surface as a nested-loop product
+        assert "LeftSemi" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_sameas_fuse_broadcastable_rewrite_no_python(self, spark):
+        plan = self._p(spark, "kg_sameas_fuse")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_gopher_filters_single_projection_no_shuffle(self, spark):
+        plan = self._p(spark, "gopher_filters")
+        # one shuffle-free JVM projection over the scan (higher-order
+        # array lambdas stay out of whole-stage codegen but are still
+        # JVM expressions — the property that matters is no Python
+        # and no Exchange)
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert plan.lstrip().startswith("Project") or "Project" in plan, plan
+
+    def test_lm_perplexity_partial_aggs_broadcast_unigrams(self, spark):
+        plan = self._p(spark, "lm_perplexity")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "partial_count" in plan, plan
+        # the vocabulary-sized unigram side broadcasts
+        assert "BroadcastHashJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
