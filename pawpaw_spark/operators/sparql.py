@@ -69,10 +69,12 @@ MAX), ORDER BY + LIMIT to TakeOrderedAndProject (a per-partition
 top-k + a driver-side k-merge, never a full sort), UNION to a
 zero-shuffle unionByName, VALUES to a broadcast inner join on the
 shared variables (the literal table is driver-literal-sized by
-construction). Out of scope (raise or parse error): ``;``/``,``
-predicate-object lists, expressions beyond the forms above (a single
-aggregate per alias, a single comparison per FILTER/HAVING clause,
-the listed BIND functions).
+construction). ``;``/``,`` predicate-object
+lists (whitespace-separated, in WHERE groups and CONSTRUCT templates)
+expand to plain triples at parse time. Out of scope (raise or parse
+error): expressions beyond the forms above (a single aggregate per
+alias, a single comparison per FILTER/HAVING clause, the listed BIND
+functions).
 
 Aggregation semantics note: the WHERE solutions feeding GROUP BY are
 the DISTINCT variable bindings (SPARQL's solution multiset over a
@@ -137,7 +139,7 @@ class _P:
 
     def term(self) -> str:
         t = self.take()
-        if t in "{}." or t.lower() in _KEYWORDS:
+        if t in ("{", "}", ".", ";", ",") or t.lower() in _KEYWORDS:
             raise ValueError(f"expected a term, got {t!r}")
         if t.startswith("<") and t.endswith(">"):
             return t[1:-1]
@@ -348,6 +350,15 @@ class _P:
                 continue
             s, p, o = self.term(), self.term(), self.term()
             triples.append((s, p, o))
+            # predicate-object lists (canonical whitespace-separated
+            # layout): `;` repeats the subject, `,` repeats subject AND
+            # predicate — pure syntax sugar expanding to plain triples
+            while self.peek() in (";", ","):
+                sep = self.take()
+                if sep == ";":
+                    p = self.term()
+                o = self.term()
+                triples.append((s, p, o))
             if self.peek() == ".":
                 self.take()
         # unreachable
@@ -522,6 +533,12 @@ class _P:
                 raise ValueError("unclosed '{' in CONSTRUCT template")
             s, p, o = self.term(), self.term(), self.term()
             out.append((s, p, o))
+            while self.peek() in (";", ","):
+                sep = self.take()
+                if sep == ";":
+                    p = self.term()
+                o = self.term()
+                out.append((s, p, o))
             if self.peek() == ".":
                 self.take()
         self.take("}")

@@ -602,3 +602,42 @@ class TestDescribe:
         assert ("f2", "DEFINES", "s2") in got
         with pytest.raises(ValueError, match="not bound"):
             sparql(e, "DESCRIBE ?zz WHERE { ?s REFERENCES ?t }")
+
+
+class TestPredicateObjectLists:
+    def test_parse_expansion(self):
+        plan = parse_sparql(
+            "SELECT ?f ?a ?b WHERE { ?f DEFINES ?a ; REFERENCES ?b , ?c . "
+            "?c type Sym }"
+        )
+        assert plan["branches"][0]["pattern"] == [
+            ("?f", "DEFINES", "?a"),
+            ("?f", "REFERENCES", "?b"),
+            ("?f", "REFERENCES", "?c"),
+            ("?c", "type", "Sym"),
+        ]
+
+    def test_construct_template_lists(self):
+        plan = parse_sparql(
+            "CONSTRUCT { ?s a Thing ; LABEL ?t , ?u } WHERE "
+            "{ ?s REFERENCES ?t . ?s REFERENCES ?u }"
+        )
+        assert plan["template"] == [
+            ("?s", "type", "Thing"),
+            ("?s", "LABEL", "?t"),
+            ("?s", "LABEL", "?u"),
+        ]
+
+    def test_exec_equivalence(self, spark):
+        e = _triples(spark, KG)
+        sugar = sparql(
+            e, "SELECT ?s ?t WHERE { ?s a Sym ; REFERENCES ?t }"
+        )
+        plain = sparql(
+            e, "SELECT ?s ?t WHERE { ?s a Sym . ?s REFERENCES ?t }"
+        )
+        assert _t(sugar) == _t(plain) == {("s1", "s2")}
+
+    def test_separator_as_term_rejected(self):
+        with pytest.raises(ValueError, match="expected a term"):
+            parse_sparql("SELECT ?x WHERE { ?x P ; . }")
