@@ -58,6 +58,13 @@ def main() -> None:
         "write its edge set under <output>/truss (cohesive cores)",
     )
     p.add_argument(
+        "--sameas", default=None, metavar="PATH",
+        help="parquet of owl:sameAs assertions (subj, pred, obj); fuse "
+        "the identity clusters into the edge table (canonical-min "
+        "rewrite, assertions consumed, set dedup) and write the result "
+        "under <output>/edges_fused",
+    )
+    p.add_argument(
         "--snapshot", action="store_true",
         help="collapse a multi-commit source to the latest row per "
         "(repo, path) before building (day-2 ingest; commit must be a "
@@ -186,6 +193,15 @@ def main() -> None:
             truss = ktruss(refs, args.truss, "subj", "obj")
             truss.write.mode("overwrite").parquet(f"{args.output}/truss")
             stats["truss_edges"] = truss.count()
+    if args.sameas:
+        from pawpaw_spark.operators.rdfs import sameas_fuse
+
+        sa = spark.read.parquet(args.sameas).select("subj", "pred", "obj")
+        fused = sameas_fuse(
+            res["edges"].select("subj", "pred", "obj").unionByName(sa)
+        )
+        fused.write.mode("overwrite").parquet(f"{args.output}/edges_fused")
+        stats["edges_fused"] = fused.count()
     stats["triples_per_sec"] = round(stats["edges"] / stats["wall_sec"], 1)
     print(json.dumps(stats))
     spark.stop()
