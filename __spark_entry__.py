@@ -1352,6 +1352,20 @@ def q_c4_filters(spark, sf_dir):
     return c4_filters(docs).drop("clean_text")
 
 
+def q_kg_graph_stats(spark, sf_dir):
+    """One-row KG health summary (graph.graph_stats) over the call
+    graph: node/edge counts, self-loops (each group's hub calls
+    itself at p=0), mutuals + reciprocity (the hub's first ring
+    successor calls back), degree maxima, and out-in degree
+    assortativity from EXACT integer sums (one final try_divide —
+    deterministic at any partitioning). The oracle recomputes all
+    eight numbers over the reconstructed edge CTE with the identical
+    Pearson arithmetic."""
+    from pawpaw_spark.operators.graph import graph_stats
+
+    return graph_stats(_call_edges(spark, sf_dir))
+
+
 def q_kg_degrees(spark, sf_dir):
     """Graph-materialize QA: out-degree of every KG node by predicate
     from the fused triple kernel — repo nodes fan out CONTAINS edges
@@ -3205,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closeness": q_kg_closeness,
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
+        "kg_graph_stats": q_kg_graph_stats,
         "kg_sameas_canon": q_kg_sameas_canon,
         "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_shacl": q_kg_shacl,
@@ -3902,6 +3917,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.f AS f, a.ts AS ts, a.one AS one
             FROM defs d JOIN agg a ON a.s = d.s
             ORDER BY f
+        """,
+        # eight-number health replay on the edge CTE: same distinct
+        # projection, reversed-pair semi for mutuals, degree joins,
+        # exact-integer Pearson with one division + round
+        "kg_graph_stats": f"""
+            WITH {_KG_EDGE_CTE},
+            degs_out AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            degs_in AS (SELECT dst, count(*) AS in_deg FROM e GROUP BY dst),
+            per_edge AS (
+              SELECT o.out_deg, i.in_deg
+              FROM e JOIN degs_out o ON o.src = e.src
+                     JOIN degs_in i ON i.dst = e.dst),
+            sums AS (
+              SELECT count(*) AS n, sum(out_deg) AS sx, sum(in_deg) AS sy,
+                     sum(out_deg * in_deg) AS sxy,
+                     sum(out_deg * out_deg) AS sxx,
+                     sum(in_deg * in_deg) AS syy,
+                     max(out_deg) AS mx, max(in_deg) AS mi
+              FROM per_edge),
+            m AS (
+              SELECT count(*) AS n_mutual
+              FROM e WHERE EXISTS (
+                SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src))
+            SELECT
+              (SELECT count(*) FROM nodes) AS n_nodes,
+              (SELECT count(*) FROM e) AS n_edges,
+              (SELECT count(*) FROM e WHERE src = dst) AS n_self_loops,
+              (SELECT n_mutual FROM m) AS n_mutual,
+              round(CAST((SELECT n_mutual FROM m) AS DOUBLE)
+                    / (SELECT count(*) FROM e), 6) AS reciprocity,
+              (SELECT mx FROM sums) AS max_out_deg,
+              (SELECT mi FROM sums) AS max_in_deg,
+              (SELECT round(
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               FROM sums) AS assortativity
         """,
         # identity-cluster replay: canon = min member enumerated from
         # the residue arithmetic (alias:a_r < alias:b_r < sym:f_r)

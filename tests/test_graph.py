@@ -2047,3 +2047,51 @@ class TestBiasedWalks:
         starts = spark.createDataFrame([("a",)], "node string")
         with pytest.raises(ValueError, match=">= 1"):
             biased_walks(e, starts, length=2, w_return=0)
+
+
+class TestGraphStats:
+    def test_known_graph(self, spark):
+        from pawpaw_spark.operators.graph import graph_stats
+
+        # a<->b mutual, a->c, c->c self-loop (mutual by definition),
+        # duplicate edge collapses
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "c")],
+            "src string, dst string",
+        )
+        [r] = graph_stats(e).collect()
+        assert r.n_nodes == 3 and r.n_edges == 4
+        assert r.n_self_loops == 1
+        assert r.n_mutual == 3  # a->b, b->a, c->c
+        assert r.reciprocity == 0.75
+        assert r.max_out_deg == 2 and r.max_in_deg == 2
+
+    def test_assortativity_matches_numpy(self, spark):
+        import numpy as np
+
+        from pawpaw_spark.operators.graph import graph_stats
+
+        edges = [("h", f"l{i}") for i in range(5)] + [
+            ("l0", "l1"), ("l1", "l2"), ("l2", "h")
+        ]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        [r] = graph_stats(e).collect()
+        out_deg, in_deg = {}, {}
+        for s, d in edges:
+            out_deg[s] = out_deg.get(s, 0) + 1
+            in_deg[d] = in_deg.get(d, 0) + 1
+        xs = np.array([out_deg[s] for s, d in edges], dtype=float)
+        ys = np.array([in_deg[d] for s, d in edges], dtype=float)
+        expect = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+        assert r.assortativity == expect
+
+    def test_no_mutual_edges(self, spark):
+        from pawpaw_spark.operators.graph import graph_stats
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string"
+        )
+        [r] = graph_stats(e).collect()
+        assert r.n_mutual == 0 and r.reciprocity == 0.0
+        # zero-variance degree sequence -> NULL, not a divide error
+        assert r.assortativity is None

@@ -508,3 +508,13 @@ class TestRound4ExtensionPlanShape:
         # the vocabulary-sized unigram side broadcasts
         assert "BroadcastHashJoin" in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+    def test_graph_stats_semi_join_no_product(self, spark):
+        plan = self._p(spark, "kg_graph_stats")
+        # mutual-edge detection is an equi-SEMI join; the only nested-
+        # loop joins are the one-row scalar assembly (broadcast, like
+        # bm25_search's stats row) — a true CartesianProduct of data-
+        # sized inputs must never appear
+        assert "LeftSemi" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
