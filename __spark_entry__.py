@@ -3137,6 +3137,29 @@ def q_kg_sparql_describe(spark, sf_dir):
     )
 
 
+def q_kg_sparql_strfns(spark, sf_dir):
+    """SPARQL string-function filters end to end: REGEX (Java-regex
+    pin, pattern restricted to the Java/RE2 shared subset so the
+    DuckDB oracle evaluates it identically), negated STRSTARTS, and
+    CONTAINS — all compiled to pushable JVM predicates (rlike /
+    startswith / contains column expressions). The oracle replays them
+    with regexp_matches / starts_with / contains over the
+    reconstructed defs table."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?f ?s WHERE {
+          ?f DEFINES ?s .
+          FILTER ( REGEX ( ?s "f_[0-9]*[02468]$" ) )
+          FILTER ( ! STRSTARTS ( ?s "sym:f_1" ) )
+          FILTER ( CONTAINS ( ?f "doc/" ) )
+        }
+        """,
+    )
+
+
 def q_kg_sparql_subquery(spark, sf_dir):
     """SPARQL 1.1 subqueries + GROUP_CONCAT / SAMPLE aggregates end to
     end: the inner { SELECT ... GROUP BY ?s } computes each symbol's
@@ -3208,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_filter": q_kg_sparql_filter,
+        "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_describe": q_kg_sparql_describe,
         "wordpiece_scores": q_wordpiece_scores,
@@ -3898,6 +3922,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, 'REFERENCES', dst FROM e
             WHERE src IN (SELECT s FROM res)
                OR dst IN (SELECT s FROM res)
+        """,
+        # string-function replay on the shared Java/RE2 regex subset
+        "kg_sparql_strfns": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT f, s FROM defs
+            WHERE regexp_matches(s, 'f_[0-9]*[02468]$')
+              AND NOT starts_with(s, 'sym:f_1')
+              AND contains(f, 'doc/')
         """,
         # subquery replay: per-symbol sorted callee list + min sample
         # over the DISTINCT (src, dst) call edges, joined to defs on

@@ -44,7 +44,10 @@ see the parser doc for the exact token rules):
   ``<`` ``<=`` ``>`` ``>=`` over ?vars and constants — numeric when
   either side is a numeric literal (var side TRY_CASTs to double),
   lexicographic otherwise, and ``?a != ?b`` still pushes into the
-  matcher's earliest join; ``BIND ( expr AS ?v )`` with expr a term or
+  matcher's earliest join; ``FILTER ( [!] FN ( ?v "literal" ) )``
+  string-function filters with FN ``REGEX`` (Java-regex semantics) /
+  ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS`` and optional ``!``
+  negation; ``BIND ( expr AS ?v )`` with expr a term or
   ``CONCAT`` / ``STRLEN`` / ``LCASE`` / ``UCASE`` / ``STR`` call
   (canonical whitespace-separated parens, nesting allowed);
   ``{ SELECT ... }`` subqueries (evaluated independently, joined to
@@ -209,6 +212,7 @@ class _P:
         return ("lit", self._const(t))
 
     _BIND_FNS = ("concat", "strlen", "lcase", "ucase", "str")
+    _STR_FNS = ("regex", "strstarts", "strends", "contains")
 
     def _bind_expr(self):
         """A BIND expression (canonical layout: parens whitespace-
@@ -267,7 +271,7 @@ class _P:
         self.take("{")
         triples, optionals, negations, minus, neq, values = \
             [], [], [], [], [], []
-        filters, binds, subqueries = [], [], []
+        filters, binds, subqueries, str_filters = [], [], [], []
         while True:
             t = self.peek()
             if t is None:
@@ -275,7 +279,7 @@ class _P:
             if t == "}":
                 self.take()
                 return (triples, optionals, negations, minus, neq,
-                        values, filters, binds, subqueries)
+                        values, filters, binds, subqueries, str_filters)
             if t == "{":
                 # a nested { SELECT ... } is a SPARQL 1.1 subquery;
                 # any other bare nested group is out of scope
@@ -319,6 +323,33 @@ class _P:
                 else:
                     self.take("(")
                     a = self.take()
+                    neg = False
+                    if a == "!":
+                        neg, a = True, self.take()
+                    if a.lower() in self._STR_FNS and self.peek() == "(":
+                        # string-function filter: REGEX / STRSTARTS /
+                        # STRENDS / CONTAINS ( ?v "literal" ), optional
+                        # leading ! — canonical whitespace parens
+                        fn = a.lower()
+                        self.take("(")
+                        v = self.take()
+                        lit = self.take()
+                        self.take(")")
+                        self.take(")")
+                        if not v.startswith("?") or lit.startswith("?"):
+                            raise ValueError(
+                                f"{fn.upper()} expects ( ?var "
+                                f'"literal" ), got ({v} {lit})'
+                            )
+                        str_filters.append(
+                            (fn, v[1:], self._const(lit), neg)
+                        )
+                        continue
+                    if neg:
+                        raise ValueError(
+                            "'!' negates only string-function filters "
+                            "(REGEX/STRSTARTS/STRENDS/CONTAINS)"
+                        )
                     op = self.take()
                     b = self.take()
                     self.take(")")
@@ -630,7 +661,7 @@ def _branches(p: _P) -> list[dict]:
     branches = []
     for body in p.where_body():
         (pattern, optionals, negations, minus, neq, values, filters,
-         binds, subqueries) = body
+         binds, subqueries, str_filters) = body
         if not pattern and not subqueries:
             raise ValueError("a WHERE group binds no triples")
         if not pattern and (optionals or negations or minus):
@@ -642,7 +673,7 @@ def _branches(p: _P) -> list[dict]:
             "pattern": pattern, "optional": optionals,
             "not_exists": negations, "minus": minus, "neq": neq,
             "values": values, "filters": filters, "binds": binds,
-            "subqueries": subqueries,
+            "subqueries": subqueries, "str_filters": str_filters,
         })
     return branches
 
@@ -857,6 +888,24 @@ def _branch_frame(
                     f"(bound: {m.columns})"
                 )
         m = m.filter(_filter_cond(a, op, bb))
+    for fn, v, lit, neg in b.get("str_filters", ()):
+        if v not in m.columns:
+            raise ValueError(
+                f"FILTER {fn.upper()} reads unbound variable ?{v} "
+                f"(bound: {m.columns})"
+            )
+        c = F.col(v)
+        if fn == "regex":
+            # Java regex semantics (rlike) — the engine pin; SPARQL
+            # specifies XPath regex, identical on the common subset
+            cond = c.rlike(lit)
+        elif fn == "strstarts":
+            cond = c.startswith(lit)
+        elif fn == "strends":
+            cond = c.endswith(lit)
+        else:  # contains
+            cond = c.contains(lit)
+        m = m.filter(~cond if neg else cond)
     if b["values"]:
         m = _apply_values(m, b["values"])
     return m
@@ -883,7 +932,7 @@ def sparql(
         if len(b) > 1:
             raise ValueError("CONSTRUCT over a UNION body is not supported")
         if b[0]["values"] or b[0]["filters"] or b[0]["binds"] \
-                or b[0]["subqueries"]:
+                or b[0]["subqueries"] or b[0]["str_filters"]:
             raise ValueError(
                 "CONSTRUCT with VALUES / FILTER comparisons / BIND / "
                 "subqueries is not supported"
@@ -953,6 +1002,7 @@ def sparql(
             if (not b["optional"] and not b["not_exists"]
                     and not b["minus"] and not b["filters"]
                     and not b["binds"] and not b["subqueries"]
+                    and not b["str_filters"]
                     and b["pattern"] and all(
                         not t.startswith("?")
                         for tr in b["pattern"] for t in tr)):

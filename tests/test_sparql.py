@@ -641,3 +641,52 @@ class TestPredicateObjectLists:
     def test_separator_as_term_rejected(self):
         with pytest.raises(ValueError, match="expected a term"):
             parse_sparql("SELECT ?x WHERE { ?x P ; . }")
+
+
+class TestStringFunctionFilters:
+    def test_parse(self):
+        plan = parse_sparql(
+            'SELECT ?s WHERE { ?s P ?o . FILTER ( REGEX ( ?o "^s[0-9]+$" ) ) '
+            'FILTER ( ! STRSTARTS ( ?s "f" ) ) }'
+        )
+        assert plan["branches"][0]["str_filters"] == [
+            ("regex", "o", "^s[0-9]+$", False),
+            ("strstarts", "s", "f", True),
+        ]
+
+    def test_exec_all_functions(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(e, 'SELECT ?t WHERE { ?s REFERENCES ?t . '
+                      'FILTER ( REGEX ( ?t "^s[0-9]$" ) ) }')
+        assert _t(q) == {("s1",), ("s2",), ("s3",)}
+        q2 = sparql(e, 'SELECT ?t WHERE { ?s REFERENCES ?t . '
+                       'FILTER ( STRSTARTS ( ?t "mis" ) ) }')
+        assert _t(q2) == {("missing",)}
+        q3 = sparql(e, 'SELECT ?t WHERE { ?s REFERENCES ?t . '
+                       'FILTER ( STRENDS ( ?t "ing" ) ) }')
+        assert _t(q3) == {("missing",)}
+        q4 = sparql(e, 'SELECT ?s WHERE { ?s REFERENCES ?t . '
+                       'FILTER ( ! CONTAINS ( ?t "s" ) ) }')
+        assert _t(q4) == set()  # every target contains an 's'
+
+    def test_negation_and_ask(self, spark):
+        e = _triples(spark, KG)
+        q = sparql(e, 'SELECT ?t WHERE { ?s REFERENCES ?t . '
+                      'FILTER ( ! REGEX ( ?t "^s" ) ) }')
+        assert _t(q) == {("missing",)}
+        [(v,)] = sparql(
+            e, 'ASK { ?s REFERENCES ?t . FILTER ( STRENDS ( ?t "ing" ) ) }'
+        ).collect()
+        assert v is True
+
+    def test_errors(self, spark):
+        with pytest.raises(ValueError, match="expects"):
+            parse_sparql('SELECT ?s WHERE { ?s P ?o . '
+                         'FILTER ( REGEX ( "lit" ?o ) ) }')
+        with pytest.raises(ValueError, match="negates only"):
+            parse_sparql("SELECT ?s WHERE { ?s P ?o . "
+                         "FILTER ( ! ?a != ?b ) }")
+        e = _triples(spark, KG)
+        with pytest.raises(ValueError, match="unbound"):
+            sparql(e, 'SELECT ?s WHERE { ?s P ?o . '
+                      'FILTER ( CONTAINS ( ?zz "x" ) ) }').collect()
