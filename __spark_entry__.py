@@ -2826,6 +2826,22 @@ def _sameas_rows(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_kg_triad_census(spark, sf_dir):
+    """Full 16-class Holland-Leinhardt triad census
+    (graph.triad_census) over the call graph: connected triads
+    enumerated (open wedges once via their unique center, triangles
+    once via the degree-ordered orientation), disconnected classes by
+    the exact counting identities — never C(n,3) work. The oracle
+    replays the same accounting in SQL with lexicographic triangle
+    enumeration (x<y<z makes the arc directions the raw has_f flags)
+    and the identical MAN classification rules; the first-principles
+    convention itself is pinned by the brute-force mirror in
+    tests/test_graph.py::TestTriadCensus."""
+    from pawpaw_spark.operators.graph import triad_census
+
+    return triad_census(_call_edges(spark, sf_dir))
+
+
 def q_kg_sameas_canon(spark, sf_dir):
     """owl:sameAs identity resolution (rdfs.sameas_canonical): the
     constructed alias assertions form 2-chains (sym-alias) and 3-chains
@@ -3244,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_betweenness": q_kg_betweenness,
         "kg_rdfs": q_kg_rdfs,
         "kg_graph_stats": q_kg_graph_stats,
+        "kg_triad_census": q_kg_triad_census,
         "kg_sameas_canon": q_kg_sameas_canon,
         "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_shacl": q_kg_shacl,
@@ -3990,6 +4007,130 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                FROM sums) AS assortativity
+        """,
+        # Batagelj-Mrvar accounting replayed in SQL: canonical dyads,
+        # open wedges (adjacency self-join + NOT EXISTS), triangles by
+        # lexicographic 3-way join (x<y<z => arcs are the raw has_f
+        # flags), the same MAN class rules, disconnected identities
+        "kg_triad_census": f"""
+            WITH {_KG_EDGE_CTE},
+            ee AS (SELECT DISTINCT src AS s, dst AS d FROM e
+                   WHERE src <> dst),
+            dy AS (
+              SELECT least(s, d) AS a, greatest(s, d) AS b,
+                     bool_or(s < d) AS has_f, bool_or(s > d) AS has_b
+              FROM ee GROUP BY 1, 2),
+            dy2 AS (SELECT a, b, (has_f AND has_b) AS m, has_f, has_b
+                    FROM dy),
+            adj AS (
+              SELECT a AS c, b AS n, m, has_f AS o FROM dy2
+              UNION ALL
+              SELECT b, a, m, has_b FROM dy2),
+            openw AS (
+              SELECT a1.m AS m1, a2.m AS m2, a1.o AS o1, a2.o AS o2,
+                     a1.n AS n1, a2.n AS n2
+              FROM adj a1 JOIN adj a2 ON a1.c = a2.c AND a1.n < a2.n
+              WHERE NOT EXISTS (
+                SELECT 1 FROM dy2 WHERE a = a1.n AND b = a2.n)),
+            wcls AS (
+              SELECT CASE
+                  WHEN m1 AND m2 THEN '201'
+                  WHEN m1 OR m2 THEN
+                    CASE WHEN (CASE WHEN m1 THEN o2 ELSE o1 END)
+                         THEN '111U' ELSE '111D' END
+                  WHEN o1 AND o2 THEN '021D'
+                  WHEN NOT o1 AND NOT o2 THEN '021U'
+                  ELSE '021C' END AS t,
+                (CASE WHEN m1 THEN 1 ELSE 0 END
+                 + CASE WHEN m2 THEN 1 ELSE 0 END) AS mi
+              FROM openw),
+            tri AS (
+              SELECT d1.m AS mxy, d1.has_f AS fxy,
+                     d2.m AS mxz, d2.has_f AS fxz,
+                     d3.m AS myz, d3.has_f AS fyz
+              FROM dy2 d1
+              JOIN dy2 d2 ON d2.a = d1.a AND d2.b > d1.b
+              JOIN dy2 d3 ON d3.a = d1.b AND d3.b = d2.b),
+            tcls AS (
+              SELECT
+                (CASE WHEN mxy THEN 1 ELSE 0 END
+                 + CASE WHEN mxz THEN 1 ELSE 0 END
+                 + CASE WHEN myz THEN 1 ELSE 0 END) AS m3,
+                CASE
+                  WHEN mxy AND mxz AND myz THEN '300'
+                  WHEN (CASE WHEN mxy THEN 1 ELSE 0 END
+                        + CASE WHEN mxz THEN 1 ELSE 0 END
+                        + CASE WHEN myz THEN 1 ELSE 0 END) = 2 THEN '210'
+                  WHEN mxy THEN
+                    CASE WHEN NOT fxz AND NOT fyz THEN '120D'
+                         WHEN fxz AND fyz THEN '120U' ELSE '120C' END
+                  WHEN mxz THEN
+                    CASE WHEN NOT fxy AND fyz THEN '120D'
+                         WHEN fxy AND NOT fyz THEN '120U' ELSE '120C' END
+                  WHEN myz THEN
+                    CASE WHEN fxy AND fxz THEN '120D'
+                         WHEN NOT fxy AND NOT fxz THEN '120U'
+                         ELSE '120C' END
+                  WHEN (CASE WHEN fxy THEN 1 ELSE 0 END
+                        + CASE WHEN fxz THEN 1 ELSE 0 END) = 1
+                   AND (CASE WHEN fxy THEN 0 ELSE 1 END
+                        + CASE WHEN fyz THEN 1 ELSE 0 END) = 1
+                    THEN '030C'
+                  ELSE '030T' END AS t
+              FROM tri),
+            ws AS (
+              SELECT
+                coalesce(sum(CASE WHEN t = '201' THEN 1 END), 0) AS c201,
+                coalesce(sum(CASE WHEN t = '111D' THEN 1 END), 0) AS c111d,
+                coalesce(sum(CASE WHEN t = '111U' THEN 1 END), 0) AS c111u,
+                coalesce(sum(CASE WHEN t = '021D' THEN 1 END), 0) AS c021d,
+                coalesce(sum(CASE WHEN t = '021U' THEN 1 END), 0) AS c021u,
+                coalesce(sum(CASE WHEN t = '021C' THEN 1 END), 0) AS c021c,
+                coalesce(sum(mi), 0) AS wm_inc,
+                count(*) AS nw
+              FROM wcls),
+            ts AS (
+              SELECT
+                coalesce(sum(CASE WHEN t = '300' THEN 1 END), 0) AS c300,
+                coalesce(sum(CASE WHEN t = '210' THEN 1 END), 0) AS c210,
+                coalesce(sum(CASE WHEN t = '120D' THEN 1 END), 0) AS c120d,
+                coalesce(sum(CASE WHEN t = '120U' THEN 1 END), 0) AS c120u,
+                coalesce(sum(CASE WHEN t = '120C' THEN 1 END), 0) AS c120c,
+                coalesce(sum(CASE WHEN t = '030T' THEN 1 END), 0) AS c030t,
+                coalesce(sum(CASE WHEN t = '030C' THEN 1 END), 0) AS c030c,
+                coalesce(sum(m3), 0) AS tm_inc,
+                count(*) AS nt
+              FROM tcls),
+            sc AS (
+              SELECT (SELECT count(*) FROM nodes) AS n,
+                     coalesce(sum(CASE WHEN m THEN 1 ELSE 0 END), 0) AS md,
+                     coalesce(sum(CASE WHEN m THEN 0 ELSE 1 END), 0) AS ad
+              FROM dy2)
+            SELECT
+              CAST((n * (n-1) // 2) * (n-2) // 3
+                   - (c201 + c111d + c111u + c021d + c021u + c021c
+                      + c300 + c210 + c120d + c120u + c120c
+                      + c030t + c030c)
+                   - (md * (n-2) - tm_inc - wm_inc)
+                   - (ad * (n-2) - (3*nt - tm_inc) - (2*nw - wm_inc))
+                   AS BIGINT) AS t003,
+              CAST(ad * (n-2) - (3*nt - tm_inc) - (2*nw - wm_inc)
+                   AS BIGINT) AS t012,
+              CAST(md * (n-2) - tm_inc - wm_inc AS BIGINT) AS t102,
+              CAST(c021d AS BIGINT) AS "t021D",
+              CAST(c021u AS BIGINT) AS "t021U",
+              CAST(c021c AS BIGINT) AS "t021C",
+              CAST(c111d AS BIGINT) AS "t111D",
+              CAST(c111u AS BIGINT) AS "t111U",
+              CAST(c030t AS BIGINT) AS "t030T",
+              CAST(c030c AS BIGINT) AS "t030C",
+              CAST(c201 AS BIGINT) AS t201,
+              CAST(c120d AS BIGINT) AS "t120D",
+              CAST(c120u AS BIGINT) AS "t120U",
+              CAST(c120c AS BIGINT) AS "t120C",
+              CAST(c210 AS BIGINT) AS t210,
+              CAST(c300 AS BIGINT) AS t300
+            FROM sc, ws, ts
         """,
         # identity-cluster replay: canon = min member enumerated from
         # the residue arithmetic (alias:a_r < alias:b_r < sym:f_r)

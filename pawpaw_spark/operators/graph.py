@@ -2576,3 +2576,243 @@ def graph_stats(
             "assortativity",
         )
     )
+
+
+TRIAD_TYPES = (
+    "003", "012", "102", "021D", "021U", "021C", "111D", "111U",
+    "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
+)
+
+
+def triad_census(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    include_disconnected: bool = True,
+) -> DataFrame:
+    """Full Holland-Leinhardt triad census -> ONE row with the 16
+    directed-triad class counts (Batagelj & Mrvar 2001 accounting:
+    enumerate only the CONNECTED triads, recover the disconnected
+    classes by exact counting identities — never C(n,3) work).
+
+    Conventions (the statnet/Holland-Leinhardt MAN labels):
+    ``D``/``U`` = the two asymmetric arcs leave / enter the focal node
+    (021: the wedge center; 120: the node outside the mutual dyad);
+    ``C`` = chain/cycle; 111``D``/``U`` = the asymmetric arc enters /
+    leaves the mutual-dyad member; 030``T``/``C`` = transitive /
+    cyclic. Self-loops are dropped (triads are over distinct nodes).
+
+    Mechanics: canonical dyads (one row per unordered linked pair with
+    mutual flag + direction) -> open wedges = adjacency self-join +
+    anti-join against the dyads (each 2-dyad triad has exactly one
+    center, so it is enumerated once) -> triangles via the shared
+    degree-ordered :func:`_oriented_triangles` enumeration (each once)
+    -> class counts by pure column logic on the carried dyad flags.
+    The disconnected classes follow exactly:
+    ``102 = m·(n-2) − (mutual-dyad incidences in connected triads)``,
+    ``012 = a·(n-2) − (asym incidences)``, ``003 = C(n,3) − rest``.
+
+    Scale shape: dyad build = one partial-combine aggregation; wedges
+    and triangles are equi-joins on node ids (the same shapes
+    triangle_count/k-truss run at scale); the assembly cross-joins
+    ONE-ROW aggregates. ``include_disconnected=False`` skips the
+    003/012/102 columns — their identities overflow int64 beyond
+    ~2.4M nodes (C(n,3) bound), and at corpus scale the connected
+    census is the informative part.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    dy = (
+        e.select(
+            F.least("s", "d").alias("a"),
+            F.greatest("s", "d").alias("b"),
+            (F.col("s") < F.col("d")).alias("isf"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.max(F.col("isf")).alias("has_f"),
+            F.max(~F.col("isf")).alias("has_b"),
+        )
+        .select(
+            "a", "b",
+            (F.col("has_f") & F.col("has_b")).alias("m"),
+            "has_f", "has_b",
+        )
+    )
+    und = dy.select("a", "b")
+    adj = dy.select(
+        F.col("a").alias("c"), F.col("b").alias("n"),
+        "m", F.col("has_f").alias("out"),
+    ).unionByName(
+        dy.select(
+            F.col("b").alias("c"), F.col("a").alias("n"),
+            "m", F.col("has_b").alias("out"),
+        )
+    )
+    a1 = adj.select(
+        "c", F.col("n").alias("n1"), F.col("m").alias("m1"),
+        F.col("out").alias("o1"),
+    )
+    a2 = adj.select(
+        "c", F.col("n").alias("n2"), F.col("m").alias("m2"),
+        F.col("out").alias("o2"),
+    )
+    open_w = (
+        a1.join(a2, "c")
+        .filter(F.col("n1") < F.col("n2"))
+        .join(
+            und.select(F.col("a").alias("n1"), F.col("b").alias("n2")),
+            ["n1", "n2"],
+            "anti",
+        )
+    )
+    wcls = (
+        F.when(F.col("m1") & F.col("m2"), F.lit("201"))
+        .when(
+            F.col("m1") | F.col("m2"),
+            # the asymmetric arm's arc: leaving the center (a mutual-
+            # dyad member) -> 111U, entering it -> 111D
+            F.when(
+                F.when(F.col("m1"), F.col("o2")).otherwise(F.col("o1")),
+                F.lit("111U"),
+            ).otherwise(F.lit("111D")),
+        )
+        .when(F.col("o1") & F.col("o2"), F.lit("021D"))
+        .when(~F.col("o1") & ~F.col("o2"), F.lit("021U"))
+        .otherwise(F.lit("021C"))
+    )
+    w_types = ("201", "111D", "111U", "021D", "021U", "021C")
+    wstats = open_w.agg(
+        *[
+            F.coalesce(F.sum((wcls == t).cast("long")), F.lit(0)).alias(
+                f"c_{t}"
+            )
+            for t in w_types
+        ],
+        F.coalesce(
+            F.sum(F.col("m1").cast("long") + F.col("m2").cast("long")),
+            F.lit(0),
+        ).alias("wm_inc"),
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_open_w"),
+    )
+    tris = _oriented_triangles(und)
+    t = tris
+    for p, q, sfx in (("x", "y", "xy"), ("x", "z", "xz"), ("y", "z", "yz")):
+        look = dy.select(
+            F.col("a").alias(f"_a{sfx}"),
+            F.col("b").alias(f"_b{sfx}"),
+            F.col("m").alias(f"m{sfx}"),
+            F.col("has_f").alias(f"f{sfx}"),
+        )
+        t = t.join(
+            look,
+            (F.least(F.col(p), F.col(q)) == F.col(f"_a{sfx}"))
+            & (F.greatest(F.col(p), F.col(q)) == F.col(f"_b{sfx}")),
+        )
+
+    def arr(p, q, sfx):
+        # arc p -> q exists (meaningful for asymmetric dyads; mutual
+        # dyads never consult it)
+        return F.when(F.col(p) < F.col(q), F.col(f"f{sfx}")).otherwise(
+            ~F.col(f"f{sfx}")
+        )
+
+    m3 = (
+        F.col("mxy").cast("long")
+        + F.col("mxz").cast("long")
+        + F.col("myz").cast("long")
+    )
+
+    def cls120(to1, to2):
+        # to1/to2: arcs from the outside-the-dyad node toward the two
+        # mutual-dyad members — both out -> D, both in -> U, else C
+        return (
+            F.when(to1 & to2, F.lit("120D"))
+            .when(~to1 & ~to2, F.lit("120U"))
+            .otherwise(F.lit("120C"))
+        )
+
+    outdeg_x = arr("x", "y", "xy").cast("long") + arr("x", "z", "xz").cast(
+        "long"
+    )
+    outdeg_y = arr("y", "x", "xy").cast("long") + arr("y", "z", "yz").cast(
+        "long"
+    )
+    tcls = (
+        F.when(m3 == 3, F.lit("300"))
+        .when(m3 == 2, F.lit("210"))
+        .when(
+            m3 == 1,
+            F.when(
+                F.col("mxy"),
+                cls120(arr("z", "x", "xz"), arr("z", "y", "yz")),
+            )
+            .when(
+                F.col("mxz"),
+                cls120(arr("y", "x", "xy"), arr("y", "z", "yz")),
+            )
+            .otherwise(
+                cls120(arr("x", "y", "xy"), arr("x", "z", "xz"))
+            ),
+        )
+        .otherwise(
+            F.when(
+                (outdeg_x == 1) & (outdeg_y == 1), F.lit("030C")
+            ).otherwise(F.lit("030T"))
+        )
+    )
+    t_types = ("300", "210", "120D", "120U", "120C", "030T", "030C")
+    tstats = t.agg(
+        *[
+            F.coalesce(F.sum((tcls == ty).cast("long")), F.lit(0)).alias(
+                f"c_{ty}"
+            )
+            for ty in t_types
+        ],
+        F.coalesce(F.sum(m3), F.lit(0)).alias("tm_inc"),
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_tri"),
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    scal = nodes.agg(F.count("*").alias("n")).crossJoin(
+        dy.agg(
+            F.coalesce(
+                F.sum(F.col("m").cast("long")), F.lit(0)
+            ).alias("md"),
+            F.coalesce(
+                F.sum((~F.col("m")).cast("long")), F.lit(0)
+            ).alias("ad"),
+        )
+    )
+    row = scal.crossJoin(wstats).crossJoin(tstats)
+    wa_inc = (
+        F.lit(2) * F.col("n_open_w") - F.col("wm_inc")
+    )
+    ta_inc = F.lit(3) * F.col("n_tri") - F.col("tm_inc")
+    c102 = F.col("md") * (F.col("n") - 2) - F.col("tm_inc") - F.col("wm_inc")
+    c012 = F.col("ad") * (F.col("n") - 2) - ta_inc - wa_inc
+    connected = [F.col(f"c_{ty}") for ty in w_types + t_types]
+    # C(n,3) in EXACT long arithmetic (integer div, never a double):
+    # n(n-1) is even, and n(n-1)/2 * (n-2) is divisible by 3
+    total = F.expr("(n * (n - 1) div 2) * (n - 2) div 3")
+    c003 = total - sum(connected[1:], connected[0]) - c102 - c012
+    out_cols = []
+    for ty in TRIAD_TYPES:
+        if ty == "003":
+            col = c003
+        elif ty == "012":
+            col = c012
+        elif ty == "102":
+            col = c102
+        else:
+            col = F.col(f"c_{ty}")
+        if ty in ("003", "012", "102") and not include_disconnected:
+            continue
+        out_cols.append(col.cast("long").alias(f"t{ty}"))
+    return row.select(*out_cols)

@@ -2095,3 +2095,133 @@ class TestGraphStats:
         assert r.n_mutual == 0 and r.reciprocity == 0.0
         # zero-variance degree sequence -> NULL, not a divide error
         assert r.assortativity is None
+
+
+def _mirror_triad_census(edges):
+    """Brute-force O(n^3) census from first-principles MAN rules."""
+    import itertools
+
+    E = set(edges)
+    nodes = sorted({x for ed in edges for x in ed})
+    cnt = {t: 0 for t in (
+        "003", "012", "102", "021D", "021U", "021C", "111D", "111U",
+        "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
+    )}
+
+    def dt(p, q):
+        f, b = (p, q) in E, (q, p) in E
+        return "M" if f and b else ("A" if f or b else "N")
+
+    for u, v, w in itertools.combinations(nodes, 3):
+        pairs = [(u, v), (u, w), (v, w)]
+        ds = [dt(*p) for p in pairs]
+        M, A = ds.count("M"), ds.count("A")
+        if M == 3:
+            t = "300"
+        elif M == 2 and A == 1:
+            t = "210"
+        elif M == 2:
+            t = "201"
+        elif M == 1 and A == 2:
+            mp = pairs[ds.index("M")]
+            third = ({u, v, w} - set(mp)).pop()
+            outs = sum(1 for q in mp if (third, q) in E)
+            t = "120D" if outs == 2 else ("120U" if outs == 0 else "120C")
+        elif M == 1 and A == 1:
+            mp = pairs[ds.index("M")]
+            ap = pairs[ds.index("A")]
+            member = (set(ap) & set(mp)).pop()
+            third = (set(ap) - set(mp)).pop()
+            t = "111U" if (member, third) in E else "111D"
+        elif M == 1:
+            t = "102"
+        elif A == 3:
+            outd = {
+                x: sum(1 for y in (u, v, w) if x != y and (x, y) in E)
+                for x in (u, v, w)
+            }
+            t = "030C" if all(o == 1 for o in outd.values()) else "030T"
+        elif A == 2:
+            aps = [p for p, d in zip(pairs, ds) if d == "A"]
+            c = (set(aps[0]) & set(aps[1])).pop()
+            arms = [(set(p) - {c}).pop() for p in aps]
+            co = sum(1 for x in arms if (c, x) in E)
+            t = "021D" if co == 2 else ("021U" if co == 0 else "021C")
+        elif A == 1:
+            t = "012"
+        else:
+            t = "003"
+        cnt[t] += 1
+    return cnt
+
+
+class TestTriadCensus:
+    def _run(self, spark, edges):
+        from pawpaw_spark.operators.graph import triad_census
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        [r] = triad_census(e).collect()
+        return {k[1:]: v for k, v in r.asDict().items()}
+
+    def test_known_small_graphs(self, spark):
+        # complete mutual K3 -> one 300
+        got = self._run(spark, [("a", "b"), ("b", "a"), ("a", "c"),
+                                ("c", "a"), ("b", "c"), ("c", "b")])
+        assert got["300"] == 1 and sum(got.values()) == 1
+        # directed 3-cycle -> 030C; transitive triple -> 030T
+        assert self._run(spark, [("a", "b"), ("b", "c"), ("c", "a")])["030C"] == 1
+        assert self._run(spark, [("a", "b"), ("b", "c"), ("a", "c")])["030T"] == 1
+        # out-star / in-star / chain on 3 nodes
+        assert self._run(spark, [("b", "a"), ("b", "c")])["021D"] == 1
+        assert self._run(spark, [("a", "b"), ("c", "b")])["021U"] == 1
+        assert self._run(spark, [("a", "b"), ("b", "c")])["021C"] == 1
+
+    def test_mirror_fixed_graphs(self, spark):
+        cases = [
+            # every 111/120/201/210 shape plus disconnected classes
+            [("a", "b"), ("b", "a"), ("c", "a")],                 # 111D
+            [("a", "b"), ("b", "a"), ("a", "c")],                 # 111U
+            [("a", "b"), ("b", "a"), ("c", "a"), ("c", "b")],     # 120D
+            [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c")],     # 120U
+            [("a", "b"), ("b", "a"), ("a", "c"), ("c", "b")],     # 120C
+            [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+             ("b", "c")],                                          # 210
+            [("a", "b"), ("b", "a"), ("d", "e")],                 # mixed + nulls
+            [("a", "b"), ("c", "d"), ("e", "a"), ("d", "a"),
+             ("b", "c"), ("c", "b")],
+        ]
+        for edges in cases:
+            assert self._run(spark, edges) == _mirror_triad_census(edges), edges
+
+    def test_mirror_random_digraphs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(4):
+            n = rng.randint(4, 8)
+            nodes = [f"n{i}" for i in range(n)]
+            edges = [
+                (u, v)
+                for u in nodes for v in nodes
+                if u != v and rng.random() < 0.35
+            ]
+            if not edges:
+                continue
+            assert self._run(spark, edges) == _mirror_triad_census(edges), (
+                trial, edges,
+            )
+
+    def test_total_is_n_choose_3_and_connected_only_mode(self, spark):
+        from pawpaw_spark.operators.graph import triad_census
+
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"),
+                 ("d", "b"), ("e", "a")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        [r] = triad_census(e).collect()
+        n = 5
+        assert sum(r.asDict().values()) == n * (n - 1) * (n - 2) // 6
+        [r2] = triad_census(e, include_disconnected=False).collect()
+        assert set(r2.asDict()) == {
+            "t021D", "t021U", "t021C", "t111D", "t111U", "t030T",
+            "t030C", "t201", "t120D", "t120U", "t120C", "t210", "t300",
+        }

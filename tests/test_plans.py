@@ -518,3 +518,9 @@ class TestRound4ExtensionPlanShape:
         assert "LeftSemi" in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+    def test_triad_census_equi_joins_no_python(self, spark):
+        plan = self._p(spark, "kg_triad_census")
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+        assert "partial_sum" in plan or "partial_count" in plan, plan
