@@ -2842,6 +2842,28 @@ def q_kg_triad_census(spark, sf_dir):
     return triad_census(_call_edges(spark, sf_dir))
 
 
+def q_kg_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (graph.temporal_reachability) over
+    the call graph with formula-derived edge times (t = 7r mod 97 from
+    the source symbol's index — deterministic in both engines), seeded
+    at the 16 hub symbols at t=0: earliest arrival over non-decreasing
+    time paths. The engine runs the REAL semi-naive improved-frontier
+    fixpoint (a late improvement must REOPEN downstream nodes — pinned
+    by tests); the oracle is a DuckDB recursive CTE whose state space
+    is the finite (node, time) pairs, collapsed to min per node."""
+    from pawpaw_spark.operators.graph import temporal_reachability
+
+    e = _call_edges(spark, sf_dir).withColumn(
+        "t",
+        (F.substring(F.col("src"), 7, 30).cast("long") * 7) % 97,
+    )
+    seeds = spark.range(16).select(
+        F.concat(F.lit("sym:f_"), F.col("id")).alias("node"),
+        F.lit(0).cast("long").alias("t"),
+    )
+    return temporal_reachability(e, seeds)
+
+
 def q_kg_sameas_canon(spark, sf_dir):
     """owl:sameAs identity resolution (rdfs.sameas_canonical): the
     constructed alias assertions form 2-chains (sym-alias) and 3-chains
@@ -3261,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs": q_kg_rdfs,
         "kg_graph_stats": q_kg_graph_stats,
         "kg_triad_census": q_kg_triad_census,
+        "kg_temporal_reach": q_kg_temporal_reach,
         "kg_sameas_canon": q_kg_sameas_canon,
         "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_shacl": q_kg_shacl,
@@ -4007,6 +4030,24 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                FROM sums) AS assortativity
+        """,
+        # temporal-path replay: the recursive CTE enumerates the finite
+        # (node, arrival-time) pair space under the same non-strict
+        # time guard, then collapses to min per node
+        "kg_temporal_reach": f"""
+            WITH RECURSIVE {_KG_EDGE_CTE},
+            et AS (
+              SELECT src, dst,
+                     (CAST(substr(src, 7) AS BIGINT) * 7) % 97 AS t
+              FROM e),
+            reach(node, t) AS (
+              SELECT 'sym:f_' || r, CAST(0 AS BIGINT)
+              FROM mem WHERE r < 16
+              UNION
+              SELECT et.dst, et.t
+              FROM reach JOIN et
+                ON et.src = reach.node AND et.t >= reach.t)
+            SELECT node, min(t) AS earliest FROM reach GROUP BY node
         """,
         # Batagelj-Mrvar accounting replayed in SQL: canonical dyads,
         # open wedges (adjacency self-join + NOT EXISTS), triangles by

@@ -2816,3 +2816,106 @@ def triad_census(
             continue
         out_cols.append(col.cast("long").alias(f"t{ty}"))
     return row.select(*out_cols)
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    time_col: str = "t",
+    max_rounds: int = 30,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Time-respecting reachability -> ``(node, earliest)``: the
+    minimum arrival time over temporal paths whose hop times are
+    non-decreasing and start no earlier than the seed time (the
+    non-strict temporal-path semantics of Pan & Saramäki 2011).
+    ``seeds`` is a DataFrame ``(node, t)`` — arrival at a node at time
+    t allows taking any out-edge with ``time >= t``; the KG use:
+    "which symbols could a change landing at commit-time T have
+    influenced through the time-ordered call/commit graph".
+
+    Earliest-arrival is a monotone fixpoint: the state (one min time
+    per reached node) only ever decreases, so the loop is semi-naive —
+    each round expands ONLY the frontier of improved states (one
+    equi-join frontier x edges with the time guard + one min-agg + one
+    improvement anti-check against the state). Round count is bounded
+    by the longest IMPROVING temporal path in hops; ``max_rounds``
+    guards pathological inputs and ``on_nonconverged`` keeps the exit
+    honest ('raise' default / 'warn'). Arrival times are exact values
+    from the input, so results are bit-identical on any cluster size —
+    the contract oracle is a DuckDB recursive CTE over the same edge
+    set (its state space is finite because (node, time) pairs are).
+
+    Scale shape: identical to :func:`reachability` — per-round
+    AQE-handled shuffles on the node id, eager localCheckpoint per
+    round so lineage stays O(1) — plus the time guard rides the join.
+    """
+    from pawpaw_spark.session import fixpoint_loop_conf
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(time_col).alias("t"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_e = e.count()
+    try:
+        with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_e):
+            state = (
+                seeds.select(F.col("node"), F.col("t").alias("earliest"))
+                .groupBy("node")
+                .agg(F.min("earliest").alias("earliest"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = state
+            converged = False
+            for _ in range(max_rounds):
+                arrivals = (
+                    e.join(frontier, e["src"] == frontier["node"])
+                    .filter(F.col("t") >= F.col("earliest"))
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("t").alias("earliest"))
+                )
+                improved = (
+                    arrivals.join(
+                        state.select(
+                            F.col("node"),
+                            F.col("earliest").alias("__cur"),
+                        ),
+                        "node",
+                        "left",
+                    )
+                    .filter(
+                        F.col("__cur").isNull()
+                        | (F.col("earliest") < F.col("__cur"))
+                    )
+                    .select("node", "earliest")
+                    .localCheckpoint(eager=True)
+                )
+                if improved.isEmpty():
+                    converged = True
+                    break
+                state = (
+                    state.join(improved.select("node"), "node", "left_anti")
+                    .unionByName(improved)
+                    .localCheckpoint(eager=True)
+                )
+                frontier = improved
+            if not converged:
+                msg = (
+                    f"temporal_reachability did not converge in "
+                    f"{max_rounds} rounds"
+                )
+                if on_nonconverged == "raise":
+                    raise RuntimeError(msg)
+                import warnings
+
+                warnings.warn(msg)
+            return state
+    finally:
+        e.unpersist()

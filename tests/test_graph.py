@@ -2225,3 +2225,77 @@ class TestTriadCensus:
             "t021D", "t021U", "t021C", "t111D", "t111U", "t030T",
             "t030C", "t201", "t120D", "t120U", "t120C", "t210", "t300",
         }
+
+
+def _mirror_temporal(edges, seeds):
+    """Brute-force earliest-arrival over time-respecting paths."""
+    best = {}
+    for n, t in seeds:
+        best[n] = min(t, best.get(n, t))
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in edges:
+            if s in best and t >= best[s]:
+                if d not in best or t < best[d]:
+                    best[d] = t
+                    changed = True
+    return best
+
+
+class TestTemporalReachability:
+    def _run(self, spark, edges, seeds):
+        from pawpaw_spark.operators.graph import temporal_reachability
+
+        e = spark.createDataFrame(edges, "src string, dst string, t long")
+        s = spark.createDataFrame(seeds, "node string, t long")
+        return {
+            r.node: r.earliest
+            for r in temporal_reachability(e, s).collect()
+        }
+
+    def test_time_guard_blocks_stale_edges(self, spark):
+        edges = [("a", "b", 5), ("b", "c", 3), ("b", "d", 7)]
+        got = self._run(spark, edges, [("a", 0)])
+        # b reached at 5; the t=3 edge to c is in the past -> c absent
+        assert got == {"a": 0, "b": 5, "d": 7}
+
+    def test_earliest_wins_across_paths(self, spark):
+        edges = [("a", "b", 2), ("b", "d", 9), ("a", "c", 1),
+                 ("c", "d", 4), ("d", "e", 4)]
+        got = self._run(spark, edges, [("a", 0)])
+        assert got["d"] == 4 and got["e"] == 4
+
+    def test_late_improvement_reopens_node(self, spark):
+        # first reach d at 9 via b; the c path later improves d to 4,
+        # which unlocks the t=5 edge out of d — the reopened frontier
+        edges = [("a", "b", 2), ("b", "d", 9), ("a", "c", 3),
+                 ("c", "d", 4), ("d", "e", 5)]
+        got = self._run(spark, edges, [("a", 0)])
+        assert got["d"] == 4 and got["e"] == 5
+
+    def test_mirror_random(self, spark):
+        import random
+
+        rng = random.Random(11)
+        for _ in range(3):
+            n = rng.randint(4, 7)
+            nodes = [f"n{i}" for i in range(n)]
+            edges = [
+                (u, v, rng.randint(0, 9))
+                for u in nodes for v in nodes
+                if u != v and rng.random() < 0.4
+            ]
+            seeds = [(nodes[0], 0), (nodes[-1], 3)]
+            got = self._run(spark, edges, seeds)
+            assert got == _mirror_temporal(edges, seeds)
+
+    def test_nonconvergence_guard(self, spark):
+        from pawpaw_spark.operators.graph import temporal_reachability
+
+        # a strictly lengthening improvement chain longer than max_rounds
+        edges = [(f"n{i}", f"n{i+1}", i) for i in range(6)]
+        e = spark.createDataFrame(edges, "src string, dst string, t long")
+        s = spark.createDataFrame([("n0", 0)], "node string, t long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            temporal_reachability(e, s, max_rounds=2).collect()

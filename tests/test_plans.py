@@ -524,3 +524,9 @@ class TestRound4ExtensionPlanShape:
         assert "CartesianProduct" not in plan, plan
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
         assert "partial_sum" in plan or "partial_count" in plan, plan
+
+    def test_temporal_reach_materialized_no_python(self, spark):
+        # the fixpoint returns a checkpointed artifact; the loop's
+        # per-round shape is pinned by TestTemporalReachability
+        plan = self._p(spark, "kg_temporal_reach")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
