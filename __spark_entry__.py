@@ -2842,6 +2842,50 @@ def q_kg_triad_census(spark, sf_dir):
     return triad_census(_call_edges(spark, sf_dir))
 
 
+def q_kg_conductance(spark, sf_dir):
+    """Per-community conductance (graph.conductance) over the call
+    graph under the formula partition community = trailing-digits mod
+    16 (the residue groups the corpus was built around; the missing-
+    symbol nodes carry their group digit, already < 16). Exact integer
+    cut/volume accounting with one final try_divide + round — the
+    oracle recomputes every column from the edge CTE with the same
+    regexp partition."""
+    from pawpaw_spark.operators.graph import conductance
+
+    e = _call_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    assign = nodes.select(
+        "node",
+        (
+            F.regexp_extract(F.col("node"), "([0-9]+)$", 1).cast("long")
+            % 16
+        ).alias("community"),
+    )
+    return conductance(e, assign)
+
+
+def q_kg_path_tree(spark, sf_dir):
+    """BFS shortest-path TREE (graph.shortest_path_tree) from three
+    hub symbols over the call graph, depth-capped at 4: depth + ONE
+    deterministic parent per reached node (min id among its depth-(d-1)
+    predecessors), so following parents yields an explicit shortest
+    path — the KG explain surface. The min-parent pin makes the whole
+    tree engine-reproducible; the oracle derives levels from a
+    recursive CTE and parents from the level table with the same min."""
+    from pawpaw_spark.operators.graph import shortest_path_tree
+
+    seeds = spark.range(3).select(
+        F.concat(F.lit("sym:f_"), F.col("id")).alias("node")
+    )
+    return shortest_path_tree(
+        _call_edges(spark, sf_dir), seeds, max_depth=4
+    )
+
+
 def q_kg_temporal_reach(spark, sf_dir):
     """Time-respecting reachability (graph.temporal_reachability) over
     the call graph with formula-derived edge times (t = 7r mod 97 from
@@ -3284,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_stats": q_kg_graph_stats,
         "kg_triad_census": q_kg_triad_census,
         "kg_temporal_reach": q_kg_temporal_reach,
+        "kg_path_tree": q_kg_path_tree,
+        "kg_conductance": q_kg_conductance,
         "kg_sameas_canon": q_kg_sameas_canon,
         "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_shacl": q_kg_shacl,
@@ -4030,6 +4076,76 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                FROM sums) AS assortativity
+        """,
+        # conductance replay: undirected support, regexp residue
+        # partition, internal/cut per community, vol = 2*int + cut,
+        # phi = cut / min(vol, total - vol)
+        "kg_conductance": f"""
+            WITH {_KG_EDGE_CTE},
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM e WHERE src <> dst),
+            asg AS (
+              SELECT node,
+                     CAST(regexp_extract(node, '([0-9]+)$', 1) AS BIGINT)
+                       % 16 AS community
+              FROM nodes),
+            tagged AS (
+              SELECT u.a, u.b, ca.community AS c1, cb.community AS c2
+              FROM und u
+              JOIN asg ca ON ca.node = u.a
+              JOIN asg cb ON cb.node = u.b),
+            internal AS (
+              SELECT c1 AS community, count(*) AS internal_edges
+              FROM tagged WHERE c1 = c2 GROUP BY c1),
+            cut AS (
+              SELECT community, count(*) AS cut_edges FROM (
+                SELECT c1 AS community FROM tagged WHERE c1 <> c2
+                UNION ALL
+                SELECT c2 FROM tagged WHERE c1 <> c2)
+              GROUP BY community),
+            sizes AS (
+              SELECT community, count(*) AS n_nodes
+              FROM asg GROUP BY community),
+            tot AS (SELECT 2 * count(*) AS tv FROM und)
+            SELECT s.community, s.n_nodes,
+                   coalesce(i.internal_edges, 0) AS internal_edges,
+                   coalesce(c.cut_edges, 0) AS cut_edges,
+                   2 * coalesce(i.internal_edges, 0)
+                     + coalesce(c.cut_edges, 0) AS volume,
+                   round(CAST(coalesce(c.cut_edges, 0) AS DOUBLE)
+                         / nullif(least(
+                             2 * coalesce(i.internal_edges, 0)
+                               + coalesce(c.cut_edges, 0),
+                             tv - (2 * coalesce(i.internal_edges, 0)
+                                   + coalesce(c.cut_edges, 0))), 0),
+                         6) AS conductance
+            FROM sizes s
+            LEFT JOIN internal i ON i.community = s.community
+            LEFT JOIN cut c ON c.community = s.community
+            CROSS JOIN tot
+        """,
+        # tree replay: levels from the depth-bounded recursive CTE
+        # (min d per node), parents from the level table — min src one
+        # level up, seeds keep NULL via the left join
+        "kg_path_tree": f"""
+            WITH RECURSIVE {_KG_EDGE_CTE},
+            reach(node, d) AS (
+              SELECT 'sym:f_' || r, 0 FROM mem WHERE r < 3
+              UNION
+              SELECT e.dst, reach.d + 1
+              FROM reach JOIN e ON e.src = reach.node
+              WHERE reach.d < 4),
+            lvl AS (SELECT node, min(d) AS depth FROM reach GROUP BY node),
+            par AS (
+              SELECT e.dst AS node, min(e.src) AS parent
+              FROM e
+              JOIN lvl ls ON ls.node = e.src
+              JOIN lvl ld ON ld.node = e.dst
+              WHERE ld.depth = ls.depth + 1
+              GROUP BY e.dst)
+            SELECT l.node, CAST(l.depth AS BIGINT) AS depth, p.parent
+            FROM lvl l LEFT JOIN par p ON p.node = l.node
         """,
         # temporal-path replay: the recursive CTE enumerates the finite
         # (node, arrival-time) pair space under the same non-strict

@@ -2919,3 +2919,167 @@ def temporal_reachability(
             return state
     finally:
         e.unpersist()
+
+
+def shortest_path_tree(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 8,
+) -> DataFrame:
+    """Multi-source BFS tree -> ``(node, depth, parent)``: shortest
+    directed hop distance from any seed plus ONE deterministic
+    predecessor per reached node — ``parent`` = the MINIMUM node id
+    among the depth-(d-1) nodes with an edge into it (seeds have NULL).
+    Following parent pointers yields an explicit shortest path — the
+    KG explain surface ("HOW does f reach g"), where
+    :func:`reachability` answers only "does it".
+
+    The min-parent tie-break makes the whole tree a pure function of
+    the graph: bit-identical at any parallelism or engine (the oracle
+    recomputes it from the recursive-CTE level table). Same per-level
+    cost shape as :func:`reachability` (frontier equi-join + anti-join
+    + one min-agg), eager checkpoint per level.
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    from pawpaw_spark.session import fixpoint_loop_conf
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    n_e = e.count()
+    try:
+        with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_e):
+            visited = (
+                seeds.select(F.col("node"))
+                .distinct()
+                .withColumn("depth", F.lit(0).cast("long"))
+                .withColumn("parent", F.lit(None).cast("string"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = visited.select("node")
+            levels = [visited]
+            for d in range(1, max_depth + 1):
+                nxt = (
+                    e.join(frontier, e["src"] == frontier["node"])
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("src").alias("parent"))
+                    .join(
+                        visited.select("node"), "node", "left_anti"
+                    )
+                    .withColumn("depth", F.lit(d).cast("long"))
+                    .select("node", "depth", "parent")
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+                levels.append(nxt)
+                visited = visited.unionByName(nxt)
+                frontier = nxt.select("node")
+            out = levels[0]
+            for lv in levels[1:]:
+                out = out.unionByName(lv)
+            return out
+    finally:
+        e.unpersist()
+
+
+def conductance(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-community conductance over the UNDIRECTED support of a
+    directed edge table -> ``(community, n_nodes, internal_edges,
+    cut_edges, volume, conductance)`` with
+    ``phi = cut / min(vol, total_vol - vol)`` — the standard partition
+    quality metric (low = well-separated module), the natural QA for
+    :func:`louvain` / :func:`label_propagation` output.
+
+    Exact-integer accounting: ``vol = 2·internal + cut`` (handshake
+    over the member degrees), ``total_vol = 2·|support|``, one final
+    try_divide + round — deterministic at any partitioning, NULL for a
+    community that IS the whole volume complement-less case. One dyad
+    build + two endpoint equi-joins + one aggregation; nodes missing
+    from ``assignment`` raise (a silent drop would fake low cuts).
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    am = assignment.select(
+        F.col(node_col).alias("a"), F.col(comm_col).alias("__ca")
+    )
+    bm = assignment.select(
+        F.col(node_col).alias("b"), F.col(comm_col).alias("__cb")
+    )
+    tagged = und.join(am, "a", "left").join(bm, "b", "left")
+    n_unassigned = tagged.filter(
+        F.col("__ca").isNull() | F.col("__cb").isNull()
+    ).count()
+    if n_unassigned:
+        raise ValueError(
+            f"{n_unassigned} support edge(s) touch nodes missing from "
+            f"the assignment — assign every node (a silent drop would "
+            f"understate cuts)"
+        )
+    internal = (
+        tagged.filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias(comm_col))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    cut = (
+        tagged.filter(F.col("__ca") != F.col("__cb"))
+        .select(F.col("__ca").alias(comm_col))
+        .unionByName(
+            tagged.filter(F.col("__ca") != F.col("__cb")).select(
+                F.col("__cb").alias(comm_col)
+            )
+        )
+        .groupBy(comm_col)
+        .agg(F.count("*").alias("cut_edges"))
+    )
+    sizes = assignment.groupBy(
+        F.col(comm_col)
+    ).agg(F.count("*").alias("n_nodes"))
+    total_vol = und.count() * 2
+    out = (
+        sizes.join(internal, comm_col, "left")
+        .join(cut, comm_col, "left")
+        .select(
+            comm_col,
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+        )
+        .withColumn(
+            "volume",
+            F.lit(2) * F.col("internal_edges") + F.col("cut_edges"),
+        )
+        .withColumn(
+            "conductance",
+            F.round(
+                F.try_divide(
+                    F.col("cut_edges").cast("double"),
+                    F.least(
+                        F.col("volume"),
+                        F.lit(total_vol) - F.col("volume"),
+                    ).cast("double"),
+                ),
+                digits,
+            ),
+        )
+    )
+    return out

@@ -2299,3 +2299,114 @@ class TestTemporalReachability:
         s = spark.createDataFrame([("n0", 0)], "node string, t long")
         with pytest.raises(RuntimeError, match="did not converge"):
             temporal_reachability(e, s, max_rounds=2).collect()
+
+
+class TestShortestPathTree:
+    def _run(self, spark, edges, seeds, **kw):
+        from pawpaw_spark.operators.graph import shortest_path_tree
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        s = spark.createDataFrame([(x,) for x in seeds], "node string")
+        return {
+            r.node: (r.depth, r.parent)
+            for r in shortest_path_tree(e, s, **kw).collect()
+        }
+
+    def test_min_parent_tie_break(self, spark):
+        # d reachable at depth 2 via both b and c -> parent = min = b
+        edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")]
+        got = self._run(spark, edges, ["a"])
+        assert got == {"a": (0, None), "b": (1, "a"),
+                       "c": (1, "a"), "d": (2, "b")}
+
+    def test_path_assembly_and_depth_cut(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._run(spark, edges, ["a"], max_depth=2)
+        assert "d" not in got and got["c"] == (2, "b")
+        # walk parents back to the seed
+        node, path = "c", []
+        while node is not None:
+            path.append(node)
+            node = got[node][1]
+        assert path == ["c", "b", "a"]
+
+    def test_mirror_random(self, spark):
+        import random
+        from collections import deque
+
+        rng = random.Random(13)
+        for _ in range(3):
+            n = rng.randint(5, 9)
+            nodes = [f"n{i}" for i in range(n)]
+            edges = [
+                (u, v) for u in nodes for v in nodes
+                if u != v and rng.random() < 0.3
+            ]
+            if not edges:
+                continue
+            seeds = [nodes[0], nodes[1]]
+            # BFS mirror with min-parent tie-break
+            adj = {}
+            for u, v in edges:
+                adj.setdefault(u, []).append(v)
+            depth = {s: 0 for s in seeds}
+            parent = {s: None for s in seeds}
+            frontier = set(seeds)
+            d = 0
+            while frontier:
+                d += 1
+                cands = {}
+                for u in frontier:
+                    for v in adj.get(u, []):
+                        if v not in depth:
+                            cands.setdefault(v, []).append(u)
+                frontier = set()
+                for v, ps in cands.items():
+                    depth[v], parent[v] = d, min(ps)
+                    frontier.add(v)
+            expect = {v: (depth[v], parent[v]) for v in depth}
+            assert self._run(spark, edges, seeds) == expect
+
+
+class TestConductance:
+    def _run(self, spark, edges, assign):
+        from pawpaw_spark.operators.graph import conductance
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        a = spark.createDataFrame(assign, "node string, community long")
+        return {
+            r.community: r.asDict()
+            for r in conductance(e, a).collect()
+        }
+
+    def test_two_triangles_one_bridge(self, spark):
+        # two triangles joined by one bridge edge: vol=7 each side,
+        # total_vol=14, phi = 1/7 both
+        edges = [("a", "b"), ("b", "c"), ("c", "a"),
+                 ("x", "y"), ("y", "z"), ("z", "x"), ("a", "x")]
+        assign = [("a", 0), ("b", 0), ("c", 0),
+                  ("x", 1), ("y", 1), ("z", 1)]
+        got = self._run(spark, edges, assign)
+        for c in (0, 1):
+            r = got[c]
+            assert r["internal_edges"] == 3 and r["cut_edges"] == 1
+            assert r["volume"] == 7
+            assert r["conductance"] == round(1 / 7, 6)
+
+    def test_direction_and_duplicates_collapse(self, spark):
+        # reverse + duplicate directed edges are ONE support edge
+        edges = [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c")]
+        assign = [("a", 0), ("b", 0), ("c", 1)]
+        got = self._run(spark, edges, assign)
+        assert got[0]["internal_edges"] == 1 and got[0]["cut_edges"] == 1
+        assert got[1]["internal_edges"] == 0 and got[1]["cut_edges"] == 1
+        # community 1 is the smaller side: phi = 1/min(1, 5) = 1.0
+        assert got[1]["conductance"] == 1.0
+
+    def test_unassigned_node_raises(self, spark):
+        from pawpaw_spark.operators.graph import conductance
+
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        a = spark.createDataFrame([("a", 0)], "node string, community long")
+        with pytest.raises(ValueError, match="missing from"):
+            conductance(e, a)

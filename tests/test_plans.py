@@ -530,3 +530,13 @@ class TestRound4ExtensionPlanShape:
         # per-round shape is pinned by TestTemporalReachability
         plan = self._p(spark, "kg_temporal_reach")
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_path_tree_materialized_no_python(self, spark):
+        plan = self._p(spark, "kg_path_tree")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    def test_conductance_equi_joins_partial_aggs(self, spark):
+        plan = self._p(spark, "kg_conductance")
+        assert "CartesianProduct" not in plan, plan
+        assert "partial_count" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
