@@ -122,6 +122,30 @@ HEADLINE = [
     "kg_shacl",
     "kg_modularity",
     "bpe_pairs",
+    "adopt_spans",
+    "nuco",
+    "kg_sparql_agg",
+    "kg_sparql_union",
+    "kg_sparql_filter",
+    "kg_sparql_strfns",
+    "kg_sparql_subquery",
+    "kg_sparql_describe",
+    "wordpiece_scores",
+    "unigram_seed",
+    "leakage_split",
+    "kg_louvain_round",
+    "kg_truss_support",
+    "kg_node2vec",
+    "kg_closeness",
+    "kg_graph_stats",
+    "kg_triad_census",
+    "kg_temporal_reach",
+    "kg_path_tree",
+    "kg_conductance",
+    "kg_sameas_canon",
+    "kg_sameas_fuse",
+    "lm_perplexity",
+    "gopher_filters",
 ]
 
 

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""spark-submit entry: curate a document corpus for LLM training.
+
+  spark-submit --py-files pawpaw_spark.zip jobs/curate_corpus.py \
+      --input /data/documents_parquet --output /data/curated
+
+Chains the training-data operators into the standard curation order —
+each stage drops rows so later (more expensive) stages see less data:
+
+  1. Gopher quality rules   (text.gopher_filters; cheap column math)
+  2. C4 line cleaning       (text.c4_filters; rewrites clean_text)
+  3. PII redaction          (text.pii_scrub)
+  4. exact dedup            (first arrival per content hash)
+  5. MinHash near-dup       (dedup.minhash_pairs; drops the larger
+                             doc_id of each near-dup pair)
+  6. bigram-LM perplexity   (lm.bigram_lm trained on survivors; drop
+                             the worst --ppl-drop fraction)
+  7. leakage-safe split     (sampling.leakage_safe_split train/val/test)
+
+Writes <output>/curated (doc_id, text, lang, split, avg_nll) plus
+<output>/stats.json with per-stage survivor counts, and prints the
+stats JSON line. Every stage is the same operator the contract
+value-checks; this job is the production composition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--min-words", type=int, default=50)
+    p.add_argument("--min-stop-hits", type=int, default=2)
+    p.add_argument("--jaccard", type=float, default=0.8,
+                   help="MinHash near-dup threshold")
+    p.add_argument("--ppl-drop", type=float, default=0.1,
+                   help="fraction of worst-perplexity docs to drop")
+    p.add_argument("--val-frac", type=float, default=0.05)
+    p.add_argument("--test-frac", type=float, default=0.05)
+    p.add_argument("--skip-c4", action="store_true",
+                   help="keep raw text (corpora without sentence lines)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pawpaw_spark.session import get_spark
+
+    spark = get_spark(app_name="curate_corpus", master=args.master)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    tcol, icol = args.text_col, args.id_col
+    stats: dict = {"input": docs.count()}
+
+    # 1. Gopher rules — pure column math, evaluated next to the scan
+    from pawpaw_spark.operators.text import (
+        c4_filters,
+        gopher_filters,
+        pii_scrub,
+    )
+
+    g = gopher_filters(
+        docs, text_col=tcol, id_col=icol,
+        min_words=args.min_words, min_stop_hits=args.min_stop_hits,
+    )
+    docs = docs.join(
+        g.filter(F.col("keep")).select(icol), icol, "semi"
+    )
+    stats["after_gopher"] = docs.count()
+
+    # 2. C4 line cleaning — replaces text with the kept lines
+    if not args.skip_c4:
+        c = c4_filters(docs, text_col=tcol, id_col=icol)
+        docs = (
+            docs.drop(tcol)
+            .join(
+                c.filter(F.col("keep")).select(
+                    icol, F.col("clean_text").alias(tcol)
+                ),
+                icol,
+            )
+        )
+        stats["after_c4"] = docs.count()
+
+    # 3. PII redaction — replace text with the redacted form
+    red = pii_scrub(docs, text_col=tcol, id_col=icol)
+    docs = docs.drop(tcol).join(
+        red.select(icol, F.col("clean").alias(tcol)), icol
+    )
+
+    # 4. exact dedup — first arrival (min id) per content hash
+    h = docs.select(icol, F.sha2(F.col(tcol), 256).alias("__h"))
+    first = h.groupBy("__h").agg(F.min(icol).alias(icol))
+    docs = docs.join(first.select(icol), icol, "semi")
+    stats["after_exact_dedup"] = docs.count()
+
+    # 5. MinHash near-dup — drop the larger id of each verified pair;
+    # keep the pair table: it is also the leakage graph for step 7
+    from pawpaw_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        docs.select(F.col(icol).cast("string").alias("doc_id"),
+                    F.col(tcol).alias("text")),
+        threshold=args.jaccard,
+    ).select("a", "b").persist()
+    losers = pairs.select(F.greatest("a", "b").alias("__loser")).distinct()
+    docs = docs.join(
+        losers,
+        docs[icol].cast("string") == losers["__loser"],
+        "left_anti",
+    )
+    stats["after_neardup"] = docs.count()
+
+    # 6. LM perplexity cut — train on survivors, drop the worst tail
+    from pawpaw_spark.operators.lm import bigram_lm, perplexity_score
+
+    uni, bi, vocab = bigram_lm(docs, text_col=tcol, id_col=icol)
+    scored = perplexity_score(
+        docs, uni, bi, vocab, text_col=tcol, id_col=icol
+    )
+    if args.ppl_drop > 0:
+        cut = scored.approxQuantile("avg_nll", [1.0 - args.ppl_drop], 0.001)[0]
+        keep_ids = scored.filter(F.col("avg_nll") <= cut).select(icol)
+    else:
+        keep_ids = scored.select(icol)
+    docs = docs.join(keep_ids, icol, "semi").join(
+        scored.select(icol, "avg_nll"), icol, "left"
+    )
+    stats["after_perplexity"] = docs.count()
+
+    # 7. leakage-safe split — near-dup components share a split (the
+    # step-5 pair graph is exactly the leakage graph: a surviving doc
+    # near-dup to a dropped one must not straddle splits with its twin
+    # siblings' survivors)
+    from pawpaw_spark.operators.sampling import leakage_safe_split
+
+    splits = {
+        "train": 1.0 - args.val_frac - args.test_frac,
+        "val": args.val_frac,
+        "test": args.test_frac,
+    }
+    keyed = docs.withColumn("__key", F.col(icol).cast("string"))
+    docs = leakage_safe_split(keyed, pairs, splits, key_col="__key").drop(
+        "__key"
+    )
+    pairs.unpersist()
+    for s in ("train", "val", "test"):
+        stats[f"split_{s}"] = docs.filter(F.col("split") == s).count()
+
+    docs.write.mode("overwrite").partitionBy("split").parquet(
+        f"{args.output}/curated"
+    )
+    stats["wall_sec"] = round(time.time() - t0, 2)
+    with open(os.path.join(args.output, "stats.json"), "w") as f:
+        json.dump(stats, f)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
