@@ -2842,6 +2842,17 @@ def q_kg_triad_census(spark, sf_dir):
     return triad_census(_call_edges(spark, sf_dir))
 
 
+def q_kg_wl_colors(spark, sf_dir):
+    """1-WL color refinement (graph.wl_colors, 2 rounds) over the call
+    graph: structural-role fingerprints from md5(own ‖ sorted
+    direction-tagged neighbor colors). Deterministic by the sorted-
+    multiset pin, so the oracle replays both rounds in SQL with
+    string_agg(... ORDER BY msg) and the identical md5 chain."""
+    from pawpaw_spark.operators.graph import wl_colors
+
+    return wl_colors(_call_edges(spark, sf_dir), rounds=2)
+
+
 def q_kg_conductance(spark, sf_dir):
     """Per-community conductance (graph.conductance) over the call
     graph under the formula partition community = trailing-digits mod
@@ -3330,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_reach": q_kg_temporal_reach,
         "kg_path_tree": q_kg_path_tree,
         "kg_conductance": q_kg_conductance,
+        "kg_wl_colors": q_kg_wl_colors,
         "kg_sameas_canon": q_kg_sameas_canon,
         "kg_sameas_fuse": q_kg_sameas_fuse,
         "kg_shacl": q_kg_shacl,
@@ -4076,6 +4088,39 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                FROM sums) AS assortativity
+        """,
+        # WL replay: both refinement rounds unrolled, neighbor
+        # multisets via string_agg ORDER BY, identical md5 chain
+        "kg_wl_colors": f"""
+            WITH {_KG_EDGE_CTE},
+            c0 AS (SELECT node, md5('wl0') AS color FROM nodes),
+            m1 AS (
+              SELECT node, string_agg(msg, ',' ORDER BY msg) AS sig
+              FROM (
+                SELECT e.dst AS node, 'i:' || c.color AS msg
+                FROM e JOIN c0 c ON c.node = e.src
+                UNION ALL
+                SELECT e.src, 'o:' || c.color
+                FROM e JOIN c0 c ON c.node = e.dst)
+              GROUP BY node),
+            c1 AS (
+              SELECT c0.node,
+                     md5(c0.color || '|' || coalesce(m1.sig, '')) AS color
+              FROM c0 LEFT JOIN m1 ON m1.node = c0.node),
+            m2 AS (
+              SELECT node, string_agg(msg, ',' ORDER BY msg) AS sig
+              FROM (
+                SELECT e.dst AS node, 'i:' || c.color AS msg
+                FROM e JOIN c1 c ON c.node = e.src
+                UNION ALL
+                SELECT e.src, 'o:' || c.color
+                FROM e JOIN c1 c ON c.node = e.dst)
+              GROUP BY node),
+            c2 AS (
+              SELECT c1.node,
+                     md5(c1.color || '|' || coalesce(m2.sig, '')) AS color
+              FROM c1 LEFT JOIN m2 ON m2.node = c1.node)
+            SELECT node, color FROM c2
         """,
         # conductance replay: undirected support, regexp residue
         # partition, internal/cut per community, vol = 2*int + cut,

@@ -146,6 +146,7 @@ HEADLINE = [
     "kg_sameas_fuse",
     "lm_perplexity",
     "gopher_filters",
+    "kg_wl_colors",
 ]
 
 

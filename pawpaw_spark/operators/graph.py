@@ -3083,3 +3083,90 @@ def conductance(
         )
     )
     return out
+
+
+def wl_colors(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement -> ``(node,
+    color)`` after ``rounds`` iterations: round-(k+1) color =
+    md5(own color ‖ sorted multiset of direction-tagged neighbor
+    colors). Round 0 is the uniform color, so round 1 encodes the
+    (in, out) degree pair, round 2 the degree profile of the
+    neighborhood, and so on — the standard structural fingerprint
+    (two nodes with different WL colors are provably non-isomorphic
+    in their rooted neighborhoods; equal colors = same k-hop
+    structural role). KG uses: structural-role clustering of symbols,
+    candidate pruning for graph matching, change detection between
+    snapshot graphs (compare color histograms).
+
+    Deterministic by construction: the neighbor multiset is SORTED
+    before hashing and md5 is engine-portable, so colors are
+    bit-identical at any parallelism and in the DuckDB oracle (which
+    replays the rounds with string_agg(... ORDER BY ...)).
+
+    Scale shape per round: two equi-joins (one per direction tag,
+    colors are node-sized) + one sort_array/collect_list aggregation —
+    the same message-passing cost as a PageRank round; ``rounds`` is
+    always a small constant (WL stabilizes in diameter-ish rounds).
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    colors = nodes.withColumn("color", F.md5(F.lit("wl0")))
+    try:
+        for _ in range(rounds):
+            cin = colors.select(
+                F.col("node").alias("src"), F.col("color").alias("__c")
+            )
+            out_msgs = (
+                e.join(cin, "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.concat(F.lit("i:"), F.col("__c")).alias("msg"),
+                )
+            )
+            cdst = colors.select(
+                F.col("node").alias("dst"), F.col("color").alias("__c")
+            )
+            in_msgs = (
+                e.join(cdst, "dst")
+                .select(
+                    F.col("src").alias("node"),
+                    F.concat(F.lit("o:"), F.col("__c")).alias("msg"),
+                )
+            )
+            msgs = out_msgs.unionByName(in_msgs).groupBy("node").agg(
+                F.array_join(
+                    F.sort_array(F.collect_list("msg")), ","
+                ).alias("__sig")
+            )
+            colors = (
+                colors.join(msgs, "node", "left")
+                .select(
+                    "node",
+                    F.md5(
+                        F.concat(
+                            F.col("color"),
+                            F.lit("|"),
+                            F.coalesce(F.col("__sig"), F.lit("")),
+                        )
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return colors
+    finally:
+        e.unpersist()

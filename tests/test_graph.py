@@ -2410,3 +2410,62 @@ class TestConductance:
         a = spark.createDataFrame([("a", 0)], "node string, community long")
         with pytest.raises(ValueError, match="missing from"):
             conductance(e, a)
+
+
+def _mirror_wl(edges, rounds):
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    nodes = sorted({x for e in edges for x in e})
+    color = {n: md5("wl0") for n in nodes}
+    for _ in range(rounds):
+        msgs = {n: [] for n in nodes}
+        for s, d in set(edges):
+            msgs[d].append("i:" + color[s])
+            msgs[s].append("o:" + color[d])
+        color = {
+            n: md5(color[n] + "|" + ",".join(sorted(msgs[n])))
+            for n in nodes
+        }
+    return color
+
+
+class TestWlColors:
+    def _run(self, spark, edges, rounds):
+        from pawpaw_spark.operators.graph import wl_colors
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r.node: r.color for r in wl_colors(e, rounds=rounds).collect()
+        }
+
+    def test_mirror_and_role_separation(self, spark):
+        # a path a->b->c->d: after 2 rounds the two interior nodes
+        # split (b sees a source behind it, c sees a sink ahead)
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = self._run(spark, edges, 2)
+        assert got == _mirror_wl(edges, 2)
+        assert got["b"] != got["c"]
+        # symmetric endpoints of a 2-cycle share a color at any depth
+        edges2 = [("x", "y"), ("y", "x")]
+        got2 = self._run(spark, edges2, 3)
+        assert got2["x"] == got2["y"]
+
+    def test_mirror_random(self, spark):
+        import random
+
+        rng = random.Random(17)
+        for _ in range(2):
+            n = rng.randint(4, 8)
+            nodes = [f"n{i}" for i in range(n)]
+            edges = [
+                (u, v) for u in nodes for v in nodes
+                if u != v and rng.random() < 0.35
+            ]
+            if not edges:
+                continue
+            assert self._run(spark, edges, 3) == _mirror_wl(edges, 3)
+
+    def test_round_zero_uniform(self, spark):
+        got = self._run(spark, [("a", "b")], 0)
+        assert len(set(got.values())) == 1

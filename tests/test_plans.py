@@ -540,3 +540,7 @@ class TestRound4ExtensionPlanShape:
         assert "CartesianProduct" not in plan, plan
         assert "partial_count" in plan, plan
         assert "BatchEvalPython" not in plan, plan
+
+    def test_wl_colors_materialized_no_python(self, spark):
+        plan = self._p(spark, "kg_wl_colors")
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
