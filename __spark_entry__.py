@@ -1280,6 +1280,24 @@ def q_lm_perplexity(spark, sf_dir):
     return perplexity_score(docs, uni, bi, vocab)
 
 
+def q_lm_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py
+    kneser_ney_score; Chen & Goodman 1999 eq. 4.25-4.27): the standard
+    upgrade over add-k for count-LM quality filters — continuation
+    probability = distinct-context fraction, absolute discount D=0.75,
+    single-division interpolated form. Scoring the training corpus
+    itself, so every transition hits the count tables and the oracle
+    needs no fallback branches; probabilities are one IEEE division of
+    exact integer counts (mean rounded 6 digits, the BM25 discipline).
+    The oracle retrains the stats (ctx sums, continuation type counts,
+    bigram type total) and replays the identical arithmetic in SQL."""
+    from pawpaw_spark.operators.lm import bigram_lm, kneser_ney_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, bi, _ = bigram_lm(docs)
+    return kneser_ney_score(docs, bi)
+
+
 def q_gopher_filters(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021) over the real
     documents table: word-count bounds, mean-word-length bounds,
@@ -3384,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccur": q_kg_cooccur,
         "kg_diff": q_kg_diff,
         "lm_perplexity": q_lm_perplexity,
+        "lm_kneser_ney": q_lm_kneser_ney,
         "gopher_filters": q_gopher_filters,
         "c4_filters": q_c4_filters,
         "pii_scrub": q_pii_scrub,
@@ -5690,6 +5709,42 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
               LEFT JOIN uni u ON u.w = p.w1
               CROSS JOIN v)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                   round(avg(nll), 6) AS avg_nll
+            FROM scored GROUP BY doc_id
+        """,
+        # Interpolated Kneser-Ney replay: same tokenizer/pairs CTEs,
+        # stats retrained from the bigram count table (ctx sums keep
+        # sum_w2 p(w2|w1) = 1 exactly), identical single-division
+        # arithmetic order -> bit-identical doubles before the round
+        "lm_kneser_ney": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^0-9a-z_]+'),
+                       x -> x <> '') AS ws
+              FROM documents),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws)-1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM toks),
+            bi AS (SELECT w1, w2, count(*) AS c
+                   FROM pairs GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c) AS c1, count(*) AS n_follow
+                    FROM bi GROUP BY w1),
+            cont AS (SELECT w2, count(*) AS n_prec FROM bi GROUP BY w2),
+            t AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM bi),
+            scored AS (
+              SELECT p.doc_id,
+                     -ln((greatest(coalesce(b.c, 0) - 0.75, 0.0)
+                          + 0.75 * x.n_follow * (k.n_prec / nt))
+                         / x.c1) AS nll
+              FROM pairs p
+              LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+              LEFT JOIN ctx x ON x.w1 = p.w1
+              LEFT JOIN cont k ON k.w2 = p.w2
+              CROSS JOIN t)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
                    round(avg(nll), 6) AS avg_nll
             FROM scored GROUP BY doc_id

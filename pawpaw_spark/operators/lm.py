@@ -123,3 +123,89 @@ def perplexity_score(
         F.count("*").alias("n_transitions"),
         F.round(F.avg("__nll"), digits).alias("avg_nll"),
     )
+
+
+def kn_stats(bigrams: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Kneser-Ney sufficient statistics from the bigram count table:
+    ``ctx`` = per-context (w1, c1=sum of pair counts, n_follow=distinct
+    continuations), ``cont`` = per-word (w2, n_prec=distinct preceding
+    contexts), plus the total bigram TYPE count (a driver scalar — the
+    model's normalizer, not data). Context counts come from the bigram
+    table, not the unigram table, so ``sum_w2 p(w2|w1) = 1`` exactly
+    (the unigram count exceeds the context count by one per document-
+    final token). Two aggregations over the (already small) bigram
+    count table; no pass over the corpus."""
+    ctx = bigrams.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n_follow")
+    )
+    cont = bigrams.groupBy(F.col("w2").alias("w")).agg(
+        F.count("*").alias("n_prec")
+    )
+    n_types = bigrams.count()
+    return ctx, cont, n_types
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    *,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digits: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1999 eq. 4.25-4.27) -> ``(id, n_transitions, avg_nll)``.
+
+    ``p(w2|w1) = (max(c(w1,w2) - D, 0) + D·N1+(w1,·)·p_cont(w2)) / c(w1)``
+    with ``p_cont(w2) = N1+(·,w2) / N1+(·,·)`` — the continuation
+    probability counts the distinct contexts a word FOLLOWS, which is
+    what makes KN the empirical best of the count smoothers: a word
+    frequent only inside one collocation ("francisco") gets low unseen-
+    context mass. Single-division form, so the DuckDB oracle reproduces
+    the IEEE doubles bit-for-bit; the per-doc mean rounds to ``digits``
+    (summation-order wobble, the BM25 discipline).
+
+    Fallbacks (never hit when scoring the training corpus itself, where
+    every transition was counted): unseen context w1 -> ``p_cont(w2)``;
+    a word unseen as a continuation -> ``1 / N1+(·,·)`` (one type's
+    worth of continuation mass) so every probability stays positive.
+    ``0 < D < 1`` is required: the discounted mass ``c12 - D >= 1 - D``
+    of a seen pair stays positive, and lambda stays a proper fraction.
+
+    Scale shape: one transitions explode + one (w1,w2) equi-join (hash-
+    partitioned on the pair) + two vocabulary-sized broadcast joins +
+    one per-doc aggregation — identical to :func:`perplexity_score`
+    plus one broadcast."""
+    if not (0.0 < discount < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    ctx, cont, n_types = kn_stats(bigrams)
+    if n_types == 0:
+        raise ValueError("empty bigram table: nothing to smooth")
+    pairs = _transitions(docs, text_col, id_col)
+    bi = bigrams.select("w1", "w2", F.col("c").alias("__c12"))
+    d = F.lit(float(discount))
+    pcont = F.coalesce(
+        F.col("n_prec") / F.lit(float(n_types)),
+        F.lit(1.0 / float(n_types)),
+    )
+    p = F.when(
+        F.col("c1").isNotNull(),
+        (
+            F.greatest(F.coalesce(F.col("__c12"), F.lit(0)) - d, F.lit(0.0))
+            + d * F.col("n_follow") * pcont
+        )
+        / F.col("c1"),
+    ).otherwise(pcont)
+    scored = (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .join(
+            F.broadcast(cont.withColumnRenamed("w", "w2")), ["w2"], "left"
+        )
+        .select(id_col, (-F.log(p)).alias("__nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_transitions"),
+        F.round(F.avg("__nll"), digits).alias("avg_nll"),
+    )

@@ -345,3 +345,94 @@ class TestBigramLm:
         ids = {r.doc_id for r in
                perplexity_score(df, uni, bi, V).collect()}
         assert ids == {"b"}
+
+
+def _kn_mirror(train_rows, score_rows, D=0.75):
+    """Pure-Python interpolated KN bigram mirror (Chen & Goodman eq.
+    4.25-4.27), same fallbacks as the engine."""
+    import math
+
+    mb = {}
+    for _, t in train_rows:
+        for x, y in zip(t.split(), t.split()[1:]):
+            mb[(x, y)] = mb.get((x, y), 0) + 1
+    c1, nf, np_ = {}, {}, {}
+    for (x, y), c in mb.items():
+        c1[x] = c1.get(x, 0) + c
+        nf[x] = nf.get(x, 0) + 1
+        np_[y] = np_.get(y, 0) + 1
+    T = len(mb)
+    out = {}
+    for d, t in score_rows:
+        nlls = []
+        for x, y in zip(t.split(), t.split()[1:]):
+            pcont = np_[y] / float(T) if y in np_ else 1.0 / T
+            if x in c1:
+                p = (max(mb.get((x, y), 0) - D, 0.0)
+                     + D * nf[x] * pcont) / c1[x]
+            else:
+                p = pcont
+            nlls.append(-math.log(p))
+        if nlls:
+            out[d] = (len(nlls), round(sum(nlls) / len(nlls), 6))
+    return out
+
+
+class TestKneserNey:
+    ROWS = [("a", "the cat sat on the mat"),
+            ("b", "the dog sat on the cat"),
+            ("c", "cat mat cat the cat")]
+
+    def test_score_vs_mirror(self, spark):
+        from pawpaw_spark.operators.lm import bigram_lm, kneser_ney_score
+
+        df = spark.createDataFrame(self.ROWS, "doc_id string, text string")
+        _, bi, _ = bigram_lm(df)
+        got = {r.doc_id: (r.n_transitions, r.avg_nll)
+               for r in kneser_ney_score(df, bi).collect()}
+        assert got == _kn_mirror(self.ROWS, self.ROWS)
+
+    def test_distribution_normalizes(self, spark):
+        # sum_{w2 seen as a continuation} p(w2|w1) == 1 for every seen
+        # context: the property that distinguishes true KN stats (context
+        # counts from the bigram table) from the unigram-count shortcut
+        from pawpaw_spark.operators.lm import bigram_lm, kn_stats
+
+        df = spark.createDataFrame(self.ROWS, "doc_id string, text string")
+        _, bi, _ = bigram_lm(df)
+        ctx, cont, T = kn_stats(bi)
+        b = {(r.w1, r.w2): r.c for r in bi.collect()}
+        c1 = {r.w1: (r.c1, r.n_follow) for r in ctx.collect()}
+        np_ = {r.w: r.n_prec for r in cont.collect()}
+        D = 0.75
+        for w1, (c, nfol) in c1.items():
+            s = sum(
+                (max(b.get((w1, w2), 0) - D, 0.0)
+                 + D * nfol * (np_[w2] / T)) / c
+                for w2 in np_
+            )
+            assert abs(s - 1.0) < 1e-12
+
+    def test_unseen_context_and_word_fallbacks(self, spark):
+        from pawpaw_spark.operators.lm import bigram_lm, kneser_ney_score
+
+        df = spark.createDataFrame(self.ROWS, "doc_id string, text string")
+        _, bi, _ = bigram_lm(df)
+        novel = [("z", "zebra quagga the cat")]  # unseen ctx + unseen cont
+        out = {r.doc_id: (r.n_transitions, r.avg_nll) for r in
+               kneser_ney_score(
+                   spark.createDataFrame(
+                       novel, "doc_id string, text string"),
+                   bi).collect()}
+        assert out == _kn_mirror(self.ROWS, novel)
+
+    def test_discount_validation(self, spark):
+        import pytest
+
+        from pawpaw_spark.operators.lm import bigram_lm, kneser_ney_score
+
+        df = spark.createDataFrame(self.ROWS, "doc_id string, text string")
+        _, bi, _ = bigram_lm(df)
+        for bad in (0.0, 1.0, -0.5, 1.5):
+            with pytest.raises(ValueError):
+                kneser_ney_score(df, bi, discount=bad)
