@@ -1298,6 +1298,38 @@ def q_lm_kneser_ney(spark, sf_dir):
     return kneser_ney_score(docs, bi)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py; Xie et al. 2023):
+    hashed unigram+bigram features (portable md5 buckets, B=4096),
+    add-1 bucket models on target (lang='en' docs) vs raw (all docs),
+    per-doc log-likelihood-ratio weight. Exact-count divisions + ln,
+    per-doc sum rounded 6 digits (summation-order wobble). The oracle
+    refits both models and replays the ratio sum in SQL with the same
+    ('0x' || md5-prefix)::BIGINT % B bucket hash."""
+    from pawpaw_spark.operators.dsir import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=4096
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """Deterministic Gumbel-top-k selection over the DSIR weights
+    (operators/dsir.py gumbel_topk; Vieira 2014): noise is a pure md5
+    function of (seed, doc_id), so the without-replacement weighted
+    draw — the resampling half of DSIR — is reproducible across
+    engines and partitionings. Top-100, score-desc with doc_id
+    tiebreak (engine-independent cutoff)."""
+    from pawpaw_spark.operators.dsir import dsir_weights, gumbel_topk
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=4096
+    )
+    return gumbel_topk(w, 100)
+
+
 def q_gopher_filters(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021) over the real
     documents table: word-count bounds, mean-word-length bounds,
@@ -3403,6 +3435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff": q_kg_diff,
         "lm_perplexity": q_lm_perplexity,
         "lm_kneser_ney": q_lm_kneser_ney,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "gopher_filters": q_gopher_filters,
         "c4_filters": q_c4_filters,
         "pii_scrub": q_pii_scrub,
@@ -5748,6 +5782,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
                    round(avg(nll), 6) AS avg_nll
             FROM scored GROUP BY doc_id
+        """,
+        # DSIR replay: same tokenizer, same unigram+bigram gram set,
+        # same portable md5-prefix bucket hash, both add-1 models
+        # refit, identical division/ln order -> same doubles pre-round
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^0-9a-z_]+'),
+                       x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_concat(ws,
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i + 1])))
+                       AS g
+              FROM toks),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096
+                       AS bucket,
+                     count(*) AS c
+              FROM grams GROUP BY doc_id, bucket),
+            rawm AS (SELECT bucket, sum(c) AS c_r
+                     FROM feats GROUP BY bucket),
+            tgtm AS (
+              SELECT f.bucket, sum(f.c) AS c_t
+              FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+              WHERE d.lang = 'en' GROUP BY f.bucket),
+            tot AS (SELECT (SELECT sum(c_r) FROM rawm) AS tr,
+                           (SELECT sum(c_t) FROM tgtm) AS tt),
+            lr AS (
+              SELECT r.bucket,
+                     ln((coalesce(t.c_t, 0) + 1.0) / (tt + 1.0 * 4096))
+                     - ln((r.c_r + 1.0) / (tr + 1.0 * 4096)) AS lr
+              FROM rawm r LEFT JOIN tgtm t USING (bucket)
+              CROSS JOIN tot)
+            SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_feats,
+                   round(sum(f.c * l.lr), 6) AS log_w
+            FROM feats f JOIN lr l USING (bucket) GROUP BY f.doc_id
+        """,
+        # Gumbel-top-k replay: the deterministic noise chain is the
+        # same md5('dsir:' || id) -> u in (0,1) -> -ln(-ln u) draw;
+        # cutoff is engine-independent (score desc, doc_id tiebreak)
+        "dsir_select": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^0-9a-z_]+'),
+                       x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_concat(ws,
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i + 1])))
+                       AS g
+              FROM toks),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096
+                       AS bucket,
+                     count(*) AS c
+              FROM grams GROUP BY doc_id, bucket),
+            rawm AS (SELECT bucket, sum(c) AS c_r
+                     FROM feats GROUP BY bucket),
+            tgtm AS (
+              SELECT f.bucket, sum(f.c) AS c_t
+              FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+              WHERE d.lang = 'en' GROUP BY f.bucket),
+            tot AS (SELECT (SELECT sum(c_r) FROM rawm) AS tr,
+                           (SELECT sum(c_t) FROM tgtm) AS tt),
+            lr AS (
+              SELECT r.bucket,
+                     ln((coalesce(t.c_t, 0) + 1.0) / (tt + 1.0 * 4096))
+                     - ln((r.c_r + 1.0) / (tr + 1.0 * 4096)) AS lr
+              FROM rawm r LEFT JOIN tgtm t USING (bucket)
+              CROSS JOIN tot),
+            w AS (
+              SELECT f.doc_id, round(sum(f.c * l.lr), 6) AS log_w
+              FROM feats f JOIN lr l USING (bucket) GROUP BY f.doc_id)
+            SELECT doc_id, log_w,
+                   round(log_w + (-ln(-ln(
+                     ((('0x' || substr(md5('dsir:'
+                         || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       + 0.5) / 4294967296.0)))), 6) AS score
+            FROM w ORDER BY score DESC, doc_id LIMIT 100
         """,
         # Gopher-rule replay: the same word/line splits as the engine
         # (regex whitespace split, empty-token filter, newline lines),
