@@ -359,6 +359,24 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (dedup.semdedup; Abbas et al. 2023): cluster-then-
+    compare semantic dedup — assign every vector to its max-cosine
+    seed centroid (10 smallest-id vectors; a pure function of the
+    input so the oracle replays the WHOLE operator), then greedily
+    drop within-cluster items tau-close to an earlier id. tau=0.4 is
+    corpus-matched (this synthetic table's nearest pairs sit at
+    ~.40-.53; the paper's .95+ applies to corpora with true
+    near-dups) so keep is a genuine mix, not vacuous. All decisions on
+    6-digit-rounded cosines with id tiebreaks — engine-independent."""
+    from pawpaw_spark.operators.dedup import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semdedup(emb, n_clusters=10, tau=0.4)
+
+
 def q_plumule_word_count(spark, sf_dir):
     """plumule query engine (§2.7): '**[d:word]' hit count per doc."""
     from pawpaw_spark.operators.segment import segment
@@ -3484,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nuco": q_nuco,
         "fingerprint_groups": q_fingerprint_groups,
         "embedding_neardup": q_embedding_neardup,
+        "semdedup": q_semdedup,
         "media_frames": q_media_frames,
         "media_dimensions": q_media_dimensions,
         "media_av": q_media_av,
@@ -5000,6 +5019,41 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round({_dot_sql('a.v', 'b.v')}
                         / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 6) >= 0.4
+        """,
+        # SemDeDup replay: same seed centroids (10 smallest ids), same
+        # rounded-cosine argmax with cid tiebreak, same greedy
+        # smaller-id tau cut
+        "semdedup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e
+                  ORDER BY vec_id LIMIT 10),
+            a AS (
+              SELECT e.vec_id, c.cid,
+                     round({_dot_sql('e.v', 'c.cv')}
+                           / (sqrt({_dot_sql('e.v', 'e.v')})
+                              * sqrt({_dot_sql('c.cv', 'c.cv')})), 6)
+                       AS cosc
+              FROM e, c),
+            best AS (
+              SELECT vec_id AS id, cid AS cluster, cosc AS cos_c
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id
+                      ORDER BY cosc DESC, cid) AS rn FROM a)
+              WHERE rn = 1),
+            dup AS (
+              SELECT DISTINCT y.id
+              FROM best x JOIN best y
+                ON x.cluster = y.cluster AND x.id < y.id
+              JOIN e ex ON ex.vec_id = x.id
+              JOIN e ey ON ey.vec_id = y.id
+              WHERE round({_dot_sql('ex.v', 'ey.v')}
+                          / (sqrt({_dot_sql('ex.v', 'ex.v')})
+                             * sqrt({_dot_sql('ey.v', 'ey.v')})), 6)
+                    >= 0.4)
+            SELECT b.id, b.cluster, b.cos_c,
+                   (d.id IS NULL) AS keep
+            FROM best b LEFT JOIN dup d ON d.id = b.id
         """,
         "plumule_word_count": """
             SELECT doc_id,

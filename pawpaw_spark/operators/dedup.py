@@ -823,3 +823,141 @@ def neardup_groups(
         )
         .select("doc", "group_id", "is_canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup over an embedding column
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    n_clusters: int = 10,
+    tau: float = 0.95,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public — arXiv:2303.09540):
+    semantic deduplication by clustering embeddings, then dropping
+    within-cluster items whose cosine to an EARLIER item reaches
+    ``tau`` — cluster-then-compare turns the corpus-quadratic pair scan
+    into per-cluster quadratics, the published trick that made semantic
+    dedup feasible on LAION/C4 scale.
+
+    Output, one row per vector: ``(id, cluster, cos_c, keep)`` —
+    assigned cluster, cosine to its centroid (rounded), and the greedy
+    keep flag (``keep`` is False iff some same-cluster item with a
+    SMALLER id is tau-close; keep-first-by-id is the paper's "keep one
+    per epsilon-ball" made deterministic, so reruns and engines agree).
+
+    ``centroids``: optional ``(cid, cv)`` table — at scale, pass
+    :func:`pawpaw_spark.operators.similarity.ivf_fit`'s iterated
+    k-means centroids. Default: the ``n_clusters`` smallest-id vectors
+    as seed centroids — a pure function of the input, so an external
+    engine can replay the WHOLE operator (the correctness oracle does;
+    an iterated k-means assignment is instead verified by the IVF
+    recall contract queries).
+
+    Determinism discipline: every comparison (argmax over centroids,
+    the tau cut) runs on cosines ROUNDED to ``digits`` with explicit
+    id tiebreaks, so decisions are engine-independent unless two
+    unrounded values straddle a rounding boundary — place ``tau`` in a
+    measured gap of the cosine distribution (the embedding_neardup
+    discipline).
+
+    Scale shape: assignment is one broadcast nested-loop against a
+    k-row centroid table + one max-struct aggregation (no shuffle of
+    the vectors beyond the groupBy); the dup probe is a per-cluster
+    self-equi-join — repartition by cluster keeps it local, and cluster
+    sizes are bounded by the k-means balance (the paper's K ~ sqrt(n)
+    guidance applies at 100 TB)."""
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if centroids is None:
+        centroids = (
+            emb.orderBy(id_col)
+            .limit(int(n_clusters))
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        )
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(
+            F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+    )
+    dot_c = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(
+        F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    assigned = (
+        e.join(F.broadcast(centroids))
+        .select(
+            "id",
+            "v",
+            "nrm",
+            "cid",
+            F.round(dot_c / (F.col("nrm") * cnorm), digits).alias("__cos"),
+        )
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__cos").alias("c"), (-F.col("cid")).alias("nc")
+                )
+            ).alias("__best"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "id",
+            "v",
+            "nrm",
+            (-F.col("__best.nc")).alias("cluster"),
+            F.col("__best.c").alias("cos_c"),
+        )
+    )
+    a = assigned.select(
+        F.col("cluster"),
+        F.col("id").alias("a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col("id").alias("b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.round(dot_ab / (F.col("na") * F.col("nb")), digits)
+            >= F.lit(float(tau))
+        )
+        .select(F.col("b").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            "cos_c",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

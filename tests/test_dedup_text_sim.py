@@ -1464,3 +1464,111 @@ class TestLeakageSafeSplit:
             leakage_safe_split(docs, pairs, {"train": 0.5, "val": 0.1})
         with _pytest.raises(ValueError, match="at least one"):
             leakage_safe_split(docs, pairs, {})
+
+
+class TestSemDedup:
+    """SemDeDup (dedup.semdedup) vs a pure-numpy mirror of the greedy
+    cluster-then-drop recipe."""
+
+    @staticmethod
+    def _mirror(vecs, k, tau):
+        import numpy as np
+
+        ids = sorted(vecs)
+        cents = ids[:k]
+        asg, cosc = {}, {}
+        for i in ids:
+            v = np.array(vecs[i])
+            best = None
+            for c in cents:
+                cv = np.array(vecs[c])
+                cos = round(
+                    float(v @ cv)
+                    / (float(np.sqrt(v @ v)) * float(np.sqrt(cv @ cv))),
+                    6,
+                )
+                key = (cos, -c)
+                if best is None or key > best[0]:
+                    best = (key, c, cos)
+            asg[i], cosc[i] = best[1], best[2]
+        keep = {}
+        for i in ids:
+            v = np.array(vecs[i])
+            dup = False
+            for j in ids:
+                if j >= i or asg[j] != asg[i]:
+                    continue
+                w = np.array(vecs[j])
+                cos = round(
+                    float(v @ w)
+                    / (float(np.sqrt(v @ v)) * float(np.sqrt(w @ w))),
+                    6,
+                )
+                if cos >= tau:
+                    dup = True
+                    break
+            keep[i] = not dup
+        return asg, cosc, keep
+
+    VECS = {
+        0: [1.0, 0.0, 0.1, 0.0],
+        1: [0.0, 1.0, 0.0, 0.1],
+        2: [0.98, 0.02, 0.11, 0.0],   # near-dup of 0
+        3: [0.0, 0.97, 0.01, 0.12],   # near-dup of 1
+        4: [0.97, 0.01, 0.12, 0.01],  # near-dup of 0 and 2
+        5: [0.3, 0.3, 0.9, 0.3],
+    }
+
+    def test_vs_mirror(self, spark):
+        from pawpaw_spark.operators.dedup import semdedup
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in self.VECS.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.id: (r.cluster, r.cos_c, r.keep)
+               for r in semdedup(df, n_clusters=2, tau=0.99).collect()}
+        asg, cosc, keep = self._mirror(self.VECS, 2, 0.99)
+        assert got == {i: (asg[i], cosc[i], keep[i]) for i in self.VECS}
+        # the construction actually drops the greedy later-id dups
+        assert not got[2][2] and not got[3][2] and not got[4][2]
+        assert got[0][2] and got[1][2] and got[5][2]
+
+    def test_keep_first_by_id(self, spark):
+        # identical vectors: only the smallest id survives
+        from pawpaw_spark.operators.dedup import semdedup
+
+        df = spark.createDataFrame(
+            [(i, [1.0, 2.0, 3.0]) for i in (7, 3, 5)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.id: r.keep for r in
+               semdedup(df, n_clusters=1, tau=0.999999).collect()}
+        assert got == {3: True, 5: False, 7: False}
+
+    def test_custom_centroids(self, spark):
+        from pawpaw_spark.operators.dedup import semdedup
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in self.VECS.items()],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+            "cid long, cv array<double>",
+        )
+        got = {r.id: r.cluster
+               for r in semdedup(df, tau=0.99, centroids=cents).collect()}
+        assert got == {0: 100, 2: 100, 4: 100, 5: 100, 1: 200, 3: 200}
+
+    def test_tau_validation(self, spark):
+        import pytest
+
+        from pawpaw_spark.operators.dedup import semdedup
+
+        df = spark.createDataFrame(
+            [(0, [1.0])], "vec_id long, embedding array<double>"
+        )
+        for bad in (0.0, -1.0, 1.5):
+            with pytest.raises(ValueError):
+                semdedup(df, tau=bad)
