@@ -3372,6 +3372,116 @@ def q_kg_betweenness(spark, sf_dir):
     return out.select("node", F.col("bc").cast("long").alias("bc"))
 
 
+def q_kg_owl_closure(spark, sf_dir):
+    """OWL Horst (pD*) property saturation (operators/owl.py) over a
+    geography KG built from customer/nation/supplier: ``within``
+    (cust->nat->reg, TRANSITIVE), ``contains`` (declared inverseOf
+    within; base rows asserted in the contains direction for suppliers
+    so the FIRST transform pass is load-bearing), a per-region nation
+    chain under TRANSITIVE ``feeds`` (depth ~4: multiple semi-naive
+    fixpoint rounds), and SYMMETRIC ``adjacent`` over the same chain
+    pairs. Digest = per-predicate derived-only triple counts plus
+    distinct subj/obj counts. The oracle replays the full T(C(T(base)))
+    saturation in SQL: transform pass, recursive closure of the
+    transitive slices, second transform pass, NOT-EXISTS anti-join."""
+    from pawpaw_spark.operators.owl import owl_property_closure
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("within").alias("pred"),
+        F.concat(F.lit("nat:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    natr = nat.select(
+        F.concat(F.lit("nat:"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("within").alias("pred"),
+        F.concat(F.lit("reg:"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.concat(F.lit("nat:"), F.col("s_nationkey").cast("string")).alias("subj"),
+        F.lit("contains").alias("pred"),
+        F.concat(F.lit("sup:"), F.col("s_suppkey").cast("string")).alias("obj"),
+    )
+    w = W.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = (
+        nat.select(
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.lead(F.col("n_nationkey").cast("long")).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.concat(F.lit("nat:"), F.col("k").cast("string")).alias("subj"),
+            F.concat(F.lit("nat:"), F.col("nxt").cast("string")).alias("obj"),
+        )
+    )
+    feeds = chain.select("subj", F.lit("feeds").alias("pred"), "obj")
+    adj = chain.select("subj", F.lit("adjacent").alias("pred"), "obj")
+    schema = spark.createDataFrame(
+        [
+            ("within", "type", "TransitiveProperty"),
+            ("feeds", "type", "TransitiveProperty"),
+            ("adjacent", "type", "SymmetricProperty"),
+            ("contains", "inverseOf", "within"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    base = (
+        cust.unionByName(natr)
+        .unionByName(sup)
+        .unionByName(feeds)
+        .unionByName(adj)
+        .unionByName(schema)
+    )
+    derived = owl_property_closure(base)
+    return derived.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+    )
+
+
+def q_kg_owl_sameas(spark, sf_dir):
+    """pD* functional-property identity derivation (owl.functional_
+    sameas): ``owner`` FUNCTIONAL over orders — every o_orderkey%7==0
+    order asserts BOTH cust:<k> and dup:<k> owners, so the (subj, pred)
+    blocked self-join derives (cust:<k>, sameAs, dup:<k>); ``sha``
+    INVERSE-FUNCTIONAL over customers hashed to h:<custkey//2> buckets,
+    pairing consecutive custkeys. Rows are the canonical (a < b)
+    sameAs assertions ready for sameas_canonical. Both engines pair by
+    binary string order; group fan-out is <=2 per key at any SF."""
+    from pawpaw_spark.operators.owl import functional_sameas
+
+    ords = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    okey = F.concat(F.lit("ord:"), F.col("o_orderkey").cast("string"))
+    owner = ords.select(
+        okey.alias("subj"),
+        F.lit("owner").alias("pred"),
+        F.concat(F.lit("cust:"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    dup = ords.filter(F.col("o_orderkey") % 7 == 0).select(
+        okey.alias("subj"),
+        F.lit("owner").alias("pred"),
+        F.concat(F.lit("dup:"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("sha").alias("pred"),
+        F.concat(
+            F.lit("h:"),
+            F.floor(F.col("c_custkey") / F.lit(2)).cast("long").cast("string"),
+        ).alias("obj"),
+    )
+    schema = spark.createDataFrame(
+        [
+            ("owner", "type", "FunctionalProperty"),
+            ("sha", "type", "InverseFunctionalProperty"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    base = owner.unionByName(dup).unionByName(cust).unionByName(schema)
+    return functional_sameas(base)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3387,6 +3497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CHECK_sf*.json artifacts cover all queries at 3 scale factors.
     return {
         # -- new this round (lead so the 50-entry gate window sees them) --
+        "kg_owl_closure": q_kg_owl_closure,
+        "kg_owl_sameas": q_kg_owl_sameas,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -3963,6 +4075,92 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # pD* saturation replay: transform pass (sym flips + inverseOf
+        # renames), recursive closure of the transitive slices, second
+        # transform pass, derived-only via NOT EXISTS — the same
+        # T(C(T(base))) normal form owl_property_closure computes
+        "kg_owl_closure": """
+            WITH RECURSIVE
+            chain AS (
+              SELECT n_nationkey AS k,
+                     lead(n_nationkey) OVER (
+                       PARTITION BY n_regionkey ORDER BY n_nationkey
+                     ) AS nxt
+              FROM nation),
+            pairs AS (
+              SELECT 'nat:' || k AS s, 'nat:' || nxt AS o
+              FROM chain WHERE nxt IS NOT NULL),
+            base AS (
+              SELECT 'cust:' || c_custkey AS subj, 'within' AS pred,
+                     'nat:' || c_nationkey AS obj
+              FROM customer
+              UNION ALL
+              SELECT 'nat:' || n_nationkey, 'within',
+                     'reg:' || n_regionkey
+              FROM nation
+              UNION ALL
+              SELECT 'nat:' || s_nationkey, 'contains',
+                     'sup:' || s_suppkey
+              FROM supplier
+              UNION ALL SELECT s, 'feeds', o FROM pairs
+              UNION ALL SELECT s, 'adjacent', o FROM pairs),
+            t1 AS (
+              SELECT subj, pred, obj FROM base
+              UNION
+              SELECT obj, 'adjacent', subj FROM base WHERE pred = 'adjacent'
+              UNION
+              SELECT obj, 'within', subj FROM base WHERE pred = 'contains'
+              UNION
+              SELECT obj, 'contains', subj FROM base WHERE pred = 'within'),
+            clos AS (
+              SELECT subj, pred, obj FROM t1
+              WHERE pred IN ('within', 'feeds')
+              UNION
+              SELECT c.subj, c.pred, t.obj
+              FROM clos c
+              JOIN t1 t ON t.pred = c.pred AND t.subj = c.obj),
+            c2 AS (
+              SELECT subj, pred, obj FROM t1
+              WHERE pred NOT IN ('within', 'feeds')
+              UNION SELECT subj, pred, obj FROM clos),
+            t2 AS (
+              SELECT subj, pred, obj FROM c2
+              UNION
+              SELECT obj, 'adjacent', subj FROM c2 WHERE pred = 'adjacent'
+              UNION
+              SELECT obj, 'within', subj FROM c2 WHERE pred = 'contains'
+              UNION
+              SELECT obj, 'contains', subj FROM c2 WHERE pred = 'within'),
+            drv AS (
+              -- DISTINCT, not plain UNION dedup: DuckDB 1.0.0 stops
+              -- deduplicating chained UNIONs once a recursive CTE is
+              -- upstream (verified minimally in-session), so the set
+              -- semantics are enforced here explicitly
+              SELECT DISTINCT t.subj, t.pred, t.obj FROM t2 t
+              WHERE NOT EXISTS (
+                      SELECT 1 FROM base b
+                      WHERE b.subj = t.subj AND b.pred = t.pred
+                        AND b.obj = t.obj))
+            SELECT pred, count(*) AS n,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj
+            FROM drv GROUP BY pred
+        """,
+        # rdfp1/rdfp2 replay: functional owner clash per double-owned
+        # order, inverse-functional sha bucket pairing, canonical a < b
+        "kg_owl_sameas": """
+            SELECT DISTINCT 'cust:' || o_custkey AS subj,
+                   'sameAs' AS pred,
+                   'dup:' || o_custkey AS obj
+            FROM orders WHERE o_orderkey % 7 = 0
+            UNION
+            SELECT 'cust:' || a.c_custkey, 'sameAs',
+                   'cust:' || b.c_custkey
+            FROM customer a
+            JOIN customer b
+              ON a.c_custkey // 2 = b.c_custkey // 2
+             AND 'cust:' || a.c_custkey < 'cust:' || b.c_custkey
+        """,
         # CONSTRUCT replay: the match join + both template projections
         # over the reconstructed edge CTE; the DEFINED_IN template only
         # fires where the optional DEFINES join binds (defined targets)
