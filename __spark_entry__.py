@@ -3482,6 +3482,58 @@ def q_kg_owl_sameas(spark, sf_dir):
     return functional_sameas(base)
 
 
+def q_nb_confusion(spark, sf_dir):
+    """Naive Bayes classifier (operators/classify.py) over a CONSTRUCTED
+    labeled corpus — the synthetic documents' text is the same
+    vocabulary for every stored lang (a supervised lang run is
+    prior-dominated and vacuous), so the class signal is constructed
+    the q_table_detect way: class = doc_id%3, text = 200 chars of
+    shared noise + the class marker repeated 1+doc_id%4 times + (every
+    5th doc) the NEXT class's marker repeated 2+doc_id%3 times — so
+    marker evidence usually wins but the contaminated docs flip in a
+    deterministic pattern.  Train on even doc_ids, predict odd; digest
+    = the (label, pred, n) confusion matrix with REAL off-diagonal
+    mass, exact integers only reproducible if training counts,
+    smoothing, round-6 scoring, and the label-asc argmax all agree.
+    The oracle replays everything in SQL (the dsir gram/bucket CTE
+    shapes)."""
+    from pawpaw_spark.operators.classify import nb_predict, nb_train
+
+    d = _docs(spark, sf_dir)
+    names = F.array(F.lit("alpha"), F.lit("beta"), F.lit("gamma"))
+    marks = F.array(F.lit("mka"), F.lit("mkb"), F.lit("mkc"))
+    cls = (F.col("doc_id") % 3).cast("int")
+    nxt = ((F.col("doc_id") + 1) % 3).cast("int")
+    text2 = F.concat(
+        F.substring("text", 1, 200),
+        F.repeat(
+            F.concat(F.lit(" "), F.element_at(marks, cls + 1)),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.repeat(
+                F.concat(F.lit(" "), F.element_at(marks, nxt + 1)),
+                (F.col("doc_id") % 3 + 2).cast("int"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs2 = d.select(
+        "doc_id",
+        F.element_at(names, cls + 1).alias("label"),
+        text2.alias("text"),
+    )
+    train = docs2.filter(F.col("doc_id") % 2 == 0)
+    counts, priors = nb_train(train, label_col="label", n_buckets=4096)
+    test = docs2.filter(F.col("doc_id") % 2 == 1)
+    pred = nb_predict(test, counts, priors, n_buckets=4096)
+    return (
+        pred.join(test.select("doc_id", "label"), "doc_id")
+        .groupBy("label", F.col("pred_label").alias("pred"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3499,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (lead so the 50-entry gate window sees them) --
         "kg_owl_closure": q_kg_owl_closure,
         "kg_owl_sameas": q_kg_owl_sameas,
+        "nb_confusion": q_nb_confusion,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4075,6 +4128,88 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # Naive Bayes end-to-end replay: hashed-gram training counts on
+        # the even half, add-1 log-posterior scoring of the odd half,
+        # round-6 + label-asc argmax, confusion aggregation
+        "nb_confusion": """
+            WITH doc2 AS (
+              SELECT doc_id,
+                     ['alpha','beta','gamma'][(doc_id % 3)::int + 1]
+                       AS label,
+                     substr(text, 1, 200)
+                     || repeat(' ' || ['mka','mkb','mkc'][(doc_id % 3)::int + 1],
+                               (doc_id % 4)::int + 1)
+                     || CASE WHEN doc_id % 5 = 0 THEN
+                          repeat(' ' || ['mka','mkb','mkc'][((doc_id + 1) % 3)::int + 1],
+                                 (doc_id % 3)::int + 2)
+                        ELSE '' END AS text
+              FROM documents),
+            toks AS (
+              SELECT doc_id, label,
+                     list_filter(
+                       string_split_regex(lower(text), '[^0-9a-z_]+'),
+                       x -> x <> '') AS ws
+              FROM doc2),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_concat(ws,
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i + 1])))
+                       AS g
+              FROM toks),
+            gb AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096
+                       AS bucket
+              FROM grams),
+            counts AS (
+              SELECT d.label, gb.bucket, count(*) AS n
+              FROM gb JOIN doc2 d USING (doc_id)
+              WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            toksl AS (
+              SELECT label, sum(n) AS n_tokens FROM counts GROUP BY 1),
+            docs AS (
+              SELECT label, count(*) AS n_docs
+              FROM doc2 WHERE doc_id % 2 = 0 GROUP BY 1),
+            td AS (SELECT sum(n_docs) AS td FROM docs),
+            feats AS (
+              SELECT doc_id, bucket, count(*) AS c
+              FROM gb WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+            cells AS (
+              SELECT d.doc_id, l.label
+              FROM (SELECT DISTINCT doc_id FROM doc2
+                    WHERE doc_id % 2 = 1) d
+              CROSS JOIN docs l),
+            tsc AS (
+              SELECT f.doc_id, l.label,
+                     sum(f.c * (ln(coalesce(cn.n, 0) + 1.0)
+                                - ln(t.n_tokens + 4096.0))) AS s
+              FROM feats f
+              CROSS JOIN docs l
+              LEFT JOIN counts cn
+                ON cn.label = l.label AND cn.bucket = f.bucket
+              JOIN toksl t ON t.label = l.label
+              GROUP BY 1, 2),
+            sc AS (
+              SELECT c.doc_id, c.label,
+                     round(coalesce(s.s, 0)
+                           + ln(d.n_docs) - ln((SELECT td FROM td)),
+                           6) AS score
+              FROM cells c
+              LEFT JOIN tsc s
+                ON s.doc_id = c.doc_id AND s.label = c.label
+              JOIN docs d ON d.label = c.label),
+            pred AS (
+              SELECT doc_id, label AS pred_label,
+                     row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, label ASC) AS rk
+              FROM sc)
+            SELECT d.label, p.pred_label AS pred, count(*) AS n
+            FROM pred p JOIN doc2 d USING (doc_id)
+            WHERE p.rk = 1
+            GROUP BY 1, 2
+        """,
         # pD* saturation replay: transform pass (sym flips + inverseOf
         # renames), recursive closure of the transitive slices, second
         # transform pass, derived-only via NOT EXISTS — the same
