@@ -3534,6 +3534,19 @@ def q_nb_confusion(spark, sf_dir):
     )
 
 
+def q_kg_katz(spark, sf_dir):
+    """Truncated Katz centrality (graph.katz_centrality) over the
+    kernel-extracted call graph: K=3, beta=1/8, scores returned as the
+    EXACT int64 numerator sum_k walks_k * 8^(3-k) — ring members and
+    hubs separate by orders of magnitude (hub in-walks compound
+    through the ring edges), and no float summation order can flip a
+    value at any SF or parallelism.  The oracle unrolls the three walk
+    steps in SQL over the same edge CTE."""
+    from pawpaw_spark.operators.graph import katz_centrality
+
+    return katz_centrality(_call_edges(spark, sf_dir), beta_den=8, max_len=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3552,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_closure": q_kg_owl_closure,
         "kg_owl_sameas": q_kg_owl_sameas,
         "nb_confusion": q_nb_confusion,
+        "kg_katz": q_kg_katz,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4128,6 +4142,26 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # Katz replay: three unrolled walk-count steps over the edge
+        # CTE, scaled exact-integer accumulation, 0 for unreached nodes
+        "kg_katz": f"""
+            WITH {_KG_EDGE_CTE},
+            w1 AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY 1),
+            w2 AS (
+              SELECT e2.dst AS node, sum(w1.c) AS c
+              FROM w1 JOIN e e2 ON e2.src = w1.node GROUP BY 1),
+            w3 AS (
+              SELECT e3.dst AS node, sum(w2.c) AS c
+              FROM w2 JOIN e e3 ON e3.src = w2.node GROUP BY 1),
+            acc AS (
+              SELECT node, c * 64 AS s FROM w1
+              UNION ALL SELECT node, c * 8 FROM w2
+              UNION ALL SELECT node, c FROM w3)
+            SELECT n.node,
+                   CAST(coalesce(sum(a.s), 0) AS BIGINT) AS katz_num
+            FROM nodes n LEFT JOIN acc a USING (node)
+            GROUP BY n.node
+        """,
         # Naive Bayes end-to-end replay: hashed-gram training counts on
         # the even half, add-1 log-posterior scoring of the odd half,
         # round-6 + label-asc argmax, confusion aggregation

@@ -3170,3 +3170,81 @@ def wl_colors(
         return colors
     finally:
         e.unpersist()
+
+
+def katz_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    beta_den: int = 8,
+    max_len: int = 3,
+) -> DataFrame:
+    """Truncated Katz centrality (Katz 1953) in EXACT integer
+    arithmetic -> (node, katz_num): ``katz(v) = sum_{k=1..K}
+    walks_k(v) * beta^k`` with attenuation ``beta = 1/beta_den``,
+    returned SCALED by ``beta_den^K`` so ``katz_num = sum_k walks_k(v)
+    * beta_den^(K-k)`` is an int64 — no float summation order can
+    perturb ranks at any partitioning or engine (the pagerank
+    fixed-point-int discipline).  ``walks_k(v)`` counts directed walks
+    of length k ENDING at v over the distinct edge set (self-loops
+    legitimately contribute — truncation keeps them finite); nodes no
+    walk reaches score 0 and are still emitted.
+
+    Why truncated rather than the (I - beta*A)^-1 series: at KG scale
+    the resolvent needs either a linear solve or convergence-loop
+    float iteration; the K-truncated form is the standard scalable
+    variant, K joins of edge-linear work, and stays exact.
+
+    Overflow bound: ``katz_num <= beta_den^(K-1) * sum_k walks_k``,
+    and walks_k <= |E| * d_max^(k-1) — far inside int64 for the
+    defaults (K=3, den=8) on graphs whose max in-degree is < ~10^4;
+    raise ``beta_den``/``max_len`` only with that bound in mind.
+
+    Scale shape: per length step ONE (src=node) equi-join of the
+    node-sized walk vector against the edge table + one partial-agg
+    sum keyed by dst, checkpoint-truncated; the accumulator union is
+    node-sized.  No driver collection, no loop-to-convergence.
+    """
+    from pawpaw_spark.session import truncated_checkpoint
+
+    if beta_den < 2:
+        raise ValueError("beta_den must be >= 2 (beta must attenuate)")
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        frontier = nodes.select("node", F.lit(1).cast("long").alias("c"))
+        parts = []
+        for k in range(1, max_len + 1):
+            frontier = truncated_checkpoint(
+                frontier.alias("f")
+                .join(e.alias("g"), F.col("f.node") == F.col("g.src"))
+                .groupBy(F.col("g.dst").alias("node"))
+                .agg(F.sum(F.col("f.c")).cast("long").alias("c"))
+            )
+            scale = beta_den ** (max_len - k)
+            parts.append(
+                frontier.select("node", (F.col("c") * F.lit(scale)).alias("s"))
+            )
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.union(p)
+        scored = acc.groupBy("node").agg(
+            F.sum("s").cast("long").alias("katz_num")
+        )
+        return nodes.join(scored, "node", "left").select(
+            "node", F.coalesce("katz_num", F.lit(0)).cast("long").alias("katz_num")
+        )
+    finally:
+        e.unpersist()

@@ -2469,3 +2469,77 @@ class TestWlColors:
     def test_round_zero_uniform(self, spark):
         got = self._run(spark, [("a", "b")], 0)
         assert len(set(got.values())) == 1
+
+
+def py_katz(edges, beta_den=8, max_len=3):
+    es = set(edges)
+    nodes = {u for e in es for u in e}
+    w = {u: 1 for u in nodes}
+    acc = {u: 0 for u in nodes}
+    for k in range(1, max_len + 1):
+        nw = {}
+        for (s, d) in es:
+            nw[d] = nw.get(d, 0) + w.get(s, 0)
+        w = nw
+        for u, c in w.items():
+            acc[u] += c * beta_den ** (max_len - k)
+    return acc
+
+
+class TestKatzCentrality:
+    def _run(self, spark, edges, **kw):
+        from pawpaw_spark.operators.graph import katz_centrality
+
+        df = _edge_df(spark, edges)
+        return {
+            r.node: r.katz_num for r in katz_centrality(df, **kw).collect()
+        }
+
+    def test_chain_closed_form(self, spark):
+        # a->b->c, K=3, den=8: b gets one 1-walk (64), c one 1-walk +
+        # one 2-walk (64 + 8), a nothing
+        got = self._run(spark, [("a", "b"), ("b", "c")])
+        assert got == {"a": 0, "b": 64, "c": 72}
+
+    def test_self_loop_accumulates(self, spark):
+        # loop at a: walks of length 1,2,3 all end at a
+        got = self._run(spark, [("a", "a")])
+        assert got == {"a": 64 + 8 + 1}
+
+    def test_parallel_edges_collapse(self, spark):
+        got = self._run(spark, [("a", "b"), ("a", "b")])
+        assert got == {"a": 0, "b": 64}
+
+    def test_cycle_matches_mirror(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        assert self._run(spark, edges) == py_katz(edges)
+
+    def test_star_hub_dominates(self, spark):
+        edges = [(f"l{i}", "hub") for i in range(5)]
+        got = self._run(spark, edges)
+        assert got["hub"] == 5 * 64
+        assert all(got[f"l{i}"] == 0 for i in range(5))
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=0, max_value=5),
+            ),
+            min_size=1,
+            max_size=14,
+        )
+    )
+    def test_random_matches_mirror(self, spark, edges):
+        edges = [(f"n{a}", f"n{b}") for a, b in edges]
+        assert self._run(spark, edges, max_len=2) == py_katz(edges, max_len=2)
+
+    def test_validation(self, spark):
+        from pawpaw_spark.operators.graph import katz_centrality
+
+        df = _edge_df(spark, [("a", "b")])
+        with pytest.raises(ValueError, match="beta_den"):
+            katz_centrality(df, beta_den=1)
+        with pytest.raises(ValueError, match="max_len"):
+            katz_centrality(df, max_len=0)
