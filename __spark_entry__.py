@@ -3547,6 +3547,55 @@ def q_kg_katz(spark, sf_dir):
     return katz_centrality(_call_edges(spark, sf_dir), beta_den=8, max_len=3)
 
 
+def q_kg_turtle_roundtrip(spark, sf_dir):
+    """Turtle interchange roundtrip (operators/turtle.py): the distinct
+    DEFINES/REFERENCES kernel triples + per-file ``a SourceFile`` type
+    rows + a HAS_SRC literal carrying the first 28 chars of each doc's
+    content (crosses the first newline — literal escaping is load-
+    bearing) serialize to canonical grouped Turtle and parse back;
+    digest = per (pred, obj_is_literal) counts + distinct subj/obj +
+    exact summed object length, which only matches if grouping,
+    ``;``-lists, prefix compression, the ``a`` keyword, IRI fallback
+    (file ids carry ``/``+``@``, sym ids carry ``:``) and escape/
+    unescape are all inverses.  The oracle recomputes the digest from
+    the replayed triple construction (roundtrip identity)."""
+    from pawpaw_spark.operators.turtle import from_turtle, to_turtle
+
+    base = (
+        _fused_call_triples(spark, sf_dir)
+        .filter(F.col("pred").isin("DEFINES", "REFERENCES"))
+        .select("subj", "pred", "obj")
+        .distinct()
+        .withColumn("is_lit", F.lit(False))
+    )
+    docs = _call_docs(spark, sf_dir)
+    fid = F.concat(
+        F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit")
+    )
+    lit = docs.select(
+        fid.alias("subj"),
+        F.lit("HAS_SRC").alias("pred"),
+        F.substring("content", 1, 28).alias("obj"),
+        F.lit(True).alias("is_lit"),
+    )
+    typ = lit.select(
+        "subj",
+        F.lit("type").alias("pred"),
+        F.lit("SourceFile").alias("obj"),
+        F.lit(False).alias("is_lit"),
+    )
+    ttl = to_turtle(
+        base.unionByName(lit).unionByName(typ), literal_col="is_lit"
+    )
+    back = from_turtle(ttl)
+    return back.groupBy("pred", "obj_is_literal").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("subj").cast("long").alias("n_subj"),
+        F.countDistinct("obj").cast("long").alias("n_obj"),
+        F.sum(F.length("obj")).cast("long").alias("sum_len"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3566,6 +3615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_sameas": q_kg_owl_sameas,
         "nb_confusion": q_nb_confusion,
         "kg_katz": q_kg_katz,
+        "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4142,6 +4192,42 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # Turtle roundtrip: identity, so the oracle just recomputes the
+        # digest from the replayed triple construction (distinct call
+        # edges + DEFINES + type rows + the 28-char content literal)
+        "kg_turtle_roundtrip": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            content AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     substr('def f_' || r || '():' || chr(10)
+                            || '    f_' || (g + {_KG_GROUPS} * ((p + 1) % sg))
+                            || '()' || chr(10)
+                            || '    f_' || (g + {_KG_GROUPS} * ((p + 2) % sg))
+                            || '()' || chr(10)
+                            || '    f_' || g || '()' || chr(10)
+                            || CASE WHEN p = sg - 1 THEN
+                                 '    f_missing_' || g || '()' || chr(10)
+                               ELSE '' END,
+                            1, 28) AS src
+              FROM mem),
+            trip AS (
+              SELECT f AS subj, 'DEFINES' AS pred, s AS obj,
+                     FALSE AS obj_is_literal
+              FROM defs
+              UNION ALL SELECT src, 'REFERENCES', dst, FALSE FROM e
+              UNION ALL SELECT f, 'HAS_SRC', src, TRUE FROM content
+              UNION ALL SELECT f, 'type', 'SourceFile', FALSE
+              FROM content)
+            SELECT pred, obj_is_literal, count(*) AS n,
+                   count(DISTINCT subj) AS n_subj,
+                   count(DISTINCT obj) AS n_obj,
+                   CAST(sum(length(obj)) AS BIGINT) AS sum_len
+            FROM trip GROUP BY 1, 2
+        """,
         # Katz replay: three unrolled walk-count steps over the edge
         # CTE, scaled exact-integer accumulation, 0 for unreached nodes
         "kg_katz": f"""
