@@ -3596,6 +3596,38 @@ def q_kg_turtle_roundtrip(spark, sf_dir):
     )
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Portable Bloom filter (sketch.bloom_build/bloom_probe) in its
+    semi-join-pruning role: the filter is built over the distinct
+    call-graph REFERENCE targets and probed with those members plus
+    one synthetic non-member per customer; digest = exact counts per
+    (member, might_contain) cell.  m=8192/k=2 is sized so the gate SF
+    produces REAL false positives (~10% of non-members) while members
+    stay 100% caught (no false negatives — the correctness half of the
+    pruning argument).  Word table and probe bits are pure md5/integer
+    arithmetic, replayed bit-for-bit by the oracle."""
+    from pawpaw_spark.operators.sketch import bloom_build, bloom_probe
+
+    e = _call_edges(spark, sf_dir)
+    targets = e.select(F.col("dst").alias("v")).distinct()
+    # metadata-sized; eager-checkpoint so the k probe joins don't each
+    # recompute the build aggregation
+    bloom = bloom_build(targets, "v", m_bits=8192, k_hashes=2).localCheckpoint()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("r")
+    )
+    probes = targets.select("v", F.lit(True).alias("member")).unionByName(
+        cust.select(
+            F.concat(F.lit("probe:x_"), F.col("r").cast("string")).alias("v"),
+            F.lit(False).alias("member"),
+        )
+    )
+    out = bloom_probe(probes, bloom, "v", m_bits=8192, k_hashes=2)
+    return out.groupBy("member", "might_contain").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3616,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_confusion": q_nb_confusion,
         "kg_katz": q_kg_katz,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
+        "bloom_semijoin": q_bloom_semijoin,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4192,6 +4225,48 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # Bloom replay: both hash positions per value, 32-bit packed
+        # bit_or word table, per-probe AND of the two bit tests
+        "bloom_semijoin": f"""
+            WITH {_KG_EDGE_CTE},
+            tgt AS (SELECT DISTINCT dst AS v FROM e),
+            pos AS (
+              SELECT ('0x' || substr(md5('0:' || v), 1, 15))::BIGINT
+                       % 8192 AS pos
+              FROM tgt
+              UNION ALL
+              SELECT ('0x' || substr(md5('1:' || v), 1, 15))::BIGINT
+                       % 8192
+              FROM tgt),
+            words AS (
+              SELECT pos // 32 AS w,
+                     bit_or(CAST(power(2, pos % 32) AS BIGINT)) AS word
+              FROM pos GROUP BY 1),
+            probes AS (
+              SELECT v, TRUE AS member FROM tgt
+              UNION ALL
+              SELECT 'probe:x_' || r, FALSE FROM mem),
+            pp AS (
+              SELECT member,
+                     ('0x' || substr(md5('0:' || v), 1, 15))::BIGINT
+                       % 8192 AS p0,
+                     ('0x' || substr(md5('1:' || v), 1, 15))::BIGINT
+                       % 8192 AS p1
+              FROM probes),
+            hit AS (
+              SELECT pp.member,
+                     ((coalesce(w0.word, 0)
+                       & CAST(power(2, pp.p0 % 32) AS BIGINT)) <> 0)
+                     AND
+                     ((coalesce(w1.word, 0)
+                       & CAST(power(2, pp.p1 % 32) AS BIGINT)) <> 0)
+                       AS might_contain
+              FROM pp
+              LEFT JOIN words w0 ON w0.w = pp.p0 // 32
+              LEFT JOIN words w1 ON w1.w = pp.p1 // 32)
+            SELECT member, might_contain, count(*) AS n
+            FROM hit GROUP BY 1, 2
+        """,
         # Turtle roundtrip: identity, so the oracle just recomputes the
         # digest from the replayed triple construction (distinct call
         # edges + DEFINES + type rows + the 28-char content literal)

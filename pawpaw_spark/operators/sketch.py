@@ -521,3 +521,102 @@ def cms_lookup(
             F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
         )
     )
+
+
+# ----------------------------------------------------------------- bloom
+def _bloom_pos(c, i: int, m_bits: int):
+    """Hash i of value c -> bit position in [0, m_bits): first 15 md5
+    hex digits (< 2^60, sign-safe) of ``i ':' value``, mod m.  Portable
+    to any engine with md5 (the HLL discipline)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), c)), 1, 15), 16, 10
+        ).cast("long")
+        % F.lit(int(m_bits))
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970) over a column -> the packed
+    word table (word_idx, word): 32 bits per word so every mask stays
+    a small positive int64 on engines that CHECK shift overflow
+    (DuckDB raises on 1<<63).  Spark ships bloom_filter_agg
+    internally, but like the HLL case its sketch is opaque engine
+    bytes — this one is a PORTABLE DataFrame you can store, union
+    (bitwise OR merge), broadcast into probe joins, and replay
+    value-level cross-engine.
+
+    The classic 100 TB use is semi-join pruning: build over the small
+    side's join keys (the filter is <= m_bits/32 rows no matter the
+    input), broadcast, and drop non-matching rows at the scan before
+    the shuffle — false positives only cost wasted shuffle rows, never
+    correctness (no false negatives, pinned by test).
+
+    One scan + one (word_idx)-keyed partial aggregation; the shuffle
+    carries at most k_hashes rows per input row and the result is
+    metadata-sized."""
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 64")
+    if not 1 <= k_hashes <= 16:
+        raise ValueError("k_hashes must be in [1, 16]")
+    v = F.col(col).cast("string")
+    positions = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(v, i, m_bits) for i in range(k_hashes)])
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            # pow instead of shiftleft: exact for 2^(<32) in double,
+            # and the column-typed shift amount stays portable
+            F.pow(F.lit(2.0), (F.col("pos") % 32).cast("double"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").cast("long").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership probe -> ``df`` + boolean ``out_col``: true iff ALL
+    k hash bits are set.  k chained BROADCAST left joins against the
+    word table (map-side, no shuffle of the probed data, row identity
+    preserved without needing an id column); a missing word row means
+    an all-zero word."""
+    out = df
+    v = F.col(col).cast("string")
+    flags = []
+    for i in range(k_hashes):
+        pos = _bloom_pos(v, i, m_bits)
+        b = bloom.select(
+            F.col("word_idx").alias(f"__bw{i}"), F.col("word").alias(f"__w{i}")
+        )
+        out = out.join(
+            F.broadcast(b),
+            (pos / 32).cast("long") == F.col(f"__bw{i}"),
+            "left",
+        )
+        flags.append(
+            F.coalesce(F.col(f"__w{i}"), F.lit(0)).bitwiseAND(
+                F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+            )
+            != 0
+        )
+    hit = flags[0]
+    for fl in flags[1:]:
+        hit = hit & fl
+    return out.select(*df.columns, hit.alias(out_col))

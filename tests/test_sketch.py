@@ -247,3 +247,92 @@ class TestCountMin:
 
         with pytest.raises(ValueError, match="depth"):
             cms_build(_vals_df(spark, ["a"]), "v", depth=0)
+
+
+def py_bloom(values, m_bits, k):
+    import hashlib
+
+    words = {}
+    for x in values:
+        for i in range(k):
+            pos = (
+                int(hashlib.md5(f"{i}:{x}".encode()).hexdigest()[:15], 16)
+                % m_bits
+            )
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    return words
+
+
+def py_bloom_probe(x, words, m_bits, k):
+    import hashlib
+
+    for i in range(k):
+        pos = (
+            int(hashlib.md5(f"{i}:{x}".encode()).hexdigest()[:15], 16) % m_bits
+        )
+        if not words.get(pos // 32, 0) & (1 << (pos % 32)):
+            return False
+    return True
+
+
+class TestBloom:
+    M, K = 256, 3
+
+    def _build(self, spark, values):
+        from pawpaw_spark.operators.sketch import bloom_build
+
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        return bloom_build(df, "v", m_bits=self.M, k_hashes=self.K)
+
+    def test_words_match_mirror(self, spark):
+        values = [f"key_{i}" for i in range(40)]
+        got = {r.word_idx: r.word for r in self._build(spark, values).collect()}
+        assert got == py_bloom(values, self.M, self.K)
+
+    def test_no_false_negatives_and_mirror_probe(self, spark):
+        from pawpaw_spark.operators.sketch import bloom_probe
+
+        members = [f"key_{i}" for i in range(40)]
+        bloom = self._build(spark, members)
+        probes = members + [f"other_{i}" for i in range(60)]
+        pdf = spark.createDataFrame([(v,) for v in probes], "v string")
+        got = {
+            r.v: r.might_contain
+            for r in bloom_probe(
+                pdf, bloom, "v", m_bits=self.M, k_hashes=self.K
+            ).collect()
+        }
+        assert all(got[m] for m in members)  # never a false negative
+        words = py_bloom(members, self.M, self.K)
+        for v in probes:
+            assert got[v] == py_bloom_probe(v, words, self.M, self.K)
+        # the tiny filter must produce SOME false positives, or the
+        # probe branch isn't exercised
+        assert any(got[o] for o in probes[40:])
+        assert not all(got[o] for o in probes[40:])
+
+    def test_union_merge(self, spark):
+        from pyspark.sql import functions as F
+
+        a = self._build(spark, ["x1", "x2"])
+        b = self._build(spark, ["x3"])
+        merged = (
+            a.union(b)
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(word)").cast("long").alias("word"))
+        )
+        direct = self._build(spark, ["x1", "x2", "x3"])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from pawpaw_spark.operators.sketch import bloom_build
+
+        df = spark.createDataFrame([("a",)], "v string")
+        with _pt.raises(ValueError, match="power of two"):
+            bloom_build(df, "v", m_bits=100)
+        with _pt.raises(ValueError, match="k_hashes"):
+            bloom_build(df, "v", k_hashes=0)
