@@ -3628,6 +3628,19 @@ def q_bloom_semijoin(spark, sf_dir):
     )
 
 
+def q_kg_butterflies(spark, sf_dir):
+    """Butterfly (4-cycle) census (graph.butterfly_count) over the
+    kernel call graph: ring members sharing their group hub and their
+    ring-offset neighbors create both wedges and genuine 4-cycles, so
+    both numbers are large, exact, and SF-dependent.  One row
+    (n_wedges, n_butterflies), int64; the oracle replays the wedge
+    self-join + pair aggregation + the divide-by-4 identity (each C4
+    is seen from both diagonal pairs)."""
+    from pawpaw_spark.operators.graph import butterfly_count
+
+    return butterfly_count(_call_edges(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3649,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_katz": q_kg_katz,
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "bloom_semijoin": q_bloom_semijoin,
+        "kg_butterflies": q_kg_butterflies,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4225,6 +4239,27 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # butterfly replay: undirected projection, wedge self-join,
+        # pair counts, sum c*(c-1) / 4 (both diagonal pairs see a C4)
+        "kg_butterflies": f"""
+            WITH {_KG_EDGE_CTE},
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
+              FROM e WHERE src <> dst),
+            adj AS (
+              SELECT a AS node, b AS nbr FROM und
+              UNION ALL SELECT b, a FROM und),
+            pairs AS (
+              SELECT w1.nbr AS pa, w2.nbr AS pb, count(*) AS c
+              FROM adj w1
+              JOIN adj w2 ON w1.node = w2.node AND w1.nbr < w2.nbr
+              GROUP BY 1, 2)
+            SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_wedges,
+                   CAST(coalesce(sum(c * (c - 1)), 0) / 4 AS BIGINT)
+                     AS n_butterflies
+            FROM pairs
+        """,
         # Bloom replay: both hash positions per value, 32-bit packed
         # bit_or word table, per-probe AND of the two bit tests
         "bloom_semijoin": f"""

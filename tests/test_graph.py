@@ -2543,3 +2543,68 @@ class TestKatzCentrality:
             katz_centrality(df, beta_den=1)
         with pytest.raises(ValueError, match="max_len"):
             katz_centrality(df, max_len=0)
+
+
+def py_butterflies(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    wedges = bf = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            c = len(adj[a] & adj[b])
+            wedges += c
+            bf += c * (c - 1) // 2
+    return wedges, bf // 2  # each C4 seen from both diagonal pairs
+
+
+class TestButterflyCount:
+    def _run(self, spark, edges, **kw):
+        from pawpaw_spark.operators.graph import butterfly_count
+
+        r = butterfly_count(_edge_df(spark, edges), **kw).collect()[0]
+        return (r.n_wedges, r.n_butterflies)
+
+    def test_square_is_one_butterfly(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        # 4 wedges (one per opposite pair per middle), 1 butterfly
+        assert self._run(spark, edges) == (4, 1)
+
+    def test_complete_bipartite_k23(self, spark):
+        edges = [(u, v) for u in ("u1", "u2") for v in ("v1", "v2", "v3")]
+        assert self._run(spark, edges) == py_butterflies(edges)
+        # closed form: C(2,2)*C(3,2) = 3 butterflies
+        assert self._run(spark, edges)[1] == 3
+
+    def test_triangle_has_no_butterfly(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        assert self._run(spark, edges) == (3, 0)
+
+    def test_empty_pairs(self, spark):
+        assert self._run(spark, [("a", "b")]) == (0, 0)
+
+    def test_hub_cap_drops_middle_only(self, spark):
+        star = [(f"l{i}", "hub") for i in range(4)]
+        # uncapped: hub middles C(4,2)=6 wedges, 0 butterflies
+        assert self._run(spark, star) == (6, 0)
+        assert self._run(spark, star, max_hub_deg=3) == (0, 0)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.integers(min_value=0, max_value=6),
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def test_random_matches_mirror(self, spark, edges):
+        edges = [(f"n{a}", f"n{b}") for a, b in edges if a != b]
+        if not edges:
+            return
+        assert self._run(spark, edges) == py_butterflies(edges)
