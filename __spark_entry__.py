@@ -3641,6 +3641,22 @@ def q_kg_butterflies(spark, sf_dir):
     return butterfly_count(_call_edges(spark, sf_dir))
 
 
+def q_kg_schema_profile(spark, sf_dir):
+    """Schema discovery (rdfs.schema_profile) over the kernel triples:
+    per predicate the exact triple/subject/object counts, fan-out/fan-in
+    maxima (the skew numbers a partitioning plan needs — REFERENCES'
+    max_in_fan IS the hub in-degree), and the measured functional /
+    inverse-functional flags (DEFINES is both by construction;
+    REFERENCES neither).  Set semantics over the distinct triple set;
+    oracle replays both keyed aggregations + the rollup."""
+    from pawpaw_spark.operators.rdfs import schema_profile
+
+    t = _fused_call_triples(spark, sf_dir).filter(
+        F.col("pred").isin("DEFINES", "REFERENCES")
+    )
+    return schema_profile(t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3663,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_turtle_roundtrip": q_kg_turtle_roundtrip,
         "bloom_semijoin": q_bloom_semijoin,
         "kg_butterflies": q_kg_butterflies,
+        "kg_schema_profile": q_kg_schema_profile,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4239,6 +4256,39 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # schema-profile replay: distinct triple set, per-(pred,subj)
+        # and per-(pred,obj) fans, rollup with max-fan flags
+        "kg_schema_profile": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem),
+            trip AS (
+              SELECT f AS subj, 'DEFINES' AS pred, s AS obj FROM defs
+              UNION ALL
+              SELECT src, 'REFERENCES', dst FROM e),
+            outf AS (
+              SELECT pred, subj, count(*) AS fan
+              FROM trip GROUP BY 1, 2),
+            inf AS (
+              SELECT pred, obj, count(*) AS fan
+              FROM trip GROUP BY 1, 2),
+            o AS (
+              SELECT pred, CAST(sum(fan) AS BIGINT) AS n,
+                     count(*) AS n_subj,
+                     CAST(max(fan) AS BIGINT) AS max_out_fan
+              FROM outf GROUP BY 1),
+            i AS (
+              SELECT pred, count(*) AS n_obj,
+                     CAST(max(fan) AS BIGINT) AS max_in_fan
+              FROM inf GROUP BY 1)
+            SELECT o.pred, o.n, o.n_subj, i.n_obj,
+                   o.max_out_fan, i.max_in_fan,
+                   o.max_out_fan = 1 AS functional,
+                   i.max_in_fan = 1 AS inverse_functional
+            FROM o JOIN i USING (pred)
+        """,
         # butterfly replay: undirected projection, wedge self-join,
         # pair counts, sum c*(c-1) / 4 (both diagonal pairs see a C4)
         "kg_butterflies": f"""

@@ -256,3 +256,59 @@ def sameas_fuse(
         )
         .distinct()
     )
+
+
+def schema_profile(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Schema discovery over instance triples -> one row per predicate:
+    ``(pred, n, n_subj, n_obj, max_out_fan, max_in_fan, functional,
+    inverse_functional)``.  The profile a KG pipeline runs BEFORE
+    declaring schema (the owl.py property classes are assertions; this
+    measures what the data actually satisfies): a predicate whose
+    max_out_fan is 1 behaves functionally, max_in_fan 1 inverse-
+    functionally — candidate inputs for :func:`owl.functional_sameas`
+    — and the fan maxima are exactly the skew numbers a partitioning
+    plan needs (a pred with max_in_fan ~ |V| is a hub/boilerplate key
+    that wants salting before any (pred, obj)-keyed join).
+
+    All exact integers over the DISTINCT triple set (RDF set
+    semantics): two keyed partial aggregations + one per-pred rollup,
+    never wider than the data, no driver collection.
+    """
+    t = (
+        triples.select(
+            F.col(subj_col).alias("subj"),
+            F.col(pred_col).alias("pred"),
+            F.col(obj_col).alias("obj"),
+        )
+        .distinct()
+    )
+    out_fan = t.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).cast("long").alias("fan")
+    )
+    in_fan = t.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("fan")
+    )
+    o = out_fan.groupBy("pred").agg(
+        F.sum("fan").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_subj"),
+        F.max("fan").cast("long").alias("max_out_fan"),
+    )
+    i = in_fan.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obj"),
+        F.max("fan").cast("long").alias("max_in_fan"),
+    )
+    return o.join(i, "pred").select(
+        "pred",
+        "n",
+        "n_subj",
+        "n_obj",
+        "max_out_fan",
+        "max_in_fan",
+        (F.col("max_out_fan") == 1).alias("functional"),
+        (F.col("max_in_fan") == 1).alias("inverse_functional"),
+    )

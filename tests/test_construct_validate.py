@@ -728,3 +728,52 @@ class TestSameAs:
             t, sameas_pred="EQ", subj_col="s", pred_col="p", obj_col="o"
         ).collect()}
         assert got == {("n1", "n1"), ("n2", "n1")}
+
+
+class TestSchemaProfile:
+    def test_profile_hand_graph(self, spark):
+        from pawpaw_spark.operators.rdfs import schema_profile
+
+        rows = [
+            # owner: functional (each subj one obj), not inv-functional
+            ("o1", "owner", "a"),
+            ("o2", "owner", "a"),
+            ("o3", "owner", "b"),
+            # sha: inverse-functional, not functional
+            ("f1", "sha", "h1"),
+            ("f1", "sha", "h2"),
+            # dup rows collapse (set semantics)
+            ("f1", "sha", "h2"),
+        ]
+        df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        got = {r.pred: r.asDict() for r in schema_profile(df).collect()}
+        assert got["owner"] == {
+            "pred": "owner", "n": 3, "n_subj": 3, "n_obj": 2,
+            "max_out_fan": 1, "max_in_fan": 2,
+            "functional": True, "inverse_functional": False,
+        }
+        assert got["sha"] == {
+            "pred": "sha", "n": 2, "n_subj": 1, "n_obj": 2,
+            "max_out_fan": 2, "max_in_fan": 1,
+            "functional": False, "inverse_functional": True,
+        }
+
+    def test_profile_matches_functional_sameas_contract(self, spark):
+        # a predicate the profile calls functional yields no clashes
+        from pawpaw_spark.operators.owl import functional_sameas
+        from pawpaw_spark.operators.rdfs import schema_profile
+
+        rows = [
+            ("s1", "p", "x"),
+            ("s1", "p", "y"),
+            ("s2", "p", "x"),
+        ]
+        df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        prof = schema_profile(df).collect()[0]
+        assert not prof.functional  # max_out_fan 2
+        decl = spark.createDataFrame(
+            [("p", "type", "FunctionalProperty")],
+            "subj string, pred string, obj string",
+        )
+        pairs = functional_sameas(df.union(decl)).count()
+        assert pairs == 1  # (x, y) via s1 — the clash the profile predicts
