@@ -3657,6 +3657,23 @@ def q_kg_schema_profile(spark, sf_dir):
     return schema_profile(t)
 
 
+def q_exact_price_quantiles(spark, sf_dir):
+    """Exact distributed order statistics (sketch.exact_quantiles):
+    type-1 quantiles of o_totalprice in integer cents via radix-
+    refinement selection — per round ONE bounded histogram aggregation
+    (never a global sort), exact rational rank arithmetic (the
+    float-ceil off-by-one trap is pinned by test).  The oracle picks
+    the same ranks by ORDER BY + integer-arithmetic OFFSET — a total
+    sort DuckDB can afford at gate SF and the engine deliberately
+    avoids."""
+    from pawpaw_spark.operators.sketch import exact_quantiles
+
+    cents = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return exact_quantiles(cents, "cents", [0.25, 0.5, 0.75, 0.9])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3680,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": q_bloom_semijoin,
         "kg_butterflies": q_kg_butterflies,
         "kg_schema_profile": q_kg_schema_profile,
+        "exact_price_quantiles": q_exact_price_quantiles,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4256,6 +4274,34 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # exact-quantile replay: rank k = ceil(p*n) picked by ORDER BY
+        # + INTEGER offset arithmetic ((n*num + den - 1) // den), the
+        # sort-based spelling of the same type-1 statistic
+        "exact_price_quantiles": """
+            WITH t AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders),
+            n AS (SELECT count(*) AS n FROM t)
+            SELECT 0.25 AS p,
+                   (SELECT v FROM t ORDER BY v
+                    OFFSET (SELECT (n * 1 + 3) // 4 FROM n) - 1
+                    LIMIT 1) AS value
+            UNION ALL
+            SELECT 0.5,
+                   (SELECT v FROM t ORDER BY v
+                    OFFSET (SELECT (n * 1 + 1) // 2 FROM n) - 1
+                    LIMIT 1)
+            UNION ALL
+            SELECT 0.75,
+                   (SELECT v FROM t ORDER BY v
+                    OFFSET (SELECT (n * 3 + 3) // 4 FROM n) - 1
+                    LIMIT 1)
+            UNION ALL
+            SELECT 0.9,
+                   (SELECT v FROM t ORDER BY v
+                    OFFSET (SELECT (n * 9 + 9) // 10 FROM n) - 1
+                    LIMIT 1)
+        """,
         # schema-profile replay: distinct triple set, per-(pred,subj)
         # and per-(pred,obj) fans, rollup with max-fan flags
         "kg_schema_profile": f"""

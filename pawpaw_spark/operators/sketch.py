@@ -620,3 +620,94 @@ def bloom_probe(
     for fl in flags[1:]:
         hit = hit & fl
     return out.select(*df.columns, hit.alias(out_col))
+
+
+# ------------------------------------------------- exact order statistics
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    step_bits: int = 12,
+) -> DataFrame:
+    """EXACT type-1 quantiles (k-th smallest, k = ceil(p*n)) of a
+    non-negative int64 column WITHOUT a global sort — the classic
+    radix-refinement selection: per round, bucket the candidate range
+    by the next ``step_bits`` bits (ONE partial aggregation whose
+    result is at most ``|probs| * 2^step_bits`` rows — metadata-sized
+    and INDEPENDENT of data size), walk the collected histogram to find
+    the bucket containing each target rank, recurse into it.  ~3-5
+    rounds cover any int64 range; every arithmetic step is integer, so
+    results are bit-exact at any partitioning and engine.
+
+    Why not ``approxQuantile``: its Greenwald-Khanna sketch is
+    approximate and engine-internal; why not ``ORDER BY`` + offset: a
+    total sort of 100 TB for one scalar.  This is the shape that
+    scales: histogram shuffles never exceed the bucket count.
+
+    Ranks use exact rational arithmetic (``Fraction(str(p))``) —
+    ``ceil(0.9 * n)`` in float is OFF BY ONE whenever ``0.9 * n``
+    lands epsilon above an integer, which is a real bug class this
+    implementation pins tests against.
+
+    Input contract: values must be >= 0 (raises otherwise; shift
+    arithmetic on negatives would reorder).  The input is scanned
+    once per round — cache upstream if scans are expensive.  Runs
+    EAGERLY and returns a small (p, value) DataFrame.
+    """
+    from fractions import Fraction
+    from math import ceil
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if not all(0 < p <= 1 for p in probs):
+        raise ValueError("each prob must be in (0, 1]")
+    if not 1 <= step_bits <= 20:
+        raise ValueError("step_bits must be in [1, 20]")
+    v = F.col(col).cast("long")
+    stats = df.select(
+        F.count(v).alias("n"), F.min(v).alias("lo"), F.max(v).alias("hi")
+    ).collect()[0]
+    n, lo, hi = stats.n, stats.lo, stats.hi
+    if not n:
+        raise ValueError("exact_quantiles: no non-null rows")
+    if lo < 0:
+        raise ValueError("exact_quantiles: negative values unsupported")
+    ranks = {p: min(n, ceil(Fraction(str(p)) * n)) for p in probs}
+
+    bits = max(int(hi).bit_length(), 1)
+    shifts = list(range(0, bits, step_bits))[::-1]  # e.g. [24, 12, 0]
+    state = {p: (0, ranks[p]) for p in probs}  # prefix at PREV shift, rank
+    prev_shift = None
+    for s in shifts:
+        bases = sorted({b for b, _ in state.values()})
+        d = df.select(v.alias("v"))
+        if prev_shift is not None:
+            d = d.filter(
+                F.shiftright(F.col("v"), prev_shift).isin(bases)
+            )
+            pref = F.shiftright(F.col("v"), prev_shift)
+        else:
+            pref = F.lit(0)
+        hist = (
+            d.groupBy(
+                pref.alias("pref"),
+                F.shiftright(F.col("v"), s).alias("key"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        by_pref: dict = {}
+        for r in hist:
+            by_pref.setdefault(r.pref, []).append((r.key, r.c))
+        for p, (base, rank) in state.items():
+            cum = 0
+            for key, c in sorted(by_pref.get(base, [])):
+                if cum + c >= rank:
+                    state[p] = (key, rank - cum)
+                    break
+                cum += c
+            else:  # pragma: no cover - rank <= n by construction
+                raise RuntimeError("exact_quantiles: rank walk overflow")
+        prev_shift = s
+    out = [(float(p), int(state[p][0])) for p in probs]
+    return df.sparkSession.createDataFrame(out, "p double, value long")

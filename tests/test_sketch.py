@@ -336,3 +336,69 @@ class TestBloom:
             bloom_build(df, "v", m_bits=100)
         with _pt.raises(ValueError, match="k_hashes"):
             bloom_build(df, "v", k_hashes=0)
+
+
+class TestExactQuantiles:
+    def _run(self, spark, values, probs, **kw):
+        from pawpaw_spark.operators.sketch import exact_quantiles
+
+        df = spark.createDataFrame([(v,) for v in values], "v long")
+        return {
+            r.p: r.value
+            for r in exact_quantiles(df, "v", probs, **kw).collect()
+        }
+
+    @staticmethod
+    def _mirror(values, p):
+        from fractions import Fraction
+        from math import ceil
+
+        s = sorted(values)
+        k = min(len(s), ceil(Fraction(str(p)) * len(s)))
+        return s[k - 1]
+
+    def test_small_exact(self, spark):
+        vals = [5, 1, 9, 3, 7]
+        got = self._run(spark, vals, [0.2, 0.5, 1.0])
+        assert got == {0.2: 1, 0.5: 5, 1.0: 9}
+
+    def test_duplicates_and_skew(self, spark):
+        vals = [0] * 50 + [10] * 40 + [2**40] * 10
+        got = self._run(spark, vals, [0.5, 0.9, 0.95])
+        assert got == {0.5: 0, 0.9: 10, 0.95: 2**40}
+
+    def test_float_ceil_trap(self, spark):
+        # 0.9 * 110 = 99.00000000000001 in float -> ceil 100: the wrong
+        # element. Rational rank arithmetic must pick index 99 (1-based).
+        vals = list(range(110))
+        got = self._run(spark, vals, [0.9])
+        assert got == {0.9: self._mirror(vals, 0.9)} == {0.9: 98}
+
+    def test_matches_mirror_random(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vals = [rng.randrange(0, 2**50) for _ in range(300)]
+        probs = [0.01, 0.25, 0.5, 0.75, 0.99]
+        got = self._run(spark, vals, probs)
+        assert got == {p: self._mirror(vals, p) for p in probs}
+
+    def test_single_value(self, spark):
+        assert self._run(spark, [42], [0.5, 1.0]) == {0.5: 42, 1.0: 42}
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from pawpaw_spark.operators.sketch import exact_quantiles
+
+        df = spark.createDataFrame([(1,)], "v long")
+        with _pt.raises(ValueError, match="prob"):
+            exact_quantiles(df, "v", [0.0])
+        with _pt.raises(ValueError, match="non-empty"):
+            exact_quantiles(df, "v", [])
+        neg = spark.createDataFrame([(-1,)], "v long")
+        with _pt.raises(ValueError, match="negative"):
+            exact_quantiles(neg, "v", [0.5])
+        empty = spark.createDataFrame([], "v long")
+        with _pt.raises(ValueError, match="no non-null"):
+            exact_quantiles(empty, "v", [0.5])
