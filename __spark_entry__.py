@@ -3674,6 +3674,18 @@ def q_exact_price_quantiles(spark, sf_dir):
     return exact_quantiles(cents, "cents", [0.25, 0.5, 0.75, 0.9])
 
 
+def q_event_motifs(spark, sf_dir):
+    """Contiguous event-sequence motifs (temporal.sequence_motifs):
+    per-user 3-grams of event_type under the TOTAL (ts, event_id)
+    order, counted globally — exact integers; with 5 event types the
+    motif space is <=125 rows while the counts depend on every event's
+    position, so any ordering or windowing divergence flips the hash.
+    Oracle = the same lead() window in SQL."""
+    from pawpaw_spark.operators.temporal import sequence_motifs
+
+    return sequence_motifs(_events(spark, sf_dir), k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3698,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_butterflies": q_kg_butterflies,
         "kg_schema_profile": q_kg_schema_profile,
         "exact_price_quantiles": q_exact_price_quantiles,
+        "event_motifs": q_event_motifs,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4274,6 +4287,20 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # motif replay: identical lead() window under the same total
+        # (ts, event_id) order
+        "event_motifs": """
+            WITH s AS (
+              SELECT event_type AS t,
+                     lead(event_type, 1) OVER w AS t1,
+                     lead(event_type, 2) OVER w AS t2
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t || ' > ' || t1 || ' > ' || t2 AS motif,
+                   count(*) AS n
+            FROM s WHERE t2 IS NOT NULL
+            GROUP BY 1
+        """,
         # exact-quantile replay: rank k = ceil(p*n) picked by ORDER BY
         # + INTEGER offset arithmetic ((n*num + den - 1) // den), the
         # sort-based spelling of the same type-1 statistic

@@ -179,3 +179,48 @@ def range_join_binned(
     for k in keys:
         out = out.drop(i[k])
     return out
+
+
+def sequence_motifs(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    sep: str = " > ",
+) -> DataFrame:
+    """Per-user consecutive event-type k-grams -> global (motif, n)
+    counts: the sequential-pattern slot of event analytics (what did
+    users do in a row), the exact-counting core of PrefixSpan-style
+    mining restricted to CONTIGUOUS patterns — the variant that needs
+    one window pass instead of a candidate-growth loop, and the one
+    that scales: lead() over a (user)-partitioned (ts, tiebreak)
+    order + one count aggregation, no self-joins, no explosion beyond
+    one row per event.
+
+    The tiebreak column makes the order TOTAL — equal timestamps
+    otherwise make motif counts partitioning-dependent, which is the
+    same determinism bug class the repo pins everywhere else.  Motifs
+    shorter than k (session tails) are dropped.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, k)
+    ]
+    motif = F.concat_ws(sep, *parts)
+    return (
+        events.select(
+            motif.alias("motif"),
+            F.lead(type_col, k - 1).over(w).isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -148,3 +148,73 @@ class TestAsofDefaults:
         assert out.columns == ["k", "ts", "v", "right_ts", "right_rv"]
         row = out.collect()[0]
         assert row.right_ts == 5 and row.right_rv == "x"
+
+
+class TestSequenceMotifs:
+    def _run(self, spark, rows, k):
+        from pawpaw_spark.operators.temporal import sequence_motifs
+
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, event_type string"
+        )
+        return {
+            r.motif: r.n
+            for r in sequence_motifs(
+                df, k=k, ts_col="ts", tiebreak_col="event_id"
+            ).collect()
+        }
+
+    def test_hand_sessions(self, spark):
+        rows = [
+            (1, 1, 1, "view"), (1, 2, 2, "click"), (1, 3, 3, "buy"),
+            (1, 4, 4, "view"),
+            (2, 1, 5, "view"), (2, 2, 6, "click"), (2, 3, 7, "buy"),
+        ]
+        got = self._run(spark, rows, 3)
+        assert got == {
+            "view > click > buy": 2,
+            "click > buy > view": 1,
+        }
+
+    def test_tie_break_is_total(self, spark):
+        # equal ts: event_id orders (click before view at ts=5)
+        rows = [
+            (1, 5, 10, "click"), (1, 5, 11, "view"), (1, 6, 12, "buy"),
+        ]
+        assert self._run(spark, rows, 2) == {
+            "click > view": 1,
+            "view > buy": 1,
+        }
+
+    def test_short_sessions_dropped(self, spark):
+        rows = [(1, 1, 1, "view"), (2, 1, 2, "view"), (2, 2, 3, "buy")]
+        assert self._run(spark, rows, 3) == {}
+
+    def test_mirror_random(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (u, rng.randrange(10), i, rng.choice("abc"))
+            for i, u in enumerate(rng.choices(range(4), k=60))
+        ]
+        got = self._run(spark, rows, 2)
+        sessions = {}
+        for u, ts, eid, t in rows:
+            sessions.setdefault(u, []).append((ts, eid, t))
+        expect = {}
+        for evs in sessions.values():
+            evs.sort()
+            for a, b in zip(evs, evs[1:]):
+                m = f"{a[2]} > {b[2]}"
+                expect[m] = expect.get(m, 0) + 1
+        assert got == expect
+
+    def test_k_validation(self, spark):
+        import pytest as _pt
+
+        from pawpaw_spark.operators.temporal import sequence_motifs
+
+        df = spark.createDataFrame([(1, 1, 1, "a")], "user_id long, ts long, event_id long, event_type string")
+        with _pt.raises(ValueError, match="k must"):
+            sequence_motifs(df, k=1)
