@@ -3686,6 +3686,30 @@ def q_event_motifs(spark, sf_dir):
     return sequence_motifs(_events(spark, sf_dir), k=3)
 
 
+def q_z_order_digest(spark, sf_dir):
+    """Z-order clustering key (storage.z_value): Morton interleave of
+    (custkey, price-cents) low 16 bits over orders, digested per
+    top-6-bit bucket as exact (n, min, max, sum) — the layout key
+    behind Delta/Iceberg Z-ORDER, pure shift/mask column arithmetic.
+    The oracle replays all 32 interleave terms in SQL."""
+    from pawpaw_spark.storage import z_value
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").bitwiseAND(F.lit(65535)).alias("a"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .bitwiseAND(F.lit(65535))
+        .alias("b"),
+    )
+    z = o.select(z_value(["a", "b"], 16).alias("z"))
+    return z.groupBy(F.shiftright(F.col("z"), 26).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("z").alias("z_min"),
+        F.max("z").alias("z_max"),
+        F.sum("z").cast("long").alias("z_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3711,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_profile": q_kg_schema_profile,
         "exact_price_quantiles": q_exact_price_quantiles,
         "event_motifs": q_event_motifs,
+        "z_order_digest": q_z_order_digest,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4269,6 +4294,16 @@ def _kg_walk_pairs_sql(
     )
 
 
+def _z_terms_sql(bits: int) -> str:
+    """The storage.z_value interleave as a SQL sum: bit i of column j
+    lands at position i*2 + j (two dimensions a, b)."""
+    terms = []
+    for j, c in enumerate(("a", "b")):
+        for i in range(bits):
+            terms.append(f"(({c} >> {i}) & 1) * {1 << (i * 2 + j)}")
+    return " + ".join(terms)
+
+
 def oracle_sql() -> dict[str, str]:
     lang_best = "greatest(" + ", ".join(f"h_{l}" for l in sorted(_STOP)) + ")"
     lang_pred_case = (
@@ -4287,6 +4322,19 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # z-order replay: all 32 interleave terms generated below
+        "z_order_digest": f"""
+            WITH o AS (
+              SELECT o_custkey & 65535 AS a,
+                     CAST(round(o_totalprice * 100) AS BIGINT) & 65535
+                       AS b
+              FROM orders),
+            z AS (SELECT {_z_terms_sql(16)} AS z FROM o)
+            SELECT z >> 26 AS bucket, count(*) AS n,
+                   min(z) AS z_min, max(z) AS z_max,
+                   CAST(sum(z) AS BIGINT) AS z_sum
+            FROM z GROUP BY 1
+        """,
         # motif replay: identical lead() window under the same total
         # (ts, event_id) order
         "event_motifs": """

@@ -108,3 +108,36 @@ def cojoin(
     """Join two same-bucketed tables on their bucket column — plans as
     an exchange-free SortMergeJoin (asserted in tests/test_storage.py)."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def z_value(cols, bits: int = 16):
+    """Z-order (Morton) interleaving key over 2+ non-negative integer
+    columns -> one int64 column expression: bit i of column j lands at
+    position ``i * ncols + j``, so sorting/range-partitioning by the
+    key co-locates rows that are close in EVERY dimension at once —
+    the multi-dimensional clustering layout behind Delta/Iceberg
+    Z-ORDER: a scan filtered on any single dimension then touches
+    O(sqrt) of the files instead of all of them, with min/max file
+    stats doing the pruning.
+
+    Pure column arithmetic (shift/mask/add — whole-stage codegen, no
+    UDF); each input is truncated to its low ``bits`` bits (callers
+    bucket real values into that range first — rank or radix bucket,
+    whatever the dimension's distribution needs).  ``bits * ncols``
+    must fit int64 (<= 62 enforced).
+    """
+    from pyspark.sql import functions as F
+
+    ncols = len(cols)
+    if ncols < 2:
+        raise ValueError("z_value needs at least 2 columns")
+    if bits < 1 or bits * ncols > 62:
+        raise ValueError("bits * ncols must be in [ncols, 62]")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        v = c.cast("long")
+        for i in range(bits):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            out = out + (bit * F.lit(1 << (i * ncols + j))).cast("long")
+    return out

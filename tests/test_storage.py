@@ -87,3 +87,51 @@ def test_write_partitioned_parquet_fallback(spark, tmp_path):
     # partition pruning reaches the scan
     plan = back.filter(F.col("salt") == 2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(salt" in plan, plan
+
+
+class TestZValue:
+    def _z_py(self, vals, bits):
+        out = 0
+        for j, v in enumerate(vals):
+            for i in range(bits):
+                out |= ((v >> i) & 1) << (i * len(vals) + j)
+        return out
+
+    def test_matches_mirror(self, spark):
+        from pawpaw_spark.storage import z_value
+
+        rows = [(3, 5), (0, 0), (65535, 1), (1234, 4321)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = [
+            r.z for r in df.select(z_value(["a", "b"], 16).alias("z")).collect()
+        ]
+        assert got == [self._z_py(v, 16) for v in rows]
+
+    def test_locality_property(self, spark):
+        # nearby points in both dims -> nearby z values: the square
+        # [0,3]x[0,3] occupies exactly the first 16 z slots
+        from pawpaw_spark.storage import z_value
+
+        rows = [(a, b) for a in range(4) for b in range(4)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        zs = sorted(
+            r.z for r in df.select(z_value(["a", "b"], 2).alias("z")).collect()
+        )
+        assert zs == list(range(16))
+
+    def test_three_columns(self, spark):
+        from pawpaw_spark.storage import z_value
+
+        df = spark.createDataFrame([(1, 2, 4)], "a long, b long, c long")
+        got = df.select(z_value(["a", "b", "c"], 3).alias("z")).collect()[0].z
+        assert got == self._z_py((1, 2, 4), 3)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from pawpaw_spark.storage import z_value
+
+        with _pt.raises(ValueError, match="at least 2"):
+            z_value(["a"])
+        with _pt.raises(ValueError, match="62"):
+            z_value(["a", "b", "c", "d"], 16)
