@@ -544,3 +544,85 @@ class TestRound4ExtensionPlanShape:
     def test_wl_colors_materialized_no_python(self, spark):
         plan = self._p(spark, "kg_wl_colors")
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestRound4SessionPlanShapes:
+    """Plan guards for the cont.26-35 operators: broadcast model/probe
+    joins stay broadcast, nothing reintroduces row-at-a-time Python,
+    and the quantile/bloom paths never global-sort."""
+
+    def _p(self, spark, name):
+        return _plan(E.queries()[name](spark, SF))
+
+    def test_nb_confusion_broadcast_model_no_python(self, spark):
+        plan = self._p(spark, "nb_confusion")
+        # the |labels| x buckets model and prior tables ride broadcasts
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        # the only sort-merge joins are (doc,label)-keyed — data-sized
+        # by construction; the corpus-x-model joins must all broadcast,
+        # so no SMJ may carry a bucket column
+        for line in plan.splitlines():
+            if "SortMergeJoin" in line:
+                assert "bucket" not in line, plan
+
+    def test_bloom_semijoin_broadcast_probe(self, spark):
+        plan = self._p(spark, "bloom_semijoin")
+        # k probe joins are map-side broadcasts; the probe stream is
+        # never sort-merge joined or globally sorted
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_exact_quantiles_no_global_sort(self, spark):
+        cents = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .select(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents")
+            )
+        )
+        from pawpaw_spark.operators.sketch import exact_quantiles
+
+        # runs eagerly; assert on the histogram-round plan instead:
+        # one partial agg, no Sort/TakeOrdered anywhere in the round
+        hist = (
+            cents.groupBy(F.shiftright(F.col("cents"), 12).alias("k"))
+            .agg(F.count(F.lit(1)))
+        )
+        plan = _plan(hist)
+        assert "partial_count" in plan or "partial" in plan.lower(), plan
+        assert "Sort " not in plan and "TakeOrdered" not in plan, plan
+        # and the operator's result matches the one-liner oracle here
+        out = {r.p: r.value for r in exact_quantiles(cents, "cents", [0.5]).collect()}
+        import math
+
+        vals = sorted(r.cents for r in cents.collect())
+        assert out[0.5] == vals[math.ceil(0.5 * len(vals)) - 1]
+
+    def test_turtle_roundtrip_single_group_shuffle(self, spark):
+        plan = self._p(spark, "kg_turtle_roundtrip")
+        # serialization shuffles once (groupBy subject); parsing is a
+        # projection + explode — no Python workers anywhere
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_katz_no_cartesian_no_python(self, spark):
+        plan = self._p(spark, "kg_katz")
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+    def test_motifs_single_window_pass(self, spark):
+        plan = self._p(spark, "event_motifs")
+        # one user-partitioned window (its sort is per-partition, keyed
+        # by user) + one count agg; no joins at all
+        assert "Join" not in plan, plan
+        assert plan.count("Window") == 1, plan
+
+    def test_z_order_pure_codegen(self, spark):
+        plan = self._p(spark, "z_order_digest")
+        assert "BatchEvalPython" not in plan and "Join" not in plan, plan
+        # scan prunes to exactly the two key columns (AQE hides the
+        # codegen spans pre-execution, so pin pruning instead)
+        rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert rs and "o_custkey" in rs[0] and "o_orderkey" not in rs[0], plan
