@@ -50,6 +50,16 @@ def main() -> None:
     p.add_argument("--test-frac", type=float, default=0.05)
     p.add_argument("--skip-c4", action="store_true",
                    help="keep raw text (corpora without sentence lines)")
+    p.add_argument("--lang-keep", default=None,
+                   help="comma list: train the NB classifier on the "
+                        "corpus's own lang labels and keep docs whose "
+                        "PREDICTED lang is in the list (CCNet's "
+                        "langid-filter slot)")
+    p.add_argument("--dsir-target", default=None,
+                   help="lang value defining the DSIR target "
+                        "distribution (importance-resample toward it)")
+    p.add_argument("--dsir-keep", type=int, default=0,
+                   help="docs to keep in the DSIR resample (0 = skip)")
     p.add_argument("--master", default=None)
     args = p.parse_args()
 
@@ -138,6 +148,52 @@ def main() -> None:
         scored.select(icol, "avg_nll"), icol, "left"
     )
     stats["after_perplexity"] = docs.count()
+
+    # the optional stages below scan `docs` several times each (NB
+    # train + predict, DSIR raw + target + selection); without a
+    # lineage cut every scan replays the whole stage-1..6 pipeline and
+    # the job multiplies into minutes.  localCheckpoint here is the
+    # local[] stand-in for what production does anyway: write each
+    # stage's survivors before fanning out (build_kg's staging
+    # discipline).
+    if args.lang_keep or (args.dsir_target and args.dsir_keep > 0):
+        docs = docs.localCheckpoint()
+
+    # 6b. optional NB language/quality filter (classify.py): trained
+    # on the corpus's OWN lang labels (CCNet trains fastText offline;
+    # same slot), keep docs whose PREDICTED lang survives
+    if args.lang_keep:
+        from pawpaw_spark.operators.classify import nb_predict, nb_train
+
+        keep = {s.strip() for s in args.lang_keep.split(",") if s.strip()}
+        counts, priors = nb_train(
+            docs.select(F.col("lang").alias("label"), F.col(tcol)),
+            text_col=tcol,
+            label_col="label",
+        )
+        pred = nb_predict(docs, counts, priors, text_col=tcol, id_col=icol)
+        docs = docs.join(
+            pred.filter(F.col("pred_label").isin(*sorted(keep))).select(icol),
+            icol,
+            "semi",
+        )
+        stats["after_lang_filter"] = docs.count()
+
+    # 6c. optional DSIR importance resample toward a target slice
+    # (dsir.py): hashed-ngram likelihood-ratio weights + deterministic
+    # Gumbel-top-k — the Xie et al. 2023 data-selection slot
+    if args.dsir_target and args.dsir_keep > 0:
+        from pawpaw_spark.operators.dsir import dsir_weights, gumbel_topk
+
+        target = docs.filter(F.col("lang") == args.dsir_target)
+        if target.isEmpty():
+            raise SystemExit(
+                f"--dsir-target {args.dsir_target!r} matches no rows"
+            )
+        w = dsir_weights(docs, target, text_col=tcol, id_col=icol)
+        sel = gumbel_topk(w, args.dsir_keep, id_col=icol)
+        docs = docs.join(sel.select(icol), icol, "semi")
+        stats["after_dsir"] = docs.count()
 
     # 7. leakage-safe split — near-dup components share a split (the
     # step-5 pair graph is exactly the leakage graph: a surviving doc
