@@ -149,31 +149,22 @@ def owl_property_closure(
         F.col(pred_col).cast("string").alias("pred"),
         F.col(obj_col).cast("string").alias("obj"),
     )
-    sym = {
-        r.subj
-        for r in t.filter(
-            (F.col("pred") == type_pred) & (F.col("obj") == symmetric_cls)
+    # ONE schema scan, not three: declarations are metadata-sized but
+    # the table they're filtered from is the full KG
+    decls = (
+        t.filter(
+            ((F.col("pred") == type_pred)
+             & F.col("obj").isin(symmetric_cls, transitive_cls))
+            | (F.col("pred") == inverse_pred)
         )
-        .select("subj")
         .distinct()
         .collect()
-    }
-    trans = {
-        r.subj
-        for r in t.filter(
-            (F.col("pred") == type_pred) & (F.col("obj") == transitive_cls)
-        )
-        .select("subj")
-        .distinct()
-        .collect()
-    }
-    inv = {
-        (r.subj, r.obj)
-        for r in t.filter(F.col("pred") == inverse_pred)
-        .select("subj", "obj")
-        .distinct()
-        .collect()
-    }
+    )
+    sym = {r.subj for r in decls
+           if r.pred == type_pred and r.obj == symmetric_cls}
+    trans = {r.subj for r in decls
+             if r.pred == type_pred and r.obj == transitive_cls}
+    inv = {(r.subj, r.obj) for r in decls if r.pred == inverse_pred}
     schema_preds = {type_pred, inverse_pred}
     inst = t.filter(~F.col("pred").isin(*schema_preds))
     spark = triples.sparkSession
