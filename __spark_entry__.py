@@ -3710,6 +3710,25 @@ def q_z_order_digest(spark, sf_dir):
     )
 
 
+def q_kg_path_nps(spark, sf_dir):
+    """Negated-property-set path (graph_query NPS extension, SPARQL
+    1.1 ``!p``): ``!DEFINES/^DEFINES`` over the kernel triples — hop 1
+    takes every edge EXCEPT DEFINES (= the REFERENCES slice, by
+    elimination, as one pushed NOT-IN scan filter), hop 2 walks
+    DEFINES backwards to the defining file: caller symbol -> file
+    defining a callee.  Dangling f_missing_* callees drop out (no
+    definer), so the pair count is NOT just 3x the symbol count.
+    Oracle: the equivalent two-way join."""
+    from pawpaw_spark.operators.graph_query import path_pairs
+
+    t = _fused_call_triples(spark, sf_dir).filter(
+        F.col("pred").isin("DEFINES", "REFERENCES")
+    )
+    return path_pairs(t, "!DEFINES/^DEFINES").select(
+        F.col("src").alias("caller"), F.col("dst").alias("def_file")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3736,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_price_quantiles": q_exact_price_quantiles,
         "event_motifs": q_event_motifs,
         "z_order_digest": q_z_order_digest,
+        "kg_path_nps": q_kg_path_nps,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4322,6 +4342,17 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # NPS path replay: REFERENCES-by-elimination then the inverse
+        # DEFINES hop as a plain join
+        "kg_path_nps": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT DISTINCT e.src AS caller, d.f AS def_file
+            FROM e JOIN defs d ON d.s = e.dst
+        """,
         # z-order replay: all 32 interleave terms generated below
         "z_order_digest": f"""
             WITH o AS (

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 
 Triple = tuple[str, str | None, str]
 
-_PATH_META = set("/|^+*?() \t")
+_PATH_META = set("/|^+*?()! \t")
 
 
 def _is_var(term: str | None) -> bool:
@@ -97,15 +97,17 @@ def _is_path(term: str | None) -> bool:
 def parse_path(expr: str):
     """Parse a property-path expression into an AST of tuples:
     ``('pred', name) | ('inv', x) | ('seq', a, b) | ('alt', a, b) |
-    ('plus', x) | ('star', x) | ('opt', x)``. Raises ValueError with
-    the offending position on malformed input."""
+    ('plus', x) | ('star', x) | ('opt', x) | ('nps', names)``
+    (``!p`` / ``!(p1|p2)`` — SPARQL 1.1 negated property sets, plain
+    forward names only in this canonical subset). Raises ValueError
+    with the offending position on malformed input."""
     toks: list[str] = []
     i, n = 0, len(expr)
     while i < n:
         c = expr[i]
         if c in " \t":
             i += 1
-        elif c in "/|^+*?()":
+        elif c in "/|^+*?()!":
             toks.append(c)
             i += 1
         else:
@@ -143,6 +145,41 @@ def parse_path(expr: str):
         if peek() == "^":
             take()
             return ("inv", parse_elt())
+        if peek() == "!":
+            take()
+            names = []
+            if peek() == "(":
+                take()
+                while True:
+                    t = peek()
+                    if t is None or t in "/|^+*?()!":
+                        raise ValueError(
+                            f"expected predicate name in negated set in "
+                            f"path {expr!r}, got {t!r}"
+                        )
+                    names.append(take())
+                    if peek() == "|":
+                        take()
+                        continue
+                    if peek() == ")":
+                        take()
+                        break
+                    raise ValueError(
+                        f"expected '|' or ')' in negated set in path "
+                        f"{expr!r}, got {peek()!r}"
+                    )
+            else:
+                t = peek()
+                if t is None or t in "/|^+*?()!":
+                    raise ValueError(
+                        f"expected predicate name after '!' in path "
+                        f"{expr!r}, got {t!r}"
+                    )
+                names.append(take())
+            node = ("nps", tuple(sorted(set(names))))
+            while peek() in ("+", "*", "?"):
+                node = ({"+": "plus", "*": "star", "?": "opt"}[take()], node)
+            return node
         if peek() == "(":
             take()
             node = parse_alt()
@@ -273,6 +310,14 @@ def path_pairs(
             )
         if kind == "alt":
             return _pairs_distinct(compile_(node[1]).union(compile_(node[2])))
+        if kind == "nps":
+            # everything EXCEPT the named predicates — one pushed
+            # NOT-IN filter on the scan, still a single pred slice shape
+            return _pairs_distinct(
+                edges.filter(~F.col(pred_col).isin(*node[1])).select(
+                    F.col(subj_col).alias("src"), F.col(obj_col).alias("dst")
+                )
+            )
         if kind == "plus":
             return _closure(compile_(node[1]), max_rounds, square)
         if kind == "star":

@@ -455,3 +455,54 @@ class TestStatsOrdering:
             ).collect()
         }
         assert a == b and a
+
+
+class TestNegatedPropertySet:
+    TRIPLES = [
+        ("a", "knows", "b"),
+        ("a", "likes", "c"),
+        ("b", "hates", "c"),
+        ("c", "knows", "d"),
+    ]
+
+    def _pairs(self, spark, expr):
+        from pawpaw_spark.operators.graph_query import path_pairs
+
+        df = spark.createDataFrame(
+            self.TRIPLES, "subj string, pred string, obj string"
+        )
+        return {(r.src, r.dst) for r in path_pairs(df, expr).collect()}
+
+    def test_single_negation(self, spark):
+        assert self._pairs(spark, "!knows") == {("a", "c"), ("b", "c")}
+
+    def test_set_negation(self, spark):
+        assert self._pairs(spark, "!(knows|likes)") == {("b", "c")}
+
+    def test_nps_in_sequence(self, spark):
+        # a -likes-> c -knows-> d : first hop must avoid knows
+        assert ("a", "d") in self._pairs(spark, "!knows/knows")
+
+    def test_nps_with_closure(self, spark):
+        got = self._pairs(spark, "!hates+")
+        assert ("a", "d") in got  # a->b (knows) -> ... c->d
+        assert ("b", "c") not in got
+
+    def test_parse_ast(self):
+        from pawpaw_spark.operators.graph_query import parse_path
+
+        assert parse_path("!(b|a|a)") == ("nps", ("a", "b"))
+        assert parse_path("!p") == ("nps", ("p",))
+        assert parse_path("!p*")[0] == "star"
+
+    def test_parse_errors(self):
+        import pytest as _pt
+
+        from pawpaw_spark.operators.graph_query import parse_path
+
+        with _pt.raises(ValueError, match="after '!'"):
+            parse_path("!")
+        with _pt.raises(ValueError, match="negated set"):
+            parse_path("!(a|)")
+        with _pt.raises(ValueError, match="'\\|' or '\\)'"):
+            parse_path("!(a b)")
