@@ -690,3 +690,31 @@ class TestStringFunctionFilters:
         with pytest.raises(ValueError, match="unbound"):
             sparql(e, 'SELECT ?s WHERE { ?s P ?o . '
                       'FILTER ( CONTAINS ( ?zz "x" ) ) }').collect()
+
+
+class TestSparqlNegatedPropertySet:
+    """The text front-end inherits path NPS (!p / !(p1|p2)) through the
+    shared parse_path compiler — pinned so a tokenizer change that
+    splits '!' off the predicate token fails loudly."""
+
+    def _t(self, spark):
+        return spark.createDataFrame(
+            [("a", "knows", "b"), ("a", "likes", "c"), ("b", "hates", "c")],
+            "subj string, pred string, obj string",
+        )
+
+    def test_single(self, spark):
+        from pawpaw_spark.operators.sparql import sparql
+
+        out = sparql(self._t(spark), "SELECT ?x ?y WHERE { ?x !knows ?y }")
+        assert sorted((r["x"], r["y"]) for r in out.collect()) == [
+            ("a", "c"), ("b", "c"),
+        ]
+
+    def test_set(self, spark):
+        from pawpaw_spark.operators.sparql import sparql
+
+        out = sparql(
+            self._t(spark), "SELECT ?x ?y WHERE { ?x !(knows|hates) ?y }"
+        )
+        assert [(r["x"], r["y"]) for r in out.collect()] == [("a", "c")]
