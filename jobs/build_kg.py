@@ -65,6 +65,15 @@ def main() -> None:
         "under <output>/edges_fused",
     )
     p.add_argument(
+        "--owl", default=None, metavar="PATH",
+        help="parquet of pD* schema triples (subj, pred, obj): "
+        "(p, type, SymmetricProperty|TransitiveProperty), "
+        "(p, inverseOf, q), (p, type, (Inverse)FunctionalProperty). "
+        "Saturates the edge table under the OWL Horst property rules "
+        "(owl.owl_property_closure), derives functional sameAs "
+        "clashes, and writes base+derived under <output>/edges_owl",
+    )
+    p.add_argument(
         "--snapshot", action="store_true",
         help="collapse a multi-commit source to the latest row per "
         "(repo, path) before building (day-2 ingest; commit must be a "
@@ -202,6 +211,24 @@ def main() -> None:
         )
         fused.write.mode("overwrite").parquet(f"{args.output}/edges_fused")
         stats["edges_fused"] = fused.count()
+    if args.owl:
+        from pawpaw_spark.operators.owl import (
+            functional_sameas,
+            owl_property_closure,
+        )
+
+        schema = spark.read.parquet(args.owl).select("subj", "pred", "obj")
+        base = res["edges"].select("subj", "pred", "obj").unionByName(schema)
+        saturated = owl_property_closure(base, include_base=True)
+        saturated.write.mode("overwrite").parquet(
+            f"{args.output}/edges_owl"
+        )
+        stats["edges_owl"] = saturated.count()
+        sameas = functional_sameas(base)
+        sameas.write.mode("overwrite").parquet(
+            f"{args.output}/owl_sameas"
+        )
+        stats["owl_sameas"] = sameas.count()
     stats["triples_per_sec"] = round(stats["edges"] / stats["wall_sec"], 1)
     print(json.dumps(stats))
     spark.stop()
