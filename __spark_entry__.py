@@ -3729,6 +3729,29 @@ def q_kg_path_nps(spark, sf_dir):
     )
 
 
+def q_events_props(spark, sf_dir):
+    """Semi-structured column handling: the events table's ``props``
+    JSON payload parsed JVM-side (``get_json_object`` — no Python, no
+    schema pre-pass) and aggregated per event_type with exact integer
+    stats.  At 100 TB this is the ubiquitous 'JSON blob column' path:
+    path extraction stays inside codegen next to the scan, and only
+    the extracted long ever reaches the shuffle.  Oracle = DuckDB's
+    json_extract_string over the same path."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("nd_k"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3756,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_motifs": q_event_motifs,
         "z_order_digest": q_z_order_digest,
         "kg_path_nps": q_kg_path_nps,
+        "events_props": q_events_props,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4342,6 +4366,19 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # JSON-path replay: the same $.k extraction + per-type stats
+        "events_props": """
+            SELECT event_type,
+                   count(k) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k,
+                   count(DISTINCT k) AS nd_k
+            FROM (
+              SELECT event_type,
+                     json_extract_string(props, '$.k')::BIGINT AS k
+              FROM events)
+            GROUP BY event_type
+        """,
         # NPS path replay: REFERENCES-by-elimination then the inverse
         # DEFINES hop as a plain join
         "kg_path_nps": f"""
