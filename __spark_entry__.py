@@ -3752,6 +3752,44 @@ def q_events_props(spark, sf_dir):
     )
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion-revenue share) — the part-dimension join
+    the suite previously never exercised: lineitem ⋈ part on partkey
+    with a one-year shipdate window pushed to the scan, the PART side
+    broadcast (dimension vs fact — the plan a 100 TB fact table
+    needs), revenue summed in EXACT integer cents (per-row
+    double-rounding is engine-identical; only the int64 sum crosses
+    partitions) and the promo share derived from the two exact sums,
+    round-6.  One row: (n_rows, promo_cents, total_cents, promo_pct).
+    """
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0))
+        .cast("long")
+        .alias("promo_cents"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+    return agg.select(
+        "n_rows",
+        "promo_cents",
+        "total_cents",
+        F.round(
+            F.col("promo_cents") * 100.0 / F.col("total_cents"), 6
+        ).alias("promo_pct"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3780,6 +3818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z_order_digest": q_z_order_digest,
         "kg_path_nps": q_kg_path_nps,
         "events_props": q_events_props,
+        "tpch_q14": q_tpch_q14,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4366,6 +4405,29 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # Q14 replay: same window, same per-row cents rounding, exact
+        # integer sums, round-6 share
+        "tpch_q14": """
+            WITH j AS (
+              SELECT p.p_type,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT) AS cents
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1997-01-01'),
+            a AS (
+              SELECT count(*) AS n_rows,
+                     CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents
+                                   ELSE 0 END) AS BIGINT)
+                       AS promo_cents,
+                     CAST(sum(cents) AS BIGINT) AS total_cents
+              FROM j)
+            SELECT n_rows, promo_cents, total_cents,
+                   round(promo_cents * 100.0 / total_cents, 6)
+                     AS promo_pct
+            FROM a
+        """,
         # JSON-path replay: the same $.k extraction + per-type stats
         "events_props": """
             SELECT event_type,
