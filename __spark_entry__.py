@@ -3790,6 +3790,40 @@ def q_tpch_q14(spark, sf_dir):
     )
 
 
+def q_containment_quotes(spark, sf_dir):
+    """Asymmetric containment detection (dedup.containment_pairs,
+    Broder's resemblance-vs-containment split): base docs (every 5th,
+    600-char prefix — the winnowing corpus construction) plus planted
+    quote docs (``copy notice: `` + a 220-char excerpt).  The quote's
+    3-gram set sits almost wholly inside its source while Jaccard is
+    diluted by the source's size — the pair surfaces here at C >= 0.5
+    and is invisible to the symmetric queries.  Full pair set both
+    directions, round-6; oracle = brute-force set recompute with the
+    same unfiltered-denominator semantics."""
+    from pawpaw_spark.operators.dedup import containment_pairs
+
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.substring("text", 1, 600).alias("text"),
+        )
+    )
+    quotes = base.select(
+        (F.col("doc_id").cast("long") + 1000000).cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("copy notice: "), F.substring("text", 31, 220)
+        ).alias("text"),
+    )
+    pairs = containment_pairs(
+        base.unionByName(quotes), threshold=0.5, max_gram_freq=1000
+    )
+    out = pairs.select("inner", "outer", "containment")
+    out._pawpaw_cached = getattr(pairs, "_pawpaw_cached", [])
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3819,6 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_nps": q_kg_path_nps,
         "events_props": q_events_props,
         "tpch_q14": q_tpch_q14,
+        "containment_quotes": q_containment_quotes,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4405,6 +4440,58 @@ def oracle_sql() -> dict[str, str]:
         f"('{s}', '{p}', '{o}')" for s, p, o in _RDFS_SCHEMA
     )
     d = {
+        # containment replay: same corpus construction, brute-force
+        # gram sets, kept-grams intersection over unfiltered
+        # denominators, both directions at C >= 0.5
+        "containment_quotes": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     substr(text, 1, 600) AS t
+              FROM documents WHERE doc_id % 5 = 0),
+            corpus AS (
+              SELECT id, t FROM base
+              UNION ALL
+              SELECT CAST(CAST(id AS BIGINT) + 1000000 AS VARCHAR),
+                     'copy notice: ' || substr(t, 31, 220)
+              FROM base),
+            d AS (
+              SELECT id, regexp_split_to_array(lower(t), '\\s+') AS toks
+              FROM corpus),
+            g AS (
+              SELECT id,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_distinct(list_transform(
+                               range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' '
+                                    || toks[i+2]))
+                          ELSE [array_to_string(toks, ' ')] END AS grams
+              FROM d),
+            hot AS (
+              SELECT coalesce(list(gram), []) AS dropped
+              FROM (SELECT gram
+                    FROM (SELECT id, unnest(grams) AS gram FROM g)
+                    GROUP BY gram HAVING count(*) > 1000)),
+            gf AS (
+              SELECT id, grams,
+                     list_filter(grams,
+                                 x -> NOT list_contains(hot.dropped, x))
+                       AS kept
+              FROM g, hot),
+            p AS (
+              SELECT a.id AS a, b.id AS b,
+                     len(list_intersect(a.kept, b.kept)) AS shared,
+                     len(a.grams) AS na, len(b.grams) AS nb
+              FROM gf a JOIN gf b ON a.id < b.id),
+            bd AS (
+              SELECT a AS "inner", b AS "outer",
+                     round(CAST(shared AS DOUBLE) / na, 6) AS containment
+              FROM p
+              UNION ALL
+              SELECT b, a, round(CAST(shared AS DOUBLE) / nb, 6)
+              FROM p)
+            SELECT "inner", "outer", containment
+            FROM bd WHERE containment >= 0.5
+        """,
         # Q14 replay: same window, same per-row cents rounding, exact
         # integer sums, round-6 share
         "tpch_q14": """

@@ -322,6 +322,74 @@ def ngram_jaccard_pairs(
     return _attach_caches(out, cached)  # see cached_scope
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_freq: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-superset detection -> (inner, outer,
+    containment) rows where ``C(inner, outer) = |grams(inner) ∩
+    grams(outer)| / |grams(inner)| >= threshold``, inner != outer.
+
+    Jaccard misses the classic web-data shape this catches: a short
+    quote, a page embedded in a boilerplate wrapper, a doc that
+    subsumes another — |A∩B|/|A| is high while |A∩B|/|A∪B| is
+    diluted by the larger side (Broder 1997 separates resemblance
+    from containment for exactly this reason).  Emitted BOTH
+    directions when both clear the threshold.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shared gram
+    machinery): hashed-gram equi-join keys, broadcast doc-frequency
+    skew guard (same lower-bound caveat when a gram's frequency
+    exceeds the cap), persisted gram table with ``cached_scope``
+    lifecycle.  ``containment`` is one float division over exact
+    integers, rounded to 6 (the cross-engine convention)."""
+    from pyspark import StorageLevel
+
+    cached = []
+    grams = _gram_table(df, text_col, id_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cached.append(grams)
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    if max_gram_freq is not None:
+        freq_ok = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") <= max_gram_freq)
+        )
+        grams = grams.join(
+            F.broadcast(freq_ok.select("gram")), "gram"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(grams)
+    a = grams.select(F.col("id").alias("a"), "gram")
+    b = grams.select(F.col("id").alias("b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_grams").alias("nb"))
+    both = shared.join(sa, "a").join(sb, "b")
+    fwd = both.select(
+        F.col("a").alias("inner"),
+        F.col("b").alias("outer"),
+        F.round(F.col("shared") / F.col("na"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("b").alias("inner"),
+        F.col("a").alias("outer"),
+        F.round(F.col("shared") / F.col("nb"), 6).alias("containment"),
+    )
+    out = fwd.union(rev).filter(F.col("containment") >= threshold)
+    return _attach_caches(out, cached)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1572,3 +1572,58 @@ class TestSemDedup:
         for bad in (0.0, -1.0, 1.5):
             with pytest.raises(ValueError):
                 semdedup(df, tau=bad)
+
+
+class TestContainmentPairs:
+    def _run(self, spark, rows, **kw):
+        from pawpaw_spark.operators.dedup import cached_scope, containment_pairs
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = containment_pairs(df, **kw)
+        with cached_scope(out):
+            return {
+                (r.inner, r.outer): r.containment for r in out.collect()
+            }
+
+    def test_quote_contained(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, base),
+            (2, "intro words here " + base + " closing words trail"),
+            (3, "totally different content with no overlap at all x y"),
+        ]
+        got = self._run(spark, rows, threshold=0.9)
+        # every 3-gram of doc 1 appears in doc 2; not vice versa
+        assert got.get((1, 2)) == 1.0
+        assert (2, 1) not in got
+        assert all(3 not in pair for pair in got)
+
+    def test_both_directions_on_twins(self, spark):
+        t = "one two three four five six seven"
+        got = self._run(spark, [(1, t), (2, t + " eight")], threshold=0.8)
+        assert got[(1, 2)] == 1.0
+        assert 0.8 <= got[(2, 1)] < 1.0
+
+    def test_matches_brute_force(self, spark):
+        import itertools
+
+        rows = [
+            (1, "a b c d e f g"),
+            (2, "c d e f g h i"),
+            (3, "a b c d e f g h i j"),
+            (4, "zz yy xx ww vv"),
+        ]
+        got = self._run(spark, rows, threshold=0.0, max_gram_freq=None)
+
+        def grams(t, k=3):
+            ws = t.split()
+            if len(ws) < k:
+                return {t}
+            return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+        expect = {}
+        for (i1, t1), (i2, t2) in itertools.permutations(rows, 2):
+            inter = len(grams(t1) & grams(t2))
+            if inter:
+                expect[(i1, i2)] = round(inter / len(grams(t1)), 6)
+        assert got == expect
