@@ -3824,6 +3824,45 @@ def q_containment_quotes(spark, sf_dir):
     return out
 
 
+def q_ed_pairs(spark, sf_dir):
+    """Edit-distance similarity join (operators/edjoin.py, PassJoin —
+    Li/Deng/Feng VLDB 2012): identifier corpus from the customer keys
+    (every 7th custkey as ``id`` + zero-padded digits) with planted
+    single-edit typos — a substitution for custkey % 14 == 0 and a
+    deletion for custkey % 14 == 7.  At k=1 the join must surface every
+    typo against its source AND the organic digit-neighbor pairs
+    (``id000007`` vs ``id000077`` etc.) — segment blocking is lossless,
+    verification exact, so the full pair set is recomputed brute-force
+    by the oracle with DuckDB's own ``levenshtein``.  Integer distances:
+    bit-level at any SF or parallelism."""
+    from pawpaw_spark.operators.edjoin import edit_distance_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey"
+    ).filter(F.col("c_custkey") % 7 == 0)
+    name = F.concat(
+        F.lit("id"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+    )
+    base = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id"),
+        name.alias("text"),
+    )
+    subs = cust.filter(F.col("c_custkey") % 14 == 0).select(
+        F.concat(F.lit("t"), F.col("c_custkey").cast("string")).alias("id"),
+        F.concat(
+            F.substring(name, 1, 3), F.lit("x"), F.substring(name, 5, 100)
+        ).alias("text"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 14 == 7).select(
+        F.concat(F.lit("d"), F.col("c_custkey").cast("string")).alias("id"),
+        F.concat(
+            F.substring(name, 1, 4), F.substring(name, 6, 100)
+        ).alias("text"),
+    )
+    corpus = base.unionByName(subs).unionByName(dels)
+    return edit_distance_pairs(corpus, k=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3854,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "tpch_q14": q_tpch_q14,
         "containment_quotes": q_containment_quotes,
+        "ed_pairs": q_ed_pairs,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4492,6 +4532,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT "inner", "outer", containment
             FROM bd WHERE containment >= 0.5
         """,
+        # PassJoin replay: same corpus construction, brute-force
+        # all-pairs with DuckDB's own levenshtein at k=1
+        "ed_pairs": """
+            WITH keys AS (
+              SELECT c_custkey AS k,
+                     'id' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS nm
+              FROM customer WHERE c_custkey % 7 = 0),
+            corpus AS (
+              SELECT 'c' || CAST(k AS VARCHAR) AS id, nm AS t FROM keys
+              UNION ALL
+              SELECT 't' || CAST(k AS VARCHAR),
+                     substr(nm, 1, 3) || 'x' || substr(nm, 5)
+              FROM keys WHERE k % 14 = 0
+              UNION ALL
+              SELECT 'd' || CAST(k AS VARCHAR),
+                     substr(nm, 1, 4) || substr(nm, 6)
+              FROM keys WHERE k % 14 = 7)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   levenshtein(a.t, b.t) AS distance
+            FROM corpus a JOIN corpus b ON a.id < b.id
+            WHERE levenshtein(a.t, b.t) <= 1
+        """,
         # Q14 replay: same window, same per-row cents rounding, exact
         # integer sums, round-6 share
         "tpch_q14": """
@@ -4574,22 +4636,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
               FROM orders),
             n AS (SELECT count(*) AS n FROM t)
-            SELECT 0.25 AS p,
+            SELECT CAST(0.25 AS DOUBLE) AS p,
                    (SELECT v FROM t ORDER BY v
                     OFFSET (SELECT (n * 1 + 3) // 4 FROM n) - 1
                     LIMIT 1) AS value
             UNION ALL
-            SELECT 0.5,
+            SELECT CAST(0.5 AS DOUBLE),
                    (SELECT v FROM t ORDER BY v
                     OFFSET (SELECT (n * 1 + 1) // 2 FROM n) - 1
                     LIMIT 1)
             UNION ALL
-            SELECT 0.75,
+            SELECT CAST(0.75 AS DOUBLE),
                    (SELECT v FROM t ORDER BY v
                     OFFSET (SELECT (n * 3 + 3) // 4 FROM n) - 1
                     LIMIT 1)
             UNION ALL
-            SELECT 0.9,
+            SELECT CAST(0.9 AS DOUBLE),
                    (SELECT v FROM t ORDER BY v
                     OFFSET (SELECT (n * 9 + 9) // 10 FROM n) - 1
                     LIMIT 1)
