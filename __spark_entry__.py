@@ -3863,6 +3863,27 @@ def q_ed_pairs(spark, sf_dir):
     return edit_distance_pairs(corpus, k=1)
 
 
+def q_snb_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (linking.sorted_neighborhood_pairs,
+    Hernandez & Stolfo SIGMOD 1995): customers under the REVERSED
+    zero-padded key digits as the sort key — a deterministic scramble
+    that decorrelates sort order from id order, with heavy tie runs
+    broken by the id tiebreak — window 3.  The global rank comes from
+    the two-phase range-partition + offset lift (no single-partition
+    window anywhere), and the pair set (id_a, id_b, d) is EXACTLY the
+    rank-adjacency set the oracle's row_number() + self-join replays.
+    Closed pair count n*w - w*(w+1)/2; integer d: bit-level anywhere."""
+    from pawpaw_spark.operators.linking import sorted_neighborhood_pairs
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("id"),
+        F.reverse(
+            F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+        ).alias("key"),
+    )
+    return sorted_neighborhood_pairs(cust, "key", id_col="id", window=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3894,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "containment_quotes": q_containment_quotes,
         "ed_pairs": q_ed_pairs,
+        "snb_pairs": q_snb_pairs,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -4553,6 +4575,23 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.t, b.t) AS distance
             FROM corpus a JOIN corpus b ON a.id < b.id
             WHERE levenshtein(a.t, b.t) <= 1
+        """,
+        # sorted-neighborhood replay: the same total order (key, id)
+        # ranked by row_number, self-joined on rank distance 1..3
+        "snb_pairs": """
+            WITH c AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS id,
+                     reverse(lpad(CAST(c_custkey AS VARCHAR), 6, '0'))
+                       AS k
+              FROM customer),
+            r AS (
+              SELECT id, k,
+                     row_number() OVER (ORDER BY k, id) AS rank
+              FROM c)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(b.rank - a.rank AS INT) AS d
+            FROM r a JOIN r b
+              ON b.rank - a.rank BETWEEN 1 AND 3
         """,
         # Q14 replay: same window, same per-row cents rounding, exact
         # integer sums, round-6 share
