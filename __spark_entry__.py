@@ -3884,6 +3884,37 @@ def q_snb_pairs(spark, sf_dir):
     return sorted_neighborhood_pairs(cust, "key", id_col="id", window=3)
 
 
+def q_kg_nquads(spark, sf_dir):
+    """N-Quads serialization (operators/ntriples.to_nquads): the
+    kg_ntriples escape-stress literal payload with a NAMED-GRAPH term —
+    ``shard/(key % 4)`` for most rows, NULL (default graph, triple
+    form) for every 5th — pinning the W3C 4-term line byte-for-byte
+    against a DuckDB string-construction mirror, mixed with the 3-term
+    default-graph form in the SAME output.  Parse-back inversion
+    (from_nquads, incl. the literal-that-looks-like-a-quad ambiguity)
+    is property-tested in tests/test_ntriples.py::TestNQuads."""
+    from pawpaw_spark.operators.ntriples import to_nquads
+
+    o = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    d = o.select(
+        F.concat(
+            F.lit("order/"), F.col("o_orderkey").cast("string")
+        ).alias("subj"),
+        F.lit("HAS_TEXT").alias("pred"),
+        F.concat(
+            F.lit('priority "'), F.col("o_orderpriority"), F.lit('"\n'),
+            F.lit("status: "), F.col("o_orderstatus"), F.lit(" \\n raw\r"),
+            F.lit("tail\\"),
+        ).alias("obj"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.concat(
+                F.lit("shard/"), (F.col("o_orderkey") % 4).cast("string")
+            )
+        ).alias("graph"),
+    )
+    return to_nquads(d, obj_literal=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3916,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_quotes": q_containment_quotes,
         "ed_pairs": q_ed_pairs,
         "snb_pairs": q_snb_pairs,
+        "kg_nquads": q_kg_nquads,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -7710,6 +7742,27 @@ def oracle_sql() -> dict[str, str]:
                 || replace(replace(replace(replace(t,
                      '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r')
                 || '" .' AS line
+            FROM payload
+        """,
+        # N-Quads replay: the N-Triples line construction plus the
+        # conditional 4th graph term (triple form for every 5th key)
+        "kg_nquads": r"""
+            WITH payload AS (
+              SELECT o_orderkey,
+                     'priority "' || o_orderpriority || '"' || chr(10)
+                       || 'status: ' || o_orderstatus || ' \n raw' || chr(13)
+                       || 'tail\' AS t
+              FROM orders)
+            SELECT '<pawpaw:order/' || CAST(o_orderkey AS VARCHAR)
+                || '> <pawpaw:HAS_TEXT> "'
+                || replace(replace(replace(replace(t,
+                     '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r')
+                || '"'
+                || CASE WHEN o_orderkey % 5 = 0 THEN ''
+                        ELSE ' <pawpaw:shard/'
+                             || CAST(o_orderkey % 4 AS VARCHAR) || '>'
+                   END
+                || ' .' AS line
             FROM payload
         """,
         # the motif's three equi-joins replayed verbatim: defs from the

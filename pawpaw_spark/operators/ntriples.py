@@ -171,3 +171,101 @@ def from_ntriples(
         .alias("obj"),
         is_literal.alias("obj_is_literal"),
     )
+
+
+# N-Quads (W3C RDF 1.1 N-Quads): the N-Triples line with an OPTIONAL
+# graph-label IRI before the terminating dot — the named-graph
+# interchange format. Same term grammar as _LINE_RE plus group 5.
+_QUAD_RE = (
+    r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"((?:[^"\\]|\\.)*)")'
+    r'(?: <([^>]*)>)? \.$'
+)
+
+
+def to_nquads(
+    quads: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    graph_col: str = "graph",
+    base: str = "pawpaw:",
+    obj_literal: bool = False,
+) -> DataFrame:
+    """Serialize (subj, pred, obj, graph) rows -> one-column ``line``
+    DataFrame of W3C N-Quads statements: the N-Triples statement plus
+    the graph-label IRI. A NULL graph emits the triple form (N-Quads
+    explicitly allows it — the row lives in the default graph), so one
+    writer covers mixed default/named-graph tables. A projection — no
+    shuffle, no Python; ``df.write.text(path)`` for ``.nq`` layout."""
+    s = _checked_iri(base, F.col(subj_col), "subject")
+    p = _checked_iri(base, F.col(pred_col), "predicate")
+    if obj_literal:
+        o = F.concat(
+            F.lit('"'), _escape_literal(F.col(obj_col)), F.lit('"')
+        )
+    else:
+        o = _checked_iri(base, F.col(obj_col), "object")
+    g = F.when(
+        F.col(graph_col).isNull(), F.lit("")
+    ).otherwise(
+        F.concat(F.lit(" "), _checked_iri(base, F.col(graph_col), "graph"))
+    )
+    return quads.select(
+        F.concat(
+            s, F.lit(" "), p, F.lit(" "), o, g, F.lit(" .")
+        ).alias("line")
+    )
+
+
+def from_nquads(
+    lines: DataFrame,
+    line_col: str = "line",
+    base: str = "pawpaw:",
+    strict: bool = True,
+) -> DataFrame:
+    """Parse N-Quads lines -> (subj, pred, obj, graph, obj_is_literal)
+    — the exact inverse of :func:`to_nquads` (roundtrip identity is
+    property-tested); triple-form lines (no graph label) come back with
+    a NULL graph, so ``.nt`` files parse too (N-Triples is a subset of
+    N-Quads). ``strict`` as in :func:`from_ntriples`."""
+    c = F.col(line_col)
+    ok = c.rlike(_QUAD_RE)
+    if strict:
+        guard = F.when(ok, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(F.lit("from_nquads: malformed line: "), c)
+            )
+        )
+        parsed = lines.filter(guard)
+    else:
+        parsed = lines.filter(ok)
+    strip = lambda col: F.when(
+        col.startswith(base), col.substr(F.lit(len(base) + 1), F.length(col))
+    ).otherwise(col)
+    subj = F.regexp_extract(c, _QUAD_RE, 1)
+    pred = F.regexp_extract(c, _QUAD_RE, 2)
+    obj_iri = F.regexp_extract(c, _QUAD_RE, 3)
+    obj_lit = F.regexp_extract(c, _QUAD_RE, 4)
+    graph = F.regexp_extract(c, _QUAD_RE, 5)
+    # object-position angle bracket disambiguates <> from "" (the
+    # from_ntriples doctrine); the graph group is unambiguous (IRI or
+    # absent), and regexp_extract returns '' for absent — mapped to
+    # NULL via the raw line's term count.
+    is_literal = ~F.regexp_like(c, F.lit(r'^<[^>]*> <[^>]*> <'))
+    # anchored FULL match with the graph term REQUIRED: backtracking
+    # cannot steal a graph out of a literal ("x <g>" has one closing
+    # quote), and a 3-term line simply fails -> NULL graph
+    has_graph = c.rlike(
+        r'^<[^>]*> <[^>]*> (?:<[^>]*>|"(?:[^"\\]|\\.)*") <[^>]*> \.$'
+    )
+    return parsed.select(
+        strip(subj).alias("subj"),
+        strip(pred).alias("pred"),
+        F.when(is_literal, _unescape_literal(obj_lit))
+        .otherwise(strip(obj_iri))
+        .alias("obj"),
+        F.when(has_graph, strip(graph)).otherwise(F.lit(None)).alias(
+            "graph"
+        ),
+        is_literal.alias("obj_is_literal"),
+    )

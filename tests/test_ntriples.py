@@ -136,3 +136,105 @@ class TestKgPipelineRoundtrip:
         got = {(r.subj, r.pred, r.obj) for r in back.collect()}
         assert got == want and len(got) > 100
         assert back.filter(F.col("obj_is_literal")).count() == 0
+
+
+from pawpaw_spark.operators.ntriples import from_nquads, to_nquads
+
+
+def py_nquad(subj, pred, obj, graph, base="pawpaw:", obj_literal=False):
+    t = py_ntriple(subj, pred, obj, base=base, obj_literal=obj_literal)
+    if graph is None:
+        return t
+    return t[:-2] + f" <{base}{graph}> ."
+
+
+def _qdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+
+
+class TestNQuads:
+    def test_matches_python_serializer(self, spark):
+        rows = [("s1", "P", "o1", "g1"), ("s2", "P", "o2", None)]
+        got = {
+            r["line"] for r in to_nquads(_qdf(spark, rows)).collect()
+        }
+        assert got == {py_nquad(*r) for r in rows}
+
+    def test_literal_objects_with_graph(self, spark):
+        rows = [(f"s{i}", "HAS_TEXT", t, "g0") for i, t in enumerate(NASTY)]
+        got = {
+            r["line"]
+            for r in to_nquads(_qdf(spark, rows), obj_literal=True).collect()
+        }
+        assert got == {
+            py_nquad(s, p, o, g, obj_literal=True) for s, p, o, g in rows
+        }
+
+    def test_roundtrip_identity_mixed_graphs(self, spark):
+        rows = [
+            ("s1", "P", NASTY[0], "g1"),
+            ("s2", "P", NASTY[5], None),
+            ("s3", "Q", "", "g2"),
+            ("s4", "Q", 'x <g9>', None),  # literal that LOOKS like a quad
+        ]
+        back = from_nquads(
+            to_nquads(_qdf(spark, rows), obj_literal=True)
+        )
+        got = {
+            (r.subj, r.pred, r.obj, r.graph) for r in back.collect()
+        }
+        assert got == set(rows)
+        assert back.filter(~F.col("obj_is_literal")).count() == 0
+
+    def test_parses_ntriples_as_null_graph(self, spark):
+        tri = _df(spark, [("a", "P", "b"), ("c", "P", "d")])
+        back = from_nquads(to_ntriples(tri))
+        got = {(r.subj, r.pred, r.obj, r.graph) for r in back.collect()}
+        assert got == {("a", "P", "b", None), ("c", "P", "d", None)}
+
+    def test_iri_object_quad_and_triple_disambiguation(self, spark):
+        lines = spark.createDataFrame(
+            [
+                ("<pawpaw:s> <pawpaw:p> <pawpaw:o> <pawpaw:g> .",),
+                ("<pawpaw:s> <pawpaw:p> <pawpaw:o> .",),
+            ],
+            "line string",
+        )
+        got = {
+            (r.subj, r.obj, r.graph, r.obj_is_literal)
+            for r in from_nquads(lines).collect()
+        }
+        assert got == {("s", "o", "g", False), ("s", "o", None, False)}
+
+    def test_strict_raises_lenient_filters(self, spark):
+        bad = spark.createDataFrame(
+            [("<pawpaw:s> <pawpaw:p> <pawpaw:o> <g> extra .",)],
+            "line string",
+        )
+        with pytest.raises(Exception):
+            from_nquads(bad).collect()
+        assert from_nquads(bad, strict=False).count() == 0
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(
+                st.characters(
+                    blacklist_categories=("Cs",), min_codepoint=1
+                ),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_property_roundtrip(self, spark, texts):
+        rows = [
+            (f"s{i}", "P", t, f"g{i % 2}" if i % 3 else None)
+            for i, t in enumerate(texts)
+        ]
+        back = from_nquads(to_nquads(_qdf(spark, rows), obj_literal=True))
+        got = {(r.subj, r.obj, r.graph) for r in back.collect()}
+        assert got == {(s, o, g) for s, p, o, g in rows}
