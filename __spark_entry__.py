@@ -3915,6 +3915,77 @@ def q_kg_nquads(spark, sf_dir):
     return to_nquads(d, obj_literal=True)
 
 
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast-revenue change): the pure scan-aggregate —
+    all three predicates (one-year shipdate window, discount band,
+    quantity cap) PUSH TO THE PARQUET SCAN (PushedFilters in the plan;
+    at 100 TB the scan reads only matching row groups and 4 columns),
+    zero joins, one partial-agg reduce.  The discount band compares
+    EXACT integer basis points (round(d*100)) so double-literal
+    representation can't skew the cut, and revenue sums per-row exact
+    cents.  One row: (n_rows, revenue_cents)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.round(F.col("l_discount") * 100).cast("int").between(5, 7))
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    return sel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents).cast("long").alias("revenue_cents"),
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority top-10): customer x orders x
+    lineitem with the segment filter broadcast through the dimension
+    side — customer is the small side (broadcast), orders x lineitem
+    the fact equi-join — unshipped window (orderdate < D < shipdate),
+    revenue in exact per-row cents, top-10 by (revenue DESC, orderdate,
+    orderkey): the orderkey tiebreak makes the LIMIT deterministic at
+    any parallelism (TakeOrderedAndProject, never a global sort).
+    o_orderpriority stands in for the o_shippriority column the
+    synthetic schema doesn't carry."""
+    cutoff = "1998-06-01"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < cutoff
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > cutoff
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    ord_seg = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    j = li.join(ord_seg, F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(cents).cast("long").alias("revenue_cents")
+    )
+    return (
+        agg.orderBy(
+            F.col("revenue_cents").desc(),
+            "o_orderdate",
+            "l_orderkey",
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue_cents",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG triple build over the sf0.001 documents corpus."""
     return q_kg_triples_by_pred(spark, SF_DEFAULT)
@@ -3948,6 +4019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ed_pairs": q_ed_pairs,
         "snb_pairs": q_snb_pairs,
         "kg_nquads": q_kg_nquads,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q3": q_tpch_q3,
         "kg_construct": q_kg_construct,
         "kg_sparql": q_kg_sparql,
         "kg_sparql_agg": q_kg_sparql_agg,
@@ -7743,6 +7816,37 @@ def oracle_sql() -> dict[str, str]:
                      '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r')
                 || '" .' AS line
             FROM payload
+        """,
+        # Q6 replay: same predicates (integer basis points), exact
+        # per-row cents
+        "tpch_q6": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND CAST(round(l_discount * 100) AS INT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        # Q3 replay: same joins, cents, and the deterministic
+        # (revenue DESC, orderdate, orderkey) top-10
+        "tpch_q3": """
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o.o_orderpriority,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_cents DESC, o.o_orderdate, l.l_orderkey
+            LIMIT 10
         """,
         # N-Quads replay: the N-Triples line construction plus the
         # conditional 4th graph term (triple form for every 5th key)
