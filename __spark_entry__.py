@@ -3915,6 +3915,48 @@ def q_kg_nquads(spark, sf_dir):
     return to_nquads(d, obj_literal=True)
 
 
+def q_kg_graph_motif(spark, sf_dir):
+    """SPARQL GRAPH ?g over a quad table (graph_query.match_quads):
+    orders quadded into customer shards — (cust PLACED order) and
+    (order PRIO priority) rows, graph = shard(custkey % 20) — matched
+    with the DISJOINT pattern ``GRAPH ?g { ?c PLACED ?o . ?x PRIO
+    '1-URGENT' }``: the two triples share NO variable, so the graph
+    key alone scopes the product — W3C active-graph semantics, which a
+    triple-table matcher cannot express.  Per-graph binding counts =
+    placed-rows x urgent-orders WITHIN the shard; the oracle replays
+    the per-graph join with an explicit graph-equality key.  Exact
+    integers, bit-level anywhere.  IRI-safe ids; angle-bracket parse
+    interplay is covered by kg_nquads."""
+    from pawpaw_spark.operators.graph_query import match_quads
+
+    o = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    g = F.concat(F.lit("shard"), (F.col("o_custkey") % 20).cast("string"))
+    placed = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("PLACED").alias("pred"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+            "obj"
+        ),
+        g.alias("graph"),
+    )
+    prio = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("PRIO").alias("pred"),
+        F.col("o_orderpriority").alias("obj"),
+        g.alias("graph"),
+    )
+    b = match_quads(
+        placed.unionByName(prio),
+        [("?c", "PLACED", "?o"), ("?x", "PRIO", "1-URGENT")],
+        "?g",
+    )
+    return b.groupBy("g").agg(F.count(F.lit(1)).alias("n_bindings"))
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 (forecast-revenue change): the pure scan-aggregate —
     all three predicates (one-year shipdate window, discount band,
@@ -4019,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ed_pairs": q_ed_pairs,
         "snb_pairs": q_snb_pairs,
         "kg_nquads": q_kg_nquads,
+        "kg_graph_motif": q_kg_graph_motif,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "kg_construct": q_kg_construct,
@@ -7816,6 +7859,26 @@ def oracle_sql() -> dict[str, str]:
                      '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r')
                 || '" .' AS line
             FROM payload
+        """,
+        # GRAPH ?g replay: the per-shard disjoint join with an explicit
+        # graph-equality key; distinct bindings, then per-graph counts
+        "kg_graph_motif": """
+            WITH placed AS (
+              SELECT DISTINCT
+                     'shard' || CAST(o_custkey % 20 AS VARCHAR) AS g,
+                     'c' || CAST(o_custkey AS VARCHAR) AS c,
+                     'o' || CAST(o_orderkey AS VARCHAR) AS o
+              FROM orders),
+            urgent AS (
+              SELECT DISTINCT
+                     'shard' || CAST(o_custkey % 20 AS VARCHAR) AS g,
+                     'o' || CAST(o_orderkey AS VARCHAR) AS x
+              FROM orders WHERE o_orderpriority = '1-URGENT'),
+            b AS (
+              SELECT DISTINCT p.g, p.c, p.o, u.x
+              FROM placed p JOIN urgent u ON p.g = u.g)
+            SELECT g, count(*) AS n_bindings
+            FROM b GROUP BY g
         """,
         # Q6 replay: same predicates (integer basis points), exact
         # per-row cents

@@ -342,8 +342,11 @@ def _slice(
     pred_col: str,
     obj_col: str,
     path_conf: dict | None = None,
+    extra: list | None = None,
 ) -> DataFrame:
     """One pattern triple -> the edge slice with variable-named columns.
+    ``extra`` appends further columns to every slice (the quad
+    matcher's graph-variable binding rides here).
 
     Constants become filters (pushed to the scan); a variable repeated
     inside the triple (e.g. ``('?a', 'CALLS', '?a')`` self loops)
@@ -389,9 +392,9 @@ def _slice(
         df = df.filter(F.col(ocol) == o)
     if _is_var(p) and (p == s or p == o):
         raise ValueError(f"predicate variable {p} reused as an endpoint")
-    if not cols:
+    if not cols and not extra:
         raise ValueError(f"pattern triple {t} binds no variables")
-    return df.select(*cols)
+    return df.select(*cols, *(extra or []))
 
 
 def _const_slice(
@@ -886,3 +889,111 @@ def construct(
         )
         out = row if out is None else out.union(row)
     return out.distinct()
+
+
+def match_quads(
+    quads: DataFrame,
+    pattern: Sequence[Triple],
+    graph: str | None = None,
+    *,
+    neq: Sequence[tuple[str, str]] = (),
+    distinct: bool = True,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    graph_col: str = "graph",
+    **kwargs,
+) -> DataFrame:
+    """SPARQL ``GRAPH`` over a quad table (subj, pred, obj, graph).
+
+    ``graph`` is the graph term:
+
+    * a constant name — ``GRAPH <g> { pattern }``: the quad table is
+      sliced to that graph (a scan-pushed filter) and the full
+      :func:`match_pattern` feature set (paths, OPTIONAL, negation,
+      stats ordering — everything in ``**kwargs``) applies within it;
+    * ``None`` — the default graph: rows with a NULL graph label,
+      same full delegation;
+    * a ``?variable`` — ``GRAPH ?g { pattern }``: the variable ranges
+      over the NAMED graphs and every triple of the pattern must match
+      inside the SAME graph (the W3C active-graph semantics), with the
+      graph name bound as an ordinary output column.  The graph
+      binding makes every triple share ``?g``, so each BGP join keys
+      on (shared vars + graph) — cross-graph bindings are impossible
+      by construction, and a pattern whose triples share no other
+      variable is still NOT a product (the graph key partitions it).
+      Path predicates / OPTIONAL / negation groups under a VARIABLE
+      graph raise: a per-graph closure is a different computation —
+      slice to a constant graph first, or run the closure over
+      ``quads.filter(col(graph_col) == g)`` per graph of interest.
+
+    Returns one row per binding, one column per variable (the graph
+    variable included). Scale shape identical to :func:`match_pattern`:
+    pred-sliced hash equi-joins, nothing quadratic.
+    """
+    if graph is None or not _is_var(graph):
+        sliced = (
+            quads.filter(F.col(graph_col).isNull())
+            if graph is None
+            else quads.filter(F.col(graph_col) == graph)
+        ).drop(graph_col)
+        return match_pattern(
+            sliced,
+            pattern,
+            neq=neq,
+            distinct=distinct,
+            subj_col=subj_col,
+            pred_col=pred_col,
+            obj_col=obj_col,
+            **kwargs,
+        )
+
+    for bad in ("optional", "not_exists", "minus"):
+        if kwargs.get(bad):
+            raise ValueError(
+                f"GRAPH ?var with {bad} groups is not supported; "
+                "slice to a constant graph first"
+            )
+    gvar = graph[1:]
+    if not pattern:
+        raise ValueError("pattern must contain at least one triple")
+    for t in pattern:
+        if _is_path(t[1]):
+            raise ValueError(
+                f"path predicate {t[1]!r} under GRAPH ?var is not "
+                "supported (per-graph closure); filter to a constant "
+                "graph first"
+            )
+        if gvar in _vars_of(t):
+            raise ValueError(
+                f"graph variable {graph} reused inside the pattern"
+            )
+        if not _vars_of(t):
+            raise ValueError(
+                f"pattern triple {t} binds no variables; constant "
+                "existence under GRAPH ?var is not supported"
+            )
+    for a, b in neq:
+        if not (_is_var(a) and _is_var(b)):
+            raise ValueError(f"neq terms must be variables: ({a}, {b})")
+
+    named = quads.filter(F.col(graph_col).isNotNull())
+    gbind = [F.col(graph_col).alias(gvar)]
+    # greedy-constrained order; connectivity through ?g is implicit,
+    # so the product guard is waived (the graph key always joins)
+    ordered = _order_triples(pattern, True, None)
+    out = _slice(
+        named, ordered[0], subj_col, pred_col, obj_col, None, extra=gbind
+    )
+    cols = _vars_of(ordered[0]) | {gvar}
+    for t in ordered[1:]:
+        sl = _slice(
+            named, t, subj_col, pred_col, obj_col, None, extra=gbind
+        )
+        shared = sorted((cols & _vars_of(t)) | {gvar})
+        out = out.join(sl, on=shared, how="inner")
+        cols |= _vars_of(t)
+    for a, b in neq:
+        out = out.filter(F.col(a[1:]) != F.col(b[1:]))
+    out = out.select(*sorted(cols))
+    return out.distinct() if distinct else out
