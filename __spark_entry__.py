@@ -3957,6 +3957,44 @@ def q_kg_graph_motif(spark, sf_dir):
     return b.groupBy("g").agg(F.count(F.lit(1)).alias("n_bindings"))
 
 
+def q_kg_sparql_graph(spark, sf_dir):
+    """The GRAPH clause through the SPARQL TEXT front-end
+    (operators/sparql.py): the kg_graph_motif quad corpus queried as
+    ``SELECT ?g (COUNT(*) AS ?n_bindings) WHERE { GRAPH ?g { ?c PLACED
+    ?o . ?x PRIO 1-URGENT } } GROUP BY ?g`` — parser recognition of the
+    GRAPH block, match_quads compilation, aggregation over the bound
+    graph variable, all in one string-driven path.  Same closed
+    arithmetic as kg_graph_motif (the two queries pin the programmatic
+    and text surfaces to the same answer)."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    o = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    g = F.concat(F.lit("shard"), (F.col("o_custkey") % 20).cast("string"))
+    placed = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("PLACED").alias("pred"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+            "obj"
+        ),
+        g.alias("graph"),
+    )
+    prio = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("PRIO").alias("pred"),
+        F.col("o_orderpriority").alias("obj"),
+        g.alias("graph"),
+    )
+    return sparql(
+        placed.unionByName(prio),
+        "SELECT ?g (COUNT(*) AS ?n_bindings) WHERE "
+        "{ GRAPH ?g { ?c PLACED ?o . ?x PRIO 1-URGENT } } GROUP BY ?g",
+    )
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 (forecast-revenue change): the pure scan-aggregate —
     all three predicates (one-year shipdate window, discount band,
@@ -4062,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snb_pairs": q_snb_pairs,
         "kg_nquads": q_kg_nquads,
         "kg_graph_motif": q_kg_graph_motif,
+        "kg_sparql_graph": q_kg_sparql_graph,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "kg_construct": q_kg_construct,
@@ -7863,6 +7902,27 @@ def oracle_sql() -> dict[str, str]:
         # GRAPH ?g replay: the per-shard disjoint join with an explicit
         # graph-equality key; distinct bindings, then per-graph counts
         "kg_graph_motif": """
+            WITH placed AS (
+              SELECT DISTINCT
+                     'shard' || CAST(o_custkey % 20 AS VARCHAR) AS g,
+                     'c' || CAST(o_custkey AS VARCHAR) AS c,
+                     'o' || CAST(o_orderkey AS VARCHAR) AS o
+              FROM orders),
+            urgent AS (
+              SELECT DISTINCT
+                     'shard' || CAST(o_custkey % 20 AS VARCHAR) AS g,
+                     'o' || CAST(o_orderkey AS VARCHAR) AS x
+              FROM orders WHERE o_orderpriority = '1-URGENT'),
+            b AS (
+              SELECT DISTINCT p.g, p.c, p.o, u.x
+              FROM placed p JOIN urgent u ON p.g = u.g)
+            SELECT g, count(*) AS n_bindings
+            FROM b GROUP BY g
+        """,
+        # text-front-end GRAPH replay: identical to kg_graph_motif
+        # (the text and programmatic surfaces pin the same answer);
+        # COUNT(*) column aliased per the query's ?n_bindings
+        "kg_sparql_graph": """
             WITH placed AS (
               SELECT DISTINCT
                      'shard' || CAST(o_custkey % 20 AS VARCHAR) AS g,

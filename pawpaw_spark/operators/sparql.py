@@ -95,7 +95,11 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pawpaw_spark.operators.graph_query import construct, match_pattern
+from pawpaw_spark.operators.graph_query import (
+    construct,
+    match_pattern,
+    match_quads,
+)
 
 # a token is a quoted literal, or a standalone brace/dot/paren/!=,
 # or a run of anything else (so property paths keep their parens as
@@ -272,14 +276,56 @@ class _P:
         triples, optionals, negations, minus, neq, values = \
             [], [], [], [], [], []
         filters, binds, subqueries, str_filters = [], [], [], []
+        graph = None
+        own_triples = False
         while True:
             t = self.peek()
             if t is None:
                 raise ValueError("unclosed '{' in query")
             if t == "}":
                 self.take()
+                if graph is not None and own_triples:
+                    raise ValueError(
+                        "triples outside the GRAPH block in the same "
+                        "group are not supported (the W3C default-graph"
+                        "/named-graph mix); query them in a separate "
+                        "UNION branch"
+                    )
                 return (triples, optionals, negations, minus, neq,
-                        values, filters, binds, subqueries, str_filters)
+                        values, filters, binds, subqueries, str_filters,
+                        graph)
+            if t.lower() == "graph" and self.i + 1 < len(self.toks) \
+                    and self.toks[self.i + 1] != "(":
+                # GRAPH <term> { ... } — the term a ?variable (ranges
+                # over named graphs) or a constant graph name
+                if graph is not None:
+                    raise ValueError(
+                        "one GRAPH block per group (nest further "
+                        "scoping in UNION branches)"
+                    )
+                self.take()
+                gt = self.take()
+                graph = gt if gt.startswith("?") else self._const(gt)
+                inner = self.group()
+                if inner[10] is not None:
+                    raise ValueError("GRAPH blocks do not nest")
+                if inner[8]:
+                    raise ValueError(
+                        "{ SELECT ... } subqueries inside a GRAPH "
+                        "block are not supported"
+                    )
+                if not inner[0]:
+                    raise ValueError("a GRAPH block binds no triples")
+                triples.extend(inner[0])
+                optionals.extend(inner[1])
+                negations.extend(inner[2])
+                minus.extend(inner[3])
+                neq.extend(inner[4])
+                values.extend(inner[5])
+                filters.extend(inner[6])
+                binds.extend(inner[7])
+                str_filters.extend(inner[9])
+                continue
             if t == "{":
                 # a nested { SELECT ... } is a SPARQL 1.1 subquery;
                 # any other bare nested group is out of scope
@@ -380,6 +426,7 @@ class _P:
                 binds.append((v[1:], expr))
                 continue
             s, p, o = self.term(), self.term(), self.term()
+            own_triples = True
             triples.append((s, p, o))
             # predicate-object lists (canonical whitespace-separated
             # layout): `;` repeats the subject, `,` repeats subject AND
@@ -661,7 +708,7 @@ def _branches(p: _P) -> list[dict]:
     branches = []
     for body in p.where_body():
         (pattern, optionals, negations, minus, neq, values, filters,
-         binds, subqueries, str_filters) = body
+         binds, subqueries, str_filters, graph) = body
         if not pattern and not subqueries:
             raise ValueError("a WHERE group binds no triples")
         if not pattern and (optionals or negations or minus):
@@ -674,6 +721,7 @@ def _branches(p: _P) -> list[dict]:
             "not_exists": negations, "minus": minus, "neq": neq,
             "values": values, "filters": filters, "binds": binds,
             "subqueries": subqueries, "str_filters": str_filters,
+            "graph": graph,
         })
     return branches
 
@@ -848,16 +896,33 @@ def _branch_frame(
     comparisons, VALUES semi-joins — in SPARQL's evaluation order."""
     m = None
     if b["pattern"]:
-        m = match_pattern(
-            edges,
-            b["pattern"],
-            optional=b["optional"],
-            not_exists=b["not_exists"],
-            minus=b["minus"],
-            neq=b["neq"],
-            distinct=distinct,
-            **match_kwargs,
-        )
+        if b.get("graph") is not None:
+            # GRAPH <term> { ... }: the branch compiles over the quad
+            # table — constant graph slices then delegates the full
+            # feature set; ?variable graph scopes every join to the
+            # active graph and binds it (match_quads semantics/limits)
+            m = match_quads(
+                edges,
+                b["pattern"],
+                b["graph"],
+                optional=b["optional"],
+                not_exists=b["not_exists"],
+                minus=b["minus"],
+                neq=b["neq"],
+                distinct=distinct,
+                **match_kwargs,
+            )
+        else:
+            m = match_pattern(
+                edges,
+                b["pattern"],
+                optional=b["optional"],
+                not_exists=b["not_exists"],
+                minus=b["minus"],
+                neq=b["neq"],
+                distinct=distinct,
+                **match_kwargs,
+            )
     for sub in b.get("subqueries", ()):
         sdf = _select_frame(edges, sub, bag, match_kwargs)
         if m is None:

@@ -718,3 +718,84 @@ class TestSparqlNegatedPropertySet:
             self._t(spark), "SELECT ?x ?y WHERE { ?x !(knows|hates) ?y }"
         )
         assert [(r["x"], r["y"]) for r in out.collect()] == [("a", "c")]
+
+
+QUADKG = [
+    ("x", "CALLS", "y", "g1"),
+    ("y", "CALLS", "z", "g1"),
+    ("y", "TAG", "hot", "g1"),
+    ("x", "CALLS", "y", "g2"),
+    ("y", "CALLS", "w", "g2"),
+    ("q", "TAG", "hot", "g2"),
+    ("x", "CALLS", "d", None),
+]
+
+
+def _quads(spark):
+    return spark.createDataFrame(
+        QUADKG, "subj string, pred string, obj string, graph string"
+    )
+
+
+class TestGraphClause:
+    def test_parse_graph_block(self):
+        plan = parse_sparql(
+            "SELECT ?g ?a WHERE { GRAPH ?g { ?a CALLS ?b . ?b TAG hot } }"
+        )
+        (b,) = plan["branches"]
+        assert b["graph"] == "?g"
+        assert b["pattern"] == [("?a", "CALLS", "?b"), ("?b", "TAG", "hot")]
+
+    def test_variable_graph_scopes_joins(self, spark):
+        got = _t(sparql(
+            _quads(spark),
+            "SELECT ?g ?a ?b WHERE "
+            "{ GRAPH ?g { ?a CALLS ?b . ?b TAG hot } }",
+        ))
+        # only g1 has the hot tag on a call target
+        assert got == {("g1", "x", "y")}
+
+    def test_constant_graph_with_path(self, spark):
+        got = _t(sparql(
+            _quads(spark),
+            "SELECT ?a ?b WHERE { GRAPH g1 { ?a CALLS+ ?b } }",
+        ))
+        assert got == {("x", "y"), ("y", "z"), ("x", "z")}
+
+    def test_aggregate_per_graph(self, spark):
+        got = _t(sparql(
+            _quads(spark),
+            "SELECT ?g (COUNT(*) AS ?n) WHERE "
+            "{ GRAPH ?g { ?a CALLS ?b } } GROUP BY ?g ORDER BY ?g",
+        ))
+        assert got == {("g1", 2), ("g2", 2)}
+
+    def test_union_of_graph_branches(self, spark):
+        got = _t(sparql(
+            _quads(spark),
+            "SELECT ?a ?b WHERE { { GRAPH g1 { ?a CALLS ?b } } UNION "
+            "{ GRAPH g2 { ?a CALLS ?b } } }",
+        ))
+        assert got == {("x", "y"), ("y", "z"), ("y", "w")}
+
+    def test_mixed_triples_outside_graph_raise(self):
+        with pytest.raises(ValueError, match="outside the GRAPH"):
+            parse_sparql(
+                "SELECT ?a WHERE { ?a CALLS ?b . GRAPH ?g "
+                "{ ?b TAG ?t } }"
+            )
+
+    def test_nested_graph_raises(self):
+        with pytest.raises(ValueError, match="nest"):
+            parse_sparql(
+                "SELECT ?a WHERE { GRAPH ?g { GRAPH ?h "
+                "{ ?a CALLS ?b } } }"
+            )
+
+    def test_variable_graph_filter_applies(self, spark):
+        got = _t(sparql(
+            _quads(spark),
+            'SELECT ?g ?a WHERE { GRAPH ?g { ?a CALLS ?b . '
+            'FILTER ( ?b = y ) } }',
+        ))
+        assert got == {("g1", "x"), ("g2", "x")}
