@@ -3957,6 +3957,32 @@ def q_kg_graph_motif(spark, sf_dir):
     return b.groupBy("g").agg(F.count(F.lit(1)).alias("n_bindings"))
 
 
+def q_kg_4cliques(spark, sf_dir):
+    """4-clique census (graph.four_clique_count, Chiba-Nishizeki
+    oriented enumeration over the triangle orientation): customers
+    partitioned into 8-key cells, every cell a clique — so each node
+    of a size-s cell sits in exactly C(s-1, 3) K4s, a closed form the
+    oracle computes per cell (partial tail cells included).  The
+    engine ENUMERATES every K4 through the oriented triangle-extend
+    joins and must land on the same exact integers; the construction's
+    uniform degree makes the (deg, id) tiebreak the sole orientation
+    driver, exercising it everywhere."""
+    from pawpaw_spark.operators.graph import four_clique_count
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("n"), F.col("c_custkey").cast("string")).alias(
+            "node"
+        ),
+        F.expr("c_custkey DIV 8").alias("cell"),
+    )
+    a = cust.select(F.col("node").alias("src"), "cell")
+    b = cust.select(F.col("node").alias("dst"), "cell")
+    edges = a.join(b, "cell").filter(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    return four_clique_count(edges)
+
+
 def q_kg_sparql_graph(spark, sf_dir):
     """The GRAPH clause through the SPARQL TEXT front-end
     (operators/sparql.py): the kg_graph_motif quad corpus queried as
@@ -4101,6 +4127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads": q_kg_nquads,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "kg_4cliques": q_kg_4cliques,
         "tpch_q6": q_tpch_q6,
         "tpch_q3": q_tpch_q3,
         "kg_construct": q_kg_construct,
@@ -7918,6 +7945,20 @@ def oracle_sql() -> dict[str, str]:
               FROM placed p JOIN urgent u ON p.g = u.g)
             SELECT g, count(*) AS n_bindings
             FROM b GROUP BY g
+        """,
+        # K4 replay: per-node closed form C(sz-1, 3) per clique cell
+        # (exact integers; the product of 3 consecutive ints is
+        # divisible by 6)
+        "kg_4cliques": """
+            WITH cells AS (
+              SELECT c_custkey AS k, c_custkey // 8 AS cell
+              FROM customer),
+            s AS (SELECT cell, count(*) AS sz FROM cells GROUP BY cell)
+            SELECT 'n' || CAST(k AS VARCHAR) AS node,
+                   CAST((sz - 1) * (sz - 2) * (sz - 3) // 6 AS BIGINT)
+                     AS n_k4
+            FROM cells JOIN s USING (cell)
+            WHERE sz >= 2
         """,
         # text-front-end GRAPH replay: identical to kg_graph_motif
         # (the text and programmatic surfaces pin the same answer);

@@ -3303,3 +3303,97 @@ def butterfly_count(
         .cast("long")
         .alias("n_butterflies"),
     )
+
+
+def four_clique_count(
+    edges: DataFrame,
+    a_col: str = "src",
+    b_col: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-node 4-clique (K4) membership count -> (node, n_k4), one
+    row for EVERY node of the undirected simple projection (0 for
+    nodes in no K4).
+
+    Chiba-Nishizeki-style oriented enumeration on top of the
+    :func:`triangle_count` degree orientation: with every edge directed
+    lower-(deg, id) -> higher, a K4 {a < b < c < d} is enumerated
+    EXACTLY once — its least triangle (a, b, c) extended by the
+    oriented edge c -> d, closed by the two remaining oriented edges
+    b -> d and a -> d.  Join shape: the triangle table fans out by
+    out-deg(c) <= O(sqrt(m)) (the orientation bound — hubs collect
+    IN-edges, so hot nodes cap the fan-out rather than squaring it),
+    then two hash equi-joins on (node, node) pairs check the closing
+    edges.  Everything is a declarative equi-join; nothing quadratic
+    in a neighborhood anywhere.
+    """
+    und = undirected_edges(edges, a_col, b_col).persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    keyed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("vdeg"),
+    ).persist()
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("vdeg").alias("d1"))
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("vdeg").alias("d2")
+    )
+    wedges = e1.join(e2, e1["u"] == e2["u2"]).filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    # oriented triangles (x, y, z), x < y < z in the (deg, id) order
+    tris = wedges.join(closer, ["v1", "v2"]).select(
+        F.col("u").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z")
+    )
+    # extend by z -> w, then close y -> w and x -> w
+    ext = oriented.select(F.col("u").alias("z"), F.col("v").alias("w"))
+    cand = tris.join(ext, "z")
+    close_yw = oriented.select(
+        F.col("u").alias("y"), F.col("v").alias("w")
+    )
+    close_xw = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("w")
+    )
+    k4 = cand.join(close_yw, ["y", "w"]).join(close_xw, ["x", "w"])
+    per_node = (
+        k4.select(F.col("x").alias("node"))
+        .union(k4.select(F.col("y")))
+        .union(k4.select(F.col("z")))
+        .union(k4.select(F.col("w")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_k4"))
+    )
+    out = (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_k4", F.lit(0)).cast("long").alias("n_k4"),
+        )
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        und.unpersist()
+        deg.unpersist()
+        oriented.unpersist()
+    else:
+        from pawpaw_spark.operators.dedup import _attach_caches
+
+        _attach_caches(out, [und, deg, oriented])
+    return out
