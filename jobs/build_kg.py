@@ -48,6 +48,13 @@ def main() -> None:
         "any RDF toolchain)",
     )
     p.add_argument(
+        "--nquads", action="store_true",
+        help="also export the edge table as W3C N-Quads text under "
+        "<output>/nquads, graph label = the owning repo (edges with "
+        "no provenance fall into the default graph); GRAPH-scoped "
+        "SPARQL over the parse-back keeps per-repo query isolation",
+    )
+    p.add_argument(
         "--communities", action="store_true",
         help="also run deterministic Louvain over the symbol call "
         "graph and write (node, community) under <output>/communities",
@@ -184,6 +191,25 @@ def main() -> None:
             f"{args.output}/ntriples"
         )
         stats["ntriples"] = stats["edges"]
+    if args.nquads:
+        from pyspark.sql import functions as F
+
+        from pawpaw_spark.operators.ntriples import to_nquads
+
+        # graph label = owning repo (doc_id is repo/path@commit);
+        # provenance-free edges go to the default graph — a projection
+        # over the materialized table, no shuffle
+        q = res["edges"].withColumn(
+            "graph",
+            F.when(F.col("doc_id").isNull(), F.lit(None)).otherwise(
+                F.concat(
+                    F.lit("repo/"),
+                    F.split(F.col("doc_id"), "/").getItem(0),
+                )
+            ),
+        )
+        to_nquads(q).write.mode("overwrite").text(f"{args.output}/nquads")
+        stats["nquads"] = stats["edges"]
     if args.communities or args.truss:
         from pyspark.sql import functions as F
 
