@@ -224,7 +224,7 @@ def _closure(base: DataFrame, max_rounds: int, square: bool) -> DataFrame:
         with fixpoint_loop_conf(base.sparkSession, approx_state_rows=n_base):
             reach = truncated_checkpoint(base)
             delta = reach
-            for _ in range(max_rounds):
+            for r in range(max_rounds):
                 if square:
                     step = delta.alias("d").join(
                         reach.alias("b"),
@@ -248,6 +248,13 @@ def _closure(base: DataFrame, max_rounds: int, square: bool) -> DataFrame:
                 reach = reach.union(delta)
                 if square:
                     reach = truncated_checkpoint(reach.distinct())
+                elif (r + 1) % 4 == 0:
+                    # compact the growing union-of-parts: round r scans
+                    # r checkpointed deltas per join otherwise — O(D^2)
+                    # task fan-out over a D-round closure. Rewriting the
+                    # accumulated state every 4 rounds bounds the part
+                    # count at 4 for ~state/4 amortized extra writes
+                    reach = truncated_checkpoint(reach)
         raise RuntimeError(
             f"path closure did not converge in {max_rounds} rounds; "
             "raise max_rounds (rounds needed = hop diameter, or "

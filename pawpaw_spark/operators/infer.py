@@ -420,7 +420,7 @@ def infer(
                         # output: one naive pass IS the fixpoint
                         converged = True
                     if not converged:
-                        for _ in range(max_rounds - 1):
+                        for r in range(max_rounds - 1):
                             nxt = None
                             # one variant per RECURSIVE body atom: that
                             # atom from the delta, the rest full — atoms
@@ -454,6 +454,16 @@ def infer(
                                 break
                             acc_s = acc_s.union(delta)
                             facts = facts.union(delta)
+                            if (r + 1) % 4 == 0:
+                                # compact the union-of-checkpointed-
+                                # deltas: facts is scanned 2-3x per
+                                # round (delta variants + anti-join),
+                                # and a D-round fixpoint otherwise
+                                # fans out O(D^2) part-scan tasks.
+                                # Rewriting every 4 rounds bounds the
+                                # part count for ~state/4 amortized
+                                # extra writes
+                                facts = truncated_checkpoint(facts)
                     if not converged:
                         raise RuntimeError(
                             f"Datalog fixpoint did not converge in "
@@ -542,7 +552,7 @@ def infer_delta(
             # pruning as infer()'s _recursive_atoms, shifted one round
             heads = {head[1] for head, _, _ in normed}
             first_round = True
-            for _ in range(max_rounds):
+            for r in range(max_rounds):
                 nxt = None
                 for head, body, _neg in normed:
                     for i in range(len(body)):
@@ -582,6 +592,9 @@ def infer_delta(
                     )
                 new_acc = new_acc.union(delta)
                 facts = facts.union(delta)
+                if (r + 1) % 4 == 0:
+                    # bound the union-of-parts (see infer()'s loop)
+                    facts = truncated_checkpoint(facts)
         raise RuntimeError(
             f"incremental fixpoint did not converge in {max_rounds} "
             "rounds; raise max_rounds (rounds needed = the delta's "
