@@ -95,7 +95,7 @@ def _keyed_closure(edges: DataFrame, max_rounds: int) -> DataFrame:
         with fixpoint_loop_conf(base.sparkSession, approx_state_rows=n_base):
             reach = truncated_checkpoint(base)
             delta = reach
-            for _ in range(max_rounds):
+            for r in range(max_rounds):
                 step = delta.alias("d").join(
                     base.alias("b"),
                     (F.col("d.pred") == F.col("b.pred"))
@@ -115,6 +115,11 @@ def _keyed_closure(edges: DataFrame, max_rounds: int) -> DataFrame:
                     # (subj, pred, obj)-ordered frames
                     return reach.select("subj", "pred", "obj")
                 reach = reach.union(delta)
+                if (r + 1) % 4 == 0:
+                    # bound the union-of-checkpointed-parts the round's
+                    # anti-join rescans (the graph_query._closure
+                    # compaction discipline)
+                    reach = truncated_checkpoint(reach)
         raise RuntimeError(
             f"transitive saturation did not converge in {max_rounds} "
             "rounds; raise max_rounds (rounds needed = the longest "
