@@ -3957,6 +3957,38 @@ def q_kg_graph_motif(spark, sf_dir):
     return b.groupBy("g").agg(F.count(F.lit(1)).alias("n_bindings"))
 
 
+def q_fix_mojibake(spark, sf_dir):
+    """UTF-8-as-Latin-1 mojibake repair (text.fix_mojibake): customer
+    names suffixed with accented words, three row classes — clean
+    (kept byte-identical, no signature), mojibake'd (every \\u00e9
+    replaced by its \\u00c3\\u00a9 UTF-8-bytes-as-Latin-1 pair; the
+    engine must invert the byte corruption via encode/decode), and
+    poisoned (mojibake plus a trademark sign > U+00FF: DETECTED via
+    n_marks but gated unrepaired — the mixed-unicode safety rule).
+    The oracle never touches codecs: it rebuilds the expected output
+    from the same construction arithmetic, so the engine's byte-level
+    transform is pinned against closed-form strings."""
+    from pawpaw_spark.operators.text import fix_mojibake
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = F.concat(
+        F.lit("Client "), F.col("c_name"),
+        F.lit(" café résumé"),
+    )
+    moji = F.concat(
+        F.lit("Client "), F.col("c_name"),
+        F.lit(" cafÃ© rÃ©sumÃ©"),
+    )
+    cls = F.col("c_custkey") % 3
+    corpus = cust.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        F.when(cls == 0, base)
+        .when(cls == 1, moji)
+        .otherwise(F.concat(moji, F.lit(" ™"))).alias("text"),
+    )
+    return fix_mojibake(corpus, text_col="text", id_col="doc_id")
+
+
 def q_kg_4cliques(spark, sf_dir):
     """4-clique census (graph.four_clique_count, Chiba-Nishizeki
     oriented enumeration over the triangle orientation): customers
@@ -4125,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ed_pairs": q_ed_pairs,
         "snb_pairs": q_snb_pairs,
         "kg_nquads": q_kg_nquads,
+        "fix_mojibake": q_fix_mojibake,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -7945,6 +7978,29 @@ def oracle_sql() -> dict[str, str]:
               FROM placed p JOIN urgent u ON p.g = u.g)
             SELECT g, count(*) AS n_bindings
             FROM b GROUP BY g
+        """,
+        # mojibake replay: expected outputs from the construction
+        # arithmetic (no codec anywhere) — clean rows pass through,
+        # mojibake rows map back to the clean form, poisoned rows stay
+        # byte-identical with 3 detected marks
+        "fix_mojibake": """
+            WITH c AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+                     c_custkey % 3 AS cls,
+                     'Client ' || c_name || ' caf' || chr(233)
+                       || ' r' || chr(233) || 'sum' || chr(233) AS clean,
+                     'Client ' || c_name
+                       || ' caf' || chr(195) || chr(169)
+                       || ' r' || chr(195) || chr(169)
+                       || 'sum' || chr(195) || chr(169) AS moji
+              FROM customer)
+            SELECT doc_id,
+                   CASE cls WHEN 0 THEN clean
+                            WHEN 1 THEN clean
+                            ELSE moji || ' ' || chr(8482) END AS fixed,
+                   cls = 1 AS was_fixed,
+                   CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
+            FROM c
         """,
         # K4 replay: per-node closed form C(sz-1, 3) per clique cell
         # (exact integers; the product of 3 consecutive ints is

@@ -534,3 +534,75 @@ def pii_scrub(
         counts.append(F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{k}s"))
         clean = F.regexp_replace(clean, pat, repl)
     return df.select(F.col(id_col), *counts, clean.alias("clean"))
+
+
+# UTF-8-read-as-Latin-1 mojibake: a multibyte UTF-8 lead byte (C2-DF,
+# E0-EF) that survived as a Latin-1 char, followed by a continuation
+# byte in the 80-BF range.  The two-char signature (lead + one
+# continuation) catches every 2- and 3-byte sequence's head and is
+# vanishingly rare in honest Latin-1 text (those leads are accented
+# capitals immediately followed by a C1-control or symbol char).
+_MOJIBAKE_RE = "[\u00c2-\u00ef][\u0080-\u00bf]"
+
+# RFC 3629 UTF-8 grammar over Latin-1 char values (char == byte value
+# for chars <= U+00FF): the pre-decode validity gate
+_UTF8_VALID_RE = (
+    "^(?:"
+    "[\u0000-\u007f]"
+    "|[\u00c2-\u00df][\u0080-\u00bf]"
+    "|\u00e0[\u00a0-\u00bf][\u0080-\u00bf]"
+    "|[\u00e1-\u00ec][\u0080-\u00bf]{2}"
+    "|\u00ed[\u0080-\u009f][\u0080-\u00bf]"
+    "|[\u00ee-\u00ef][\u0080-\u00bf]{2}"
+    "|\u00f0[\u0090-\u00bf][\u0080-\u00bf]{2}"
+    "|[\u00f1-\u00f3][\u0080-\u00bf]{3}"
+    "|\u00f4[\u0080-\u008f][\u0080-\u00bf]{3}"
+    ")*$"
+)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repair UTF-8-decoded-as-Latin-1 mojibake ("caf\u00c3\u00a9" ->
+    "caf\u00e9") -> ``(id, fixed, was_fixed, n_marks)``.
+
+    The transform is the exact inverse of the corruption: re-ENCODE the
+    text as ISO-8859-1 (recovering the original UTF-8 byte stream) and
+    DECODE it as UTF-8 -- pure JVM column functions, shuffle-free, one
+    projection over the scan.  A row is repaired only when ALL of:
+
+    * the mojibake signature matches (a plausible UTF-8 lead-byte char
+      followed by a continuation-range char),
+    * every char is <= U+00FF (otherwise the Latin-1 re-encode cannot
+      reproduce the original bytes -- mixed clean-unicode + mojibake
+      rows are left alone rather than corrupted),
+    * the char sequence is VALID UTF-8 under the RFC 3629 grammar
+      (checked by regex BEFORE decoding -- Spark 4's decode raises on
+      malformed streams rather than emitting U+FFFD, and CASE WHEN
+      only evaluates the repair branch on rows that pass).
+
+    Windows-1252 mojibake (the a-circumflex + euro + quote cluster for
+    a right single quote) involves chars (U+20AC) outside Latin-1 and
+    is left unrepaired -- the cp1252 byte map is not among Spark's
+    encode charsets; gated rows stay byte-identical.  The signature
+    guarantees a multibyte sequence exists, so a valid repair always
+    differs from its input.
+    """
+    c = F.col(text_col)
+    repaired = F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+    safe = (
+        c.rlike(_MOJIBAKE_RE)
+        & ~c.rlike("[^\u0000-\u00ff]")
+        & c.rlike(_UTF8_VALID_RE)
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(safe, repaired).otherwise(c).alias("fixed"),
+        safe.alias("was_fixed"),
+        F.regexp_count(c, F.lit(_MOJIBAKE_RE)).cast("long").alias(
+            "n_marks"
+        ),
+    )
