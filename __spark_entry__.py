@@ -3989,6 +3989,18 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease (text.flesch_reading_ease) over the
+    documents corpus: exact int64 word/sentence/vowel-group counts
+    (plus the vowel-less-word syllable floor) feeding ONE double
+    division of two integer polynomials — the only float op — so the
+    round-4 score is bit-identical cross-engine.  The oracle replays
+    every counting rule with DuckDB's own regex/list functions."""
+    from pawpaw_spark.operators.text import flesch_reading_ease
+
+    return flesch_reading_ease(_docs(spark, sf_dir))
+
+
 def q_kg_4cliques(spark, sf_dir):
     """4-clique census (graph.four_clique_count, Chiba-Nishizeki
     oriented enumeration over the triangle orientation): customers
@@ -4158,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snb_pairs": q_snb_pairs,
         "kg_nquads": q_kg_nquads,
         "fix_mojibake": q_fix_mojibake,
+        "readability": q_readability,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8001,6 +8014,38 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # Flesch replay: same counting rules, same integer
+        # polynomials, one double division + round(4)
+        "readability": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                          AS BIGINT) AS w_raw,
+                     CAST(len(regexp_extract_all(text, '[.!?]+'))
+                          AS BIGINT) AS s_raw,
+                     CAST(len(regexp_extract_all(lower(text),
+                                                 '[aeiouy]+'))
+                          AS BIGINT)
+                     + CAST(len(list_filter(
+                         regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '' AND NOT regexp_matches(
+                                x, '[aeiouy]')))
+                          AS BIGINT) AS y
+              FROM documents),
+            k AS (
+              SELECT doc_id, w_raw, s_raw, y,
+                     greatest(w_raw, 1) AS w,
+                     greatest(s_raw, 1) AS s
+              FROM c)
+            SELECT doc_id,
+                   w_raw AS n_words,
+                   s_raw AS n_sentences,
+                   y AS n_syllables,
+                   round(CAST(206835 * s * w - 1015 * w * w
+                              - 84600 * y * s AS DOUBLE)
+                         / CAST(1000 * s * w AS DOUBLE), 4) AS flesch
+            FROM k
         """,
         # K4 replay: per-node closed form C(sz-1, 3) per clique cell
         # (exact integers; the product of 3 consecutive ints is

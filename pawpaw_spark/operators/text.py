@@ -606,3 +606,53 @@ def fix_mojibake(
             "n_marks"
         ),
     )
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease (206.835 - 1.015 w/s - 84.6 y/w) ->
+    ``(id, n_words, n_sentences, n_syllables, flesch)`` — the classic
+    readability quality signal, as one shuffle-free codegen'd
+    projection.
+
+    Counting rules (pinned so any engine can replay them exactly):
+    words = maximal ``[A-Za-z]+`` runs; sentences = maximal ``[.!?]+``
+    runs; syllables = maximal ``[aeiouy]+`` vowel groups of the
+    lowercased text, plus 1 for every vowel-less word (an "Mr"/"nth"
+    floor — every word contributes >= 1).  All three are exact int64;
+    w and s clamp to >= 1.  The score is computed as ONE double
+    division of two exact int64 polynomials (N = 206835*s*w - 1015*w^2
+    - 84600*y*s over D = 1000*s*w), so the only float op is the final
+    division + round(4) — bit-identical on any engine with IEEE
+    doubles and half-up rounding.
+    """
+    t = F.col(text_col)
+    lower = F.lower(t)
+    w_raw = F.regexp_count(t, F.lit("[A-Za-z]+")).cast("long")
+    s_raw = F.regexp_count(t, F.lit("[.!?]+")).cast("long")
+    groups = F.regexp_count(lower, F.lit("[aeiouy]+")).cast("long")
+    silent = F.size(
+        F.filter(
+            F.split(lower, "[^a-z]+"),
+            lambda x: (x != F.lit("")) & ~x.rlike("[aeiouy]"),
+        )
+    ).cast("long")
+    y = groups + silent
+    w = F.greatest(w_raw, F.lit(1))
+    s = F.greatest(s_raw, F.lit(1))
+    num = (
+        F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * y * s
+    )
+    den = F.lit(1000) * s * w
+    return df.select(
+        F.col(id_col),
+        w_raw.alias("n_words"),
+        s_raw.alias("n_sentences"),
+        y.alias("n_syllables"),
+        F.round(num.cast("double") / den.cast("double"), 4).alias(
+            "flesch"
+        ),
+    )
