@@ -3989,6 +3989,40 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-defused dimension join (skew.salted_join): lineitem keyed
+    so that lines 1-4 of every order collapse onto ONE mega-key (~87%
+    of the fact table) and the rest key to their part — the hot-key
+    shape AQE's file-level splitting cannot always defuse — joined
+    against the part dimension + the HOT row with salt 8.  The salt is
+    internal: the result multiset is IDENTICAL to the plain join, which
+    is exactly what the oracle runs (DuckDB, no salt).  Exact cents
+    sums per (key, tag): bit-level anywhere."""
+    from pawpaw_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    left = li.select(
+        F.when(F.col("l_linenumber") <= 4, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("part"), F.col("l_partkey").cast("string")))
+        .alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.concat(F.lit("part"), F.col("p_partkey").cast("string")).alias(
+            "k"
+        ),
+        (F.col("p_partkey") % 97).cast("long").alias("tag"),
+    )
+    hot = spark.range(1).select(
+        F.lit("HOT").alias("k"), F.lit(-1).cast("long").alias("tag")
+    )
+    joined = salted_join(left, part.unionByName(hot), "k", n_salts=8)
+    return joined.groupBy("k", "tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
 def q_readability(spark, sf_dir):
     """Flesch reading ease (text.flesch_reading_ease) over the
     documents corpus: exact int64 word/sentence/vowel-group counts
@@ -4171,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads": q_kg_nquads,
         "fix_mojibake": q_fix_mojibake,
         "readability": q_readability,
+        "salted_join": q_salted_join,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8014,6 +8049,27 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # salted-join replay: the PLAIN join (no salt) — equality IS
+        # the contract
+        "salted_join": """
+            WITH l AS (
+              SELECT CASE WHEN l_linenumber <= 4 THEN 'HOT'
+                          ELSE 'part' || CAST(l_partkey AS VARCHAR)
+                     END AS k,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS cents
+              FROM lineitem),
+            r AS (
+              SELECT 'part' || CAST(p_partkey AS VARCHAR) AS k,
+                     CAST(p_partkey % 97 AS BIGINT) AS tag
+              FROM part
+              UNION ALL SELECT 'HOT', -1)
+            SELECT l.k, r.tag,
+                   count(*) AS n_rows,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM l JOIN r ON l.k = r.k
+            GROUP BY l.k, r.tag
         """,
         # Flesch replay: same counting rules, same integer
         # polynomials, one double division + round(4)
