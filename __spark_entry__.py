@@ -3989,6 +3989,37 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_er_metrics(spark, sf_dir):
+    """Pairwise ER evaluation (linking.er_pair_metrics — the north
+    rule's own P/R gate as an operator): gold = same-cell customer
+    pairs at cell = key DIV 5, predicted = the same clustering with
+    the boundary shifted one key (cell = (key+1) DIV 5) — a realistic
+    near-miss whose pairwise precision/recall the oracle recomputes
+    from both pair sets with exact counts and round-6 ratios."""
+    from pawpaw_spark.operators.linking import er_pair_metrics
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def pairs(cell_col):
+        c = cust.select(F.col("k"), cell_col.alias("cell"))
+        a = c.select(F.col("k").alias("ka"), "cell")
+        b = c.select(F.col("k").alias("kb"), "cell")
+        return (
+            a.join(b, "cell")
+            .filter(F.col("ka") < F.col("kb"))
+            .select(
+                F.col("ka").cast("string").alias("a"),
+                F.col("kb").cast("string").alias("b"),
+            )
+        )
+
+    gold = pairs(F.expr("k DIV 5"))
+    pred = pairs(F.expr("(k + 1) DIV 5"))
+    return er_pair_metrics(pred, gold)
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-defused dimension join (skew.salted_join): lineitem keyed
     so that lines 1-4 of every order collapse onto ONE mega-key (~87%
@@ -4206,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "readability": q_readability,
         "salted_join": q_salted_join,
+        "er_metrics": q_er_metrics,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8049,6 +8081,40 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # ER-metrics replay: both canonical pair sets + the
+        # intersection, exact counts, round-6 ratios (DuckDB string
+        # comparison on CAST keys matches the engine's string pairs)
+        "er_metrics": """
+            WITH g AS (
+              SELECT DISTINCT
+                     least(CAST(a.c_custkey AS VARCHAR),
+                           CAST(b.c_custkey AS VARCHAR)) AS x,
+                     greatest(CAST(a.c_custkey AS VARCHAR),
+                              CAST(b.c_custkey AS VARCHAR)) AS y
+              FROM customer a JOIN customer b
+                ON a.c_custkey // 5 = b.c_custkey // 5
+               AND a.c_custkey < b.c_custkey),
+            p AS (
+              SELECT DISTINCT
+                     least(CAST(a.c_custkey AS VARCHAR),
+                           CAST(b.c_custkey AS VARCHAR)) AS x,
+                     greatest(CAST(a.c_custkey AS VARCHAR),
+                              CAST(b.c_custkey AS VARCHAR)) AS y
+              FROM customer a JOIN customer b
+                ON (a.c_custkey + 1) // 5 = (b.c_custkey + 1) // 5
+               AND a.c_custkey < b.c_custkey),
+            c AS (SELECT count(*) AS n FROM p JOIN g USING (x, y)),
+            s AS (SELECT (SELECT count(*) FROM p) AS n_pred,
+                         (SELECT count(*) FROM g) AS n_gold,
+                         (SELECT n FROM c) AS n_common)
+            SELECT n_pred, n_gold, n_common,
+                   round(CAST(n_common AS DOUBLE) / n_pred, 6)
+                     AS precision,
+                   round(CAST(n_common AS DOUBLE) / n_gold, 6)
+                     AS recall,
+                   round(2.0 * n_common / (n_pred + n_gold), 6) AS f1
+            FROM s
         """,
         # salted-join replay: the PLAIN join (no salt) — equality IS
         # the contract

@@ -259,3 +259,54 @@ def sorted_neighborhood_pairs(
         .join(b, F.col("_rb") == F.col("_ra") + F.col("d"))
         .select("id_a", "id_b", "d")
     )
+
+
+def er_pair_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Pairwise entity-resolution quality -> ONE row
+    ``(n_pred, n_gold, n_common, precision, recall, f1)``.
+
+    The evaluation harness for the linking stage itself (the north
+    rule's P/R >= 0.95 gate is exactly this computation): both inputs
+    are match-pair tables, canonicalized to unordered distinct pairs
+    (least/greatest + distinct — direction and duplicates can't skew
+    the counts), intersected with one equi-join.  Counts are exact
+    int64; the three ratios are single divisions of exact ints,
+    round-6 (0.0 when the denominator is empty, the conventional
+    convention).  Two shuffles (the distincts) + one join — at any
+    scale the pair tables are the operator's own output size.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("x"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("y"),
+            )
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+        )
+
+    p = canon(pred).persist()
+    g = canon(gold).persist()
+    n_pred = p.count()
+    n_gold = g.count()
+    n_common = p.join(g, ["x", "y"]).count()
+    p.unpersist()
+    g.unpersist()
+    spark = pred.sparkSession
+    prec = round(n_common / n_pred, 6) if n_pred else 0.0
+    rec = round(n_common / n_gold, 6) if n_gold else 0.0
+    f1 = (
+        round(2 * n_common / (n_pred + n_gold), 6)
+        if (n_pred + n_gold)
+        else 0.0
+    )
+    return spark.createDataFrame(
+        [(n_pred, n_gold, n_common, prec, rec, f1)],
+        "n_pred long, n_gold long, n_common long, "
+        "precision double, recall double, f1 double",
+    )
