@@ -3989,6 +3989,27 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_kg_sage_feats(spark, sf_dir):
+    """Sum message passing (graph.neighborhood_agg — the GraphSAGE/GCN
+    convolution skeleton) over the constructed tree's child->parent
+    edges, all-ones init, 3 rounds: node v's feature becomes the count
+    of <=3-hop descending paths INTO v (its 3-level subtree weight) —
+    exact int64s, no floats anywhere, so the oracle's 3 unrolled
+    join+sum rounds in SQL match bit-level at any parallelism."""
+    from pawpaw_spark.operators.graph import neighborhood_agg
+
+    e = _tree_facts(spark, sf_dir).filter(
+        F.col("pred") == "CHILD_OF"
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst")))
+        .distinct()
+        .select("node", F.lit(1).alias("feat"))
+    )
+    return neighborhood_agg(e, nodes, rounds=3)
+
+
 def q_er_metrics(spark, sf_dir):
     """Pairwise ER evaluation (linking.er_pair_metrics — the north
     rule's own P/R gate as an operator): gold = same-cell customer
@@ -4238,6 +4259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "salted_join": q_salted_join,
         "er_metrics": q_er_metrics,
+        "kg_sage_feats": q_kg_sage_feats,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8081,6 +8103,41 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # message-passing replay: 3 unrolled join+sum rounds over the
+        # tree edges, all-ones init, exact integers
+        "kg_sage_feats": """
+            WITH k AS (SELECT c_custkey + 1 AS k FROM customer),
+            params AS (SELECT count(*) AS m FROM k),
+            e AS (SELECT 'n' || k AS s, 'n' || (k // 2) AS d
+                  FROM k WHERE k >= 2),
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT s AS n FROM e UNION ALL SELECT d FROM e)),
+            f0 AS (SELECT n AS node, CAST(1 AS BIGINT) AS feat
+                   FROM nodes),
+            f1 AS (
+              SELECT f0.node,
+                     f0.feat + coalesce(i.s, 0) AS feat
+              FROM f0 LEFT JOIN (
+                SELECT e.d AS node, sum(f0.feat) AS s
+                FROM e JOIN f0 ON e.s = f0.node GROUP BY e.d) i
+              USING (node)),
+            f2 AS (
+              SELECT f1.node,
+                     f1.feat + coalesce(i.s, 0) AS feat
+              FROM f1 LEFT JOIN (
+                SELECT e.d AS node, sum(f1.feat) AS s
+                FROM e JOIN f1 ON e.s = f1.node GROUP BY e.d) i
+              USING (node)),
+            f3 AS (
+              SELECT f2.node,
+                     f2.feat + coalesce(i.s, 0) AS feat
+              FROM f2 LEFT JOIN (
+                SELECT e.d AS node, sum(f2.feat) AS s
+                FROM e JOIN f2 ON e.s = f2.node GROUP BY e.d) i
+              USING (node))
+            SELECT node, CAST(feat AS BIGINT) AS feat FROM f3
         """,
         # ER-metrics replay: both canonical pair sets + the
         # intersection, exact counts, round-6 ratios (DuckDB string

@@ -3397,3 +3397,66 @@ def four_clique_count(
 
         _attach_caches(out, [und, deg, oriented])
     return out
+
+
+def neighborhood_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    feat_col: str = "feat",
+) -> DataFrame:
+    """K rounds of sum message passing -> (node, feat): each round
+    every node's feature becomes ``own + sum(features of in-neighbors
+    over the DISTINCT edge set)`` — the GraphSAGE/GCN sum-convolution
+    skeleton on exact int64 features, the deterministic core a
+    feature-engineering pipeline runs before any learned weights (and
+    the k-hop structural fingerprint: with all-ones init, round k
+    counts <=k-length in-paths).
+
+    Exact integers at any parallelism — no floats, so no summation-
+    order wobble; values grow like (1 + max_in_degree)^rounds, the
+    caller's overflow budget (int64 holds deg 100 to round 9).
+    Per round ONE join + ONE partial-agg shuffle, state checkpointed
+    under fixpoint_loop_conf: the plan every bulk-synchronous vertex
+    program compiles to.  Nodes present in ``features`` but isolated
+    keep their feature; edge endpoints missing from ``features``
+    contribute nothing (no implicit zero rows are invented).
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from pawpaw_spark.session import fixpoint_loop_conf, truncated_checkpoint
+
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .distinct()
+        .persist()
+    )
+    n_e = e.count()
+    state = features.select(
+        F.col(node_col).alias("node"),
+        F.col(feat_col).cast("long").alias("feat"),
+    )
+    try:
+        with fixpoint_loop_conf(edges.sparkSession, approx_state_rows=n_e):
+            state = truncated_checkpoint(state)
+            for _ in range(rounds):
+                inc = (
+                    e.join(state, e["s"] == state["node"])
+                    .select(F.col("d").alias("node"), "feat")
+                    .groupBy("node")
+                    .agg(F.sum("feat").alias("_in"))
+                )
+                state = truncated_checkpoint(
+                    state.join(inc, "node", "left").select(
+                        "node",
+                        (
+                            F.col("feat") + F.coalesce("_in", F.lit(0))
+                        ).alias("feat"),
+                    )
+                )
+    finally:
+        e.unpersist()
+    return state
