@@ -3989,6 +3989,58 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization (text.normalize_url): five constructed URL
+    classes from order keys — www + default port + tracking params +
+    fragment + param disorder, https default-port co.uk multilabel,
+    gclid-only query, a real non-default port, and an unparseable row
+    — each rule (lowercase, www strip, :80/:443 drop, fragment drop,
+    trailing-slash trim, tracking-key filter, byte-wise param sort,
+    last-2-label registered domain) replayed by the oracle with
+    DuckDB's own regex/list functions over the same construction."""
+    from pawpaw_spark.operators.text import normalize_url
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    url = (
+        F.when(
+            k % 5 == 0,
+            F.concat(
+                F.lit("http://www.Site"), (k % 50).cast("string"),
+                F.lit(".com:80/p/"), k.cast("string"),
+                F.lit("/?utm_source=a&b="), (k % 7).cast("string"),
+                F.lit("&a=1#frag"),
+            ),
+        )
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit("https://site"), (k % 50).cast("string"),
+                F.lit(".com/p/"), k.cast("string"),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(
+                F.lit("https://shop.example.co.uk:443/item/"),
+                k.cast("string"), F.lit("/?gclid=g&z=2&y=1"),
+            ),
+        )
+        .when(
+            k % 5 == 3,
+            F.concat(
+                F.lit("http://host"), (k % 9).cast("string"),
+                F.lit(".org:8080/x?q="), k.cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("bad url "), k.cast("string")))
+    )
+    corpus = o.select(
+        k.cast("string").alias("doc_id"), url.alias("url")
+    )
+    return normalize_url(corpus)
+
+
 def q_kg_sage_feats(spark, sf_dir):
     """Sum message passing (graph.neighborhood_agg — the GraphSAGE/GCN
     convolution skeleton) over the constructed tree's child->parent
@@ -4260,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "er_metrics": q_er_metrics,
         "kg_sage_feats": q_kg_sage_feats,
+        "url_normalize": q_url_normalize,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8103,6 +8156,74 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # URL replay: the same construction + every canonicalization
+        # rule in DuckDB regex/list functions
+        "url_normalize": r"""
+            WITH src AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                     CASE o_orderkey % 5
+                       WHEN 0 THEN 'http://www.Site'
+                         || CAST(o_orderkey % 50 AS VARCHAR)
+                         || '.com:80/p/' || CAST(o_orderkey AS VARCHAR)
+                         || '/?utm_source=a&b='
+                         || CAST(o_orderkey % 7 AS VARCHAR) || '&a=1#frag'
+                       WHEN 1 THEN 'https://site'
+                         || CAST(o_orderkey % 50 AS VARCHAR)
+                         || '.com/p/' || CAST(o_orderkey AS VARCHAR)
+                       WHEN 2 THEN 'https://shop.example.co.uk:443/item/'
+                         || CAST(o_orderkey AS VARCHAR) || '/?gclid=g&z=2&y=1'
+                       WHEN 3 THEN 'http://host'
+                         || CAST(o_orderkey % 9 AS VARCHAR)
+                         || '.org:8080/x?q=' || CAST(o_orderkey AS VARCHAR)
+                       ELSE 'bad url ' || CAST(o_orderkey AS VARCHAR)
+                     END AS url
+              FROM orders),
+            p AS (
+              SELECT doc_id, url,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS rawhost,
+                regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS port,
+                regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS rawpath,
+                regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 5) AS q,
+                regexp_matches(url,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$') AS m
+              FROM src),
+            n AS (
+              SELECT doc_id, url, scheme,
+                regexp_replace(rawhost, '^www\.', '') AS host,
+                CASE WHEN port IN (':80', ':443') THEN ''
+                     ELSE port END AS kport,
+                CASE WHEN len(rawpath) > 1 AND rawpath LIKE '%/'
+                     THEN substr(rawpath, 1, len(rawpath) - 1)
+                     ELSE rawpath END AS path,
+                array_to_string(list_sort(list_filter(
+                  string_split(q, '&'),
+                  x -> x <> ''
+                   AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+                   AND split_part(x, '=', 1) NOT IN
+                       ('gclid','fbclid','msclkid','ref',
+                        'mc_cid','mc_eid'))), '&') AS cq,
+                m AND len(rawhost) > 0 AS ok
+              FROM p)
+            SELECT doc_id,
+              CASE WHEN ok THEN scheme END AS scheme,
+              CASE WHEN ok THEN host END AS host,
+              CASE WHEN ok THEN (
+                CASE WHEN len(string_split(host, '.')) >= 2
+                     THEN string_split(host, '.')[-2] || '.'
+                          || string_split(host, '.')[-1]
+                     ELSE host END) END AS registered_domain,
+              CASE WHEN ok THEN scheme || '://' || host || kport || path
+                     || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END)
+                   ELSE url END AS clean_url,
+              ok AS is_valid
+            FROM n
         """,
         # message-passing replay: 3 unrolled join+sum rounds over the
         # tree edges, all-ones init, exact integers

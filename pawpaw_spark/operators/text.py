@@ -656,3 +656,85 @@ def flesch_reading_ease(
             "flesch"
         ),
     )
+
+
+_URL_RE = (
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)"
+    r"(?:\?([^#]*))?(?:#.*)?$"
+)
+
+# tracking parameters dropped during canonicalization (the CCNet /
+# web-dedup staple set; matched on the exact key or the utm_ prefix)
+_TRACKING_KEYS = ("gclid", "fbclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+
+def normalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonicalize URLs for web-corpus dedup ->
+    ``(id, scheme, host, registered_domain, clean_url, is_valid)``.
+
+    Pinned rules (each a pure column expression — one shuffle-free
+    projection, and each replayable in any SQL engine):
+
+    * scheme and host lowercased; a leading ``www.`` stripped;
+    * explicit ``:80`` / ``:443`` ports dropped (the default-port
+      collapse; other ports kept);
+    * fragment dropped; trailing ``/`` stripped from non-root paths;
+    * query parameters: tracking keys (``utm_*`` prefix + the gclid
+      family) dropped, survivors SORTED byte-wise and rejoined — the
+      param-order collapse that merges reordered duplicates;
+    * ``registered_domain`` = last two host labels (a documented
+      heuristic — the full public-suffix list is data, not logic, and
+      plugs in by replacing this column);
+    * rows that don't parse (``is_valid`` false) pass through with
+      ``clean_url`` = the raw input, never nulled.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, _URL_RE, 1))
+    rawhost = F.lower(F.regexp_extract(u, _URL_RE, 2))
+    port = F.regexp_extract(u, _URL_RE, 3)
+    rawpath = F.regexp_extract(u, _URL_RE, 4)
+    query = F.regexp_extract(u, _URL_RE, 5)
+    host = F.regexp_replace(rawhost, r"^www\.", "")
+    keep_port = F.when(
+        port.isin(":80", ":443"), F.lit("")
+    ).otherwise(port)
+    path = F.when(
+        (F.length(rawpath) > 1) & rawpath.endswith("/"),
+        rawpath.substr(F.lit(1), F.length(rawpath) - 1),
+    ).otherwise(rawpath)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != F.lit(""))
+        & ~F.split(kv, "=").getItem(0).startswith("utm_")
+        & ~F.split(kv, "=").getItem(0).isin(*_TRACKING_KEYS),
+    )
+    clean_q = F.array_join(F.sort_array(params), "&")
+    labels = F.split(host, r"\.")
+    nlab = F.size(labels)
+    reg_dom = F.when(
+        nlab >= 2,
+        F.concat(
+            F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1)
+        ),
+    ).otherwise(host)
+    ok = u.rlike(_URL_RE) & (F.length(rawhost) > 0)
+    clean = F.concat(
+        scheme, F.lit("://"), host, keep_port, path,
+        F.when(clean_q != "", F.concat(F.lit("?"), clean_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(ok, scheme).otherwise(F.lit(None)).alias("scheme"),
+        F.when(ok, host).otherwise(F.lit(None)).alias("host"),
+        F.when(ok, reg_dom).otherwise(F.lit(None)).alias(
+            "registered_domain"
+        ),
+        F.when(ok, clean).otherwise(u).alias("clean_url"),
+        ok.alias("is_valid"),
+    )

@@ -1,0 +1,80 @@
+"""URL canonicalization vs a from-first-principles Python recompute."""
+
+import re
+
+from pawpaw_spark.operators.text import normalize_url, _TRACKING_KEYS
+
+_PY_URL = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)"
+    r"(?:\?([^#]*))?(?:#.*)?$"
+)
+
+
+def _py_norm(u):
+    m = _PY_URL.match(u)
+    if not m or not m.group(2):
+        return (None, None, None, u, False)
+    scheme = m.group(1).lower()
+    host = re.sub(r"^www\.", "", m.group(2).lower())
+    port = m.group(3) or ""
+    if port in (":80", ":443"):
+        port = ""
+    path = m.group(4)
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    q = m.group(5) or ""
+    params = [
+        kv for kv in q.split("&")
+        if kv
+        and not kv.split("=")[0].startswith("utm_")
+        and kv.split("=")[0] not in _TRACKING_KEYS
+    ]
+    cq = "&".join(sorted(params))
+    labels = host.split(".")
+    reg = ".".join(labels[-2:]) if len(labels) >= 2 else host
+    clean = f"{scheme}://{host}{port}{path}" + (f"?{cq}" if cq else "")
+    return (scheme, host, reg, clean, True)
+
+
+CASES = [
+    "http://www.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+    "https://sub.domain.co.uk:443/path/",
+    "https://example.com/?gclid=123",
+    "http://example.com:8080/x?z=1&y=2",
+    "ftp://files.example.org/pub/",
+    "https://example.com",
+    "not a url",
+    "http:///missing-host",
+    "https://example.com/a?b=2&a=1&utm_campaign=q&fbclid=f",
+    "https://WWW.ONE.TWO.THREE.com/Deep/Path/",
+]
+
+
+class TestNormalizeUrl:
+    def test_differential(self, spark):
+        rows = [(str(i), u) for i, u in enumerate(CASES)]
+        df = spark.createDataFrame(rows, "doc_id string, url string")
+        got = {
+            r["doc_id"]: (
+                r["scheme"], r["host"], r["registered_domain"],
+                r["clean_url"], r["is_valid"],
+            )
+            for r in normalize_url(df).collect()
+        }
+        for i, u in enumerate(CASES):
+            assert got[str(i)] == _py_norm(u), (u, got[str(i)], _py_norm(u))
+
+    def test_duplicate_collapse(self, spark):
+        variants = [
+            "http://www.shop.com:80/item/?a=1&b=2",
+            "http://shop.com/item?b=2&a=1&utm_medium=email",
+            "http://Shop.com/item/?a=1&b=2#reviews",
+        ]
+        df = spark.createDataFrame(
+            [(str(i), u) for i, u in enumerate(variants)],
+            "doc_id string, url string",
+        )
+        cleans = {
+            r["clean_url"] for r in normalize_url(df).collect()
+        }
+        assert cleans == {"http://shop.com/item?a=1&b=2"}
