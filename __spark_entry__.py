@@ -3989,6 +3989,46 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_hrw_shards(spark, sf_dir):
+    """Rendezvous (HRW) shard assignment (sampling.rendezvous_assign):
+    documents routed to 5 named shards by md5 argmax — the
+    minimal-disruption routing primitive (tested: removing a shard
+    moves ONLY its keys).  Portable md5 weights, so the oracle
+    replays the argmax per key in SQL and the per-shard counts plus
+    every assignment match bit-level."""
+    from pawpaw_spark.operators.sampling import rendezvous_assign
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    shards = ["ingest-1", "ingest-2", "ingest-3", "ingest-4", "ingest-5"]
+    return rendezvous_assign(docs, shards, key_col="doc_id")
+
+
+def q_kg_tred(spark, sf_dir):
+    """Transitive reduction (graph_query.transitive_reduction, Aho/
+    Garey/Ullman 1972) of a constructed DAG: the binary-tree
+    child->parent edges PLUS a planted grandparent shortcut for every
+    4th node — redundant by definition (child -> parent -> grandparent
+    covers it), so the reduction must return exactly the tree edges.
+    The oracle recomputes via the recursive-CTE closure: an edge
+    survives iff no 2+-hop path connects its endpoints."""
+    from pawpaw_spark.operators.graph_query import transitive_reduction
+
+    e = _tree_facts(spark, sf_dir).filter(
+        F.col("pred") == "CHILD_OF"
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    # shortcut n(k) -> n(k div 4) for k % 4 == 0, k >= 4 (skip self)
+    k = F.regexp_extract(F.col("src"), "n(\\d+)", 1).cast("long")
+    shortcuts = e.filter((k % 4 == 0) & (k >= 4)).select(
+        "src",
+        F.concat(
+            F.lit("n"), F.floor(k / 4).cast("long").cast("string")
+        ).alias("dst"),
+    )
+    return transitive_reduction(e.unionByName(shortcuts))
+
+
 def q_url_normalize(spark, sf_dir):
     """URL canonicalization (text.normalize_url): five constructed URL
     classes from order keys — www + default port + tracking params +
@@ -4313,6 +4353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_metrics": q_er_metrics,
         "kg_sage_feats": q_kg_sage_feats,
         "url_normalize": q_url_normalize,
+        "hrw_shards": q_hrw_shards,
+        "kg_tred": q_kg_tred,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8156,6 +8198,45 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # HRW replay: per-key md5 argmax with the engine's (hash,
+        # shard) tie order
+        "hrw_shards": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id
+                       FROM documents),
+            s AS (SELECT * FROM (VALUES ('ingest-1'), ('ingest-2'),
+                  ('ingest-3'), ('ingest-4'), ('ingest-5')) t(n)),
+            w AS (SELECT d.doc_id, s.n,
+                         md5(s.n || '|' || d.doc_id) AS h
+                  FROM d CROSS JOIN s),
+            r AS (SELECT doc_id, n,
+                         row_number() OVER (PARTITION BY doc_id
+                           ORDER BY h DESC, n DESC) AS rk
+                  FROM w)
+            SELECT doc_id, n AS shard FROM r WHERE rk = 1
+        """,
+        # reduction replay: recursive-CTE closure; an edge survives
+        # iff no >=2-hop path connects its endpoints
+        "kg_tred": """
+            WITH RECURSIVE k AS (SELECT c_custkey + 1 AS k
+                                 FROM customer),
+            e0 AS (SELECT 'n' || k AS src, 'n' || (k // 2) AS dst
+                   FROM k WHERE k >= 2),
+            sc AS (SELECT 'n' || k AS src, 'n' || (k // 4) AS dst
+                   FROM k WHERE k >= 4 AND k % 4 = 0),
+            e AS (SELECT DISTINCT src, dst FROM
+                  (SELECT * FROM e0 UNION ALL SELECT * FROM sc)),
+            cl AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT cl.src, e.dst FROM cl JOIN e ON cl.dst = e.src),
+            tp AS (
+              SELECT DISTINCT a.src, c.dst
+              FROM e a JOIN cl c ON a.dst = c.src)
+            SELECT e.src, e.dst
+            FROM e LEFT JOIN tp
+              ON e.src = tp.src AND e.dst = tp.dst
+            WHERE tp.src IS NULL
         """,
         # URL replay: the same construction + every canonicalization
         # rule in DuckDB regex/list functions

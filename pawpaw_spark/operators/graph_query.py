@@ -1004,3 +1004,56 @@ def match_quads(
         out = out.filter(F.col(a[1:]) != F.col(b[1:]))
     out = out.select(*sorted(cols))
     return out.distinct() if distinct else out
+
+
+def transitive_reduction(
+    edges: DataFrame,
+    subj_col: str = "src",
+    obj_col: str = "dst",
+    max_rounds: int = 64,
+    square: bool = False,
+) -> DataFrame:
+    """Transitive reduction of a DAG -> the minimal edge set with the
+    same reachability (Aho, Garey & Ullman 1972): drop every edge
+    (u, v) for which a length->=2 path u ~> v exists.  The dependency-
+    graph simplifier — after SCC condensation, the reduced DAG is the
+    set of TRUE direct prerequisites a build scheduler or impact
+    analysis should display (every kept edge is irredundant).
+
+    Computation: ``closure = E+`` (the semi-naive ``_closure`` loop,
+    compacted checkpoints), ``two_plus = E JOIN closure`` (paths with
+    >= 2 hops: one edge then any path), and the reduction is ``E
+    LEFT ANTI two_plus`` — three declarative ops, nothing quadratic.
+    On a CYCLIC input the u ~> v test would delete whole cycles
+    (reachability ties), so cycles are REJECTED: any (u, u) row in the
+    closure raises — condense SCCs first (graph.condensation), which
+    is also the semantically meaningful reduction for cyclic graphs.
+    """
+    e = (
+        edges.select(
+            F.col(subj_col).alias("src"), F.col(obj_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    closure = _closure(e, max_rounds, square).persist()
+    try:
+        if not closure.filter(F.col("src") == F.col("dst")).isEmpty():
+            raise ValueError(
+                "transitive_reduction requires a DAG (a cycle was "
+                "found); condense SCCs first (graph.condensation)"
+            )
+        two_plus = (
+            e.alias("a")
+            .join(
+                closure.alias("c"),
+                F.col("a.dst") == F.col("c.src"),
+            )
+            .select(
+                F.col("a.src").alias("src"), F.col("c.dst").alias("dst")
+            )
+            .distinct()
+        )
+        return e.join(two_plus, ["src", "dst"], "left_anti")
+    finally:
+        closure.unpersist()

@@ -246,3 +246,42 @@ def leakage_safe_split(
     last = F.lit(names[-1])
     out_expr = last if expr is None else expr.otherwise(last)
     return with_canon.withColumn(out_col, out_expr)
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    shards: list[str],
+    key_col: str = "doc_id",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment -> the
+    input plus ``out_col`` (Thaler & Ravishankar 1998).
+
+    Each key goes to ``argmax over shards of md5(shard || '|' || key)``
+    — the stable-routing property that makes HRW the right primitive
+    for cluster resizes: adding or removing ONE shard moves only the
+    keys whose argmax was that shard (~1/n of the data), where a
+    mod-n hash reshuffles almost everything.  md5 keeps the weight
+    function portable (any engine can replay the argmax); ties are
+    impossible in practice (128-bit collisions) but the (hash, shard)
+    struct compare pins them deterministically anyway.
+
+    One shuffle-free projection: the per-key weights are an inline
+    array of len(shards) structs and ``array_max`` picks the winner —
+    shard lists are config-sized (machines, not data).
+    """
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("shard names must be unique")
+    k = F.col(key_col).cast("string")
+    arr = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(F.lit(s), F.lit("|"), k)).alias("h"),
+                F.lit(s).alias("n"),
+            )
+            for s in shards
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(arr)["n"])
