@@ -3989,6 +3989,23 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_weighted_quantiles(spark, sf_dir):
+    """WEIGHTED exact quantiles (sketch.exact_quantiles weight_col):
+    order price cents weighted by custkey % 10 + 1 — k-th smallest by
+    CUMULATIVE weight, k = ceil(p * total_weight) in exact rational
+    arithmetic, via the same radix-refinement histogram walk (counts
+    become weight sums, still int64).  The oracle expands nothing: a
+    RANGE-framed cumulative weight window picks min(v) at each exact
+    integer rank."""
+    from pawpaw_spark.operators.sketch import exact_quantiles
+
+    d = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 10 + 1).cast("long").alias("w"),
+    )
+    return exact_quantiles(d, "cents", [0.25, 0.5, 0.9], weight_col="w")
+
+
 def q_hrw_shards(spark, sf_dir):
     """Rendezvous (HRW) shard assignment (sampling.rendezvous_assign):
     documents routed to 5 named shards by md5 argmax — the
@@ -4355,6 +4372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "hrw_shards": q_hrw_shards,
         "kg_tred": q_kg_tred,
+        "weighted_quantiles": q_weighted_quantiles,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8198,6 +8216,28 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # weighted-quantile replay: RANGE-framed cumulative weights,
+        # exact integer ceil ranks
+        "weighted_quantiles": """
+            WITH t AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                     CAST(o_custkey % 10 + 1 AS BIGINT) AS w
+              FROM orders),
+            tot AS (SELECT sum(w) AS tw FROM t),
+            c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM t)
+            SELECT CAST(0.25 AS DOUBLE) AS p,
+                   (SELECT min(v) FROM c
+                    WHERE cum >= (SELECT (tw * 1 + 3) // 4 FROM tot))
+                     AS value
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE),
+                   (SELECT min(v) FROM c
+                    WHERE cum >= (SELECT (tw * 1 + 1) // 2 FROM tot))
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   (SELECT min(v) FROM c
+                    WHERE cum >= (SELECT (tw * 9 + 9) // 10 FROM tot))
         """,
         # HRW replay: per-key md5 argmax with the engine's (hash,
         # shard) tie order

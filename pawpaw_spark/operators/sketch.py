@@ -628,6 +628,7 @@ def exact_quantiles(
     col: str,
     probs: list[float],
     step_bits: int = 12,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT type-1 quantiles (k-th smallest, k = ceil(p*n)) of a
     non-negative int64 column WITHOUT a global sort — the classic
@@ -653,6 +654,13 @@ def exact_quantiles(
     arithmetic on negatives would reorder).  The input is scanned
     once per round — cache upstream if scans are expensive.  Runs
     EAGERLY and returns a small (p, value) DataFrame.
+
+    ``weight_col`` (int64, strictly positive; raises otherwise)
+    switches to WEIGHTED type-1 quantiles: the k-th smallest by
+    CUMULATIVE weight, k = ceil(p * total_weight) — equivalent to
+    repeating each row weight times, at no extra cost (every count in
+    the histogram walk becomes a weight sum, still exact int64; e.g.
+    the token-weighted median document length).
     """
     from fractions import Fraction
     from math import ceil
@@ -664,10 +672,21 @@ def exact_quantiles(
     if not 1 <= step_bits <= 20:
         raise ValueError("step_bits must be in [1, 20]")
     v = F.col(col).cast("long")
-    stats = df.select(
-        F.count(v).alias("n"), F.min(v).alias("lo"), F.max(v).alias("hi")
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        w = F.col(weight_col).cast("long")
+    stats = df.filter(v.isNotNull()).select(
+        F.sum(w).alias("n"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        (F.min(w) if weight_col is not None else F.lit(1)).alias("wlo"),
     ).collect()[0]
     n, lo, hi = stats.n, stats.lo, stats.hi
+    if weight_col is not None and stats.wlo is not None and stats.wlo <= 0:
+        raise ValueError(
+            "exact_quantiles: weights must be strictly positive"
+        )
     if not n:
         raise ValueError("exact_quantiles: no non-null rows")
     if lo < 0:
@@ -680,7 +699,7 @@ def exact_quantiles(
     prev_shift = None
     for s in shifts:
         bases = sorted({b for b, _ in state.values()})
-        d = df.select(v.alias("v"))
+        d = df.filter(v.isNotNull()).select(v.alias("v"), w.alias("w"))
         if prev_shift is not None:
             d = d.filter(
                 F.shiftright(F.col("v"), prev_shift).isin(bases)
@@ -693,7 +712,7 @@ def exact_quantiles(
                 pref.alias("pref"),
                 F.shiftright(F.col("v"), s).alias("key"),
             )
-            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("w").alias("c"))
             .collect()
         )
         by_pref: dict = {}

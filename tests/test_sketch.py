@@ -402,3 +402,57 @@ class TestExactQuantiles:
         empty = spark.createDataFrame([], "v long")
         with _pt.raises(ValueError, match="no non-null"):
             exact_quantiles(empty, "v", [0.5])
+
+
+class TestWeightedQuantiles:
+    def _brute(self, pairs, probs):
+        from fractions import Fraction
+        from math import ceil
+
+        expanded = sorted(
+            v for v, w in pairs for _ in range(w)
+        )
+        W = len(expanded)
+        return {
+            p: expanded[min(W, ceil(Fraction(str(p)) * W)) - 1]
+            for p in probs
+        }
+
+    def test_matches_expanded_bruteforce(self, spark):
+        import random
+
+        from pawpaw_spark.operators.sketch import exact_quantiles
+
+        rng = random.Random(7)
+        pairs = [
+            (rng.randint(0, 10**9), rng.randint(1, 9))
+            for _ in range(500)
+        ]
+        probs = [0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        df = spark.createDataFrame(pairs, "v long, w long")
+        got = {
+            r["p"]: r["value"]
+            for r in exact_quantiles(
+                df, "v", probs, weight_col="w"
+            ).collect()
+        }
+        assert got == {float(p): v for p, v in
+                       self._brute(pairs, probs).items()}
+
+    def test_unit_weights_equal_unweighted(self, spark):
+        from pawpaw_spark.operators.sketch import exact_quantiles
+
+        vals = [(i * 37 % 1000, 1) for i in range(300)]
+        df = spark.createDataFrame(vals, "v long, w long")
+        a = exact_quantiles(df, "v", [0.5, 0.9]).collect()
+        b = exact_quantiles(df, "v", [0.5, 0.9], weight_col="w").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_nonpositive_weight_raises(self, spark):
+        import pytest
+
+        from pawpaw_spark.operators.sketch import exact_quantiles
+
+        df = spark.createDataFrame([(1, 0)], "v long, w long")
+        with pytest.raises(ValueError, match="strictly positive"):
+            exact_quantiles(df, "v", [0.5], weight_col="w")
