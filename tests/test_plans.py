@@ -626,3 +626,46 @@ class TestRound4SessionPlanShapes:
         # codegen spans pre-execution, so pin pruning instead)
         rs = [l for l in plan.splitlines() if "ReadSchema" in l]
         assert rs and "o_custkey" in rs[0] and "o_orderkey" not in rs[0], plan
+
+
+class TestRound4SessionPlans:
+    """Plan-shape guards for the round-4 session operators."""
+
+    def test_tpch_q6_pushdown_and_pruning(self, spark):
+        plan = _plan(E.q_tpch_q6(spark, SF))
+        assert "PushedFilters" in plan and "l_shipdate" in plan
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert read_schema and "l_returnflag" not in read_schema[0]
+
+    def test_tpch_q3_broadcasts_customer(self, spark):
+        plan = _plan(E.q_tpch_q3(spark, SF))
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_salted_join_replicates_dimension(self, spark):
+        plan = _plan(E.q_salted_join(spark, SF))
+        assert "explode" in plan.lower(), plan
+        assert "CartesianProduct" not in plan
+
+    def test_snb_no_single_partition_window(self, spark):
+        # the global rank must come from the two-phase lift, never a
+        # single-partition window over the whole table
+        plan = _plan(E.q_snb_pairs(spark, SF))
+        assert "Exchange SinglePartition" not in plan, plan
+
+    def test_shuffle_free_projections(self, spark):
+        # one-pass scan operators: no DATA shuffle — the only Exchange
+        # allowed is _fan's RoundRobin split of a single-row-group
+        # parquet file (a no-op at scale, documented at _fan)
+        for name in ("fix_mojibake", "readability", "url_normalize",
+                     "hrw_shards"):
+            plan = _plan(E.queries()[name](spark, SF))
+            bad = [
+                l for l in plan.splitlines()
+                if "Exchange" in l and "RoundRobinPartitioning" not in l
+            ]
+            assert not bad, f"{name} shuffles: {bad}"
+
+    def test_ed_pairs_no_nested_loop(self, spark):
+        plan = _plan(E.q_ed_pairs(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
