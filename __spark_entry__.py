@@ -3918,12 +3918,13 @@ def q_kg_nquads(spark, sf_dir):
 def q_kg_graph_motif(spark, sf_dir):
     """SPARQL GRAPH ?g over a quad table (graph_query.match_quads):
     orders quadded into customer shards — (cust PLACED order) and
-    (order PRIO priority) rows, graph = shard(custkey % 20) — matched
-    with the DISJOINT pattern ``GRAPH ?g { ?c PLACED ?o . ?x PRIO
-    '1-URGENT' }``: the two triples share NO variable, so the graph
+    (order FLAG hot) rows for every 97th order key,
+    graph = shard(custkey % 20) — matched
+    with the DISJOINT pattern ``GRAPH ?g { ?c PLACED ?o . ?x FLAG
+    hot }``: the two triples share NO variable, so the graph
     key alone scopes the product — W3C active-graph semantics, which a
     triple-table matcher cannot express.  Per-graph binding counts =
-    placed-rows x urgent-orders WITHIN the shard; the oracle replays
+    placed-rows x flagged-orders WITHIN the shard; the oracle replays
     the per-graph join with an explicit graph-equality key.  Exact
     integers, bit-level anywhere.  IRI-safe ids; angle-bracket parse
     interplay is covered by kg_nquads."""
@@ -3941,17 +3942,17 @@ def q_kg_graph_motif(spark, sf_dir):
         ),
         g.alias("graph"),
     )
-    prio = o.select(
+    prio = o.filter(F.col("o_orderkey") % 97 == 0).select(
         F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
             "subj"
         ),
-        F.lit("PRIO").alias("pred"),
-        F.col("o_orderpriority").alias("obj"),
+        F.lit("FLAG").alias("pred"),
+        F.lit("hot").alias("obj"),
         g.alias("graph"),
     )
     b = match_quads(
         placed.unionByName(prio),
-        [("?c", "PLACED", "?o"), ("?x", "PRIO", "1-URGENT")],
+        [("?c", "PLACED", "?o"), ("?x", "FLAG", "hot")],
         "?g",
     )
     return b.groupBy("g").agg(F.count(F.lit(1)).alias("n_bindings"))
@@ -4226,7 +4227,7 @@ def q_kg_sparql_graph(spark, sf_dir):
     """The GRAPH clause through the SPARQL TEXT front-end
     (operators/sparql.py): the kg_graph_motif quad corpus queried as
     ``SELECT ?g (COUNT(*) AS ?n_bindings) WHERE { GRAPH ?g { ?c PLACED
-    ?o . ?x PRIO 1-URGENT } } GROUP BY ?g`` — parser recognition of the
+    ?o . ?x FLAG hot } } GROUP BY ?g`` — parser recognition of the
     GRAPH block, match_quads compilation, aggregation over the bound
     graph variable, all in one string-driven path.  Same closed
     arithmetic as kg_graph_motif (the two queries pin the programmatic
@@ -4245,18 +4246,18 @@ def q_kg_sparql_graph(spark, sf_dir):
         ),
         g.alias("graph"),
     )
-    prio = o.select(
+    prio = o.filter(F.col("o_orderkey") % 97 == 0).select(
         F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
             "subj"
         ),
-        F.lit("PRIO").alias("pred"),
-        F.col("o_orderpriority").alias("obj"),
+        F.lit("FLAG").alias("pred"),
+        F.lit("hot").alias("obj"),
         g.alias("graph"),
     )
     return sparql(
         placed.unionByName(prio),
         "SELECT ?g (COUNT(*) AS ?n_bindings) WHERE "
-        "{ GRAPH ?g { ?c PLACED ?o . ?x PRIO 1-URGENT } } GROUP BY ?g",
+        "{ GRAPH ?g { ?c PLACED ?o . ?x FLAG hot } } GROUP BY ?g",
     )
 
 
@@ -8187,7 +8188,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT
                      'shard' || CAST(o_custkey % 20 AS VARCHAR) AS g,
                      'o' || CAST(o_orderkey AS VARCHAR) AS x
-              FROM orders WHERE o_orderpriority = '1-URGENT'),
+              FROM orders WHERE o_orderkey % 97 = 0),
             b AS (
               SELECT DISTINCT p.g, p.c, p.o, u.x
               FROM placed p JOIN urgent u ON p.g = u.g)
@@ -8496,7 +8497,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT
                      'shard' || CAST(o_custkey % 20 AS VARCHAR) AS g,
                      'o' || CAST(o_orderkey AS VARCHAR) AS x
-              FROM orders WHERE o_orderpriority = '1-URGENT'),
+              FROM orders WHERE o_orderkey % 97 = 0),
             b AS (
               SELECT DISTINCT p.g, p.c, p.o, u.x
               FROM placed p JOIN urgent u ON p.g = u.g)
