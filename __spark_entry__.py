@@ -3990,6 +3990,47 @@ def q_fix_mojibake(spark, sf_dir):
     return fix_mojibake(corpus, text_col="text", id_col="doc_id")
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup audit (substring.cdc_chunks,
+    LBFS/FastCDC family): the documents corpus plus, for every 3rd
+    long doc, a clone with a DIFFERENT header and the original tail —
+    the shared tails sit at different offsets, so only content-defined
+    boundaries (cut where the ending 8-gram's md5 prefix is 0 mod 64)
+    make their chunks align and collapse by digest.  One exact-integer
+    audit row: total chunks, unique digests, extra copies, and the
+    dedupable bytes sum((copies-1)*len).  The oracle replays the whole
+    boundary/chunk/digest chain with DuckDB list+md5 functions."""
+    from pawpaw_spark.operators.substring import cdc_chunks
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    clones = docs.filter(
+        (F.col("doc_id").cast("long") % 3 == 0)
+        & (F.length("text") > 200)
+    ).select(
+        F.concat(F.lit("c"), F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.lit("HDR "), F.col("doc_id"), F.lit(": "),
+            F.substring("text", 101, 1 << 30),
+        ).alias("text"),
+    )
+    ch = cdc_chunks(
+        docs.unionByName(clones), k=8, mask_bits=6
+    )
+    per = ch.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("length").alias("len")
+    )
+    return per.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.col("cnt") - 1).cast("long").alias("n_extra_copies"),
+        F.sum((F.col("cnt") - 1) * F.col("len")).cast("long").alias(
+            "dup_bytes"
+        ),
+    )
+
+
 def q_weighted_quantiles(spark, sf_dir):
     """WEIGHTED exact quantiles (sketch.exact_quantiles weight_col):
     order price cents weighted by custkey % 10 + 1 — k-th smallest by
@@ -4374,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hrw_shards": q_hrw_shards,
         "kg_tred": q_kg_tred,
         "weighted_quantiles": q_weighted_quantiles,
+        "cdc_dedup": q_cdc_dedup,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8217,6 +8259,46 @@ def oracle_sql() -> dict[str, str]:
                    cls = 1 AS was_fixed,
                    CASE WHEN cls = 0 THEN 0 ELSE 3 END AS n_marks
             FROM c
+        """,
+        # CDC replay: same boundary rule (md5-prefix of the ending
+        # 8-gram mod 64), chunk tiling, digests, and the dedup audit
+        "cdc_dedup": """
+            WITH corpus AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+              UNION ALL
+              SELECT 'c' || CAST(doc_id AS VARCHAR),
+                     'HDR ' || CAST(doc_id AS VARCHAR) || ': '
+                       || substr(text, 101)
+              FROM documents
+              WHERE doc_id % 3 = 0 AND len(text) > 200),
+            b AS (
+              SELECT id, text, len(text) AS n,
+                     list_filter(range(7, len(text) - 1), p ->
+                       CAST(('0x' || substr(md5(substr(text, p - 6, 8)),
+                                            1, 8)) AS BIGINT) % 64 = 0)
+                       AS bounds
+              FROM corpus WHERE len(text) >= 1),
+            s AS (
+              SELECT id, text, n,
+                     list_prepend(0, list_transform(bounds, p -> p + 1))
+                       AS starts,
+                     list_append(list_transform(bounds, p -> p + 1), n)
+                       AS ends
+              FROM b),
+            ch AS (
+              SELECT id,
+                     md5(substr(text, st + 1, en - st)) AS digest,
+                     en - st AS length
+              FROM s, LATERAL (
+                SELECT unnest(starts) AS st, unnest(ends) AS en)),
+            per AS (
+              SELECT digest, count(*) AS cnt, max(length) AS len
+              FROM ch GROUP BY digest)
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST(sum(cnt - 1) AS BIGINT) AS n_extra_copies,
+                   CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_bytes
+            FROM per
         """,
         # weighted-quantile replay: RANGE-framed cumulative weights,
         # exact integer ceil ranks

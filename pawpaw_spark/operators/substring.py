@@ -459,3 +459,89 @@ def winnow_delta_pairs(
     from pawpaw_spark.operators.dedup import _attach_caches
 
     return _attach_caches(out, [fp_new])  # see dedup.cached_scope
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    mask_bits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking -> one row per chunk:
+    ``(id, chunk_idx, start, length, digest)``.
+
+    The storage-dedup primitive (Muthitacharoen et al., LBFS SOSP
+    2001; the FastCDC family): cut AFTER every position whose ending
+    k-gram hashes to 0 mod ``2**mask_bits`` — boundaries depend only
+    on LOCAL content, so a shared passage chunks identically in every
+    document that contains it REGARDLESS of its offset (the property
+    fixed-size blocking lacks), and identical chunks collapse by
+    ``digest`` corpus-wide.  Expected chunk length ~``2**mask_bits``
+    chars.  The production min/max chunk-length smoothing (FastCDC's
+    normalized chunking) is a SEQUENTIAL suppression fold and is
+    deliberately omitted: this is the portable canonical form — every
+    rule here is replayable in any engine with md5 + list ops, which
+    is what the contract oracle does.
+
+    Array-native like :func:`winnow_fingerprints`: per row, one pass
+    computes the boundary set, cut offsets, and chunk substrings +
+    digests inside whole-stage codegen; the only shuffle is whatever
+    the CALLER does with the chunk table.  Docs shorter than ``k``
+    emit one whole-doc chunk.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 1 <= mask_bits <= 20:
+        raise ValueError("mask_bits must be in [1, 20]")
+    d = 1 << mask_bits
+    t = F.col(text_col)
+    n = F.length(t)
+    # boundary positions: 0-based END position p of a k-gram (p in
+    # [k-1, n-1]); cut AFTER p. The LAST position never cuts (it would
+    # emit an empty tail chunk).
+    bounds = F.filter(
+        F.sequence(F.lit(k - 1), n - 2),
+        lambda p: (
+            F.conv(
+                F.substring(
+                    F.md5(t.substr(p - (k - 2), F.lit(k))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % d
+        )
+        == 0,
+    )
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(bounds, lambda p: (p + 1).cast("int"))
+    )
+    ends = F.concat(
+        F.transform(bounds, lambda p: (p + 1).cast("int")),
+        F.array(n.cast("int")),
+    )
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("start"), (e - s).alias("length")
+        ),
+    )
+    guarded = F.when(n >= 1, chunks).otherwise(
+        F.array().cast("array<struct<start:int,length:int>>")
+    )
+    ex = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+        F.posexplode(guarded).alias("chunk_idx", "c"),
+    )
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.col("c.start").alias("start"),
+        F.col("c.length").alias("length"),
+        F.md5(
+            F.col("__t").substr(F.col("c.start") + 1, F.col("c.length"))
+        ).alias("digest"),
+    )

@@ -1,0 +1,83 @@
+"""Content-defined chunking vs a Python reference + the shift property."""
+
+import hashlib
+import random
+
+from pawpaw_spark.operators.substring import cdc_chunks
+
+
+def _py_chunks(text, k=8, mask_bits=6):
+    d = 1 << mask_bits
+    n = len(text)
+    if n == 0:
+        return []
+    bounds = [
+        p
+        for p in range(k - 1, n - 1)
+        if int(hashlib.md5(text[p - k + 1 : p + 1].encode()).hexdigest()[:8], 16)
+        % d
+        == 0
+    ]
+    starts = [0] + [p + 1 for p in bounds]
+    ends = [p + 1 for p in bounds] + [n]
+    out = []
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        out.append(
+            (i, s, e - s, hashlib.md5(text[s:e].encode()).hexdigest())
+        )
+    return out
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {}
+    for r in cdc_chunks(df, **kw).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start"], r["length"], r["digest"])
+        )
+    return {k: sorted(v) for k, v in out.items()}
+
+
+class TestCdcChunks:
+    def test_matches_python_reference(self, spark):
+        rng = random.Random(5)
+        rows = [
+            (f"d{i}", "".join(rng.choice("abcdefgh ") for _ in range(n)))
+            for i, n in enumerate([0, 3, 7, 8, 50, 400, 2000])
+        ]
+        got = _run(spark, rows)
+        for k, text in rows:
+            want = sorted(_py_chunks(text))
+            assert got.get(k, []) == want, k
+
+    def test_chunks_tile_the_document(self, spark):
+        rng = random.Random(6)
+        text = "".join(rng.choice("xyzw.") for _ in range(1500))
+        got = _run(spark, [("d", text)])["d"]
+        assert got[0][1] == 0
+        covered = sum(c[2] for c in got)
+        assert covered == len(text)
+        for (i1, s1, l1, _), (i2, s2, _, _) in zip(got, got[1:]):
+            assert s2 == s1 + l1 and i2 == i1 + 1
+
+    def test_shift_invariance_of_shared_tail(self, spark):
+        # the same long passage embedded at DIFFERENT offsets must
+        # produce identical interior chunk digests — the whole point
+        rng = random.Random(7)
+        shared = "".join(rng.choice("mnopq rstu") for _ in range(1200))
+        rows = [
+            ("a", "PREFIX-A " + shared),
+            ("b", "a completely different and longer prefix " + shared),
+        ]
+        got = _run(spark, rows)
+        da = {c[3] for c in got["a"]}
+        db = {c[3] for c in got["b"]}
+        common = da & db
+        # interior chunks of `shared` align after the first cut inside it
+        assert len(common) >= max(len(da), len(db)) - 3
+
+    def test_short_doc_single_chunk(self, spark):
+        got = _run(spark, [("d", "tiny")])
+        assert got["d"] == [
+            (0, 0, 4, hashlib.md5(b"tiny").hexdigest())
+        ]
