@@ -4031,6 +4031,56 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
 
+_CDC_DELTA_INDEX: set[tuple] = set()
+
+
+def q_cdc_delta(spark, sf_dir):
+    """Incremental chunk-level dedup (substring.cdc_index_write +
+    cdc_delta_dups): docs with id % 7 != 3 are the indexed HISTORY;
+    the NEW slice is the id % 7 == 3 docs plus the cdc_dedup clone
+    construction (different header, shared tail) — so the delta must
+    surface cross-era clones (new clone of an indexed doc), in-delta
+    clones (new clone of a new doc), and organic repeats, at cost
+    proportional to the delta (history text never re-read; the index
+    joins pre-aggregated per digest).  Per-new-doc exact counts; the
+    oracle recomputes the FULL corpus chunk census and restricts to
+    new ids — delta == from-scratch is the contract."""
+    from pawpaw_spark.operators.substring import (
+        cdc_delta_dups,
+        cdc_index_write,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    clones = docs.filter(
+        (F.col("doc_id").cast("long") % 3 == 0)
+        & (F.length("text") > 200)
+    ).select(
+        F.concat(F.lit("c"), F.col("doc_id")).alias("doc_id"),
+        F.concat(
+            F.lit("HDR "), F.col("doc_id"), F.lit(": "),
+            F.substring("text", 101, 1 << 30),
+        ).alias("text"),
+    )
+    hist = docs.filter(F.col("doc_id").cast("long") % 7 != 3)
+    new = docs.filter(F.col("doc_id").cast("long") % 7 == 3).unionByName(
+        clones
+    )
+    path = "/tmp/pawpaw_cdc_index_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    key = (id(spark), path)
+    if key not in _CDC_DELTA_INDEX:
+        cdc_index_write(hist, path, k=8, mask_bits=6)
+        _CDC_DELTA_INDEX.add(key)
+    d = cdc_delta_dups(new, path)
+    return d.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_chunks"),
+        F.sum("length").cast("long").alias("dup_bytes"),
+    )
+
+
 def q_weighted_quantiles(spark, sf_dir):
     """WEIGHTED exact quantiles (sketch.exact_quantiles weight_col):
     order price cents weighted by custkey % 10 + 1 — k-th smallest by
@@ -4416,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_tred": q_kg_tred,
         "weighted_quantiles": q_weighted_quantiles,
         "cdc_dedup": q_cdc_dedup,
+        "cdc_delta": q_cdc_delta,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8299,6 +8350,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt - 1) AS BIGINT) AS n_extra_copies,
                    CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_bytes
             FROM per
+        """,
+        # CDC-delta replay: FULL-corpus chunk census, digests counted
+        # corpus-wide, restricted to the new ids — from-scratch ==
+        # incremental is the contract
+        "cdc_delta": """
+            WITH corpus AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+              UNION ALL
+              SELECT 'c' || CAST(doc_id AS VARCHAR),
+                     'HDR ' || CAST(doc_id AS VARCHAR) || ': '
+                       || substr(text, 101)
+              FROM documents
+              WHERE doc_id % 3 = 0 AND len(text) > 200),
+            b AS (
+              SELECT id, text, len(text) AS n,
+                     list_filter(range(7, len(text) - 1), p ->
+                       CAST(('0x' || substr(md5(substr(text, p - 6, 8)),
+                                            1, 8)) AS BIGINT) % 64 = 0)
+                       AS bounds
+              FROM corpus WHERE len(text) >= 1),
+            s AS (
+              SELECT id, text, n,
+                     list_prepend(0, list_transform(bounds, p -> p + 1))
+                       AS starts,
+                     list_append(list_transform(bounds, p -> p + 1), n)
+                       AS ends
+              FROM b),
+            ch AS (
+              SELECT id,
+                     md5(substr(text, st + 1, en - st)) AS digest,
+                     en - st AS length
+              FROM s, LATERAL (
+                SELECT unnest(starts) AS st, unnest(ends) AS en)),
+            per AS (
+              SELECT digest, count(*) AS cnt FROM ch GROUP BY digest),
+            dups AS (
+              SELECT ch.id, ch.length
+              FROM ch JOIN per USING (digest)
+              WHERE per.cnt >= 2
+                AND (ch.id LIKE 'c%'
+                     OR TRY_CAST(ch.id AS BIGINT) % 7 = 3))
+            SELECT id,
+                   CAST(count(*) AS BIGINT) AS n_dup_chunks,
+                   CAST(sum(length) AS BIGINT) AS dup_bytes
+            FROM dups GROUP BY id
         """,
         # weighted-quantile replay: RANGE-framed cumulative weights,
         # exact integer ceil ranks

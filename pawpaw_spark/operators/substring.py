@@ -545,3 +545,113 @@ def cdc_chunks(
             F.col("__t").substr(F.col("c.start") + 1, F.col("c.length"))
         ).alias("digest"),
     )
+
+
+_CDC_INDEX_PARAMS = ("k", "mask_bits")
+
+
+def cdc_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    mask_bits: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus CDC chunk index: one parquet row per
+    (doc, digest, length) under ``<path>/rows``, parameters in a
+    ``<path>/params`` sidecar — the chunk-level member of the at-rest
+    index family (minhash_index_write, winnow_index_write), with the
+    same contract: a delta pass derives (k, mask_bits) FROM the
+    sidecar, and ``mode='append'`` validates the call's parameters
+    against it (chunks cut under different parameters never align, so
+    a mixed index would silently under-report duplication)."""
+    spark = df.sparkSession
+    params = dict(zip(_CDC_INDEX_PARAMS, (k, mask_bits)))
+    if mode == "append":
+        from pyspark.errors import AnalysisException
+
+        try:
+            row = spark.read.parquet(f"{path}/params").first()
+            if row is None:
+                raise ValueError(
+                    f"cdc_index_write(mode='append'): params sidecar at "
+                    f"{path}/params exists but holds no row — refusing "
+                    "to append against an unvalidatable index"
+                )
+        except AnalysisException as ex:
+            msg = str(ex)
+            if "PATH_NOT_FOUND" not in msg and "does not exist" not in msg:
+                raise
+            row = None
+        if row is not None:
+            old = {p: int(row.asDict()[p]) for p in _CDC_INDEX_PARAMS}
+            if old != params:
+                raise ValueError(
+                    f"cdc_index_write(mode='append'): parameters "
+                    f"{params} do not match the existing sidecar {old}"
+                )
+    d = df.withColumn(id_col, F.col(id_col).cast("string"))
+    ch = cdc_chunks(d, text_col, id_col, k, mask_bits)
+    ch.select(F.col(id_col).alias("id"), "digest", "length").write.mode(
+        mode
+    ).parquet(f"{path}/rows")
+    spark.createDataFrame([params]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/params")
+
+
+def cdc_delta_dups(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Day-2 chunk-level dedup: chunks of the NEW docs that already
+    exist (in the at-rest index OR >= 2 times within the delta) ->
+    ``(id, chunk_idx, digest, length, n_hist, n_new)``.
+
+    Cost ∝ |delta|: history TEXT is never re-read — the index joins
+    PRE-AGGREGATED per digest (one row per distinct chunk content, so
+    a boilerplate chunk shared by a million historical docs is ONE
+    join row, never a fan-out).  A new doc id colliding with a
+    historical id raises (half-applied replays must fail loud, the
+    minhash_delta doctrine).  A chunk is reported iff its corpus-wide
+    copy count is >= 2 — ``n_hist >= 1 or n_new >= 2`` — which equals
+    the from-scratch full-corpus answer restricted to new ids (the
+    contract oracle recomputes exactly that)."""
+    spark = new_docs.sparkSession
+    prow = spark.read.parquet(f"{index_path}/params").first()
+    k, mask_bits = (int(prow.asDict()[p]) for p in _CDC_INDEX_PARAMS)
+    hist = spark.read.parquet(f"{index_path}/rows")
+    d = new_docs.withColumn(id_col, F.col(id_col).cast("string"))
+    clash = (
+        d.select(F.col(id_col).alias("id"))
+        .join(hist.select("id").distinct(), "id")
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"cdc_delta_dups: new doc id {clash[0]['id']!r} already "
+            "exists in the index (replayed batch?) — refusing to "
+            "double-count"
+        )
+    ch = cdc_chunks(d, text_col, id_col, k, mask_bits)
+    hist_per = hist.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hist")
+    )
+    new_per = ch.groupBy("digest").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        ch.join(hist_per, "digest", "left")
+        .join(new_per, "digest")
+        .withColumn("n_hist", F.coalesce("n_hist", F.lit(0)))
+        .filter((F.col("n_hist") >= 1) | (F.col("n_new") >= 2))
+        .select(
+            F.col(id_col).alias("id"), "chunk_idx", "digest",
+            "length", "n_hist", "n_new",
+        )
+    )

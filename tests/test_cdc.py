@@ -81,3 +81,84 @@ class TestCdcChunks:
         assert got["d"] == [
             (0, 0, 4, hashlib.md5(b"tiny").hexdigest())
         ]
+
+
+import pytest
+
+from pawpaw_spark.operators.substring import cdc_delta_dups, cdc_index_write
+
+
+def _full_dups_restricted(all_rows, new_ids, k=8, mask_bits=6):
+    """From-scratch oracle: chunk the WHOLE corpus, count digests
+    corpus-wide, report new-doc chunks with corpus count >= 2."""
+    counts = {}
+    chunks = {}
+    for doc, text in all_rows:
+        cs = _py_chunks(text, k, mask_bits)
+        chunks[doc] = cs
+        for _, _, _, dg in cs:
+            counts[dg] = counts.get(dg, 0) + 1
+    out = set()
+    for doc in new_ids:
+        for idx, s, ln, dg in chunks[doc]:
+            if counts[dg] >= 2:
+                out.add((doc, idx, dg))
+    return out
+
+
+class TestCdcIncremental:
+    def test_delta_equals_full_restricted(self, spark, tmp_path):
+        rng = random.Random(11)
+        mk = lambda n: "".join(rng.choice("abcde fg") for _ in range(n))
+        hist = [(f"h{i}", mk(600)) for i in range(8)]
+        # one new doc clones a historical tail at a shifted offset;
+        # two new docs share a passage with each other only
+        shared_new = mk(400)
+        new = [
+            ("n0", "fresh head " + hist[2][1][150:]),
+            ("n1", "A" + shared_new),
+            ("n2", "BBBB" + shared_new),
+            ("n3", mk(300)),
+        ]
+        path = str(tmp_path / "cdc_idx")
+        hdf = spark.createDataFrame(hist, "doc_id string, text string")
+        cdc_index_write(hdf, path)
+        ndf = spark.createDataFrame(new, "doc_id string, text string")
+        got = {
+            (r["id"], r["chunk_idx"], r["digest"])
+            for r in cdc_delta_dups(ndf, path).collect()
+        }
+        want = _full_dups_restricted(
+            hist + new, {d for d, _ in new}
+        )
+        assert got == want
+        assert any(d == "n0" for d, _, _ in got)  # cross-era clone
+        assert any(d == "n1" for d, _, _ in got)  # in-delta pair
+
+    def test_id_collision_raises(self, spark, tmp_path):
+        path = str(tmp_path / "cdc_idx2")
+        df = spark.createDataFrame(
+            [("a", "some text here")], "doc_id string, text string"
+        )
+        cdc_index_write(df, path)
+        with pytest.raises(ValueError, match="already"):
+            cdc_delta_dups(df, path).collect()
+
+    def test_append_param_mismatch_raises(self, spark, tmp_path):
+        path = str(tmp_path / "cdc_idx3")
+        df = spark.createDataFrame(
+            [("a", "some text here")], "doc_id string, text string"
+        )
+        cdc_index_write(df, path, k=8, mask_bits=6)
+        df2 = spark.createDataFrame(
+            [("b", "more text")], "doc_id string, text string"
+        )
+        with pytest.raises(ValueError, match="do not match"):
+            cdc_index_write(df2, path, k=12, mask_bits=6, mode="append")
+        # matching params append fine, and the delta sees both eras
+        cdc_index_write(df2, path, k=8, mask_bits=6, mode="append")
+        df3 = spark.createDataFrame(
+            [("c", "some text here")], "doc_id string, text string"
+        )
+        got = {r["id"] for r in cdc_delta_dups(df3, path).collect()}
+        assert got == {"c"}
