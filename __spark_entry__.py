@@ -4031,6 +4031,39 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
 
+def q_md_sections(spark, sf_dir):
+    """Structural Markdown segmentation (sources/markdown.py +
+    rulesets.MARKDOWN_RULES through the kernel): constructed per-order
+    docs — an h1, two h2 sections, k%3+1 list items, and a fenced code
+    block whose content must stay inert — segmented into the
+    heading-section TREE by the containment stack, counted per
+    (doc, desc).  Closed-form oracle: 3 headings, 1 h1 + 2 h2
+    sections, 1 fence, k%3+1 items per order key.  Tree DEPTHS are
+    pinned by tests/test_markdown.py; the contract pins the per-doc
+    span census at scale."""
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.rulesets import MARKDOWN_RULES
+
+    o = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    k = F.col("o_orderkey")
+    text = F.concat(
+        F.lit("# order "), k.cast("string"), F.lit("\nintro\n"),
+        F.lit("## items\n"),
+        F.repeat(F.lit("- thing\n"), (k % 3 + 1).cast("int")),
+        F.lit("## status\n```\n# raw "), k.cast("string"),
+        F.lit("\n- raw\n```\n"),
+    )
+    docs = o.select(
+        k.cast("string").alias("doc_id"), text.alias("content")
+    )
+    segs = segment(docs, MARKDOWN_RULES)
+    return (
+        segs.filter(F.col("desc").startswith("md_"))
+        .groupBy("doc_id", "desc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 _CDC_DELTA_INDEX: set[tuple] = set()
 
 
@@ -4467,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_quantiles": q_weighted_quantiles,
         "cdc_dedup": q_cdc_dedup,
         "cdc_delta": q_cdc_delta,
+        "md_sections": q_md_sections,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8350,6 +8384,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt - 1) AS BIGINT) AS n_extra_copies,
                    CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_bytes
             FROM per
+        """,
+        # markdown-census replay: the closed-form per-desc counts of
+        # the constructed doc (fence content inert by construction)
+        "md_sections": """
+            WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                              o_orderkey % 3 + 1 AS n_items
+                       FROM orders)
+            SELECT doc_id, 'md_heading' AS desc,
+                   CAST(3 AS BIGINT) AS n FROM o
+            UNION ALL
+            SELECT doc_id, 'md_section_h1', 1 FROM o
+            UNION ALL
+            SELECT doc_id, 'md_section_h2', 2 FROM o
+            UNION ALL
+            SELECT doc_id, 'md_fence', 1 FROM o
+            UNION ALL
+            SELECT doc_id, 'md_item', CAST(n_items AS BIGINT) FROM o
         """,
         # CDC-delta replay: FULL-corpus chunk census, digests counted
         # corpus-wide, restricted to the new ids — from-scratch ==

@@ -67,10 +67,27 @@ def _xml_spans(text, start, stop):
 
 XML_RULES = RuleSet.of(custom(_xml_spans, tag="xml"), name="xml")
 
+
+# --- structural Markdown ---------------------------------------------------
+# heading-section trees (md_section_h<L> nests by containment), fenced
+# code blocks, list items — see sources/markdown.py
+def _md_spans(text, start, stop):
+    from pawpaw_spark.sources.markdown import md_spans
+
+    return md_spans(text, start, stop)
+
+
+MARKDOWN_RULES = RuleSet.of(custom(_md_spans, tag="md"), name="markdown")
+
 #: lang -> RuleSet used by the KG pipeline
 LANG_RULES: dict[str, RuleSet] = {
     "python": CODE_RULES,
     "text": TEXT_RULES,
+    # markdown stays on TEXT_RULES: the KG triple oracles (and the
+    # reference-parity P/R gate) pin the word/phrase segmentation of
+    # the corpus's .md files. MARKDOWN_RULES (heading-section trees)
+    # is the opt-in structural alternative — pass it to segment()
+    # explicitly, as q_md_sections does.
     "markdown": TEXT_RULES,
     "xml": XML_RULES,
 }
