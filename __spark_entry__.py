@@ -4064,6 +4064,52 @@ def q_md_sections(spark, sf_dir):
     )
 
 
+def q_md_links(spark, sf_dir):
+    """Markdown anchor graph (md_link spans through the kernel -> doc
+    LINKS_TO edges): constructed docs carry one ``doc://(k%100)`` link
+    each plus a second ``doc://(3k%100)`` link on even keys; the link
+    TARGET is recovered from the span's char range against the source
+    text (the zero-copy Ito value doctrine — the kernel stores offsets,
+    the value is a substr at use time) and aggregated to per-target
+    in-degree.  Closed-form oracle over the key arithmetic."""
+    from pawpaw_spark.operators.segment import segment
+    from pawpaw_spark.rulesets import MARKDOWN_RULES
+
+    o = _fan(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    k = F.col("o_orderkey")
+    text = F.concat(
+        F.lit("# d "), k.cast("string"),
+        F.lit("\nsee [a](doc://"), (k % 100).cast("string"), F.lit(")"),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit(" and [b](doc://"),
+                ((k * 3) % 100).cast("string"), F.lit(")"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("\n"),
+    )
+    docs = o.select(
+        k.cast("string").alias("doc_id"), text.alias("content")
+    )
+    links = segment(docs, MARKDOWN_RULES).filter(
+        F.col("desc") == "md_link"
+    )
+    joined = links.join(docs, "doc_id")
+    target = F.regexp_extract(
+        F.col("content").substr(
+            F.col("start") + 1, F.col("stop") - F.col("start")
+        ),
+        r"\]\((.*)\)$",
+        1,
+    )
+    return (
+        joined.select(target.alias("target"))
+        .groupBy("target")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+
+
 _CDC_DELTA_INDEX: set[tuple] = set()
 
 
@@ -4501,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "cdc_delta": q_cdc_delta,
         "md_sections": q_md_sections,
+        "md_links": q_md_links,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8401,6 +8448,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'md_fence', 1 FROM o
             UNION ALL
             SELECT doc_id, 'md_item', CAST(n_items AS BIGINT) FROM o
+        """,
+        # anchor-graph replay: the link-target arithmetic, per-target
+        # in-degree
+        "md_links": """
+            WITH o AS (SELECT o_orderkey AS k FROM orders),
+            e AS (
+              SELECT 'doc://' || CAST(k % 100 AS VARCHAR) AS target
+              FROM o
+              UNION ALL
+              SELECT 'doc://' || CAST((k * 3) % 100 AS VARCHAR)
+              FROM o WHERE k % 2 = 0)
+            SELECT target, CAST(count(*) AS BIGINT) AS n_in
+            FROM e GROUP BY target
         """,
         # CDC-delta replay: FULL-corpus chunk census, digests counted
         # corpus-wide, restricted to the new ids — from-scratch ==

@@ -16,7 +16,11 @@ dominates real documentation corpora:
   a fence are literal text and emit nothing — which also guarantees a
   fence never straddles a section boundary;
 * ``md_item``          — a bullet (``- ``/``* ``) or ordered
-  (``1. ``) list-item line.
+  (``1. ``) list-item line;
+* ``md_link``          — an inline ``[text](target)`` link occurrence
+  on any non-fence line, nested under its section/item by containment
+  (the anchor-graph substrate: q_md_links derives LINKS_TO edges from
+  these spans).
 
 Pure offset arithmetic on the original text (zero-copy doctrine: spans
 only, no substring materialization); runs inside the one-pass KG build
@@ -29,6 +33,7 @@ import re
 
 _HEADING = re.compile(r"^(#{1,6})[ \t]+\S")
 _ITEM = re.compile(r"^[ \t]*(?:[-*]|\d+\.)[ \t]+\S")
+_LINK = re.compile(r"\[[^\]\n]*\]\([^)\s]+\)")
 
 
 def md_spans(text: str, start: int, stop: int):
@@ -74,6 +79,10 @@ def md_spans(text: str, start: int, stop: int):
             spans.append((ls, le, "md_heading"))
         elif _ITEM.match(s):
             spans.append((ls, le, "md_item"))
+        # inline links (``[text](target)``) on any non-fence line —
+        # nested under their section/item by containment
+        for lm in _LINK.finditer(s):
+            spans.append((ls + lm.start(), ls + lm.end(), "md_link"))
 
     # pass 3: sections — a level-L heading owns everything up to the
     # next heading with level <= L

@@ -97,3 +97,26 @@ class TestMdSpans:
         d_h2 = depth_of("md_section_h2", "## Items")
         d_h1 = depth_of("md_section_h1", "# Top")
         assert d_item > d_h2 > d_h1
+
+
+class TestMdLinks:
+    def test_link_spans_and_nesting(self):
+        txt = ("# h\nsee [a](x/y) and [b b](doc://2)\n"
+               "- item with [c](z)\n```\n[hidden](no)\n```\n")
+        spans = md_spans(txt, 0, len(txt))
+        links = sorted(
+            txt[s:e] for s, e, d in spans if d == "md_link"
+        )
+        assert links == ["[a](x/y)", "[b b](doc://2)", "[c](z)"]
+        # the item's link sits inside the item line span
+        item = next((s, e) for s, e, d in spans if d == "md_item")
+        c = next(
+            (s, e) for s, e, d in spans
+            if d == "md_link" and txt[s:e] == "[c](z)"
+        )
+        assert item[0] <= c[0] and c[1] <= item[1]
+
+    def test_malformed_links_ignored(self):
+        txt = "# h\n[no target] and (no text) and [open](unclosed\n"
+        spans = md_spans(txt, 0, len(txt))
+        assert not [d for _, _, d in spans if d == "md_link"]
