@@ -929,8 +929,12 @@ def match_quads(
       on (shared vars + graph) — cross-graph bindings are impossible
       by construction, and a pattern whose triples share no other
       variable is still NOT a product (the graph key partitions it).
-      Path predicates / OPTIONAL / negation groups under a VARIABLE
-      graph raise: a per-graph closure is a different computation —
+      OPTIONAL and FILTER NOT EXISTS groups are supported and scope to
+      the ACTIVE graph (every group triple binds ?g, so the left/anti
+      join keys always include the graph — a group matches only within
+      the same named graph as the required part, the W3C semantics).
+      Path predicates anywhere, and MINUS groups, raise under a
+      VARIABLE graph: a per-graph closure is a different computation —
       slice to a constant graph first, or run the closure over
       ``quads.filter(col(graph_col) == g)`` per graph of interest.
 
@@ -955,31 +959,43 @@ def match_quads(
             **kwargs,
         )
 
-    for bad in ("optional", "not_exists", "minus"):
-        if kwargs.get(bad):
-            raise ValueError(
-                f"GRAPH ?var with {bad} groups is not supported; "
-                "slice to a constant graph first"
-            )
+    if kwargs.get("minus"):
+        raise ValueError(
+            "GRAPH ?var with MINUS groups is not supported (the "
+            "disjoint-domain rule interacts with the implicit shared "
+            "graph variable); use not_exists, or slice to a constant "
+            "graph first"
+        )
+    optional = kwargs.pop("optional", ()) or ()
+    not_exists = kwargs.pop("not_exists", ()) or ()
+    kwargs.pop("minus", None)
     gvar = graph[1:]
     if not pattern:
         raise ValueError("pattern must contain at least one triple")
-    for t in pattern:
-        if _is_path(t[1]):
-            raise ValueError(
-                f"path predicate {t[1]!r} under GRAPH ?var is not "
-                "supported (per-graph closure); filter to a constant "
-                "graph first"
-            )
-        if gvar in _vars_of(t):
-            raise ValueError(
-                f"graph variable {graph} reused inside the pattern"
-            )
-        if not _vars_of(t):
-            raise ValueError(
-                f"pattern triple {t} binds no variables; constant "
-                "existence under GRAPH ?var is not supported"
-            )
+
+    def _check_triples(ts, where):
+        for t in ts:
+            if _is_path(t[1]):
+                raise ValueError(
+                    f"path predicate {t[1]!r} under GRAPH ?var is not "
+                    "supported (per-graph closure); filter to a "
+                    "constant graph first"
+                )
+            if gvar in _vars_of(t):
+                raise ValueError(
+                    f"graph variable {graph} reused inside {where}"
+                )
+            if not _vars_of(t):
+                raise ValueError(
+                    f"{where} triple {t} binds no variables; constant "
+                    "existence under GRAPH ?var is not supported"
+                )
+
+    _check_triples(pattern, "the pattern")
+    for grp in (*optional, *not_exists):
+        if not grp:
+            raise ValueError("a group must contain >= 1 triple")
+        _check_triples(grp, "a group")
     for a, b in neq:
         if not (_is_var(a) and _is_var(b)):
             raise ValueError(f"neq terms must be variables: ({a}, {b})")
@@ -1000,6 +1016,51 @@ def match_quads(
         shared = sorted((cols & _vars_of(t)) | {gvar})
         out = out.join(sl, on=shared, how="inner")
         cols |= _vars_of(t)
+    def _quad_group(grp):
+        """One OPTIONAL/NOT-EXISTS group under the active graph ->
+        (inner-joined binding frame incl. the graph column, the keys
+        shared with the required frame). Every triple binds the graph
+        variable, so groups are never disconnected and always share at
+        least ?g with the required pattern — W3C active-graph scoping:
+        the group must match within the SAME graph as the required
+        part."""
+        g_order = _order_triples(grp, True, None)
+        gf = _slice(
+            named, g_order[0], subj_col, pred_col, obj_col, None,
+            extra=gbind,
+        )
+        g_cols = _vars_of(g_order[0]) | {gvar}
+        for t in g_order[1:]:
+            sl = _slice(
+                named, t, subj_col, pred_col, obj_col, None, extra=gbind
+            )
+            gf = gf.join(
+                sl, on=sorted((g_cols & _vars_of(t)) | {gvar}),
+                how="inner",
+            )
+            g_cols |= _vars_of(t)
+        keys = sorted((g_cols & cols) | {gvar})
+        return gf.select(*sorted(g_cols)), keys, g_cols
+
+    for grp in not_exists:
+        gf, keys, _ = _quad_group(grp)
+        out = out.join(gf, on=keys, how="left_anti")
+    claimed: set[str] = set()
+    for grp in optional:
+        gf, keys, g_cols = _quad_group(grp)
+        new_vars = g_cols - cols
+        overlap = new_vars & claimed
+        if overlap:
+            raise ValueError(
+                f"optional variable(s) {sorted(overlap)} appear in "
+                "two groups; bind shared optional structure in one "
+                "group"
+            )
+        claimed |= new_vars
+        if distinct:
+            gf = gf.distinct()
+        out = out.join(gf, on=keys, how="left")
+        cols |= g_cols
     for a, b in neq:
         out = out.filter(F.col(a[1:]) != F.col(b[1:]))
     out = out.select(*sorted(cols))

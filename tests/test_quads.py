@@ -123,10 +123,39 @@ class TestMatchQuads:
         q = _qdf(spark)
         with pytest.raises(ValueError, match="path predicate"):
             match_quads(q, [("?a", "CALLS+", "?b")], "?g")
-        with pytest.raises(ValueError, match="optional"):
+        with pytest.raises(ValueError, match="MINUS"):
             match_quads(
                 q, [("?a", "CALLS", "?b")], "?g",
-                optional=[[("?b", "TAG", "?t")]],
+                minus=[[("?b", "TAG", "?t")]],
             )
         with pytest.raises(ValueError, match="reused"):
             match_quads(q, [("?a", "CALLS", "?g")], "?g")
+
+    def test_optional_scopes_to_active_graph(self, spark):
+        # the TAG is on y only in g1: g2's chain keeps a NULL ?t
+        pat = [("?a", "CALLS", "?b")]
+        got = {
+            (r["a"], r["b"], r["t"], r["g"])
+            for r in match_quads(
+                _qdf(spark), pat, "?g",
+                optional=[[("?b", "TAG", "?t")]],
+            ).collect()
+        }
+        assert ("x", "y", "hot", "g1") in got
+        assert ("x", "y", None, "g2") in got  # no cross-graph borrow
+        assert ("y", "w", None, "g2") in got
+
+    def test_not_exists_scopes_to_active_graph(self, spark):
+        # drop bindings whose ?b is TAGged in the SAME graph only
+        pat = [("?a", "CALLS", "?b")]
+        got = {
+            (r["a"], r["b"], r["g"])
+            for r in match_quads(
+                _qdf(spark), pat, "?g",
+                not_exists=[[("?b", "TAG", "?t")]],
+            ).collect()
+        }
+        # g1: x->y dropped (y tagged in g1); y->z kept
+        # g2: x->y KEPT (y tagged only in g1), y->w kept
+        assert got == {("y", "z", "g1"), ("x", "y", "g2"),
+                       ("y", "w", "g2")}

@@ -799,3 +799,21 @@ class TestGraphClause:
             'FILTER ( ?b = y ) } }',
         ))
         assert got == {("g1", "x"), ("g2", "x")}
+
+    def test_optional_inside_graph_block(self, spark):
+        got = _t(sparql(
+            _quads(spark),
+            "SELECT ?g ?a ?t WHERE { GRAPH ?g "
+            "{ ?a CALLS ?b . OPTIONAL { ?b TAG ?t } } }",
+        ))
+        assert ("g1", "x", "hot") in got
+        assert ("g2", "x", None) in got
+
+    def test_not_exists_inside_graph_block(self, spark):
+        got = _t(sparql(
+            _quads(spark),
+            "SELECT ?g ?a ?b WHERE { GRAPH ?g "
+            "{ ?a CALLS ?b . FILTER NOT EXISTS { ?b TAG ?t } } }",
+        ))
+        assert got == {("g1", "y", "z"), ("g2", "x", "y"),
+                       ("g2", "y", "w")}
