@@ -4031,6 +4031,29 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
 
+def q_cdc_normalized(spark, sf_dir):
+    """FastCDC-style normalized chunking (cdc_chunks min_len/max_len):
+    the documents corpus chunked with the SEQUENTIAL smoothing fold —
+    forced cuts every max_len chars of a boundary gap, min_len
+    suppression — compiled to ONE aggregate() higher-order expression
+    per row; the oracle replays the identical struct-state fold with
+    DuckDB list_reduce (sentinel-prepended, same arithmetic).  Per-doc
+    exact ints: chunk count, max chunk length, and a digest checksum
+    (sum of md5-prefix ints) that pins EVERY chunk's content."""
+    from pawpaw_spark.operators.substring import cdc_chunks
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    ch = cdc_chunks(docs, k=8, mask_bits=6, min_len=32, max_len=256)
+    dig = F.conv(F.substring("digest", 1, 8), 16, 10).cast("long")
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.max("length").cast("long").alias("max_chunk_len"),
+        F.sum(dig).cast("long").alias("digest_sum"),
+    )
+
+
 def q_md_sections(spark, sf_dir):
     """Structural Markdown segmentation (sources/markdown.py +
     rulesets.MARKDOWN_RULES through the kernel): constructed per-order
@@ -4548,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delta": q_cdc_delta,
         "md_sections": q_md_sections,
         "md_links": q_md_links,
+        "cdc_normalized": q_cdc_normalized,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8448,6 +8472,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'md_fence', 1 FROM o
             UNION ALL
             SELECT doc_id, 'md_item', CAST(n_items AS BIGINT) FROM o
+        """,
+        # normalized-CDC replay: the same smoothing fold via
+        # list_reduce with a prepended sentinel state
+        "cdc_normalized": """
+            WITH RECURSIVE b AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, text,
+                     CAST(len(text) AS BIGINT) AS n,
+                     list_transform(
+                       list_filter(range(7, len(text) - 1), p ->
+                         CAST(('0x' || substr(md5(substr(text, p - 6, 8)),
+                                              1, 8)) AS BIGINT) % 64 = 0),
+                       p -> CAST(p + 1 AS BIGINT)) AS cand
+              FROM documents WHERE len(text) >= 1),
+            walk AS (
+              -- the smoothing fold as a per-candidate-index recursion
+              -- (list_reduce corrupts under downstream correlation in
+              -- DuckDB 1.0 -- constants in the lambda mis-bind; the
+              -- recursive walk is plain row SQL and immune)
+              SELECT id, CAST(0 AS BIGINT) AS idx,
+                     CAST(0 AS BIGINT) AS last,
+                     CAST([] AS BIGINT[]) AS cuts
+              FROM b
+              UNION ALL
+              SELECT w.id, w.idx + 1,
+                     CASE WHEN b.cand[w.idx + 1]
+                               - (w.last + 256 * greatest(0,
+                                  (b.cand[w.idx + 1] - w.last - 1)
+                                    // 256)) >= 32
+                          THEN b.cand[w.idx + 1]
+                          ELSE w.last + 256 * greatest(0,
+                                 (b.cand[w.idx + 1] - w.last - 1)
+                                   // 256) END,
+                     w.cuts
+                       || list_transform(
+                            range(1, 1 + greatest(0,
+                              (b.cand[w.idx + 1] - w.last - 1) // 256)),
+                            i -> w.last + 256 * i)
+                       || CASE WHEN b.cand[w.idx + 1]
+                                    - (w.last + 256 * greatest(0,
+                                       (b.cand[w.idx + 1] - w.last - 1)
+                                         // 256)) >= 32
+                               THEN [b.cand[w.idx + 1]]
+                               ELSE CAST([] AS BIGINT[]) END
+              FROM walk w JOIN b ON w.id = b.id
+              WHERE w.idx < len(b.cand)),
+            folded AS (
+              SELECT w.id, b.text, b.n, w.last, w.cuts
+              FROM walk w JOIN b ON w.id = b.id
+              WHERE w.idx = len(b.cand)),
+            cutl AS (
+              SELECT id, text, n,
+                     cuts || list_transform(
+                       range(1, 1 + greatest(0, (n - last - 1) // 256)),
+                       i -> last + 256 * i) AS cuts
+              FROM folded),
+            ch AS (
+              SELECT id,
+                     CAST(('0x' || substr(
+                       md5(substr(text, st + 1, en - st)), 1, 8))
+                       AS BIGINT) AS dig,
+                     en - st AS length
+              FROM (
+                SELECT id, text,
+                       list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+                       list_append(cuts, n) AS ends
+                FROM cutl), LATERAL (
+                SELECT unnest(starts) AS st, unnest(ends) AS en))
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(max(length) AS BIGINT) AS max_chunk_len,
+                   CAST(sum(dig) AS BIGINT) AS digest_sum
+            FROM ch GROUP BY id
         """,
         # anchor-graph replay: the link-target arithmetic, per-target
         # in-degree

@@ -467,6 +467,8 @@ def cdc_chunks(
     id_col: str = "doc_id",
     k: int = 8,
     mask_bits: int = 6,
+    min_len: int | None = None,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Content-defined chunking -> one row per chunk:
     ``(id, chunk_idx, start, length, digest)``.
@@ -478,11 +480,20 @@ def cdc_chunks(
     document that contains it REGARDLESS of its offset (the property
     fixed-size blocking lacks), and identical chunks collapse by
     ``digest`` corpus-wide.  Expected chunk length ~``2**mask_bits``
-    chars.  The production min/max chunk-length smoothing (FastCDC's
-    normalized chunking) is a SEQUENTIAL suppression fold and is
-    deliberately omitted: this is the portable canonical form — every
-    rule here is replayable in any engine with md5 + list ops, which
-    is what the contract oracle does.
+    chars.
+
+    ``min_len``/``max_len`` (both set, or neither) switch on FastCDC-
+    style NORMALIZED chunking — the production smoothing, with pinned
+    portable semantics: walk the content boundaries left to right
+    keeping ``last`` (the previous cut offset, initially 0); before
+    considering a boundary at offset ``e``, force a cut every
+    ``max_len`` chars of the gap (``(e - last - 1) div max_len``
+    forced cuts); then accept ``e`` iff ``e - last >= min_len``; after
+    the final boundary, apply the same forcing against the document
+    end.  A SEQUENTIAL fold — but per ROW, so it compiles to one
+    ``aggregate`` higher-order expression (no Python, no shuffle), and
+    the oracle replays it with DuckDB ``list_reduce`` over the same
+    struct state.
 
     Array-native like :func:`winnow_fingerprints`: per row, one pass
     computes the boundary set, cut offsets, and chunk substrings +
@@ -494,6 +505,10 @@ def cdc_chunks(
         raise ValueError("k must be >= 1")
     if not 1 <= mask_bits <= 20:
         raise ValueError("mask_bits must be in [1, 20]")
+    if (min_len is None) != (max_len is None):
+        raise ValueError("set both min_len and max_len, or neither")
+    if min_len is not None and not 1 <= min_len <= max_len:
+        raise ValueError("need 1 <= min_len <= max_len")
     d = 1 << mask_bits
     t = F.col(text_col)
     n = F.length(t)
@@ -514,11 +529,54 @@ def cdc_chunks(
         )
         == 0,
     )
+    if min_len is None:
+        cuts = F.transform(bounds, lambda p: (p + 1).cast("long"))
+    else:
+        ml = F.lit(max_len).cast("long")
+        cand = F.transform(bounds, lambda p: (p + 1).cast("long"))
+        init = F.struct(
+            F.lit(0).cast("long").alias("last"),
+            F.array().cast("array<bigint>").alias("cuts"),
+        )
+        empty = F.array().cast("array<bigint>")
+
+        def forced_cuts(last, upto):
+            # one forced cut every max_len chars of the gap (last, upto)
+            f = F.floor((upto - last - 1) / max_len).cast("long")
+            return F.when(
+                f >= 1,
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), f),
+                    lambda i: last + ml * i,
+                ),
+            ).otherwise(empty)
+
+        def merge(a, e):
+            forced = forced_cuts(a["last"], e)
+            nl = a["last"] + ml * F.coalesce(
+                F.size(forced).cast("long"), F.lit(0)
+            )
+            accept = (e - nl) >= min_len
+            return F.struct(
+                F.when(accept, e).otherwise(nl).alias("last"),
+                F.concat(
+                    a["cuts"],
+                    forced,
+                    F.when(accept, F.array(e)).otherwise(empty),
+                ).alias("cuts"),
+            )
+
+        folded = F.aggregate(cand, init, merge)
+        cuts = F.concat(
+            folded["cuts"],
+            forced_cuts(folded["last"], n.cast("long")),
+        )
     starts = F.concat(
-        F.array(F.lit(0)), F.transform(bounds, lambda p: (p + 1).cast("int"))
+        F.array(F.lit(0).cast("int")),
+        F.transform(cuts, lambda c: c.cast("int")),
     )
     ends = F.concat(
-        F.transform(bounds, lambda p: (p + 1).cast("int")),
+        F.transform(cuts, lambda c: c.cast("int")),
         F.array(n.cast("int")),
     )
     chunks = F.zip_with(

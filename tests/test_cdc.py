@@ -162,3 +162,73 @@ class TestCdcIncremental:
         )
         got = {r["id"] for r in cdc_delta_dups(df3, path).collect()}
         assert got == {"c"}
+
+
+def _py_chunks_norm(text, k=8, mask_bits=6, min_len=16, max_len=128):
+    d = 1 << mask_bits
+    n = len(text)
+    if n == 0:
+        return []
+    cand = [
+        p + 1
+        for p in range(k - 1, n - 1)
+        if int(hashlib.md5(text[p - k + 1 : p + 1].encode()).hexdigest()[:8], 16)
+        % d
+        == 0
+    ]
+    last, cuts = 0, []
+    for e in cand:
+        while e - last > max_len:
+            last += max_len
+            cuts.append(last)
+        if e - last >= min_len:
+            cuts.append(e)
+            last = e
+    while n - last > max_len:
+        last += max_len
+        cuts.append(last)
+    starts = [0] + cuts
+    ends = cuts + [n]
+    return [
+        (i, s, e - s, hashlib.md5(text[s:e].encode()).hexdigest())
+        for i, (s, e) in enumerate(zip(starts, ends))
+    ]
+
+
+class TestCdcNormalized:
+    def test_matches_python_reference(self, spark):
+        rng = random.Random(21)
+        rows = [
+            (f"d{i}", "".join(rng.choice("abcdefgh ") for _ in range(n)))
+            for i, n in enumerate([0, 5, 40, 300, 2000, 5000])
+        ]
+        got = _run(spark, rows, min_len=16, max_len=128)
+        for key, text in rows:
+            want = sorted(_py_chunks_norm(text))
+            assert got.get(key, []) == want, key
+
+    def test_length_bounds_hold(self, spark):
+        rng = random.Random(22)
+        text = "".join(rng.choice("qrstu vw") for _ in range(4000))
+        got = _run(spark, [("d", text)], min_len=20, max_len=100)["d"]
+        lens = [c[2] for c in got]
+        # every chunk except possibly the final tail respects min_len,
+        # and NO chunk exceeds max_len
+        assert all(ln <= 100 for ln in lens)
+        assert all(ln >= 20 for ln in lens[:-1])
+        assert sum(lens) == len(text)
+
+    def test_no_boundaries_forces_max_len_tiling(self, spark):
+        text = "A" * 1000  # uniform text: md5 boundaries unlikely; if
+        # one fires the reference tracks it identically anyway
+        got = _run(spark, [("d", text)], min_len=16, max_len=128)["d"]
+        assert got == sorted(_py_chunks_norm(text, min_len=16, max_len=128))
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="both"):
+            cdc_chunks(df, min_len=5).collect()
+        with _pytest.raises(ValueError, match="min_len <= max_len"):
+            cdc_chunks(df, min_len=50, max_len=10).collect()
