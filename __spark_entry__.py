@@ -4031,6 +4031,27 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Grouped top-k without a window sort (sampling.topk_per_group):
+    the 3 priciest orders per (priority, status) class by exact cents
+    with orderkey tiebreak, computed as a partial-combining hash
+    aggregate (slice of sort_array(collect_list)) — no Window node, no
+    per-group sort of the full table (asserted in tests).  The oracle
+    is the classic row_number() window."""
+    from pawpaw_spark.operators.sampling import topk_per_group
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return topk_per_group(
+        o, ["o_orderpriority", "o_orderstatus"], "cents", 3,
+        tiebreak_col="okey",
+    )
+
+
 def q_cdc_normalized(spark, sf_dir):
     """FastCDC-style normalized chunking (cdc_chunks min_len/max_len):
     the documents corpus chunked with the SEQUENTIAL smoothing fold —
@@ -4572,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_sections": q_md_sections,
         "md_links": q_md_links,
         "cdc_normalized": q_cdc_normalized,
+        "topk_per_group": q_topk_per_group,
         "kg_graph_motif": q_kg_graph_motif,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_4cliques": q_kg_4cliques,
@@ -8472,6 +8494,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'md_fence', 1 FROM o
             UNION ALL
             SELECT doc_id, 'md_item', CAST(n_items AS BIGINT) FROM o
+        """,
+        # grouped-top-k replay: the row_number window the engine
+        # deliberately avoids
+        "topk_per_group": """
+            WITH o AS (
+              SELECT o_orderpriority, o_orderstatus,
+                     CAST(o_orderkey AS BIGINT) AS okey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority, o_orderstatus
+                       ORDER BY cents DESC, o_orderkey) AS rk
+              FROM orders)
+            SELECT o_orderpriority, o_orderstatus, okey, cents
+            FROM o WHERE rk <= 3
         """,
         # normalized-CDC replay: the same smoothing fold via
         # list_reduce with a prepended sentinel state

@@ -285,3 +285,56 @@ def rendezvous_assign(
         ]
     )
     return df.withColumn(out_col, F.array_max(arr)["n"])
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    order_col: str,
+    k: int,
+    tiebreak_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-``k`` rows per group WITHOUT a per-group sort shuffle ->
+    the input columns, at most ``k`` rows per group (the per-language
+    best-quality-docs / per-repo hottest-files selection primitive).
+
+    Plan shape: ``slice(sort_array(collect_list(struct(...))), 1, k)``
+    — a HASH AGGREGATE, so the per-partition partial aggregation
+    already truncates nothing but combines map-side, and no window
+    function forces a sort-within-partitions of the full table.  For
+    small ``k`` (the selection use case) the carried state is the
+    row's struct only. Determinism requires a total order:
+    ``tiebreak_col`` (default: the first group column is NOT enough —
+    pass a unique id) breaks ``order_col`` ties; without one, equal
+    keys make the cut arbitrary and this raises rather than silently
+    returning run-dependent rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if tiebreak_col is None:
+        raise ValueError(
+            "pass tiebreak_col (a unique column): without a total "
+            "order the k-th place is partition-dependent"
+        )
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    o = F.col(order_col)
+    if descending:
+        from pyspark.sql import types as T
+
+        if not isinstance(df.schema[order_col].dataType, T.NumericType):
+            raise ValueError(
+                "descending=True needs a numeric order_col (the "
+                "struct sort is ascending; negation implements the "
+                "reversal)"
+            )
+    key = (-o if descending else o).alias("__o")
+    tb = F.col(tiebreak_col).alias("__t")
+    payload = F.struct(
+        key, tb, *[F.col(c) for c in df.columns]
+    )
+    agg = df.groupBy(*groups).agg(
+        F.slice(F.sort_array(F.collect_list(payload)), 1, k).alias("__top")
+    )
+    ex = agg.select(F.explode("__top").alias("r"))
+    return ex.select(*[F.col(f"r.{c}").alias(c) for c in df.columns])

@@ -1,0 +1,67 @@
+"""Grouped top-k vs a Python reference; plan has no window sort."""
+
+import random
+
+import pytest
+
+from pawpaw_spark.operators.sampling import topk_per_group
+
+
+def _brute(rows, k, descending=True):
+    by = {}
+    for g, v, i in rows:
+        by.setdefault(g, []).append((v, i))
+    out = set()
+    for g, vs in by.items():
+        vs.sort(key=lambda t: ((-t[0]) if descending else t[0], t[1]))
+        for v, i in vs[:k]:
+            out.add((g, v, i))
+    return out
+
+
+class TestTopkPerGroup:
+    def test_matches_bruteforce_with_ties(self, spark):
+        rng = random.Random(17)
+        rows = [
+            (f"g{rng.randint(0, 6)}", rng.randint(0, 9), f"id{i:03d}")
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val long, id string")
+        for k in (1, 3, 10):
+            got = {
+                (r["grp"], r["val"], r["id"])
+                for r in topk_per_group(
+                    df, "grp", "val", k, tiebreak_col="id"
+                ).collect()
+            }
+            assert got == _brute(rows, k)
+
+    def test_ascending(self, spark):
+        rows = [("a", 5, "x"), ("a", 1, "y"), ("a", 3, "z")]
+        df = spark.createDataFrame(rows, "grp string, val long, id string")
+        got = {
+            r["id"]
+            for r in topk_per_group(
+                df, "grp", "val", 2, tiebreak_col="id",
+                descending=False,
+            ).collect()
+        }
+        assert got == {"y", "z"}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a", "s", "x")],
+                                   "grp string, val string, id string")
+        with pytest.raises(ValueError, match="tiebreak"):
+            topk_per_group(df, "grp", "val", 2)
+        with pytest.raises(ValueError, match="numeric"):
+            topk_per_group(df, "grp", "val", 2, tiebreak_col="id")
+
+    def test_no_window_sort_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, f"x{i}") for i in range(20)],
+            "grp string, val long, id string",
+        )
+        out = topk_per_group(df, "grp", "val", 3, tiebreak_col="id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "partial" in plan.lower() or "HashAggregate" in plan
