@@ -4262,21 +4262,23 @@ def q_kg_tred(spark, sf_dir):
 
 
 def q_url_normalize(spark, sf_dir):
-    """URL canonicalization (text.normalize_url): five constructed URL
+    """URL canonicalization (text.normalize_url): six constructed URL
     classes from order keys — www + default port + tracking params +
     fragment + param disorder, https default-port co.uk multilabel,
-    gclid-only query, a real non-default port, and an unparseable row
-    — each rule (lowercase, www strip, :80/:443 drop, fragment drop,
-    trailing-slash trim, tracking-key filter, byte-wise param sort,
-    last-2-label registered domain) replayed by the oracle with
-    DuckDB's own regex/list functions over the same construction."""
+    gclid-only query, a real non-default port, a userinfo URL
+    (user:pw@host — userinfo stripped, host parsed PAST the '@'), and
+    an unparseable row — each rule (lowercase, www strip, :80/:443
+    drop, fragment drop, trailing-slash trim, tracking-key filter,
+    byte-wise param sort, last-2-label registered domain) replayed by
+    the oracle with DuckDB's own regex/list functions over the same
+    construction."""
     from pawpaw_spark.operators.text import normalize_url
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     k = F.col("o_orderkey")
     url = (
         F.when(
-            k % 5 == 0,
+            k % 6 == 0,
             F.concat(
                 F.lit("http://www.Site"), (k % 50).cast("string"),
                 F.lit(".com:80/p/"), k.cast("string"),
@@ -4285,24 +4287,32 @@ def q_url_normalize(spark, sf_dir):
             ),
         )
         .when(
-            k % 5 == 1,
+            k % 6 == 1,
             F.concat(
                 F.lit("https://site"), (k % 50).cast("string"),
                 F.lit(".com/p/"), k.cast("string"),
             ),
         )
         .when(
-            k % 5 == 2,
+            k % 6 == 2,
             F.concat(
                 F.lit("https://shop.example.co.uk:443/item/"),
                 k.cast("string"), F.lit("/?gclid=g&z=2&y=1"),
             ),
         )
         .when(
-            k % 5 == 3,
+            k % 6 == 3,
             F.concat(
                 F.lit("http://host"), (k % 9).cast("string"),
                 F.lit(".org:8080/x?q="), k.cast("string"),
+            ),
+        )
+        .when(
+            k % 6 == 4,
+            F.concat(
+                F.lit("http://user:pw"), (k % 7).cast("string"),
+                F.lit("@auth"), (k % 9).cast("string"),
+                F.lit(".net/a/"), k.cast("string"),
             ),
         )
         .otherwise(F.concat(F.lit("bad url "), k.cast("string")))
@@ -8705,7 +8715,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": r"""
             WITH src AS (
               SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
-                     CASE o_orderkey % 5
+                     CASE o_orderkey % 6
                        WHEN 0 THEN 'http://www.Site'
                          || CAST(o_orderkey % 50 AS VARCHAR)
                          || '.com:80/p/' || CAST(o_orderkey AS VARCHAR)
@@ -8719,23 +8729,27 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 3 THEN 'http://host'
                          || CAST(o_orderkey % 9 AS VARCHAR)
                          || '.org:8080/x?q=' || CAST(o_orderkey AS VARCHAR)
+                       WHEN 4 THEN 'http://user:pw'
+                         || CAST(o_orderkey % 7 AS VARCHAR)
+                         || '@auth' || CAST(o_orderkey % 9 AS VARCHAR)
+                         || '.net/a/' || CAST(o_orderkey AS VARCHAR)
                        ELSE 'bad url ' || CAST(o_orderkey AS VARCHAR)
                      END AS url
               FROM orders),
             p AS (
               SELECT doc_id, url,
                 lower(regexp_extract(url,
-                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS scheme,
                 lower(regexp_extract(url,
-                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS rawhost,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS rawhost,
                 regexp_extract(url,
-                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS port,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS port,
                 regexp_extract(url,
-                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS rawpath,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS rawpath,
                 regexp_extract(url,
-                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 5) AS q,
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 5) AS q,
                 regexp_matches(url,
-                  '^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$') AS m
+                  '^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]*)(:[0-9]+)?([^?#]*)(?:\?([^#]*))?(?:#.*)?$') AS m
               FROM src),
             n AS (
               SELECT doc_id, url, scheme,

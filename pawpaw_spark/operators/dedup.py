@@ -820,10 +820,22 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str | None = None,
+    allow_product: bool = False,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. With a block column the join is
-    an equi-join per block; without one, falls back to a cross join —
-    only acceptable for small n (tests)."""
+    an equi-join per block; without one the only implementation is an
+    all-pairs cross join, which RAISES unless ``allow_product=True``
+    (the graph_query._order_triples opt-in pattern) — nothing should
+    be able to reach an O(n^2) plan at corpus scale by merely
+    forgetting an argument. For a blockless scale path use
+    :func:`semdedup` or the ANN operators (similarity.py), which bucket
+    first."""
+    if block_col is None and not allow_product:
+        raise ValueError(
+            "embedding_neardup_pairs without block_col is an all-pairs "
+            "cross join (O(n^2)); pass block_col for the bucketed path "
+            "or allow_product=True to opt in for small/test inputs"
+        )
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     e = emb.select(
         F.col(id_col).alias("id"),

@@ -221,7 +221,13 @@ def sorted_neighborhood_pairs(
         F.col(id_col).cast("string").alias("id"),
         F.col(key_col).cast("string").alias("k"),
     ).repartitionByRange(F.col("k"), F.col("id"))
-    part = base.withColumn("_pid", F.spark_partition_id())
+    # Persist so the offsets job and the rank join see the SAME sampled
+    # range boundaries — RangePartitioner re-samples on recompute, so an
+    # unpersisted frame could hand the two jobs DIFFERENT partitionings
+    # and corrupt the global ranks (same hazard graph.py's node_index
+    # documents). Handle attached via _attach_caches: bounded by
+    # cached_scope / release_session_caches like every operator cache.
+    part = base.withColumn("_pid", F.spark_partition_id()).persist()
     local = part.withColumn(
         "_lr",
         F.row_number().over(
@@ -254,11 +260,14 @@ def sorted_neighborhood_pairs(
         F.col("id").alias("id_b"), F.col("rank").alias("_rb")
     )
     d = F.explode(F.sequence(F.lit(1), F.lit(window))).alias("d")
-    return (
+    out = (
         a.select("id_a", "_ra", d)
         .join(b, F.col("_rb") == F.col("_ra") + F.col("d"))
         .select("id_a", "id_b", "d")
     )
+    from .dedup import _attach_caches
+
+    return _attach_caches(out, [part])  # see dedup.cached_scope
 
 
 def er_pair_metrics(

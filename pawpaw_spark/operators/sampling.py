@@ -294,24 +294,35 @@ def topk_per_group(
     k: int,
     tiebreak_col: str | None = None,
     descending: bool = True,
+    salts: int = 16,
 ) -> DataFrame:
     """Top-``k`` rows per group WITHOUT a per-group sort shuffle ->
     the input columns, at most ``k`` rows per group (the per-language
     best-quality-docs / per-repo hottest-files selection primitive).
 
-    Plan shape: ``slice(sort_array(collect_list(struct(...))), 1, k)``
-    — a HASH AGGREGATE, so the per-partition partial aggregation
-    already truncates nothing but combines map-side, and no window
-    function forces a sort-within-partitions of the full table.  For
-    small ``k`` (the selection use case) the carried state is the
-    row's struct only. Determinism requires a total order:
-    ``tiebreak_col`` (default: the first group column is NOT enough —
-    pass a unique id) breaks ``order_col`` ties; without one, equal
-    keys make the cut arbitrary and this raises rather than silently
-    returning run-dependent rows.
+    Plan shape: TWO-LEVEL salted aggregation, each level
+    ``slice(sort_array(collect_list(struct(...))), 1, k)``.  Level 1
+    groups on ``(group, salt)`` with the salt hashed from the tiebreak
+    (``salts`` buckets), so a hot group's aggregation-buffer state is
+    O(group_rows / salts) per key instead of O(group_rows); level 2
+    merges the per-salt top-``k`` arrays (state O(salts * k)) and cuts
+    to the global top-``k``.  Correct for any salt split: every global
+    top-``k`` row is necessarily in the top-``k`` of its own salt
+    bucket, so the level-2 union is a superset of the answer.  No
+    window function, so no sort-within-partitions of the full table.
+
+    Rows whose ``order_col`` is NULL are EXCLUDED (a NULL-first struct
+    sort would otherwise hand them top-``k`` slots ahead of every real
+    value).  Determinism requires a total order: ``tiebreak_col``
+    (default: the first group column is NOT enough — pass a unique id)
+    breaks ``order_col`` ties; without one, equal keys make the cut
+    arbitrary and this raises rather than silently returning
+    run-dependent rows.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if salts < 1:
+        raise ValueError(f"salts must be >= 1, got {salts}")
     if tiebreak_col is None:
         raise ValueError(
             "pass tiebreak_col (a unique column): without a total "
@@ -333,8 +344,20 @@ def topk_per_group(
     payload = F.struct(
         key, tb, *[F.col(c) for c in df.columns]
     )
-    agg = df.groupBy(*groups).agg(
-        F.slice(F.sort_array(F.collect_list(payload)), 1, k).alias("__top")
+    salt = F.pmod(
+        F.xxhash64(F.col(tiebreak_col).cast("string")), F.lit(salts)
+    ).alias("__s")
+    lvl1 = (
+        df.where(o.isNotNull())
+        .groupBy(*groups, salt)
+        .agg(
+            F.slice(F.sort_array(F.collect_list(payload)), 1, k)
+            .alias("__p")
+        )
+    )
+    agg = lvl1.groupBy(*groups).agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("__p"))), 1, k)
+        .alias("__top")
     )
     ex = agg.select(F.explode("__top").alias("r"))
     return ex.select(*[F.col(f"r.{c}").alias(c) for c in df.columns])

@@ -681,8 +681,20 @@ def exact_quantiles(
         F.min(v).alias("lo"),
         F.max(v).alias("hi"),
         (F.min(w) if weight_col is not None else F.lit(1)).alias("wlo"),
+        # F.min/F.sum skip NULLs, so a NULL weight would silently
+        # contribute zero mass — count them separately and raise.
+        (
+            F.count(F.lit(1)) - F.count(w)
+            if weight_col is not None
+            else F.lit(0)
+        ).alias("wnull"),
     ).collect()[0]
     n, lo, hi = stats.n, stats.lo, stats.hi
+    if weight_col is not None and stats.wnull:
+        raise ValueError(
+            f"exact_quantiles: {stats.wnull} row(s) have NULL weight "
+            "(weights must be strictly positive and non-NULL)"
+        )
     if weight_col is not None and stats.wlo is not None and stats.wlo <= 0:
         raise ValueError(
             "exact_quantiles: weights must be strictly positive"

@@ -514,21 +514,27 @@ def cdc_chunks(
     n = F.length(t)
     # boundary positions: 0-based END position p of a k-gram (p in
     # [k-1, n-1]); cut AFTER p. The LAST position never cuts (it would
-    # emit an empty tail chunk).
-    bounds = F.filter(
-        F.sequence(F.lit(k - 1), n - 2),
-        lambda p: (
-            F.conv(
-                F.substring(
-                    F.md5(t.substr(p - (k - 2), F.lit(k))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % d
-        )
-        == 0,
-    )
+    # emit an empty tail chunk). Spark's sequence(start, stop) steps
+    # BACKWARD when stop < start, so docs with n <= k (no complete
+    # k-gram before the last position) must short-circuit to the empty
+    # boundary set or they'd probe positions past end-of-doc.
+    bounds = F.when(
+        n - 2 >= F.lit(k - 1),
+        F.filter(
+            F.sequence(F.lit(k - 1), n - 2),
+            lambda p: (
+                F.conv(
+                    F.substring(
+                        F.md5(t.substr(p - (k - 2), F.lit(k))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % d
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     if min_len is None:
         cuts = F.transform(bounds, lambda p: (p + 1).cast("long"))
     else:

@@ -658,9 +658,12 @@ def flesch_reading_ease(
     )
 
 
+# Userinfo (user[:pass]@) is matched non-capturing and STRIPPED — a
+# host group stopping at ':' would otherwise parse http://u:p@h/x as
+# host='u' with ':p@h/x' folded into the path while still is_valid.
 _URL_RE = (
-    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]*)(:[0-9]+)?([^?#]*)"
-    r"(?:\?([^#]*))?(?:#.*)?$"
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^/?#@]*@)?([^/?#:@]*)(:[0-9]+)?"
+    r"([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
 )
 
 # tracking parameters dropped during canonicalization (the CCNet /

@@ -82,6 +82,35 @@ class TestCdcChunks:
             (0, 0, 4, hashlib.md5(b"tiny").hexdigest())
         ]
 
+    def test_every_short_doc_whole_chunk_small_mask(self, spark):
+        # Regression (round-5 ADVICE): sequence(k-1, n-2) steps
+        # BACKWARD when n <= k, so unguarded short docs probed
+        # positions past end-of-doc; with mask_bits=2 a quarter of
+        # those phantom hashes cut, emitting negative-length chunks
+        # and md5('') digests. Every doc of length 1..2k must emit
+        # exactly one whole-doc chunk.
+        rng = random.Random(11)
+        rows = [
+            (f"s{i}", "".join(rng.choice("abcdefgh ") for _ in range(n)))
+            for i, n in enumerate(
+                list(range(1, 17)) * 4
+            )
+        ]
+        got = _run(spark, rows, k=8, mask_bits=2)
+        ref = {
+            i: [
+                (j, s, ln, dg)
+                for (j, s, ln, dg) in _py_chunks(t, k=8, mask_bits=2)
+            ]
+            for i, t in rows
+        }
+        assert got == {k: v for k, v in ref.items() if v}
+        for i, t in rows:
+            if len(t) <= 8:
+                assert got[i] == [
+                    (0, 0, len(t), hashlib.md5(t.encode()).hexdigest())
+                ], (i, t)
+
 
 import pytest
 

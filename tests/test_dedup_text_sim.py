@@ -1627,3 +1627,27 @@ class TestContainmentPairs:
             if inter:
                 expect[(i1, i2)] = round(inter / len(grams(t1)), 6)
         assert got == expect
+
+
+class TestEmbeddingCrossJoinGuard:
+    def test_blockless_raises(self, spark):
+        from pawpaw_spark.operators.dedup import embedding_neardup_pairs
+
+        e = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+            "vec_id string, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="cross join"):
+            embedding_neardup_pairs(e)
+
+    def test_blockless_opt_in(self, spark):
+        from pawpaw_spark.operators.dedup import embedding_neardup_pairs
+
+        e = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])],
+            "vec_id string, embedding array<double>",
+        )
+        got = embedding_neardup_pairs(
+            e, threshold=0.99, allow_product=True
+        ).collect()
+        assert [(r["a"], r["b"]) for r in got] == [("a", "b")]

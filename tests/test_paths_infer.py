@@ -985,3 +985,29 @@ class TestClosenessCentrality:
             want_sum = gains[0] * 1.0 + gains[1] * 2.0 + gains[2] * 3.0
             assert reach == want_reach
             assert clo == (want_reach / want_sum if want_sum > 0 else 0.0)
+
+
+class TestDisconnectedBodyGuard:
+    def test_disconnected_body_raises(self, spark):
+        from pawpaw_spark.operators.infer import infer
+
+        edges = spark.createDataFrame(
+            [("a", "p", "b"), ("c", "q", "d")],
+            "subj string, pred string, obj string",
+        )
+        rules = [(("?x", "r", "?y"), [("?x", "p", "?z"), ("?u", "q", "?y")])]
+        with pytest.raises(ValueError, match="disconnected"):
+            infer(edges, rules).count()
+
+    def test_disconnected_body_opt_in(self, spark):
+        from pawpaw_spark.operators.infer import infer
+
+        edges = spark.createDataFrame(
+            [("a", "p", "b"), ("c", "q", "d")],
+            "subj string, pred string, obj string",
+        )
+        rules = [(("?x", "r", "?y"), [("?x", "p", "?z"), ("?u", "q", "?y")])]
+        got = infer(edges, rules, allow_product=True).collect()
+        assert [(r["subj"], r["pred"], r["obj"]) for r in got] == [
+            ("a", "r", "d")
+        ]

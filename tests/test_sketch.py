@@ -456,3 +456,14 @@ class TestWeightedQuantiles:
         df = spark.createDataFrame([(1, 0)], "v long, w long")
         with pytest.raises(ValueError, match="strictly positive"):
             exact_quantiles(df, "v", [0.5], weight_col="w")
+
+
+class TestQuantileNullWeightGuard:
+    def test_null_weight_raises(self, spark):
+        from pawpaw_spark.operators.sketch import exact_quantiles
+
+        df = spark.createDataFrame(
+            [(1, 1), (2, None), (3, 2)], "v long, w long"
+        )
+        with pytest.raises(ValueError, match="NULL weight"):
+            exact_quantiles(df, "v", [0.5], weight_col="w")

@@ -68,3 +68,34 @@ class TestSortedNeighborhood:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRangePartitionPersist:
+    def test_cache_handle_attached_and_releasable(self, spark):
+        # Round-5 ADVICE: the repartitionByRange frame must be
+        # persisted so the offsets job and the rank join see the SAME
+        # sampled range boundaries; the handle is attached for
+        # cached_scope / release_session_caches like every operator
+        # cache, so long sessions stay bounded.
+        from pawpaw_spark.operators.dedup import unpersist_attached
+
+        rows = [(i, f"k{i % 7:02d}") for i in range(50)]
+        df = spark.createDataFrame(rows, ["id", "key"])
+        out = sorted_neighborhood_pairs(df, "key", id_col="id", window=2)
+        handles = getattr(out, "_pawpaw_cached", [])
+        assert len(handles) == 1
+        out.count()
+        assert handles[0].storageLevel.useMemory
+        unpersist_attached(out)
+        assert not handles[0].storageLevel.useMemory
+
+    def test_rank_consistency_many_partitions(self, spark):
+        # With an unpersisted range frame the two jobs can sample
+        # DIFFERENT boundaries; brute-force equality over a spread of
+        # input partitionings is the observable invariant.
+        rng = random.Random(41)
+        rows = [
+            (f"i{i:03d}", f"{rng.randint(0, 999):03d}") for i in range(300)
+        ]
+        for p in (2, 4, 8):
+            assert _run(spark, rows, 3, n_parts=p) == _brute(rows, 3)

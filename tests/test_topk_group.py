@@ -65,3 +65,40 @@ class TestTopkPerGroup:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+class TestTopkRound5Regressions:
+    def test_null_order_rows_excluded(self, spark):
+        # NULL __o structs sort FIRST, so unfiltered they'd win slots.
+        rows = [("g", None, "n1"), ("g", 5, "a"), ("g", 7, "b"),
+                ("g", 6, "c"), ("h", None, "n2")]
+        df = spark.createDataFrame(rows, "grp string, val long, id string")
+        out = topk_per_group(df, "grp", "val", 2, tiebreak_col="id")
+        got = sorted(r["id"] for r in out.collect())
+        assert got == ["b", "c"]
+
+    def test_salt_invariance(self, spark):
+        rng = random.Random(23)
+        rows = [
+            (f"g{rng.randint(0, 2)}", rng.randint(0, 9), f"i{i:03d}")
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "grp string, val long, id string")
+        expect = _brute(rows, 4)
+        for s in (1, 3, 16):
+            got = {
+                (r["grp"], r["val"], r["id"])
+                for r in topk_per_group(
+                    df, "grp", "val", 4, tiebreak_col="id", salts=s
+                ).collect()
+            }
+            assert got == expect, s
+
+    def test_two_level_agg_no_window(self, spark):
+        df = spark.createDataFrame(
+            [("a", i, f"x{i}") for i in range(20)],
+            "grp string, val long, id string",
+        )
+        out = topk_per_group(df, "grp", "val", 3, tiebreak_col="id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
