@@ -3321,6 +3321,94 @@ def q_kg_sparql_strfns(spark, sf_dir):
     )
 
 
+def q_kg_sparql_exists(spark, sf_dir):
+    """Positive FILTER EXISTS + NOT IN end to end (operators/
+    sparql.py round 5): defined symbols that some symbol REFERENCES,
+    minus a literal exclusion list — EXISTS compiles to a SEMI join of
+    the solutions against the inner pattern's bindings on the shared
+    variable (the dual of the NOT EXISTS anti join; never a product),
+    NOT IN to a plain isin predicate. The oracle replays both with IN
+    (SELECT dst ...) and NOT IN over the reconstructed defs/edges."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?f ?s WHERE {
+          ?f DEFINES ?s .
+          FILTER EXISTS { ?x REFERENCES ?s }
+          FILTER ( ?s NOT IN ( sym:f_0 sym:f_1 sym:f_2 ) )
+        }
+        """,
+    )
+
+
+def q_kg_sparql_arith(spark, sf_dir):
+    """SPARQL arithmetic in BIND and FILTER end to end (round 5):
+    ( * ), ( - ), ( / ), ( + ) over STRLEN-derived numbers — numeric
+    context TRY_CASTs every side to double, so the whole expression is
+    IEEE-double arithmetic both engines replay bit-identically. The
+    oracle mirrors with CAST(length(s) AS DOUBLE) arithmetic."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?s ?m WHERE {
+          ?f DEFINES ?s .
+          BIND ( STRLEN ( ?s ) AS ?n )
+          BIND ( ( ( ?n * 3 ) - ( ?n / 2 ) ) AS ?m )
+          FILTER ( ( ?m + 1 ) > 22 )
+        }
+        """,
+    )
+
+
+def q_kg_sparql_cond(spark, sf_dir):
+    """SPARQL COALESCE + IF end to end (round 5): each defined
+    symbol's referencing caller via OPTIONAL (NULL when unreferenced),
+    COALESCE pins the NULL to a sentinel, IF classifies on a
+    comparison — both compile to coalesce/when column expressions over
+    the left-join frame. The oracle is the same LEFT JOIN + coalesce +
+    CASE over the reconstructed defs/edges."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT ?s ?c ?k WHERE {
+          ?f DEFINES ?s .
+          OPTIONAL { ?g REFERENCES ?s }
+          BIND ( COALESCE ( ?g "none" ) AS ?c )
+          BIND ( IF ( ( ?c = "none" ) "unreferenced" "referenced" ) AS ?k )
+        }
+        """,
+    )
+
+
+def q_kg_sparql_strops(spark, sf_dir):
+    """SPARQL STRBEFORE / STRAFTER / REPLACE end to end (round 5):
+    prefix/suffix splits on literal separators (absent separator ->
+    the SPARQL "" result) and a GLOBAL regex replace — instr-guarded
+    substr and regexp_replace column expressions. The oracle mirrors
+    with position/substr CASEs and DuckDB regexp_replace's 'g' flag
+    (DuckDB defaults to first-match-only; SPARQL and Spark replace
+    all)."""
+    from pawpaw_spark.operators.sparql import sparql
+
+    return sparql(
+        _fused_call_triples(spark, sf_dir),
+        """
+        SELECT DISTINCT ?s ?pre ?post ?rep WHERE {
+          ?f DEFINES ?s .
+          BIND ( STRBEFORE ( ?s ":" ) AS ?pre )
+          BIND ( STRAFTER ( ?s "_" ) AS ?post )
+          BIND ( REPLACE ( ?s "[0-9]+" "N" ) AS ?rep )
+        }
+        """,
+    )
+
+
 def q_kg_sparql_subquery(spark, sf_dir):
     """SPARQL 1.1 subqueries + GROUP_CONCAT / SAMPLE aggregates end to
     end: the inner { SELECT ... GROUP BY ?s } computes each symbol's
@@ -4650,6 +4738,10 @@ _QUERIES = {
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_filter": q_kg_sparql_filter,
         "kg_sparql_strfns": q_kg_sparql_strfns,
+        "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_sparql_arith": q_kg_sparql_arith,
+        "kg_sparql_cond": q_kg_sparql_cond,
+        "kg_sparql_strops": q_kg_sparql_strops,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_describe": q_kg_sparql_describe,
         "wordpiece_scores": q_wordpiece_scores,
@@ -5884,6 +5976,62 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(s, 'f_[0-9]*[02468]$')
               AND NOT starts_with(s, 'sym:f_1')
               AND contains(f, 'doc/')
+        """,
+        # positive-EXISTS replay: semi-join as IN (SELECT dst), plus
+        # the literal NOT IN exclusion
+        "kg_sparql_exists": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS f,
+                     'sym:f_' || r AS s
+              FROM mem)
+            SELECT f, s FROM defs
+            WHERE s IN (SELECT dst FROM e)
+              AND s NOT IN ('sym:f_0', 'sym:f_1', 'sym:f_2')
+        """,
+        # arithmetic replay: every side CAST AS DOUBLE — the engine's
+        # numeric-context TRY_CAST pin — so both engines run the same
+        # IEEE ops in the same order
+        "kg_sparql_arith": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'sym:f_' || r AS s FROM mem),
+            n AS (
+              SELECT s, CAST(length(s) AS DOUBLE) AS nn FROM defs)
+            SELECT s, (nn * 3) - (nn / 2) AS m
+            FROM n
+            WHERE ((nn * 3) - (nn / 2)) + 1 > 22
+        """,
+        # COALESCE/IF replay: LEFT JOIN on the incoming call edge,
+        # coalesce to the sentinel, CASE on the comparison; DISTINCT
+        # mirrors the engine's set-semantics solutions
+        "kg_sparql_cond": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'sym:f_' || r AS s FROM mem)
+            SELECT DISTINCT defs.s AS s,
+                   coalesce(e.src, 'none') AS c,
+                   CASE WHEN coalesce(e.src, 'none') = 'none'
+                        THEN 'unreferenced' ELSE 'referenced' END AS k
+            FROM defs LEFT JOIN e ON e.dst = defs.s
+        """,
+        # STRBEFORE/STRAFTER/REPLACE replay: position-guarded substr
+        # CASEs ('' when the separator is absent — the SPARQL pin) and
+        # regexp_replace with the 'g' flag (DuckDB defaults to first
+        # match; SPARQL and Spark replace all)
+        "kg_sparql_strops": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT DISTINCT 'sym:f_' || r AS s FROM mem)
+            SELECT s,
+              CASE WHEN position(':' IN s) > 0
+                   THEN substr(s, 1, position(':' IN s) - 1)
+                   ELSE '' END AS pre,
+              CASE WHEN position('_' IN s) > 0
+                   THEN substr(s, position('_' IN s) + 1)
+                   ELSE '' END AS post,
+              regexp_replace(s, '[0-9]+', 'N', 'g') AS rep
+            FROM defs
         """,
         # subquery replay: per-symbol sorted callee list + min sample
         # over the DISTINCT (src, dst) call edges, joined to defs on

@@ -38,17 +38,27 @@ see the parser doc for the exact token rules):
 * WHERE body: a plain group, or a union chain
   ``{ group } UNION { group } [UNION { group } ...]``
 * group body: triples terminated by ``.``; ``OPTIONAL { ... }``;
-  ``FILTER NOT EXISTS { ... }``; ``MINUS { ... }`` (anti-join on the
+  ``FILTER NOT EXISTS { ... }``; ``FILTER EXISTS { ... }`` (a SEMI
+  join on the shared variables — the dual of NOT EXISTS; uncorrelated
+  = a <=1-row broadcast ASK gate); ``MINUS { ... }`` (anti-join on the
   shared variables; an uncorrelated group is a no-op per SPARQL's
   disjoint-domain rule); ``FILTER ( a op b )`` with op ``=`` ``!=``
-  ``<`` ``<=`` ``>`` ``>=`` over ?vars and constants — numeric when
-  either side is a numeric literal (var side TRY_CASTs to double),
-  lexicographic otherwise, and ``?a != ?b`` still pushes into the
-  matcher's earliest join; ``FILTER ( [!] FN ( ?v "literal" ) )``
+  ``<`` ``<=`` ``>`` ``>=`` over ?vars, constants, and parenthesized
+  arithmetic ``( x + y )`` ``( x - y )`` ``( x * y )`` ``( x / y )``
+  subexpressions — numeric when either side is a numeric literal or an
+  arithmetic expression (var sides TRY_CAST to double; arithmetic is
+  double-typed end to end), lexicographic otherwise, and ``?a != ?b``
+  still pushes into the matcher's earliest join; ``FILTER ( ?v [NOT]
+  IN ( term term ... ) )`` literal membership (compiles to ``isin``);
+  ``FILTER ( [!] FN ( ?v "literal" ) )``
   string-function filters with FN ``REGEX`` (Java-regex semantics) /
   ``STRSTARTS`` / ``STRENDS`` / ``CONTAINS`` and optional ``!``
-  negation; ``BIND ( expr AS ?v )`` with expr a term or
-  ``CONCAT`` / ``STRLEN`` / ``LCASE`` / ``UCASE`` / ``STR`` call
+  negation; ``BIND ( expr AS ?v )`` with expr a term, arithmetic, an
+  ``IF ( ( a cmp b ) then else )`` conditional, or a
+  ``CONCAT`` / ``COALESCE`` (n-ary) / ``STRLEN`` / ``LCASE`` /
+  ``UCASE`` / ``STR`` (unary) / ``STRBEFORE`` / ``STRAFTER`` (binary,
+  literal separator; absent -> ``""``) / ``REPLACE`` (ternary, regex,
+  global — mirror with DuckDB's ``'g'`` flag) call
   (canonical whitespace-separated parens, nesting allowed);
   ``{ SELECT ... }`` subqueries (evaluated independently, joined to
   the enclosing group on the shared variables — sharing none raises);
@@ -215,16 +225,40 @@ class _P:
             return ("var", t[1:])
         return ("lit", self._const(t))
 
-    _BIND_FNS = ("concat", "strlen", "lcase", "ucase", "str")
+    _BIND_FNS = ("concat", "strlen", "lcase", "ucase", "str",
+                 "coalesce", "strbefore", "strafter", "replace")
     _STR_FNS = ("regex", "strstarts", "strends", "contains")
+    _ARITH_OPS = ("+", "-", "*", "/")
 
     def _bind_expr(self):
         """A BIND expression (canonical layout: parens whitespace-
         separated) -> ('var', name) | ('lit', text) | ('fn', name,
-        [args...]). Functions: CONCAT (n-ary), STRLEN / LCASE / UCASE /
-        STR (unary); nesting allowed."""
+        [args...]) | ('arith', op, [a, b]) | ('if', cond, then, else).
+        Functions: CONCAT / COALESCE (n-ary), STRLEN / LCASE / UCASE /
+        STR (unary), STRBEFORE / STRAFTER (binary), REPLACE (ternary,
+        regex semantics); ``( a op b )`` arithmetic with op + - * /
+        (numeric: sides TRY_CAST to double); ``IF ( ( a cmp b ) then
+        else )``; nesting allowed."""
         t = self.take()
         low = t.lower()
+        if t == "(":
+            # arithmetic subexpression ( a op b ) — whitespace parens
+            a = self._bind_expr()
+            op = self.take()
+            if op not in self._ARITH_OPS:
+                raise ValueError(
+                    f"expected arithmetic operator (+ - * /), got {op!r}"
+                )
+            b = self._bind_expr()
+            self.take(")")
+            return ("arith", op, [a, b])
+        if low == "if" and self.peek() == "(":
+            self.take("(")
+            cond = self._cond_expr()
+            then = self._bind_expr()
+            other = self._bind_expr()
+            self.take(")")
+            return ("if", cond, then, other)
         if low in self._BIND_FNS and self.peek() == "(":
             self.take("(")
             args = []
@@ -233,9 +267,24 @@ class _P:
                     raise ValueError(f"unclosed '(' in BIND {low.upper()}")
                 args.append(self._bind_expr())
             self.take(")")
-            if low == "concat":
+            arity = {"strbefore": 2, "strafter": 2, "replace": 3}
+            if low in ("concat", "coalesce"):
                 if not args:
-                    raise ValueError("CONCAT needs at least one argument")
+                    raise ValueError(
+                        f"{low.upper()} needs at least one argument"
+                    )
+            elif low in arity:
+                if len(args) != arity[low]:
+                    raise ValueError(
+                        f"{low.upper()} takes exactly {arity[low]} "
+                        f"arguments, got {len(args)}"
+                    )
+                for a in args[1:]:
+                    if a[0] != "lit":
+                        raise ValueError(
+                            f"{low.upper()} separator/pattern arguments "
+                            "must be string literals"
+                        )
             elif len(args) != 1:
                 raise ValueError(
                     f"{low.upper()} takes exactly one argument, got "
@@ -245,6 +294,27 @@ class _P:
         if t.startswith("?"):
             return ("var", t[1:])
         return ("lit", self._const(t))
+
+    def _cond_expr(self):
+        """A parenthesized comparison ``( side op side )`` (sides may
+        be arithmetic) -> ('cmp', a, op, b) — the IF condition form."""
+        self.take("(")
+        a = self._filter_side()
+        op = self.take()
+        if op not in _CMP_OPS:
+            raise ValueError(
+                f"unsupported comparison operator {op!r} in condition"
+            )
+        b = self._filter_side()
+        self.take(")")
+        return ("cmp", a, op, b)
+
+    def _filter_side(self):
+        """One side of a FILTER/IF comparison: a ?var, a constant, or
+        a parenthesized arithmetic expression."""
+        if self.peek() == "(":
+            return self._bind_expr()
+        return self._fterm(self.take())
 
     def _subselect(self) -> dict:
         """A { SELECT ... } subquery, the '{' already consumed ->
@@ -276,6 +346,7 @@ class _P:
         triples, optionals, negations, minus, neq, values = \
             [], [], [], [], [], []
         filters, binds, subqueries, str_filters = [], [], [], []
+        exists, in_filters = [], []
         graph = None
         own_triples = False
         while True:
@@ -293,7 +364,7 @@ class _P:
                     )
                 return (triples, optionals, negations, minus, neq,
                         values, filters, binds, subqueries, str_filters,
-                        graph)
+                        graph, exists, in_filters)
             if t.lower() == "graph" and self.i + 1 < len(self.toks) \
                     and self.toks[self.i + 1] != "(":
                 # GRAPH <term> { ... } — the term a ?variable (ranges
@@ -325,6 +396,8 @@ class _P:
                 filters.extend(inner[6])
                 binds.extend(inner[7])
                 str_filters.extend(inner[9])
+                exists.extend(inner[11])
+                in_filters.extend(inner[12])
                 continue
             if t == "{":
                 # a nested { SELECT ... } is a SPARQL 1.1 subquery;
@@ -356,8 +429,11 @@ class _P:
                 continue
             if low == "filter":
                 self.take()
-                if (self.peek() or "").lower() == "not":
-                    self.take("not")
+                nxt = (self.peek() or "").lower()
+                if nxt in ("not", "exists"):
+                    # FILTER [NOT] EXISTS { ... } — anti-/semi-join
+                    if nxt == "not":
+                        self.take("not")
                     self.take("exists")
                     inner = self.group()
                     if any(inner[1:]):
@@ -365,54 +441,93 @@ class _P:
                             "nested OPTIONAL/MINUS/FILTER/VALUES inside a "
                             "group is not supported"
                         )
-                    negations.append(inner[0])
-                else:
+                    (negations if nxt == "not" else exists).append(
+                        inner[0]
+                    )
+                    continue
+                self.take("(")
+                # FILTER ( ?v [NOT] IN ( term term ... ) )
+                la1 = (self.toks[self.i + 1].lower()
+                       if self.i + 1 < len(self.toks) else "")
+                la2 = (self.toks[self.i + 2].lower()
+                       if self.i + 2 < len(self.toks) else "")
+                if (self.peek() or "").startswith("?") and (
+                    la1 == "in" or (la1 == "not" and la2 == "in")
+                ):
+                    v = self.take()[1:]
+                    neg_in = la1 == "not"
+                    if neg_in:
+                        self.take("not")
+                    self.take("in")
                     self.take("(")
-                    a = self.take()
-                    neg = False
-                    if a == "!":
-                        neg, a = True, self.take()
-                    if a.lower() in self._STR_FNS and self.peek() == "(":
-                        # string-function filter: REGEX / STRSTARTS /
-                        # STRENDS / CONTAINS ( ?v "literal" ), optional
-                        # leading ! — canonical whitespace parens
-                        fn = a.lower()
-                        self.take("(")
-                        v = self.take()
-                        lit = self.take()
-                        self.take(")")
-                        self.take(")")
-                        if not v.startswith("?") or lit.startswith("?"):
-                            raise ValueError(
-                                f"{fn.upper()} expects ( ?var "
-                                f'"literal" ), got ({v} {lit})'
-                            )
-                        str_filters.append(
-                            (fn, v[1:], self._const(lit), neg)
-                        )
-                        continue
-                    if neg:
-                        raise ValueError(
-                            "'!' negates only string-function filters "
-                            "(REGEX/STRSTARTS/STRENDS/CONTAINS)"
-                        )
-                    op = self.take()
-                    b = self.take()
+                    vals = []
+                    while self.peek() != ")":
+                        if self.peek() is None:
+                            raise ValueError("unclosed '(' in IN list")
+                        vals.append(self._const(self.take()))
                     self.take(")")
-                    if op not in ("=", "!=", "<", "<=", ">", ">="):
+                    self.take(")")
+                    if not vals:
+                        raise ValueError("IN needs at least one term")
+                    in_filters.append((v, vals, neg_in))
+                    continue
+                if self.peek() == "(":
+                    # arithmetic left side: ( ( a op b ) cmp side )
+                    a_side = self._bind_expr()
+                    op = self.take()
+                    if op not in _CMP_OPS:
                         raise ValueError(
                             f"unsupported FILTER operator {op!r} (only "
                             f"=, !=, <, <=, >, >=)"
                         )
-                    if op == "!=" and a.startswith("?") and b.startswith("?"):
-                        # var != var pushes into the matcher's earliest
-                        # join (graph_query's neq path); everything else
-                        # is a post-match row filter
-                        neq.append((a, b))
-                    else:
-                        filters.append(
-                            (self._fterm(a), op, self._fterm(b))
+                    b_side = self._filter_side()
+                    self.take(")")
+                    filters.append((a_side, op, b_side))
+                    continue
+                a = self.take()
+                neg = False
+                if a == "!":
+                    neg, a = True, self.take()
+                if a.lower() in self._STR_FNS and self.peek() == "(":
+                    # string-function filter: REGEX / STRSTARTS /
+                    # STRENDS / CONTAINS ( ?v "literal" ), optional
+                    # leading ! — canonical whitespace parens
+                    fn = a.lower()
+                    self.take("(")
+                    v = self.take()
+                    lit = self.take()
+                    self.take(")")
+                    self.take(")")
+                    if not v.startswith("?") or lit.startswith("?"):
+                        raise ValueError(
+                            f"{fn.upper()} expects ( ?var "
+                            f'"literal" ), got ({v} {lit})'
                         )
+                    str_filters.append(
+                        (fn, v[1:], self._const(lit), neg)
+                    )
+                    continue
+                if neg:
+                    raise ValueError(
+                        "'!' negates only string-function filters "
+                        "(REGEX/STRSTARTS/STRENDS/CONTAINS)"
+                    )
+                op = self.take()
+                if op not in _CMP_OPS:
+                    raise ValueError(
+                        f"unsupported FILTER operator {op!r} (only "
+                        f"=, !=, <, <=, >, >=)"
+                    )
+                b_side = self._filter_side()
+                self.take(")")
+                if op == "!=" and a.startswith("?") \
+                        and b_side[0] == "var":
+                    # var != var pushes into the matcher's earliest
+                    # join (graph_query's neq path); everything else
+                    # is a post-match row filter
+                    neq.append((a, "?" + b_side[1]))
+                else:
+                    filters.append((self._fterm(a), op, b_side))
                 continue
             if low == "bind":
                 self.take()
@@ -708,20 +823,21 @@ def _branches(p: _P) -> list[dict]:
     branches = []
     for body in p.where_body():
         (pattern, optionals, negations, minus, neq, values, filters,
-         binds, subqueries, str_filters, graph) = body
+         binds, subqueries, str_filters, graph, exists,
+         in_filters) = body
         if not pattern and not subqueries:
             raise ValueError("a WHERE group binds no triples")
-        if not pattern and (optionals or negations or minus):
+        if not pattern and (optionals or negations or minus or exists):
             raise ValueError(
-                "OPTIONAL / MINUS / FILTER NOT EXISTS need at least one "
-                "required triple in the group"
+                "OPTIONAL / MINUS / FILTER [NOT] EXISTS need at least "
+                "one required triple in the group"
             )
         branches.append({
             "pattern": pattern, "optional": optionals,
             "not_exists": negations, "minus": minus, "neq": neq,
             "values": values, "filters": filters, "binds": binds,
             "subqueries": subqueries, "str_filters": str_filters,
-            "graph": graph,
+            "graph": graph, "exists": exists, "in_filters": in_filters,
         })
     return branches
 
@@ -819,13 +935,25 @@ def _apply_values(matched: DataFrame, values_blocks) -> DataFrame:
 
 
 def _expr_vars(expr) -> set[str]:
-    """Variables a BIND expression reads."""
-    if expr[0] == "var":
+    """Variables a BIND / FILTER expression reads."""
+    kind = expr[0]
+    if kind == "var":
         return {expr[1]}
-    if expr[0] == "lit":
+    if kind == "lit":
         return set()
-    return set().union(*[_expr_vars(a) for a in expr[2]]) \
-        if expr[2] else set()
+    if kind == "cmp":
+        return _expr_vars(expr[1]) | _expr_vars(expr[3])
+    if kind == "if":
+        return (_expr_vars(expr[1]) | _expr_vars(expr[2])
+                | _expr_vars(expr[3]))
+    return set().union(set(), *[_expr_vars(a) for a in expr[2]])
+
+
+def _num_col(expr):
+    """An expression in NUMERIC context -> a double Column. Vars and
+    non-numeric strings TRY_CAST (a type error is a NULL row-drop, the
+    SPARQL error semantics; the DuckDB mirror is TRY_CAST AS DOUBLE)."""
+    return _bind_col(expr).try_cast("double")
 
 
 def _bind_col(expr):
@@ -835,6 +963,23 @@ def _bind_col(expr):
         return F.col(expr[1])
     if kind == "lit":
         return F.lit(expr[1])
+    if kind == "arith":
+        # numeric ops are DOUBLE-typed end to end (the engine pin; the
+        # oracle mirrors with TRY_CAST(... AS DOUBLE) arithmetic)
+        op = expr[1]
+        a, b = _num_col(expr[2][0]), _num_col(expr[2][1])
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        return a / b
+    if kind == "if":
+        _, cond, then, other = expr
+        return F.when(
+            _filter_cond(cond[1], cond[2], cond[3]), _bind_col(then)
+        ).otherwise(_bind_col(other))
     fn, args = expr[1], [_bind_col(a) for a in expr[2]]
     if fn == "concat":
         return F.concat(*args)
@@ -846,6 +991,23 @@ def _bind_col(expr):
         return F.upper(args[0])
     if fn == "str":
         return args[0].cast("string")
+    if fn == "coalesce":
+        return F.coalesce(*args)
+    if fn in ("strbefore", "strafter"):
+        # separator pinned to a literal at parse time; absent -> ""
+        # (the SPARQL "" result; a NULL input stays the "" pin too)
+        s, sub = args[0], expr[2][1][1]
+        pos = F.instr(s, sub)
+        if fn == "strbefore":
+            return F.when(pos > 0, s.substr(F.lit(1), pos - 1)) \
+                .otherwise(F.lit(""))
+        return F.when(
+            pos > 0, s.substr(pos + len(sub), F.length(s))
+        ).otherwise(F.lit(""))
+    if fn == "replace":
+        # SPARQL REPLACE is regex, global — Spark regexp_replace
+        # matches; the DuckDB mirror needs the 'g' flag
+        return F.regexp_replace(args[0], expr[2][1][1], expr[2][2][1])
     raise AssertionError(f"unknown BIND function {fn!r}")
 
 
@@ -863,14 +1025,20 @@ def _numeric(text: str) -> float | None:
 def _filter_cond(a, op: str, b):
     """A FILTER comparison -> a boolean Column. Node values are
     strings; the comparison is NUMERIC iff either side is a numeric
-    literal (the var side casts to double, so a non-numeric value
-    compares NULL and the row drops — exactly DuckDB's ``TRY_CAST(v AS
-    DOUBLE) op n`` for the oracle mirror). All-string comparisons
-    (var op var, var op "text") are lexicographic."""
-    numeric = any(s[0] == "lit" and _numeric(s[1]) is not None
-                  for s in (a, b))
+    literal OR an arithmetic expression (the var side casts to double,
+    so a non-numeric value compares NULL and the row drops — exactly
+    DuckDB's ``TRY_CAST(v AS DOUBLE) op n`` for the oracle mirror).
+    All-string comparisons (var op var, var op "text") are
+    lexicographic."""
+    numeric = any(
+        s[0] == "arith"
+        or (s[0] == "lit" and _numeric(s[1]) is not None)
+        for s in (a, b)
+    )
 
     def side(s):
+        if s[0] == "arith":
+            return _bind_col(s)  # already double-typed
         if s[0] == "var":
             c = F.col(s[1])
             # try_cast, not cast: ANSI mode would THROW on a
@@ -935,6 +1103,25 @@ def _branch_frame(
                 f"with the enclosing group {m.columns} (a cross product)"
             )
         m = m.join(sdf, on=shared, how="inner")
+    for ex in b.get("exists", ()):
+        # positive FILTER EXISTS: a SEMI join of the solutions against
+        # the inner pattern's bindings on the shared variables — the
+        # dual of the NOT EXISTS anti join. An uncorrelated EXISTS is
+        # an ASK gate: a <=1-row broadcast probe (never a data-sized
+        # product).
+        if b.get("graph") is not None:
+            raise ValueError(
+                "FILTER EXISTS inside a GRAPH block is not supported"
+            )
+        inner = match_pattern(edges, ex, distinct=True, **match_kwargs)
+        shared = [c for c in inner.columns if c in m.columns]
+        if shared:
+            m = m.join(
+                inner.select(*shared).distinct(), on=shared, how="semi"
+            )
+        else:
+            probe = inner.limit(1).select(F.lit(1).alias("__exists"))
+            m = m.crossJoin(F.broadcast(probe)).drop("__exists")
     for v, expr in b.get("binds", ()):
         if v in m.columns:
             raise ValueError(f"BIND would rebind already-bound ?{v}")
@@ -947,9 +1134,10 @@ def _branch_frame(
         m = m.withColumn(v, _bind_col(expr))
     for a, op, bb in b.get("filters", ()):
         for s in (a, bb):
-            if s[0] == "var" and s[1] not in m.columns:
+            missing = sorted(_expr_vars(s) - set(m.columns))
+            if missing:
                 raise ValueError(
-                    f"FILTER reads unbound variable ?{s[1]} "
+                    f"FILTER reads unbound variable(s) {missing} "
                     f"(bound: {m.columns})"
                 )
         m = m.filter(_filter_cond(a, op, bb))
@@ -971,6 +1159,16 @@ def _branch_frame(
         else:  # contains
             cond = c.contains(lit)
         m = m.filter(~cond if neg else cond)
+    for v, vals, neg_in in b.get("in_filters", ()):
+        # IN lists are literal-sized: a plain isin membership column
+        # expression, pushable like any other predicate
+        if v not in m.columns:
+            raise ValueError(
+                f"FILTER IN reads unbound variable ?{v} "
+                f"(bound: {m.columns})"
+            )
+        cond = F.col(v).isin(vals)
+        m = m.filter(~cond if neg_in else cond)
     if b["values"]:
         m = _apply_values(m, b["values"])
     return m
@@ -997,7 +1195,8 @@ def sparql(
         if len(b) > 1:
             raise ValueError("CONSTRUCT over a UNION body is not supported")
         if b[0]["values"] or b[0]["filters"] or b[0]["binds"] \
-                or b[0]["subqueries"] or b[0]["str_filters"]:
+                or b[0]["subqueries"] or b[0]["str_filters"] \
+                or b[0]["exists"] or b[0]["in_filters"]:
             raise ValueError(
                 "CONSTRUCT with VALUES / FILTER comparisons / BIND / "
                 "subqueries is not supported"

@@ -817,3 +817,126 @@ class TestGraphClause:
         ))
         assert got == {("g1", "y", "z"), ("g2", "x", "y"),
                        ("g2", "y", "w")}
+
+
+class TestRound5Extensions:
+    """FILTER EXISTS / IN / arithmetic / IF / COALESCE /
+    STRBEFORE / STRAFTER / REPLACE."""
+
+    NUM = KG + [("f1", "SIZE", "10"), ("f2", "SIZE", "25"),
+                ("f3", "SIZE", "7")]
+
+    def test_filter_exists_correlated(self, spark):
+        got = _t(sparql(_triples(spark, KG), """
+            SELECT ?s WHERE {
+              ?f DEFINES ?s .
+              FILTER EXISTS { ?s REFERENCES ?t }
+            }"""))
+        assert got == {("s1",), ("s2",), ("s3",)}
+        got = _t(sparql(_triples(spark, KG), """
+            SELECT ?s WHERE {
+              ?f DEFINES ?s .
+              FILTER EXISTS { ?x REFERENCES ?s }
+            }"""))
+        assert got == {("s1",), ("s2",), ("s3",)} - {("missing",)}
+
+    def test_filter_exists_uncorrelated_gate(self, spark):
+        q = """
+            SELECT ?f WHERE {
+              ?f DEFINES ?s .
+              FILTER EXISTS { ?x REFERENCES %s }
+            }"""
+        assert len(_t(sparql(_triples(spark, KG), q % "s2"))) == 3
+        assert _t(sparql(_triples(spark, KG), q % "nothere")) == set()
+
+    def test_filter_in_and_not_in(self, spark):
+        got = _t(sparql(_triples(spark, KG), """
+            SELECT ?s WHERE {
+              ?f DEFINES ?s . FILTER ( ?s IN ( s1 s3 zz ) )
+            }"""))
+        assert got == {("s1",), ("s3",)}
+        got = _t(sparql(_triples(spark, KG), """
+            SELECT ?s WHERE {
+              ?f DEFINES ?s . FILTER ( ?s NOT IN ( s1 s3 ) )
+            }"""))
+        assert got == {("s2",)}
+
+    def test_arithmetic_bind_and_filter(self, spark):
+        got = _t(sparql(_triples(spark, self.NUM), """
+            SELECT ?f ?d WHERE {
+              ?f SIZE ?n .
+              BIND ( ( ( ?n * 2 ) + 1 ) AS ?d )
+              FILTER ( ( ?n + 5 ) > 14 )
+            }"""))
+        assert got == {("f1", 21.0), ("f2", 51.0)}
+
+    def test_arithmetic_division_and_minus(self, spark):
+        got = _t(sparql(_triples(spark, self.NUM), """
+            SELECT ?f ?h WHERE {
+              ?f SIZE ?n .
+              BIND ( ( ( ?n - 5 ) / 2 ) AS ?h )
+              FILTER ( ?n >= 10 )
+            }"""))
+        assert got == {("f1", 2.5), ("f2", 10.0)}
+
+    def test_arith_nonnumeric_var_drops_row(self, spark):
+        # SPARQL type error -> NULL -> the row doesn't qualify
+        got = _t(sparql(_triples(spark, self.NUM), """
+            SELECT ?f WHERE {
+              ?f DEFINES ?s .
+              FILTER ( ( ?s + 1 ) > 0 )
+            }"""))
+        assert got == set()
+
+    def test_if_and_coalesce(self, spark):
+        got = _t(sparql(_triples(spark, self.NUM), """
+            SELECT ?f ?c WHERE {
+              ?f SIZE ?n .
+              BIND ( IF ( ( ?n >= 10 ) "big" "small" ) AS ?c )
+            }"""))
+        assert got == {("f1", "big"), ("f2", "big"), ("f3", "small")}
+        got = _t(sparql(_triples(spark, KG), """
+            SELECT ?s ?v WHERE {
+              ?s REFERENCES ?o .
+              OPTIONAL { ?o REFERENCES ?t }
+              BIND ( COALESCE ( ?t "leaf" ) AS ?v )
+            }"""))
+        assert ("s2", "missing") in got or ("s2", "s1") in got
+        assert ("s3", "leaf") in got  # s3 -> missing: no onward ref
+
+    def test_strbefore_strafter_replace(self, spark):
+        rows = [("a", "DEFINES", "mod.fn"), ("b", "DEFINES", "plain")]
+        got = _t(sparql(_triples(spark, rows), """
+            SELECT ?s ?p ?a ?r WHERE {
+              ?x DEFINES ?s .
+              BIND ( STRBEFORE ( ?s "." ) AS ?p )
+              BIND ( STRAFTER ( ?s "." ) AS ?a )
+              BIND ( REPLACE ( ?s "[aeiou]" "_" ) AS ?r )
+            }"""))
+        assert got == {
+            ("mod.fn", "mod", "fn", "m_d.fn"),
+            ("plain", "", "", "pl__n"),
+        }
+
+    def test_exists_in_construct_raises(self, spark):
+        with pytest.raises(ValueError, match="CONSTRUCT"):
+            sparql(_triples(spark, KG), """
+                CONSTRUCT { ?s a Thing } WHERE {
+                  ?f DEFINES ?s .
+                  FILTER EXISTS { ?s REFERENCES ?t }
+                }""")
+
+    def test_in_unbound_raises(self, spark):
+        with pytest.raises(ValueError, match="unbound"):
+            sparql(_triples(spark, KG), """
+                SELECT ?s WHERE {
+                  ?f DEFINES ?s . FILTER ( ?zz IN ( a b ) )
+                }""").collect()
+
+    def test_replace_requires_literal_args(self):
+        with pytest.raises(ValueError, match="literal"):
+            parse_sparql("""
+                SELECT ?s WHERE {
+                  ?f DEFINES ?s .
+                  BIND ( REPLACE ( ?s ?s "x" ) AS ?r )
+                }""")
