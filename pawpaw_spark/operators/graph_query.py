@@ -264,6 +264,48 @@ def _closure(base: DataFrame, max_rounds: int, square: bool) -> DataFrame:
         base.unpersist()
 
 
+def _reachable_from(base: DataFrame, seed: str, max_rounds: int) -> DataFrame:
+    """Nodes reachable from ``seed`` in >= 1 step over a (src, dst)
+    pair table -> (src=seed, dst) rows. The seeded semi-naive frontier:
+    per-round state is O(|reachable|), never the full closure — the
+    O(reachable) vs O(closure) separation that makes constant-anchored
+    ``+``/``*`` paths viable at KG scale."""
+    from pawpaw_spark.session import fixpoint_loop_conf, truncated_checkpoint
+
+    base = _pairs_distinct(base).persist()
+    try:
+        n_base = base.count()
+        with fixpoint_loop_conf(base.sparkSession, approx_state_rows=n_base):
+            frontier = truncated_checkpoint(
+                base.filter(F.col("src") == seed).select("dst").distinct()
+            )
+            reached = frontier
+            for r in range(max_rounds):
+                if frontier.isEmpty():
+                    return reached.select(
+                        F.lit(seed).alias("src"), F.col("dst")
+                    )
+                frontier = truncated_checkpoint(
+                    frontier.alias("f")
+                    .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+                    .select(F.col("b.dst").alias("dst"))
+                    .distinct()
+                    .join(reached, ["dst"], "left_anti")
+                )
+                reached = reached.union(frontier)
+                if (r + 1) % 4 == 0:
+                    # compact the union-of-checkpointed-deltas (the
+                    # _closure discipline): bounds part fan-out at 4
+                    reached = truncated_checkpoint(reached)
+        raise RuntimeError(
+            f"anchored path closure did not converge in {max_rounds} "
+            "rounds; raise max_rounds (rounds needed = reachable-set "
+            "hop radius from the anchor)"
+        )
+    finally:
+        base.unpersist()
+
+
 def path_pairs(
     edges: DataFrame,
     expr: str,
@@ -273,6 +315,8 @@ def path_pairs(
     obj_col: str = "obj",
     max_rounds: int = 64,
     square: bool = False,
+    anchor_src: str | None = None,
+    anchor_dst: str | None = None,
 ) -> DataFrame:
     """Evaluate a property-path expression over a triple table ->
     the DISTINCT (src, dst) pairs connected by the path.
@@ -281,7 +325,16 @@ def path_pairs(
     pair (n, n) for every term of the GRAPH (all subjects and objects,
     any predicate) — SPARQL 1.1 zero-length-path semantics. The node
     universe is computed once per call and only when the expression
-    needs it."""
+    needs it.
+
+    ``anchor_src`` / ``anchor_dst`` are OPTIMIZATION HINTS from the
+    caller's constant endpoints (``_slice`` passes them): the result
+    then only needs to be correct for rows matching the anchors, and a
+    top-level ``+``/``*`` (possibly under ``^``) runs as a SEEDED
+    semi-naive frontier from the constant — O(reachable-set) state —
+    instead of materializing the full O(closure) pair table and
+    filtering it. Any other expression shape ignores the hints (full
+    evaluation stays correct; the caller's filters still apply)."""
     ast = parse_path(expr)
     nodes_df: list[DataFrame | None] = [None]  # lazy one-shot cell
 
@@ -335,6 +388,38 @@ def path_pairs(
             return _pairs_distinct(compile_(node[1]).union(nodes()))
         raise AssertionError(f"unknown path node {node!r}")
 
+    if anchor_src is not None or anchor_dst is not None:
+        node, flipped = ast, False
+        while node[0] == "inv":
+            node, flipped = node[1], not flipped
+        a_src, a_dst = (
+            (anchor_dst, anchor_src) if flipped else (anchor_src, anchor_dst)
+        )
+        if node[0] in ("plus", "star") and (
+            a_src is not None or a_dst is not None
+        ):
+            base = compile_(node[1])
+            if a_src is not None:
+                seeded = _reachable_from(base, a_src, max_rounds)
+                anchor = a_src
+            else:
+                rev = base.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+                seeded = _reachable_from(rev, a_dst, max_rounds).select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+                anchor = a_dst
+            if node[0] == "star":
+                # zero-length pair (a, a) iff a is a term of the graph
+                ident = nodes().filter(F.col("src") == anchor)
+                seeded = _pairs_distinct(seeded.union(ident))
+            if flipped:
+                seeded = seeded.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            return seeded
+
     return compile_(ast)
 
 
@@ -360,10 +445,12 @@ def _slice(
     becomes an intra-row equality filter. A PATH predicate (contains a
     path operator, e.g. ``'DEFINES/REFERENCES'`` or ``'CALLS+'``)
     compiles to its (src, dst) pair table first (:func:`path_pairs`);
-    endpoint constants then filter the pair table — after the closure,
-    not pushed into it, because a closure seeded only at one constant
-    is a different (smaller) computation the caller can express
-    directly with :func:`pawpaw_spark.operators.graph.reachability`.
+    endpoint CONSTANTS are passed down as anchor hints, so a
+    constant-anchored top-level ``+``/``*`` closure runs as a seeded
+    semi-naive frontier — O(reachable) state instead of the full
+    O(closure) pair table — and the residual constant filters below
+    stay (idempotent on the seeded result, load-bearing for every
+    other path shape).
     """
     s, p, o = t
     if _is_path(p):
@@ -373,6 +460,8 @@ def _slice(
             subj_col=subj_col,
             pred_col=pred_col,
             obj_col=obj_col,
+            anchor_src=None if (s is None or _is_var(s)) else s,
+            anchor_dst=None if (o is None or _is_var(o)) else o,
             **(path_conf or {}),
         )
         scol, ocol = "src", "dst"
@@ -420,7 +509,8 @@ def _const_slice(
     if _is_path(p):
         pairs = path_pairs(
             edges, p, subj_col=subj_col, pred_col=pred_col,
-            obj_col=obj_col, **(path_conf or {}),
+            obj_col=obj_col, anchor_src=s, anchor_dst=o,
+            **(path_conf or {}),
         )
         return pairs.filter(F.col("src") == s).filter(F.col("dst") == o)
     df = edges.filter(F.col(subj_col) == s).filter(F.col(obj_col) == o)

@@ -7,7 +7,8 @@ import itertools
 import pytest
 from hypothesis import given, settings, strategies as st
 
-from pawpaw_spark.operators.graph_query import match_pattern
+from pawpaw_spark.operators.graph_query import match_pattern, path_pairs
+from pyspark.sql import functions as F
 
 
 def py_match(triples, pattern, neq=(), distinct=True):
@@ -506,3 +507,107 @@ class TestNegatedPropertySet:
             parse_path("!(a|)")
         with _pt.raises(ValueError, match="'\\|' or '\\)'"):
             parse_path("!(a b)")
+
+
+class TestAnchoredPathSeeding:
+    """Round-5: constant-anchored +/* closures run as a seeded
+    frontier (O(reachable)), not the full O(closure) pair table."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(
+            [(s, "CALLS", o) for s, o in rows],
+            "subj string, pred string, obj string",
+        )
+
+    def _rand_rows(self, seed=3, n=18, m=40):
+        import random
+
+        rng = random.Random(seed)
+        return list({
+            (f"n{rng.randint(0, n)}", f"n{rng.randint(0, n)}")
+            for _ in range(m)
+        })
+
+    def test_anchored_equals_filtered_full(self, spark):
+        edges = self._edges(spark, self._rand_rows())
+        for expr in ("CALLS+", "CALLS*", "^CALLS+", "^CALLS*"):
+            full = path_pairs(edges, expr)
+            for anchor in ("n1", "n5", "nowhere"):
+                got_s = {
+                    tuple(r)
+                    for r in path_pairs(
+                        edges, expr, anchor_src=anchor
+                    ).filter(F.col("src") == anchor).collect()
+                }
+                want_s = {
+                    tuple(r)
+                    for r in full.filter(F.col("src") == anchor).collect()
+                }
+                assert got_s == want_s, (expr, anchor, "src")
+                got_d = {
+                    tuple(r)
+                    for r in path_pairs(
+                        edges, expr, anchor_dst=anchor
+                    ).filter(F.col("dst") == anchor).collect()
+                }
+                want_d = {
+                    tuple(r)
+                    for r in full.filter(F.col("dst") == anchor).collect()
+                }
+                assert got_d == want_d, (expr, anchor, "dst")
+
+    def test_match_pattern_anchored_results_unchanged(self, spark):
+        edges = self._edges(spark, self._rand_rows(seed=9))
+        full = path_pairs(edges, "CALLS+")
+        want = {
+            (r["dst"],)
+            for r in full.filter(F.col("src") == "n2").select("dst").collect()
+        }
+        got = {
+            tuple(r)
+            for r in match_pattern(
+                edges, [("n2", "CALLS+", "?x")]
+            ).collect()
+        }
+        assert got == want
+
+    def test_seeded_frontier_skips_deep_components(self, spark):
+        # Behavioral plan-shape proof: a 40-hop chain needs 40
+        # semi-naive rounds for the FULL closure, but the anchored
+        # query's reachable set from the 3-node side converges in 2 —
+        # with max_rounds=8 the full evaluation raises while the
+        # anchored one succeeds, so the anchor genuinely seeded the
+        # frontier instead of filtering the full closure.
+        chain = [(f"c{i}", f"c{i+1}") for i in range(40)]
+        small = [("a", "b"), ("b", "c")]
+        edges = self._edges(spark, chain + small)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            path_pairs(edges, "CALLS+", max_rounds=8).count()
+        got = {
+            tuple(r)
+            for r in match_pattern(
+                edges, [("a", "CALLS+", "?x")], path_max_rounds=8
+            ).collect()
+        }
+        assert got == {("b",), ("c",)}
+        # dst-anchored: who reaches 'c' (reverse radius 2)
+        got = {
+            tuple(r)
+            for r in match_pattern(
+                edges, [("?x", "CALLS+", "c")], path_max_rounds=8
+            ).collect()
+        }
+        assert got == {("a",), ("b",)}
+
+    def test_anchored_star_identity_only_for_graph_terms(self, spark):
+        edges = self._edges(spark, [("a", "b")])
+        got = {
+            tuple(r)
+            for r in path_pairs(edges, "CALLS*", anchor_src="a")
+            .filter(F.col("src") == "a").collect()
+        }
+        assert got == {("a", "a"), ("a", "b")}
+        # a constant absent from the graph gets NO zero-length pair
+        got = path_pairs(edges, "CALLS*", anchor_src="zz") \
+            .filter(F.col("src") == "zz").collect()
+        assert got == []
