@@ -619,6 +619,67 @@ def q_media_av(spark, sf_dir):
     return decode_av_meta(media)
 
 
+def q_media_audio_feats(spark, sf_dir):
+    """REAL audio decode end to end (round 5): per document, construct
+    a COMPLETE 16-bit PCM WAV whose data chunk carries an interleaved
+    per-channel square wave (amplitude A_c = base + 50*c, alternating
+    +A/-A), then recover per-channel rms/peak/mean/duration by
+    DECODING THE BYTES (multimodal.decode_wav_pcm -> audio_features).
+    A square wave's closed forms make the oracle pure arithmetic: rms
+    = A_c exactly (every |sample| = A_c, and sqrt of an exact square
+    is exact in IEEE), peak = A_c, mean = 0 over an even frame count —
+    so a single sample-order, channel-interleave, or sign error in the
+    decoder fails the value hash."""
+    import numpy as np
+    import pandas as pd
+
+    from pawpaw_spark.operators.multimodal import (
+        audio_features,
+        make_av_bytes,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.concat(F.lit("w"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        (F.pmod("doc_id", F.lit(2)) + 1).cast("int").alias("ch"),
+        F.element_at(
+            F.array(F.lit(8000), F.lit(16000), F.lit(32000)),
+            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+        ).cast("int").alias("rate"),
+        (F.lit(64) + F.pmod("doc_id", F.lit(5)) * 16).cast("int").alias(
+            "n"
+        ),
+        (F.lit(500) + F.pmod("doc_id", F.lit(7)) * 100).cast("int").alias(
+            "amp"
+        ),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples(index=False):
+                n, ch = int(r.n), int(r.ch)
+                amps = np.array(
+                    [int(r.amp) + 50 * c for c in range(ch)], dtype=np.int64
+                )
+                sign = np.where(np.arange(n) % 2 == 0, 1, -1)[:, None]
+                pcm = (sign * amps[None, :]).astype(np.int16)
+                payloads.append(
+                    make_av_bytes(
+                        "wav", sample_rate=int(r.rate), channels=ch,
+                        samples=pcm,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(gen, schema="media_id string, payload binary")
+    return audio_features(media)
+
+
 # vocabulary the synthetic corpus actually contains (round 1 used a
 # legal/math vocabulary that matched nothing -> 0-row vacuous pass)
 _ONTO_PATTERNS = {
@@ -4855,6 +4916,7 @@ _QUERIES = {
         "media_frames": q_media_frames,
         "media_dimensions": q_media_dimensions,
         "media_av": q_media_av,
+        "media_audio_feats": q_media_audio_feats,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
@@ -7021,6 +7083,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1920 + 1 END AS INT) AS width,
                    CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 1080 + 1 END AS INT) AS height
             FROM documents
+        """,
+        # REAL PCM decode replay: the square wave's closed forms (rms
+        # = amplitude exactly, peak = amplitude, mean = 0 over an even
+        # frame count) make the per-channel feature table pure key
+        # arithmetic — one range-unnest per payload's channel count
+        "media_audio_feats": """
+            WITH base AS (
+              SELECT 'w' || CAST(doc_id AS VARCHAR) AS media_id,
+                     (doc_id % 2) + 1 AS ch,
+                     [8000, 16000, 32000][CAST(doc_id % 3 AS INT) + 1]
+                       AS rate,
+                     64 + (doc_id % 5) * 16 AS n,
+                     500 + (doc_id % 7) * 100 AS amp
+              FROM documents),
+            chans AS (
+              SELECT media_id, CAST(t.c AS INT) AS channel, n, rate,
+                     amp + 50 * t.c AS a
+              FROM base, LATERAL unnest(range(ch)) AS t(c))
+            SELECT media_id, channel,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(a AS DOUBLE) AS rms,
+                   CAST(a AS BIGINT) AS peak,
+                   CAST(0 AS DOUBLE) AS mean
+            FROM chans
         """,
         "ontology_counts": (
             "WITH hits AS ("

@@ -5,10 +5,15 @@ Header-level decode is REAL: :func:`parse_image_header` reads
 width/height/format from PNG IHDR, JPEG SOF, GIF logical-screen and BMP
 info-header bytes in pure Python (the formats are public specs), and
 :func:`decode_image_meta` runs it Arrow-batched over a media table.
-Only FULL pixel decode is stubbed (``decode_image`` needs Pillow, not
-in this container), and ``_fake_feature`` is the deterministic
-model-forward stand-in used by tests. Everything Spark-side — schema,
-Arrow batch shape, partitioning, UDF signatures — is real and tested.
+AUDIO decode is REAL for 16-bit PCM WAV: :func:`decode_wav_pcm` reads
+the interleaved samples from the RIFF data chunk (stdlib + numpy — no
+codec library needed) and :func:`audio_features` computes per-channel
+rms/peak/mean/duration from them. Only codec-gated decode is stubbed
+(``decode_image`` needs Pillow, compressed audio needs a codec — not
+in this container); ``_fake_feature`` is the deterministic
+model-forward stand-in for THOSE formats only. Everything Spark-side —
+schema, Arrow batch shape, partitioning, UDF signatures — is real and
+tested.
 """
 
 from __future__ import annotations
@@ -335,16 +340,33 @@ def make_av_bytes(
     duration_ms: int = 0,
     width: int = 0,
     height: int = 0,
+    samples=None,
 ) -> bytes:
-    """Structurally-honest container header bytes (the make_image_bytes
+    """Structurally-honest container bytes (the make_image_bytes
     analog): real RIFF chunk framing / real ISO-BMFF box framing with
-    spec-correct field layouts. Like the PNG writer omits pixel data,
-    the WAV 'data' chunk declares its size but carries no samples and
-    the MP4 carries no 'mdat' — header parsers (this module's and any
-    spec-conforming one) read identical metadata either way."""
+    spec-correct field layouts. By default the WAV 'data' chunk
+    declares its size but carries no samples and the MP4 carries no
+    'mdat' — header parsers (this module's and any spec-conforming
+    one) read identical metadata either way. Pass ``samples`` (an
+    int16 array, frames x channels or flat mono) to emit a COMPLETE
+    PCM WAV whose data chunk carries the interleaved samples —
+    :func:`decode_wav_pcm` round-trips it exactly."""
     if fmt == "wav":
         byte_rate = sample_rate * channels * 2
-        data_size = n_samples * channels * 2
+        if samples is not None:
+            pcm = np.asarray(samples, dtype=np.int16)
+            if pcm.ndim == 1:
+                pcm = pcm[:, None]
+            if pcm.shape[1] != channels:
+                raise ValueError(
+                    f"samples have {pcm.shape[1]} channels, "
+                    f"expected {channels}"
+                )
+            data = pcm.astype("<i2").tobytes()  # interleaved frames
+            data_size = len(data)
+        else:
+            data = b""
+            data_size = n_samples * channels * 2
         fmt_chunk = (
             (1).to_bytes(2, "little")          # PCM
             + channels.to_bytes(2, "little")
@@ -356,7 +378,7 @@ def make_av_bytes(
         body = (
             b"WAVE"
             + b"fmt " + len(fmt_chunk).to_bytes(4, "little") + fmt_chunk
-            + b"data" + data_size.to_bytes(4, "little")
+            + b"data" + data_size.to_bytes(4, "little") + data
         )
         return b"RIFF" + len(body).to_bytes(4, "little") + body
     if fmt == "mp4":
@@ -422,6 +444,91 @@ def decode_av_meta(
     )
 
 
+def decode_wav_pcm(payload: bytes | None):
+    """REAL audio decode for 16-bit PCM WAV (pure stdlib/numpy — no
+    codec library needed; RIFF and PCM are public specs): returns
+    (samples, sample_rate) with samples an int16 array of shape
+    (n_frames, channels), or None when the payload is not a decodable
+    PCM WAV (other formats stay codec-gated behind
+    :func:`decode_image`-style stubs)."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    b, i, n = payload, 12, len(payload)
+    channels = rate = bits = audio_fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        csz = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 8 + 16 <= n:
+            audio_fmt = int.from_bytes(b[i + 8 : i + 10], "little")
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + csz]
+        i += 8 + csz + (csz & 1)
+    if (
+        audio_fmt != 1 or bits != 16 or not channels or not rate
+        or data is None
+    ):
+        return None
+    frame_bytes = channels * 2
+    usable = len(data) - (len(data) % frame_bytes)
+    if usable <= 0:
+        return None
+    pcm = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, channels)
+    return pcm, rate
+
+
+def audio_features(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL per-channel audio features for PCM WAV payloads ->
+    (media_id, channel, n_samples, duration_ms, rms, peak, mean) — one
+    row per (payload, channel), non-decodable payloads contribute no
+    rows (corrupt blobs never kill the scan). rms = sqrt(mean(s^2)) in
+    float64 (exact for constant-magnitude signals: a square wave of
+    amplitude A has rms exactly A, the closed form the contract oracle
+    replays), peak = max(|s|), mean = mean(s). Arrow-batched
+    mapInPandas; the only shuffle is whatever the caller does next."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col].values, pdf[payload_col].values):
+                dec = decode_wav_pcm(p)
+                if dec is None:
+                    continue
+                pcm, rate = dec
+                nfr = pcm.shape[0]
+                dur = nfr * 1000 // rate
+                s = pcm.astype(np.float64)
+                for c in range(pcm.shape[1]):
+                    rows.append(
+                        (
+                            mid, c, nfr, dur,
+                            float(np.sqrt(np.mean(s[:, c] ** 2))),
+                            int(np.max(np.abs(pcm[:, c].astype(np.int64)))),
+                            float(np.mean(s[:, c])),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "channel", "n_samples", "duration_ms",
+                    "rms", "peak", "mean",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema=(
+            "media_id string, channel int, n_samples long, "
+            "duration_ms long, rms double, peak long, mean double"
+        ),
+    )
+
+
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic fake embedding: blake2b-seeded uniform vector."""
     h = hashlib.blake2b(payload or b"", digest_size=8).digest()
@@ -429,15 +536,47 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.rand(dim).astype(np.float64)
 
 
+def _real_or_fake_feature(payload, dim: int) -> list | None:
+    """A decodable PCM WAV gets a REAL signal-statistics vector
+    ([duration_ms, n_frames, channels, rate, then per-channel rms/
+    peak/mean], zero-padded/truncated to dim); every codec-gated
+    format falls back to the deterministic fake embedding."""
+    if payload is None:
+        return None
+    dec = decode_wav_pcm(bytes(payload))
+    if dec is None:
+        return _fake_feature(bytes(payload), dim).tolist()
+    pcm, rate = dec
+    s = pcm.astype(np.float64)
+    vec = [
+        float(pcm.shape[0] * 1000 // rate),
+        float(pcm.shape[0]),
+        float(pcm.shape[1]),
+        float(rate),
+    ]
+    for c in range(pcm.shape[1]):
+        vec.extend(
+            (
+                float(np.sqrt(np.mean(s[:, c] ** 2))),
+                float(np.max(np.abs(s[:, c]))),
+                float(np.mean(s[:, c])),
+            )
+        )
+    vec = vec[:dim]
+    return vec + [0.0] * (dim - len(vec))
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """(media_id, kind, feature: array<double>) via mapInPandas — the
-    real pipeline swaps `_fake_feature` for a model forward pass; the
-    batch shape and schema stay identical."""
+    """(media_id, kind, feature: array<double>) via mapInPandas — PCM
+    WAV payloads get REAL signal statistics (:func:`decode_wav_pcm`);
+    codec-gated formats keep the deterministic fake until a model/codec
+    library is present. The batch shape and schema are the production
+    ones either way."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_feature(p, dim).tolist() if p is not None else None
+                _real_or_fake_feature(p, dim)
                 for p in pdf["payload"].values
             ]
             yield pd.DataFrame(
