@@ -680,6 +680,60 @@ def q_media_audio_feats(spark, sf_dir):
     return audio_features(media)
 
 
+def q_media_image_feats(spark, sf_dir):
+    """REAL image pixel decode end to end (round 5): per document,
+    construct a COMPLETE 24-bit BMP whose pixels follow closed-form
+    gradients — R = c0 + x (x-gradient), G = c1 + 2y (y-gradient),
+    B = c2 (solid) — then recover per-channel mean/min/max by DECODING
+    THE PIXEL BYTES (multimodal.decode_image_pixels -> image_features:
+    bottom-up BGR rows, 4-byte padding, channel un-swizzle). The
+    gradients make the oracle pure arithmetic (mean_R = c0 + (w-1)/2
+    exactly in IEEE, mean_G = c1 + (h-1), B constant), and a row-order,
+    padding, or BGR/RGB error shifts a mean and fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from pawpaw_spark.operators.multimodal import (
+        image_features,
+        make_image_bytes,
+    )
+
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.concat(F.lit("i"), F.col("doc_id").cast("string")).alias(
+            "media_id"
+        ),
+        (F.lit(8) + F.pmod("doc_id", F.lit(8)) * 4).cast("int").alias("w"),
+        (F.lit(4) + F.pmod("doc_id", F.lit(4)) * 2).cast("int").alias("h"),
+        (F.lit(20) + F.pmod("doc_id", F.lit(100))).cast("int").alias("c0"),
+        (F.lit(10) + F.pmod("doc_id", F.lit(50))).cast("int").alias("c1"),
+        F.pmod("doc_id", F.lit(256)).cast("int").alias("c2"),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                px = np.stack(
+                    [
+                        np.broadcast_to(int(r.c0) + x, (h, w)),
+                        np.broadcast_to(int(r.c1) + 2 * y, (h, w)),
+                        np.full((h, w), int(r.c2)),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(make_image_bytes("bmp", w, h, pixels=px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = base.mapInPandas(gen, schema="media_id string, payload binary")
+    return image_features(media)
+
+
 # vocabulary the synthetic corpus actually contains (round 1 used a
 # legal/math vocabulary that matched nothing -> 0-row vacuous pass)
 _ONTO_PATTERNS = {
@@ -4917,6 +4971,7 @@ _QUERIES = {
         "media_dimensions": q_media_dimensions,
         "media_av": q_media_av,
         "media_audio_feats": q_media_audio_feats,
+        "media_image_feats": q_media_image_feats,
         "paragraph_dedup": q_paragraph_dedup,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
@@ -7108,6 +7163,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a AS BIGINT) AS peak,
                    CAST(0 AS DOUBLE) AS mean
             FROM chans
+        """,
+        # REAL pixel-decode replay: the gradient closed forms (R mean
+        # = c0 + (w-1)/2 — exactly representable, G mean = c1 + (h-1),
+        # B solid) — 3 channel rows per document, pure key arithmetic
+        "media_image_feats": """
+            WITH base AS (
+              SELECT 'i' || CAST(doc_id AS VARCHAR) AS media_id,
+                     8 + (doc_id % 8) * 4 AS w,
+                     4 + (doc_id % 4) * 2 AS h,
+                     20 + (doc_id % 100) AS c0,
+                     10 + (doc_id % 50) AS c1,
+                     doc_id % 256 AS c2
+              FROM documents)
+            SELECT media_id, 'bmp' AS format,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(t.c AS INT) AS channel,
+                   CASE t.c
+                     WHEN 0 THEN CAST(c0 AS DOUBLE) + (w - 1) / 2.0
+                     WHEN 1 THEN CAST(c1 + (h - 1) AS DOUBLE)
+                     ELSE CAST(c2 AS DOUBLE) END AS mean,
+                   CAST(CASE t.c WHEN 0 THEN c0 WHEN 1 THEN c1
+                        ELSE c2 END AS BIGINT) AS min,
+                   CAST(CASE t.c WHEN 0 THEN c0 + w - 1
+                        WHEN 1 THEN c1 + 2 * (h - 1)
+                        ELSE c2 END AS BIGINT) AS max
+            FROM base, LATERAL unnest(range(3)) AS t(c)
         """,
         "ontology_counts": (
             "WITH hits AS ("

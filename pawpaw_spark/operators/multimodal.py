@@ -142,25 +142,46 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
     return None
 
 
-def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
-    """Structurally-honest header bytes for tests/oracles: real
-    signatures, real chunk/segment framing, real CRCs — only the pixel
-    payload is omitted (PNG) or minimal (JPEG/GIF/BMP), so any
-    spec-conforming header parser reads the same dimensions."""
+def make_image_bytes(fmt: str, width: int, height: int, pixels=None) -> bytes:
+    """Structurally-honest image bytes for tests/oracles: real
+    signatures, real chunk/segment framing, real CRCs. By default only
+    the pixel payload is omitted (PNG) or minimal (JPEG/GIF/BMP), so
+    any spec-conforming header parser reads the same dimensions. Pass
+    ``pixels`` (a uint8 array of shape (height, width, 3), RGB) to emit
+    a COMPLETE image for the two formats whose pixel encoding is
+    stdlib-expressible — ``bmp`` (24-bit uncompressed, bottom-up BGR
+    rows with 4-byte padding) and ``png`` (8-bit truecolor, filter-0
+    scanlines, one zlib IDAT) — :func:`decode_image_pixels` round-trips
+    both exactly."""
     import zlib
 
+    if pixels is not None:
+        a = np.asarray(pixels, dtype=np.uint8)
+        if a.shape != (height, width, 3):
+            raise ValueError(
+                f"pixels shape {a.shape} != (height={height}, "
+                f"width={width}, 3)"
+            )
+
     if fmt == "png":
+        def chunk(ctype: bytes, payload: bytes) -> bytes:
+            body = ctype + payload
+            return (
+                len(payload).to_bytes(4, "big") + body
+                + zlib.crc32(body).to_bytes(4, "big")
+            )
+
         ihdr = (
             width.to_bytes(4, "big") + height.to_bytes(4, "big")
             + b"\x08\x02\x00\x00\x00"  # 8-bit, truecolor
         )
-        chunk = b"IHDR" + ihdr
-        return (
-            _PNG_SIG + len(ihdr).to_bytes(4, "big") + chunk
-            + zlib.crc32(chunk).to_bytes(4, "big")
-            + (0).to_bytes(4, "big") + b"IEND"
-            + zlib.crc32(b"IEND").to_bytes(4, "big")
-        )
+        out = _PNG_SIG + chunk(b"IHDR", ihdr)
+        if pixels is not None:
+            raw = b"".join(
+                b"\x00" + a[y].tobytes() for y in range(height)
+            )
+            out += chunk(b"IDAT", zlib.compress(raw))
+        return out + chunk(b"IEND", b"")
     if fmt == "jpeg":
         app0 = b"JFIF\x00\x01\x02\x01\x00\x48\x00\x48\x00\x00"
         sof0 = (
@@ -180,15 +201,28 @@ def make_image_bytes(fmt: str, width: int, height: int) -> bytes:
             + b"\x00\x00\x00" + b"\x3b"  # no GCT; trailer
         )
     if fmt == "bmp":
+        px = b""
+        if pixels is not None:
+            stride = (width * 3 + 3) // 4 * 4
+            bgr = a[..., ::-1]
+            px = b"".join(
+                bgr[y].tobytes().ljust(stride, b"\x00")
+                for y in range(height - 1, -1, -1)  # bottom-up rows
+            )
         info = (
             (40).to_bytes(4, "little")
             + width.to_bytes(4, "little", signed=True)
             + height.to_bytes(4, "little", signed=True)
             + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-            + bytes(24)
+            + (0).to_bytes(4, "little")            # BI_RGB
+            + len(px).to_bytes(4, "little")
+            + bytes(16)
         )
-        header = b"BM" + (14 + len(info)).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
-        return header + info
+        header = (
+            b"BM" + (54 + len(px)).to_bytes(4, "little") + bytes(4)
+            + (54).to_bytes(4, "little")
+        )
+        return header + info + px
     raise ValueError(f"unknown format: {fmt}")
 
 
@@ -217,8 +251,179 @@ def decode_image_meta(
     )
 
 
+def _bmp_pixels(b: bytes):
+    """24-bit uncompressed BI_RGB BMP -> (h, w, 3) uint8 RGB, or None.
+    Pure byte math (bottom-up rows unless height is negative, 4-byte
+    row padding, BGR order) — BMP carries raw pixels, no codec."""
+    if len(b) < 54 or not b.startswith(b"BM"):
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    dib = int.from_bytes(b[14:18], "little")
+    if dib < 40:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(
+        b[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_pixels(b: bytes):
+    """8-bit non-interlaced PNG -> (h, w[, ch]) uint8, or None. REAL
+    decode via stdlib zlib + the five PNG scanline filters (spec 9.2:
+    None/Sub/Up/Average/Paeth) — PNG's only codec is DEFLATE, which
+    the stdlib provides. Palette (type 3), 16-bit, and interlaced
+    images return None (genuinely out of scope for a pure-stdlib
+    reader)."""
+    import zlib
+
+    if not b.startswith(_PNG_SIG) or len(b) < 33 or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, ctype, _, _, interlace = b[24:29]
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    # concatenate IDAT chunk payloads
+    idat, i, n = [], 8, len(b)
+    while i + 8 <= n:
+        clen = int.from_bytes(b[i : i + 4], "big")
+        cty = b[i + 4 : i + 8]
+        if cty == b"IDAT":
+            idat.append(b[i + 8 : i + 8 + clen])
+        if cty == b"IEND":
+            break
+        i += 12 + clen
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = np.frombuffer(
+            raw[pos + 1 : pos + 1 + stride], dtype=np.uint8
+        ).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                u = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + u) // 2
+                else:
+                    p = a + u - c
+                    pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        u if pb <= pc else c
+                    )
+                cur[x] = (int(line[x]) + pred) % 256
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch) if ch > 1 else out.reshape(h, w)
+
+
+def decode_image_pixels(payload: bytes | None):
+    """REAL pixel decode for the stdlib-expressible formats: 24-bit
+    uncompressed BMP and 8-bit non-interlaced PNG -> a uint8 array
+    (h, w, 3/4) RGB(A) or (h, w) grayscale; None for codec-gated
+    formats (JPEG/GIF) and anything malformed."""
+    if not payload:
+        return None
+    b = bytes(payload)
+    if b.startswith(b"BM"):
+        return _bmp_pixels(b)
+    if b.startswith(_PNG_SIG):
+        return _png_pixels(b)
+    return None
+
+
+def image_features(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL per-channel image statistics for decodable payloads ->
+    (media_id, format, width, height, channel, mean, min, max) — one
+    row per (payload, channel); codec-gated/corrupt payloads contribute
+    no rows (the audio_features contract). mean in float64 (exact when
+    the true mean is representable — the gradient constructions the
+    contract oracle replays in closed form), min/max as int64."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col].values, pdf[payload_col].values):
+                px = decode_image_pixels(p)
+                if px is None:
+                    continue
+                fmt = parse_image_header(bytes(p))[0]
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, ch = px.shape
+                s = px.astype(np.float64)
+                for c in range(ch):
+                    rows.append(
+                        (
+                            mid, fmt, w, h, c,
+                            float(np.mean(s[:, :, c])),
+                            int(px[:, :, c].min()),
+                            int(px[:, :, c].max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height", "channel",
+                    "mean", "min", "max",
+                ],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema=(
+            "media_id string, format string, width int, height int, "
+            "channel int, mean double, min long, max long"
+        ),
+    )
+
+
 def decode_image(payload: bytes):
-    """Real decode path — requires an image library not present here."""
+    """Full decode: the pure-stdlib path (:func:`decode_image_pixels`,
+    BMP + PNG) first, then Pillow for codec-gated formats; raises only
+    when BOTH are unavailable for the payload."""
+    px = decode_image_pixels(payload)
+    if px is not None:
+        return px
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -226,7 +431,9 @@ def decode_image(payload: bytes):
         return Image.open(io.BytesIO(payload))
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "image decoding requires Pillow; this container stubs the decode step"
+            "JPEG/GIF decoding requires Pillow; this container stubs "
+            "the codec-gated decode step (BMP/PNG decode is real — "
+            "decode_image_pixels)"
         ) from e
 
 

@@ -16,6 +16,10 @@ from pawpaw_spark.operators.linking import sorted_neighborhood_pairs
 
 
 def _n_persisted(spark) -> int:
+    # NOTE: the JVM ContextCleaner unpersists unreferenced RDDs
+    # asynchronously (earlier tests' localCheckpoints), so the
+    # baseline can only SHRINK underneath us — the boundedness
+    # invariant is therefore "no growth", asserted as <= baseline.
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
@@ -38,7 +42,7 @@ class TestCacheAudit:
                                     bands=8)
             ) as pairs:
                 pairs.count()
-        assert _n_persisted(spark) == base
+        assert _n_persisted(spark) <= base
         reg = getattr(spark, "_pawpaw_cache_registry", [])
         assert reg == []
 
@@ -58,7 +62,7 @@ class TestCacheAudit:
         n = release_session_caches(spark)
         assert n == len(reg) or reg == []
         assert getattr(spark, "_pawpaw_cache_registry", []) == []
-        assert _n_persisted(spark) == base
+        assert _n_persisted(spark) <= base
 
     def test_sorted_neighborhood_participates(self, spark):
         release_session_caches(spark)
@@ -71,7 +75,7 @@ class TestCacheAudit:
                 sorted_neighborhood_pairs(df, "key", id_col="id", window=2)
             ) as pairs:
                 pairs.count()
-        assert _n_persisted(spark) == base
+        assert _n_persisted(spark) <= base
         assert getattr(spark, "_pawpaw_cache_registry", []) == []
 
     def test_double_release_is_noop(self, spark):
