@@ -280,11 +280,19 @@ def _reachable_from(base: DataFrame, seed: str, max_rounds: int) -> DataFrame:
                 base.filter(F.col("src") == seed).select("dst").distinct()
             )
             reached = frontier
+
+            def done():
+                return reached.select(
+                    F.lit(seed).alias("src"), F.col("dst")
+                )
+
+            # emptiness is checked AFTER each expansion (the _closure
+            # discipline), so max_rounds EXPANSIONS are allowed and a
+            # reachable set of hop radius == max_rounds still converges
+            # — checking before would raise one round early.
+            if frontier.isEmpty():
+                return done()
             for r in range(max_rounds):
-                if frontier.isEmpty():
-                    return reached.select(
-                        F.lit(seed).alias("src"), F.col("dst")
-                    )
                 frontier = truncated_checkpoint(
                     frontier.alias("f")
                     .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
@@ -292,6 +300,8 @@ def _reachable_from(base: DataFrame, seed: str, max_rounds: int) -> DataFrame:
                     .distinct()
                     .join(reached, ["dst"], "left_anti")
                 )
+                if frontier.isEmpty():
+                    return done()
                 reached = reached.union(frontier)
                 if (r + 1) % 4 == 0:
                     # compact the union-of-checkpointed-deltas (the
@@ -388,7 +398,11 @@ def path_pairs(
             return _pairs_distinct(compile_(node[1]).union(nodes()))
         raise AssertionError(f"unknown path node {node!r}")
 
-    if anchor_src is not None or anchor_dst is not None:
+    # square=True promises log-round convergence via recursive doubling,
+    # which the linear seeded frontier cannot honor — a deep graph that
+    # converges under squaring could exceed max_rounds seeded. Fall back
+    # to the full (squared) closure; the caller's filters still apply.
+    if (anchor_src is not None or anchor_dst is not None) and not square:
         node, flipped = ast, False
         while node[0] == "inv":
             node, flipped = node[1], not flipped

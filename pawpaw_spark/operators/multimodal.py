@@ -156,6 +156,11 @@ def make_image_bytes(fmt: str, width: int, height: int, pixels=None) -> bytes:
     import zlib
 
     if pixels is not None:
+        if fmt not in ("png", "bmp"):
+            raise ValueError(
+                "pixels= is only supported for png/bmp (the stdlib-"
+                f"expressible encodings), not {fmt!r}"
+            )
         a = np.asarray(pixels, dtype=np.uint8)
         if a.shape != (height, width, 3):
             raise ValueError(
@@ -295,6 +300,8 @@ def _png_pixels(b: bytes):
         return None
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
+    if w <= 0 or h <= 0:  # mirror parse_image_header's dimension gate
+        return None
     depth, ctype, _, _, interlace = b[24:29]
     if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
         return None
@@ -331,23 +338,35 @@ def _png_pixels(b: bytes):
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) % 256
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                u = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+        elif f == 1:  # Sub: a per-channel-lane prefix sum — vectorized
+            cur = (
+                np.cumsum(line.reshape(w, ch).astype(np.int64), axis=0)
+                % 256
+            ).reshape(stride).astype(np.int32)
+        elif f in (3, 4):  # Average / Paeth: left-dependent, so the
+            # scan is sequential over PIXELS, but the channel lanes
+            # vectorize — O(w) python iterations per row, not O(w*ch)
+            lp = line.reshape(w, ch)
+            pp = prev.reshape(w, ch)
+            cp = np.zeros((w, ch), dtype=np.int32)
+            zero = np.zeros(ch, dtype=np.int32)
+            for i in range(w):
+                a = cp[i - 1] if i else zero
+                u = pp[i]
+                if f == 3:
                     pred = (a + u) // 2
                 else:
+                    c = pp[i - 1] if i else zero
                     p = a + u - c
-                    pa, pb, pc = abs(p - a), abs(p - u), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        u if pb <= pc else c
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - u)
+                    pc = np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a,
+                        np.where(pb <= pc, u, c),
                     )
-                cur[x] = (int(line[x]) + pred) % 256
+                cp[i] = (lp[i] + pred) % 256
+            cur = cp.reshape(stride)
         else:
             return None
         out[y] = cur.astype(np.uint8)
@@ -384,9 +403,13 @@ def image_features(
             rows = []
             for mid, p in zip(pdf[id_col].values, pdf[payload_col].values):
                 px = decode_image_pixels(p)
-                if px is None:
+                # hdr re-checked independently: a payload one decoder
+                # accepts and the other rejects must SKIP, not raise —
+                # corrupt blobs never kill the scan
+                hdr = parse_image_header(bytes(p)) if px is not None else None
+                if px is None or px.size == 0 or hdr is None:
                     continue
-                fmt = parse_image_header(bytes(p))[0]
+                fmt = hdr[0]
                 if px.ndim == 2:
                     px = px[:, :, None]
                 h, w, ch = px.shape

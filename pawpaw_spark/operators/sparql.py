@@ -1103,12 +1103,24 @@ def _branch_frame(
                 f"with the enclosing group {m.columns} (a cross product)"
             )
         m = m.join(sdf, on=shared, how="inner")
+    for v, expr in b.get("binds", ()):
+        if v in m.columns:
+            raise ValueError(f"BIND would rebind already-bound ?{v}")
+        missing = sorted(_expr_vars(expr) - set(m.columns))
+        if missing:
+            raise ValueError(
+                f"BIND expression reads unbound variable(s) {missing} "
+                f"(bound: {m.columns})"
+            )
+        m = m.withColumn(v, _bind_col(expr))
     for ex in b.get("exists", ()):
         # positive FILTER EXISTS: a SEMI join of the solutions against
         # the inner pattern's bindings on the shared variables — the
         # dual of the NOT EXISTS anti join. An uncorrelated EXISTS is
         # an ASK gate: a <=1-row broadcast probe (never a data-sized
-        # product).
+        # product). Evaluated AFTER BIND (SPARQL's end-of-group filter
+        # scope), so an EXISTS correlated on a BIND-introduced
+        # variable is a real per-row semi join, not a degenerate gate.
         if b.get("graph") is not None:
             raise ValueError(
                 "FILTER EXISTS inside a GRAPH block is not supported"
@@ -1122,16 +1134,6 @@ def _branch_frame(
         else:
             probe = inner.limit(1).select(F.lit(1).alias("__exists"))
             m = m.crossJoin(F.broadcast(probe)).drop("__exists")
-    for v, expr in b.get("binds", ()):
-        if v in m.columns:
-            raise ValueError(f"BIND would rebind already-bound ?{v}")
-        missing = sorted(_expr_vars(expr) - set(m.columns))
-        if missing:
-            raise ValueError(
-                f"BIND expression reads unbound variable(s) {missing} "
-                f"(bound: {m.columns})"
-            )
-        m = m.withColumn(v, _bind_col(expr))
     for a, op, bb in b.get("filters", ()):
         for s in (a, bb):
             missing = sorted(_expr_vars(s) - set(m.columns))

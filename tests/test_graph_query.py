@@ -611,3 +611,29 @@ class TestAnchoredPathSeeding:
         got = path_pairs(edges, "CALLS*", anchor_src="zz") \
             .filter(F.col("src") == "zz").collect()
         assert got == []
+
+    def test_anchored_radius_equal_to_max_rounds_converges(self, spark):
+        # Review regression: emptiness must be checked AFTER each
+        # expansion — a reachable set of hop radius == max_rounds
+        # previously raised one round early.
+        chain = [(f"c{i}", f"c{i+1}") for i in range(8)]
+        edges = self._edges(spark, chain)
+        got = {
+            tuple(r)
+            for r in path_pairs(
+                edges, "CALLS+", anchor_src="c0", max_rounds=8
+            ).collect()
+        }
+        assert got == {("c0", f"c{i}") for i in range(1, 9)}
+
+    def test_anchored_with_square_falls_back_to_doubling(self, spark):
+        # square=True promises log-round convergence; the linear
+        # seeded frontier cannot honor it, so anchoring must not
+        # regress a query that converges only by recursive doubling.
+        chain = [(f"c{i}", f"c{i+1}") for i in range(40)]
+        edges = self._edges(spark, chain)
+        got = match_pattern(
+            edges, [("c0", "CALLS+", "?x")],
+            path_max_rounds=8, path_square=True,
+        ).count()
+        assert got == 40

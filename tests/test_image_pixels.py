@@ -131,3 +131,33 @@ class TestImageFeatures:
         assert (rows[2]["min"], rows[2]["max"]) == (c2, c2)
         assert rows[0]["format"] == "bmp"
         assert (rows[0]["width"], rows[0]["height"]) == (w, h)
+
+
+class TestReviewRegressions:
+    def test_zero_dim_png_skipped_not_crashed(self, spark):
+        # a structurally-valid height-0 PNG must contribute no rows,
+        # never a NoneType subscript inside the kernel
+        import numpy as np
+
+        b0 = make_image_bytes(
+            "png", 5, 0, pixels=np.zeros((0, 5, 3), np.uint8)
+        )
+        assert decode_image_pixels(b0) is None
+        ok = make_image_bytes(
+            "bmp", 2, 2, pixels=np.full((2, 2, 3), 9, np.uint8)
+        )
+        media = spark.createDataFrame(
+            [("z", bytearray(b0)), ("ok", bytearray(ok))],
+            "media_id string, payload binary",
+        )
+        rows = image_features(media).collect()
+        assert {r["media_id"] for r in rows} == {"ok"}
+
+    def test_pixels_rejected_for_codec_gated_formats(self):
+        import numpy as np
+
+        for fmt in ("jpeg", "gif"):
+            with pytest.raises(ValueError, match="png/bmp"):
+                make_image_bytes(
+                    fmt, 2, 2, pixels=np.zeros((2, 2, 3), np.uint8)
+                )

@@ -940,3 +940,19 @@ class TestRound5Extensions:
                   ?f DEFINES ?s .
                   BIND ( REPLACE ( ?s ?s "x" ) AS ?r )
                 }""")
+
+    def test_exists_correlates_on_bind_variable(self, spark):
+        # Review regression: EXISTS runs AFTER BIND (end-of-group
+        # filter scope), so correlation on a BIND-introduced variable
+        # is a real per-row semi join, not an uncorrelated gate.
+        rows = [
+            ("f1", "DEFINES", "A"), ("f2", "DEFINES", "B"),
+            ("x", "REFERENCES", "a"),
+        ]
+        got = _t(sparql(_triples(spark, rows), """
+            SELECT ?s WHERE {
+              ?f DEFINES ?s .
+              BIND ( LCASE ( ?s ) AS ?l )
+              FILTER EXISTS { ?x REFERENCES ?l }
+            }"""))
+        assert got == {("A",)}
