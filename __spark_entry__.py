@@ -3524,6 +3524,42 @@ def q_kg_sparql_strops(spark, sf_dir):
     )
 
 
+def q_kg_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 UPDATE end to end (round 5, operators/
+    sparql.sparql_update): the DELETE/INSERT WHERE form repairs the
+    call graph's dangling references — every REFERENCES edge into an
+    undefined ``sym:f_missing_<g>`` symbol is deleted and replaced by
+    a ``BROKEN_REF`` marker triple carrying the group id extracted
+    with STRAFTER in a BIND. The WHERE binds through the full query
+    machinery; the update compiles to one anti join (delete set) + one
+    union (insert set) + a set-semantics distinct. Result: per-pred
+    census with min-subj/max-obj probes over the UPDATED store; the
+    oracle replays base-minus-deleted-plus-inserted with UNION set
+    semantics over the reconstructed defs/edges."""
+    from pawpaw_spark.operators.sparql import sparql_update
+
+    edges = (
+        _fused_call_triples(spark, sf_dir)
+        .filter(F.col("pred").isin("DEFINES", "REFERENCES"))
+        .select("subj", "pred", "obj")
+    )
+    upd = sparql_update(
+        edges,
+        """
+        DELETE { ?s REFERENCES ?t } INSERT { ?s BROKEN_REF ?g } WHERE {
+          ?s REFERENCES ?t .
+          FILTER ( STRSTARTS ( ?t "sym:f_missing_" ) )
+          BIND ( STRAFTER ( ?t "missing_" ) AS ?g )
+        }
+        """,
+    )
+    return upd.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("subj").alias("min_subj"),
+        F.max("obj").alias("max_obj"),
+    )
+
+
 def q_kg_sparql_subquery(spark, sf_dir):
     """SPARQL 1.1 subqueries + GROUP_CONCAT / SAMPLE aggregates end to
     end: the inner { SELECT ... GROUP BY ?s } computes each symbol's
@@ -4798,7 +4834,8 @@ _GATE_RESIDUAL = [
     "events_range",
     # new in round 5 — never driver-verified yet, queued for round 6
     "kg_sparql_exists", "kg_sparql_arith", "kg_sparql_cond",
-    "kg_sparql_strops", "media_audio_feats", "media_image_feats",
+    "kg_sparql_strops", "kg_sparql_update", "media_audio_feats",
+    "media_image_feats",
 ]
 
 
@@ -4864,6 +4901,7 @@ _QUERIES = {
         "kg_sparql_arith": q_kg_sparql_arith,
         "kg_sparql_cond": q_kg_sparql_cond,
         "kg_sparql_strops": q_kg_sparql_strops,
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_describe": q_kg_sparql_describe,
         "wordpiece_scores": q_wordpiece_scores,
@@ -6156,6 +6194,32 @@ def oracle_sql() -> dict[str, str]:
                    ELSE '' END AS post,
               regexp_replace(s, '[0-9]+', 'N', 'g') AS rep
             FROM defs
+        """,
+        # UPDATE replay: base minus the deleted missing-refs plus the
+        # inserted BROKEN_REF markers, with UNION (distinct) mirroring
+        # the engine's set-semantics result; STRAFTER = substr past
+        # position('missing_') + 8
+        "kg_sparql_update": f"""
+            WITH {_KG_EDGE_CTE},
+            defs AS (
+              SELECT 'src/calls/doc/' || r || '@0' AS subj,
+                     'DEFINES' AS pred, 'sym:f_' || r AS obj
+              FROM mem),
+            refs AS (
+              SELECT src AS subj, 'REFERENCES' AS pred, dst AS obj
+              FROM e),
+            kept AS (
+              SELECT * FROM defs
+              UNION
+              SELECT * FROM refs
+              WHERE NOT starts_with(obj, 'sym:f_missing_')
+              UNION
+              SELECT src, 'BROKEN_REF',
+                     substr(dst, position('missing_' IN dst) + 8)
+              FROM e WHERE starts_with(dst, 'sym:f_missing_'))
+            SELECT pred, CAST(count(*) AS BIGINT) AS n,
+                   min(subj) AS min_subj, max(obj) AS max_obj
+            FROM kept GROUP BY pred
         """,
         # subquery replay: per-symbol sorted callee list + min sample
         # over the DISTINCT (src, dst) call edges, joined to defs on

@@ -65,6 +65,12 @@ see the parser doc for the exact token rules):
   ``VALUES ?x { term ... }`` / ``VALUES ( ?x ?y ) { ( term term )
   ... }`` (parens whitespace-separated, like FILTER; ``UNDEF`` binds
   NULL)
+* UPDATE (:func:`sparql_update` — functional, returns the updated
+  triple SET): ``INSERT DATA { }`` / ``DELETE DATA { }`` (constant
+  templates), ``DELETE { } [INSERT { }] WHERE { group }`` with the
+  full group feature set, and the ``DELETE WHERE { pattern }``
+  shorthand; solutions leaving a template variable NULL instantiate
+  nothing (spec rule)
 * terms: ``?var``; ``<iri>`` (angles stripped); ``"literal"``;
   bare names (including PROPERTY PATH expressions — any predicate
   token with ``/ | ^ + * ? ( )`` compiles through
@@ -1370,3 +1376,171 @@ def _select_frame(
     if plan["limit"] is not None:
         out = out.limit(plan["limit"])
     return out
+
+
+# --- SPARQL 1.1 Update (the graph-store write surface) ----------------------
+
+
+def parse_update(query: str, *, type_pred: str = "type") -> dict:
+    """Parse a SPARQL UPDATE string -> a plan dict ``{'form':
+    'insert_data'|'delete_data'|'modify', 'delete': [triples]|None,
+    'insert': [triples]|None, 'branches': [...]|None}``.
+
+    Supported forms (canonical layout, same token rules as the query
+    parser):
+
+    * ``INSERT DATA { triples }`` / ``DELETE DATA { triples }`` —
+      templates must be all-constant (per spec)
+    * ``INSERT { tmpl } WHERE { group }``
+    * ``DELETE { tmpl } WHERE { group }``
+    * ``DELETE { tmpl } INSERT { tmpl } WHERE { group }``
+    * ``DELETE WHERE { pattern }`` — the spec shorthand: the pattern
+      doubles as the delete template (plain triples only)
+    """
+    p = _P(_tokenize(query), type_pred)
+    first = (p.peek() or "").lower()
+    out: dict = {"form": None, "delete": None, "insert": None,
+                 "branches": None}
+    if first == "insert":
+        p.take()
+        if (p.peek() or "").lower() == "data":
+            p.take()
+            out.update(form="insert_data", insert=p.template())
+        else:
+            out.update(form="modify", insert=p.template())
+            p.take("where")
+            out["branches"] = _branches(p)
+    elif first == "delete":
+        p.take()
+        nxt = (p.peek() or "").lower()
+        if nxt == "data":
+            p.take()
+            out.update(form="delete_data", delete=p.template())
+        elif nxt == "where":
+            p.take("where")
+            out["form"] = "modify"
+            out["branches"] = _branches(p)
+            b = out["branches"]
+            if len(b) > 1 or any(
+                b[0][k]
+                for k in ("optional", "not_exists", "minus", "neq",
+                          "values", "filters", "binds", "subqueries",
+                          "str_filters", "exists", "in_filters")
+            ) or b[0]["graph"] is not None:
+                raise ValueError(
+                    "DELETE WHERE takes one plain triple pattern "
+                    "(the spec's QuadPattern shorthand — no OPTIONAL/"
+                    "FILTER/UNION); use DELETE { } WHERE { } for more"
+                )
+            out["delete"] = list(b[0]["pattern"])
+        else:
+            out.update(form="modify", delete=p.template())
+            if (p.peek() or "").lower() == "insert":
+                p.take()
+                out["insert"] = p.template()
+            p.take("where")
+            out["branches"] = _branches(p)
+    else:
+        raise ValueError(
+            f"expected INSERT or DELETE to start an update, got "
+            f"{p.peek()!r}"
+        )
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens after update: {p.toks[p.i:]}")
+    for key in ("insert", "delete"):
+        tmpl = out[key]
+        if tmpl is not None and not tmpl:
+            raise ValueError(f"{key.upper()} template binds no triples")
+        if out["form"] in ("insert_data", "delete_data") and tmpl:
+            bad = [t for t in tmpl if any(x.startswith("?") for x in t)]
+            if bad:
+                raise ValueError(
+                    f"{out['form'].upper().replace('_', ' ')} templates "
+                    f"must be constant triples, got variables in {bad}"
+                )
+    return out
+
+
+def sparql_update(
+    edges: DataFrame,
+    query: str,
+    *,
+    type_pred: str = "type",
+    **match_kwargs,
+) -> DataFrame:
+    """Apply a SPARQL UPDATE string to a triple table -> the UPDATED
+    triple table (functional: the input DataFrame is untouched; write
+    the result wherever the store lives). Result is the SET of
+    triples (RDF graphs are sets — duplicates collapse, matching the
+    query engine's set semantics).
+
+    Compilation: ``INSERT DATA`` is a broadcast-literal union;
+    ``DELETE DATA`` a broadcast-literal anti join; the ``WHERE`` forms
+    bind solutions through the full query machinery (OPTIONAL /
+    FILTER [NOT] EXISTS / BIND / arithmetic — everything
+    :func:`sparql` supports in a group), instantiate the templates
+    per binding (solutions leaving a template variable NULL — e.g.
+    from OPTIONAL — instantiate nothing, per the spec), then one
+    anti join removes the delete set and one union adds the insert
+    set. Scale shape: the only shuffles are the WHERE match itself,
+    the anti join on the triple key, and the final distinct."""
+    plan = parse_update(query, type_pred=type_pred)
+    sc = match_kwargs.get("subj_col", "subj")
+    pc = match_kwargs.get("pred_col", "pred")
+    oc = match_kwargs.get("obj_col", "obj")
+    base = edges.select(sc, pc, oc)
+    spark = edges.sparkSession
+
+    def lit_triples(tmpl):
+        return spark.createDataFrame(
+            [tuple(t) for t in tmpl],
+            f"{sc} string, {pc} string, {oc} string",
+        )
+
+    if plan["form"] == "insert_data":
+        return base.unionByName(lit_triples(plan["insert"])).distinct()
+    if plan["form"] == "delete_data":
+        return base.join(
+            F.broadcast(lit_triples(plan["delete"])),
+            [sc, pc, oc],
+            "left_anti",
+        ).distinct()
+
+    branches = plan["branches"]
+    if len(branches) > 1:
+        raise ValueError("UPDATE WHERE does not take a UNION body")
+    m = _branch_frame(edges, branches[0], True, match_kwargs)
+
+    def instantiate(tmpl):
+        parts = []
+        for s, p, o in tmpl:
+            cols = []
+            for term, alias in ((s, sc), (p, pc), (o, oc)):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v not in m.columns:
+                        raise ValueError(
+                            f"template variable ?{v} not bound by the "
+                            f"WHERE group (bound: {m.columns})"
+                        )
+                    cols.append(F.col(v).alias(alias))
+                else:
+                    cols.append(F.lit(term).alias(alias))
+            parts.append(m.select(*cols))
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        # a solution with an unbound template variable (OPTIONAL NULL)
+        # instantiates no triple for that row — the spec rule
+        return out.where(
+            F.col(sc).isNotNull() & F.col(pc).isNotNull()
+            & F.col(oc).isNotNull()
+        ).distinct()
+
+    out = base
+    if plan["delete"]:
+        out = out.join(instantiate(plan["delete"]), [sc, pc, oc],
+                       "left_anti")
+    if plan["insert"]:
+        out = out.unionByName(instantiate(plan["insert"]))
+    return out.distinct()

@@ -956,3 +956,89 @@ class TestRound5Extensions:
               FILTER EXISTS { ?x REFERENCES ?l }
             }"""))
         assert got == {("A",)}
+
+
+class TestSparqlUpdate:
+    """SPARQL 1.1 UPDATE: INSERT/DELETE DATA, DELETE WHERE, and the
+    DELETE/INSERT WHERE modify form (functional — returns the updated
+    set of triples)."""
+
+    ROWS = [
+        ("f1", "DEFINES", "s1"),
+        ("s1", "REFERENCES", "s2"),
+        ("s1", "REFERENCES", "sym:f_missing_3"),
+        ("f1", "DEFINES", "s1"),  # duplicate collapses (set semantics)
+    ]
+
+    def _e(self, spark):
+        return _triples(spark, self.ROWS)
+
+    def test_insert_and_delete_data(self, spark):
+        from pawpaw_spark.operators.sparql import sparql_update
+
+        got = _t(sparql_update(
+            self._e(spark), "INSERT DATA { f2 DEFINES s9 . s9 a Thing }"
+        ))
+        assert ("f2", "DEFINES", "s9") in got
+        assert ("s9", "type", "Thing") in got  # 'a' sugar
+        assert len(got) == 5  # 3 distinct originals + 2 inserted
+        got = _t(sparql_update(
+            self._e(spark), "DELETE DATA { f1 DEFINES s1 }"
+        ))
+        assert got == {("s1", "REFERENCES", "s2"),
+                       ("s1", "REFERENCES", "sym:f_missing_3")}
+
+    def test_delete_where_shorthand(self, spark):
+        from pawpaw_spark.operators.sparql import sparql_update
+
+        got = _t(sparql_update(
+            self._e(spark), "DELETE WHERE { ?s REFERENCES ?o }"
+        ))
+        assert got == {("f1", "DEFINES", "s1")}
+
+    def test_modify_with_bind_and_filter(self, spark):
+        from pawpaw_spark.operators.sparql import sparql_update
+
+        got = _t(sparql_update(self._e(spark), """
+            DELETE { ?s REFERENCES ?t } INSERT { ?s BROKEN_REF ?g }
+            WHERE {
+              ?s REFERENCES ?t .
+              FILTER ( STRSTARTS ( ?t "sym:f_missing_" ) )
+              BIND ( STRAFTER ( ?t "missing_" ) AS ?g )
+            }"""))
+        assert got == {
+            ("f1", "DEFINES", "s1"),
+            ("s1", "REFERENCES", "s2"),
+            ("s1", "BROKEN_REF", "3"),
+        }
+
+    def test_optional_null_instantiates_nothing(self, spark):
+        from pawpaw_spark.operators.sparql import sparql_update
+
+        got = _t(sparql_update(self._e(spark), """
+            INSERT { ?s SEEN ?x } WHERE {
+              ?f DEFINES ?s . OPTIONAL { ?s NOPE ?x }
+            }"""))
+        assert got == {tuple(r) for r in self.ROWS}
+
+    def test_validation(self, spark):
+        from pawpaw_spark.operators.sparql import (
+            parse_update,
+            sparql_update,
+        )
+
+        with pytest.raises(ValueError, match="constant"):
+            parse_update("INSERT DATA { ?s DEFINES x }")
+        with pytest.raises(ValueError, match="plain triple pattern"):
+            parse_update(
+                "DELETE WHERE { ?s DEFINES ?o . FILTER ( ?s = x ) }"
+            )
+        with pytest.raises(ValueError, match="INSERT or DELETE"):
+            parse_update("SELECT ?s WHERE { ?s DEFINES ?o }")
+        with pytest.raises(ValueError, match="not bound"):
+            sparql_update(
+                self._e(spark),
+                "INSERT { ?zz SEEN x } WHERE { ?s REFERENCES ?o }",
+            ).collect()
+        with pytest.raises(ValueError, match="trailing"):
+            parse_update("DELETE DATA { a b c } extra")
