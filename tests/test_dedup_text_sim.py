@@ -87,8 +87,12 @@ class TestDedup:
 
     def test_cached_scope_keeps_persisted_set_flat(self, spark, docs):
         """N repeated dedup calls inside cached_scope leave the
-        session's persisted-RDD set exactly where it started (round-2
-        verdict item #6)."""
+        session's persisted-RDD set no larger than it started (round-2
+        verdict item #6). No-growth, not equality: the JVM
+        ContextCleaner asynchronously unpersists UNREFERENCED RDDs
+        from earlier fixtures/tests, so the baseline can shrink
+        beneath the loop — the operator-leak invariant is that OUR
+        calls add nothing, which the registry check pins exactly."""
         from pawpaw_spark.operators.dedup import (
             cached_scope, minhash_dedup_pairs, ngram_jaccard_pairs,
         )
@@ -98,6 +102,7 @@ class TestDedup:
 
         d = docs.limit(50)
         base = n_persisted()
+        reg_base = len(getattr(spark, "_pawpaw_cache_registry", []) or [])
         for _ in range(3):
             with cached_scope(ngram_jaccard_pairs(d, threshold=0.5)) as p:
                 p.count()
@@ -105,7 +110,9 @@ class TestDedup:
                 minhash_dedup_pairs(d, threshold=0.8, n_hashes=16, bands=4)
             ) as p:
                 p.count()
-        assert n_persisted() == base
+        assert n_persisted() <= base
+        reg = getattr(spark, "_pawpaw_cache_registry", []) or []
+        assert len(reg) == reg_base  # every scoped handle released
 
     def test_session_registry_catches_dropped_attribute(self, spark, docs):
         """A projection drops the _pawpaw_cached attribute; the
